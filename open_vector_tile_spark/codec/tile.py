@@ -1,0 +1,104 @@
+"""Top-level tile container: parse + write (reference: src/vectorTile.ts)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .column_cache import ColumnCacheReader, ColumnCacheWriter
+from .grid import GridData, write_grid_data
+from .image import ImageData, write_image_data
+from .layer import BaseLayer, OVLayer, write_ov_layer
+from .mvt import MvtLayer
+from .pbf import PbfReader, PbfWriter
+
+
+class VectorTile:
+    """Parse a tile buffer: MVT layers (tags 1/3), OVT layers (tag 4),
+    column cache (tag 5), grids (tag 6), images (tag 7)
+    (src/vectorTile.ts:92-132)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.layers: dict[str, object] = {}
+        self.grids: dict[str, GridData] = {}
+        self.images: dict[str, ImageData] = {}
+        self._columns: Optional[ColumnCacheReader] = None
+        layer_indexes: list[int] = []
+        pbf = PbfReader(data)
+
+        def handler(fld: int, wt: int, reader: PbfReader) -> None:
+            if fld in (1, 3):
+                end = reader.read_varint() + reader.pos
+                layer = MvtLayer(reader, end, is_s2=(fld == 1))
+                reader.pos = end
+                if len(layer) != 0:
+                    self.layers[layer.name] = layer
+            elif fld == 4:
+                layer_indexes.append(reader.pos)
+            elif fld == 5:
+                end = reader.read_varint() + reader.pos
+                self._columns = ColumnCacheReader.from_pbf(reader, end)
+                reader.pos = end
+            elif fld == 6:
+                end = reader.read_varint() + reader.pos
+                grid = GridData.from_pbf(reader, end)
+                reader.pos = end
+                self.grids[grid.name] = grid
+            elif fld == 7:
+                end = reader.read_varint() + reader.pos
+                image = ImageData.from_pbf(reader, end)
+                reader.pos = end
+                self.images[image.name] = image
+
+        pbf.read_fields(handler)
+        # OVT layers decoded after the column cache is registered (:126-132)
+        for pos in layer_indexes:
+            pbf.pos = pos
+            end = pbf.read_varint() + pbf.pos
+            layer = OVLayer(pbf, end, self._columns)
+            self.layers[layer.name] = layer
+
+
+def write_ov_tile(
+    layers: Optional[list[BaseLayer]] = None,
+    images: Optional[list[dict]] = None,
+    grids: Optional[list[dict]] = None,
+) -> bytes:
+    """(src/vectorTile.ts:148-185).  Buffer order: layer messages (tag 4),
+    column cache (tag 5), images (tag 7), grids (tag 6)."""
+    pbf = PbfWriter()
+    if layers is not None:
+        cache = ColumnCacheWriter()
+        layer_bodies = [write_ov_layer(layer, cache) for layer in layers]
+        for body in layer_bodies:
+            pbf.write_message(4, body)
+        col_pbf = PbfWriter()
+        cache.write(col_pbf)
+        pbf.write_message(5, col_pbf.commit())
+    if images is not None:
+        for img in images:
+            pbf.write_bytes_field(
+                7,
+                write_image_data(
+                    img["name"], img["type"], img["width"], img["height"], img["image"]
+                ),
+            )
+    if grids is not None:
+        for g in grids:
+            pbf.write_bytes_field(
+                6, write_grid_data(g["name"], g["size"], g["data"], g["extent"])
+            )
+    return pbf.commit()
+
+
+def mvt_tile_to_base_layers(tile: VectorTile) -> list[BaseLayer]:
+    """MVT layers of a parsed tile -> write-side IR (BaseVectorTile.fromVectorTile,
+    src/base/vectorTile.ts:23-49)."""
+    out = []
+    for name, layer in tile.layers.items():
+        if not isinstance(layer, MvtLayer):
+            continue
+        base = BaseLayer(name=layer.name, extent=layer.extent, version=layer.version)
+        for i in range(len(layer)):
+            base.add_feature(layer.feature(i).to_base())
+        out.append(base)
+    return out
