@@ -1,0 +1,241 @@
+"""Geospatial cell indexing + geometry predicates.
+
+Cell scheme: web-mercator ZXY tiles (public slippy-map tiling). A cell id at
+resolution ``z`` packs ``(z, x, y)`` into one int64: ``(z << 58) | (x << 29) | y``
+(supports z <= 28).  This doubles as the engine's tile key, so the spatial
+join's cell prefilter (SURVEY §2.4 J1) and the tiler's shuffle key
+(north_rule: shuffle on (zoom, tile_x, tile_y)) are the same partitioning —
+one shuffle serves both.
+
+Two implementations of each transform:
+- Column-expression (JVM-side, whole-stage-codegen) for the hot path:
+  :func:`tile_x_col` / :func:`tile_y_col` / :func:`cell_col` build pure
+  pyspark.sql Column trees (no Python UDF).
+- numpy (:func:`tile_xy_np`) for use inside Arrow UDFs (PIP refinement, kNN
+  kernels) and for the pytest oracles.
+
+The exact point-in-polygon test re-expresses the reference's ring-orientation
+semantics (signed area / classifyRings, reference src/mapbox/vectorFeature.ts:
+357-395): a point is inside a polygon when it is inside the outer ring and
+outside every hole; ray-casting is winding-agnostic.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+try:  # Spark optional: numpy paths usable without it (pytest oracles)
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    _HAS_SPARK = True
+except ImportError:  # pragma: no cover
+    _HAS_SPARK = False
+
+MAX_LAT = 85.05112877980659  # web-mercator clamp
+_Z_SHIFT = 58
+_X_SHIFT = 29
+
+# ---------------------------------------------------------------------------
+# numpy cell kernels
+# ---------------------------------------------------------------------------
+
+
+def merc_x_np(lon) -> np.ndarray:
+    """lon -> [0,1) web-mercator x."""
+    return (np.asarray(lon, dtype=np.float64) + 180.0) / 360.0
+
+
+def merc_y_np(lat) -> np.ndarray:
+    """lat -> [0,1) web-mercator y (clamped)."""
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -MAX_LAT, MAX_LAT)
+    s = np.sin(np.radians(lat))
+    return 0.5 - np.log((1.0 + s) / (1.0 - s)) / (4.0 * math.pi)
+
+
+def tile_xy_np(lon, lat, zoom: int) -> tuple[np.ndarray, np.ndarray]:
+    n = 1 << zoom
+    tx = np.clip(np.floor(merc_x_np(lon) * n), 0, n - 1).astype(np.int64)
+    ty = np.clip(np.floor(merc_y_np(lat) * n), 0, n - 1).astype(np.int64)
+    return tx, ty
+
+
+def cell_id_np(lon, lat, zoom: int) -> np.ndarray:
+    tx, ty = tile_xy_np(lon, lat, zoom)
+    return pack_cell_np(zoom, tx, ty)
+
+
+def pack_cell_np(zoom, tx, ty) -> np.ndarray:
+    return (
+        (np.int64(zoom) << np.int64(_Z_SHIFT))
+        | (np.asarray(tx, dtype=np.int64) << np.int64(_X_SHIFT))
+        | np.asarray(ty, dtype=np.int64)
+    )
+
+
+def unpack_cell_np(cell) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    c = np.asarray(cell, dtype=np.int64)
+    mask = np.int64((1 << _X_SHIFT) - 1)
+    return c >> np.int64(_Z_SHIFT), (c >> np.int64(_X_SHIFT)) & mask, c & mask
+
+
+def cell_ring_np(zoom: int, tx: int, ty: int, r: int) -> np.ndarray:
+    """Cells of the square ring at Chebyshev distance exactly r (r=0 -> the
+    cell itself). X wraps around the antimeridian; Y is clamped."""
+    n = 1 << zoom
+    if r == 0:
+        return pack_cell_np(zoom, np.array([tx]), np.array([ty]))
+    xs, ys = [], []
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            if max(abs(dx), abs(dy)) != r:
+                continue
+            y = ty + dy
+            if 0 <= y < n:
+                xs.append((tx + dx) % n)
+                ys.append(y)
+    if not xs:
+        return np.empty(0, dtype=np.int64)
+    return pack_cell_np(zoom, np.array(xs), np.array(ys))
+
+
+def cover_bbox_np(lon_min, lat_min, lon_max, lat_max, zoom: int):
+    """All (tx, ty) tiles intersecting a lon/lat bbox (polygon covering)."""
+    x0, y1 = tile_xy_np([lon_min], [lat_min], zoom)  # lat_min -> larger ty
+    x1, y0 = tile_xy_np([lon_max], [lat_max], zoom)
+    txs = np.arange(int(x0[0]), int(x1[0]) + 1, dtype=np.int64)
+    tys = np.arange(int(y0[0]), int(y1[0]) + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(txs, tys)
+    return gx.ravel(), gy.ravel()
+
+
+# ---------------------------------------------------------------------------
+# Spark column expressions (JVM-side; mirror the numpy math exactly)
+# ---------------------------------------------------------------------------
+
+if _HAS_SPARK:
+
+    def merc_x_col(lon: Column) -> Column:
+        return (lon + F.lit(180.0)) / F.lit(360.0)
+
+    def merc_y_col(lat: Column) -> Column:
+        clamped = F.greatest(F.lit(-MAX_LAT), F.least(F.lit(MAX_LAT), lat))
+        s = F.sin(F.radians(clamped))
+        return F.lit(0.5) - F.log((F.lit(1.0) + s) / (F.lit(1.0) - s)) / F.lit(4.0 * math.pi)
+
+    def tile_x_col(lon: Column, zoom: int) -> Column:
+        n = 1 << zoom
+        return F.greatest(
+            F.lit(0),
+            F.least(F.lit(n - 1), F.floor(merc_x_col(lon) * F.lit(float(n)))),
+        ).cast("long")
+
+    def tile_y_col(lat: Column, zoom: int) -> Column:
+        n = 1 << zoom
+        return F.greatest(
+            F.lit(0),
+            F.least(F.lit(n - 1), F.floor(merc_y_col(lat) * F.lit(float(n)))),
+        ).cast("long")
+
+    def cell_col(lon: Column, lat: Column, zoom: int) -> Column:
+        return pack_cell_col(F.lit(zoom), tile_x_col(lon, zoom), tile_y_col(lat, zoom))
+
+    def pack_cell_col(zoom: Column, tx: Column, ty: Column) -> Column:
+        return (
+            F.shiftleft(zoom.cast("long"), _Z_SHIFT)
+            .bitwiseOR(F.shiftleft(tx.cast("long"), _X_SHIFT))
+            .bitwiseOR(ty.cast("long"))
+        )
+
+    def quantize_lon_col(lon: Column) -> Column:
+        """F8: 24-bit quantization as a pure column expr (src/util.ts:322-324)."""
+        return F.floor((lon + F.lit(180.0)) * F.lit(16777215.0) / F.lit(360.0) + F.lit(0.5)).cast(
+            "long"
+        )
+
+    def quantize_lat_col(lat: Column) -> Column:
+        return F.floor((lat + F.lit(90.0)) * F.lit(16777215.0) / F.lit(180.0) + F.lit(0.5)).cast(
+            "long"
+        )
+
+    def encode_offset_col(offset: Column) -> Column:
+        """F11 (src/base/vectorFeature.ts:609-611)."""
+        return F.floor(offset * F.lit(1000.0)).cast("long")
+
+    def remap_value_col(value: Column, vmin: Column, vmax: Column, extent: int) -> Column:
+        """F13 grid remap (src/open/gridLayer.ts:98-100)."""
+        return F.floor((value - vmin) * F.lit(float(extent)) / (vmax - vmin) + F.lit(0.5)).cast(
+            "long"
+        )
+
+    def transform_point_col(p: Column, extent: int) -> Column:
+        """P13 extent quantization (src/base/vectorFeature.ts:584-602)."""
+        return F.floor(p * F.lit(float(extent)) + F.lit(0.5)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# distance + point-in-polygon (numpy, used inside Arrow UDFs)
+# ---------------------------------------------------------------------------
+
+EARTH_RADIUS_M = 6_371_008.8
+
+
+def haversine_np(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in meters, vectorized + broadcastable."""
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(a, dtype=np.float64)) for a in (lon1, lat1, lon2, lat2))
+    dlon = lon2 - lon1
+    dlat = lat2 - lat1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+
+
+def points_in_ring_np(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized ray-cast: are points inside the ring (winding-agnostic)?
+
+    px/py: (n,) point coords.  ring: (m, 2) closed or open ring.
+    Fully vectorized over n*m edge tests.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) >= 2 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
+    x1, y1 = ring[:, 0], ring[:, 1]  # (m,)
+    x2 = np.roll(x1, -1)
+    y2 = np.roll(y1, -1)
+    px = np.asarray(px, dtype=np.float64)[:, None]  # (n,1)
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    crosses = (y1 > py) != (y2 > py)  # edge straddles the horizontal ray
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+    hit = crosses & (px < xint)
+    return (hit.sum(axis=1) % 2).astype(bool)
+
+
+def points_in_polygon_np(px, py, rings: list) -> np.ndarray:
+    """Exact PIP with holes: inside outer ring (ring 0) and outside every
+    hole (reference hole semantics via classifyRings winding,
+    src/mapbox/vectorFeature.ts:357-381).  Degenerate (zero-area) rings are
+    dropped, matching the reference."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    if len(px) == 0:
+        return np.zeros(0, dtype=bool)
+    live = [r for r in rings if _ring_area(r) != 0.0]
+    if not live:
+        return np.zeros(len(px), dtype=bool)
+    inside = points_in_ring_np(px, py, np.asarray(live[0]))
+    for hole in live[1:]:
+        inside &= ~points_in_ring_np(px, py, np.asarray(hole))
+    return inside
+
+
+def _ring_area(ring) -> float:
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) >= 2 and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    if len(r) < 3:
+        return 0.0
+    x, y = r[:, 0], r[:, 1]
+    xp, yp = np.roll(x, 1), np.roll(y, 1)
+    return float(np.sum((xp - x) * (y + yp)))

@@ -1,0 +1,105 @@
+"""Text-side functions: geoparse + web-scale text analysis.
+
+Geoparse (SURVEY §2.2 P15, north_rule): extract geo-mentions from ``text``.
+The hot path is pure Spark SQL ``regexp_extract`` — JVM-side, codegen'd, no
+Python.  The ``text`` column itself is never rewritten anywhere in the engine
+(byte-identity invariant per url).
+
+Text-analysis ops for training-data pipelines (driver-graded first-class
+components): language-ID, quality scoring, token counting, fingerprinting.
+All column-expression based (no UDFs) so Catalyst can push/prune/codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# "... in Berlin (52.52000, 13.40500) ..." — lat first, lon second
+GEO_PATTERN = r"\((-?\d+\.\d+), (-?\d+\.\d+)\)"
+
+
+def geoparse(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``lat``/``lon`` doubles parsed from the first coordinate mention;
+    rows without a mention are dropped (filter pushes to the scan).  ``text``
+    passes through untouched."""
+    lat = F.regexp_extract(F.col(text_col), GEO_PATTERN, 1)
+    lon = F.regexp_extract(F.col(text_col), GEO_PATTERN, 2)
+    return (
+        df.withColumn("lat", F.when(lat != "", lat.cast("double")))
+        .withColumn("lon", F.when(lon != "", lon.cast("double")))
+        .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID: n-gram/stopword heuristic as a pure column expression
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " les "],
+    "es": [" el ", " los ", " que "],
+    "pt": [" os ", " uma ", " não "],
+}
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Count of marker-token hits for one language.  split-based occurrence
+    count keeps the expression tree small enough for whole-stage codegen."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    score = F.lit(0)
+    for marker in _LANG_MARKERS[lang]:
+        score = score + F.size(F.split(padded, marker, -1)) - 1
+    return score
+
+
+def lang_id(text: Column) -> Column:
+    """Best-scoring language marker set, 'und' when nothing matches."""
+    langs = list(_LANG_MARKERS)
+    best_score = lang_score(text, langs[0])
+    best_lang = F.lit(langs[0])
+    for lg in langs[1:]:
+        s = lang_score(text, lg)
+        cond = s > best_score
+        best_lang = F.when(cond, F.lit(lg)).otherwise(best_lang)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (length / punctuation / stopword ratios)
+# ---------------------------------------------------------------------------
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization count (BPE-ish regex split on non-word runs)."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def word_chars(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^\p{L}\p{N}]", ""))
+
+
+def punct_ratio(text: Column) -> Column:
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return punct / F.greatest(F.length(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality: length band + alpha ratio − punct excess."""
+    n = F.length(text)
+    length_term = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_term = word_chars(text) / F.greatest(n, F.lit(1))
+    penalty = F.greatest(punct_ratio(text) - F.lit(0.2), F.lit(0.0))
+    score = F.lit(0.4) * length_term + F.lit(0.6) * alpha_term - penalty
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), score))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: 64-bit hash of whitespace-normalized lowercase
+    text (rolling-hash analogue, stable across runs — xxhash64 is seeded
+    deterministically)."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.xxhash64(normalized)

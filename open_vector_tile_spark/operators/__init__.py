@@ -1,0 +1,12 @@
+from .gridding import grid_aggregate, grid_tiles  # noqa: F401
+from .knn import knn_broadcast, knn_cell_ring  # noqa: F401
+from .pipeline import run_pipeline  # noqa: F401
+from .resume import TileStore  # noqa: F401
+from .spatial_join import bbox_prejoin, polygon_covering, spatial_join  # noqa: F401
+from .tiler import (  # noqa: F401
+    FEATURE_SCHEMA,
+    TILE_SCHEMA,
+    LayerSpec,
+    encode_tiles,
+    points_to_features,
+)

@@ -1,0 +1,89 @@
+"""Raster gridding (A8) + grid-layer sink (S9).
+
+points-with-value -> per-tile size×size cell means -> ``array<float>`` grid
+per tile -> grid layer bytes (codec.write_grid_data semantics: min/max scan,
+remap to [0,extent], zigzag-delta, src/open/gridLayer.ts:72-100).
+
+Aggregation is Spark-native hash agg (partial map-side combine, then final):
+``groupBy(zoom, tile_x, tile_y, px, py).avg(value)``; only the final
+pivot-to-array + byte encode touch Python (Arrow-grouped).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..codec import write_grid_data
+from ..functions.geo import merc_x_col, merc_y_col
+
+GRID_TILE_SCHEMA = "zoom int, tile_x long, tile_y long, tile binary, n_cells long, n_bytes long"
+
+
+def grid_aggregate(
+    points: DataFrame,
+    zoom: int,
+    size: int,
+    value: str = "value",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """-> (zoom, tile_x, tile_y, px, py, mean_value, n) long-form grid cells.
+
+    One shuffle on the full grid key; avg gets a map-side partial.
+    """
+    n = float(1 << zoom)
+    mx = merc_x_col(F.col(lon)) * F.lit(n)
+    my = merc_y_col(F.col(lat)) * F.lit(n)
+    tx = F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), F.floor(mx))).cast("long")
+    ty = F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), F.floor(my))).cast("long")
+    px = F.least(F.lit(size - 1), F.floor((mx - tx) * size)).cast("int")
+    py = F.least(F.lit(size - 1), F.floor((my - ty) * size)).cast("int")
+    return (
+        points.select(
+            F.lit(zoom).alias("zoom"),
+            tx.alias("tile_x"),
+            ty.alias("tile_y"),
+            px.alias("px"),
+            py.alias("py"),
+            F.col(value).alias("v"),
+        )
+        .groupBy("zoom", "tile_x", "tile_y", "px", "py")
+        .agg(F.avg("v").alias("mean_value"), F.count("*").alias("n"))
+    )
+
+
+def grid_tiles(
+    cells: DataFrame, size: int, extent: int = 8192, name: str = "grid", fill: float = 0.0
+) -> DataFrame:
+    """Long-form cells -> one OVT grid tile per (zoom, tile_x, tile_y)."""
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        grid = np.full(size * size, fill, dtype=np.float64)
+        idx = pdf["py"].to_numpy(dtype=np.int64) * size + pdf["px"].to_numpy(dtype=np.int64)
+        grid[idx] = pdf["mean_value"].to_numpy(dtype=np.float64)
+        blob = write_grid_data(name, size, grid, extent)
+        tile = _wrap_grid_tile(blob)
+        return pd.DataFrame(
+            {
+                "zoom": [int(pdf["zoom"].iloc[0])],
+                "tile_x": [int(pdf["tile_x"].iloc[0])],
+                "tile_y": [int(pdf["tile_y"].iloc[0])],
+                "tile": [tile],
+                "n_cells": [len(pdf)],
+                "n_bytes": [len(tile)],
+            }
+        )
+
+    return cells.groupBy("zoom", "tile_x", "tile_y").applyInPandas(encode, GRID_TILE_SCHEMA)
+
+
+def _wrap_grid_tile(grid_message: bytes) -> bytes:
+    """Wrap a grid message as a full tile buffer (field 6, src/vectorTile.ts:177-181)."""
+    from ..codec.pbf import PbfWriter
+
+    pbf = PbfWriter()
+    pbf.write_bytes_field(6, grid_message)
+    return pbf.commit()

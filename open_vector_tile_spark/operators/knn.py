@@ -1,0 +1,231 @@
+"""kNN page -> POI matching (J3/O4).
+
+Two strategies:
+
+- :func:`knn_broadcast` — POI anchors are dim-table sized; ship them to every
+  executor and compute vectorized haversine top-k per Arrow batch.  No
+  shuffle of the pages side at all; this is the 100 TB path whenever the POI
+  table fits in executor memory (millions of POIs ≈ tens of MB).
+
+- :func:`knn_cell_ring` — cell-ring expansion (SURVEY §2.4 J3): join pages to
+  POIs bucketed by cell, expanding the ring radius r=0,1,2,... per round and
+  anti-joining resolved pages between rounds.  Demonstrates the iterative
+  DataFrame pattern for when the anchor side is NOT broadcastable; ranking
+  window (O4) picks the k nearest.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.geo import cell_col, cell_ring_np, haversine_np, pack_cell_np, tile_xy_np
+
+
+def knn_broadcast(
+    points: DataFrame,
+    pois_pdf: pd.DataFrame,
+    k: int = 3,
+    lon: str = "lon",
+    lat: str = "lat",
+    key: str = "url",
+) -> DataFrame:
+    """-> (key, poi_id, dist_m, rank) with rank 1..k by great-circle distance.
+
+    Vectorized: one (batch × n_poi) distance matrix per Arrow batch, argpartition
+    top-k — no per-row Python.
+    """
+    plon = pois_pdf["lon"].to_numpy(dtype=np.float64)
+    plat = pois_pdf["lat"].to_numpy(dtype=np.float64)
+    pids = pois_pdf["poi_id"].to_numpy(dtype=np.int64)
+    schema = f"{key} string, poi_id long, dist_m double, rank int"
+
+    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lons = pdf[lon].to_numpy(dtype=np.float64)
+            lats = pdf[lat].to_numpy(dtype=np.float64)
+            # (n, m) distance matrix in float64; fine for dim-sized m
+            d = haversine_np(lons[:, None], lats[:, None], plon[None, :], plat[None, :])
+            kk = min(k, d.shape[1])
+            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            rowi = np.arange(len(pdf))[:, None]
+            order = np.argsort(d[rowi, part], axis=1)
+            sel = part[rowi, order]  # (n, k) sorted by distance
+            out = pd.DataFrame(
+                {
+                    key: np.repeat(pdf[key].to_numpy(), kk),
+                    "poi_id": pids[sel].ravel(),
+                    "dist_m": d[rowi, sel].ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1), len(pdf)),
+                }
+            )
+            yield out
+
+    return points.select(key, lon, lat).mapInPandas(topk, schema)
+
+
+def poi_cells(spark, pois_pdf: pd.DataFrame, zoom: int) -> DataFrame:
+    tx, ty = tile_xy_np(pois_pdf["lon"].to_numpy(), pois_pdf["lat"].to_numpy(), zoom)
+    out = pd.DataFrame(
+        {
+            "cell": pack_cell_np(zoom, tx, ty),
+            "poi_id": pois_pdf["poi_id"].to_numpy(dtype=np.int64),
+            "poi_lon": pois_pdf["lon"].to_numpy(dtype=np.float64),
+            "poi_lat": pois_pdf["lat"].to_numpy(dtype=np.float64),
+        }
+    )
+    return spark.createDataFrame(out)
+
+
+def knn_cell_ring(
+    points: DataFrame,
+    pois_pdf: pd.DataFrame,
+    zoom: int = 4,
+    k: int = 3,
+    max_rings: int = 8,
+    lon: str = "lon",
+    lat: str = "lat",
+    key: str = "url",
+) -> DataFrame:
+    """Iterative ring expansion with an EXACT termination bound.
+
+    Round r searches the Chebyshev DISK of radius r around the page cell.
+    A page resolves only when it found >= k candidates AND its k-th candidate
+    distance <= the great-circle lower bound to anything outside the disk
+    (min distance to the disk's bounding meridians/parallels — crossing one
+    of those planes is necessary to leave the disk).  This makes the result
+    identical to brute force; mercator distortion only costs extra rounds,
+    never correctness.  Unresolved pages after ``max_rings`` fall back to the
+    broadcast kernel."""
+    spark = points.sparkSession
+    pcells = poi_cells(spark, pois_pdf, zoom).cache()
+    n = 1 << zoom
+
+    pending = points.select(key, lon, lat).withColumn(
+        "cell", cell_col(F.col(lon), F.col(lat), zoom)
+    )
+    resolved: list[DataFrame] = []
+    w = Window.partitionBy(key).orderBy(F.col("dist_m").asc(), F.col("poi_id").asc())
+
+    for r in range(max_rings + 1):
+        if pending.isEmpty():
+            break
+        disk = _disk_cells_df(pending, zoom, r)
+        cand = disk.join(F.broadcast(pcells), on="cell", how="inner")
+        scored = cand.withColumn(
+            "dist_m", _haversine_col(F.col(lon), F.col(lat), F.col("poi_lon"), F.col("poi_lat"))
+        ).withColumn("rank", F.row_number().over(w))
+        kth = (
+            scored.filter(F.col("rank") <= k)
+            .groupBy(key, lon, lat, "home_tx", "home_ty")
+            .agg(F.max("dist_m").alias("kth_dist"), F.count("*").alias("n_cand"))
+        )
+        bound = _disk_boundary_bound_col(
+            F.col(lon), F.col(lat), F.col("home_tx"), F.col("home_ty"), r, zoom, n
+        )
+        done_keys = (
+            kth.filter((F.col("n_cand") >= k) & (F.col("kth_dist") <= bound)).select(key)
+        )
+        done = (
+            scored.join(F.broadcast(done_keys), on=key, how="leftsemi")
+            .filter(F.col("rank") <= k)
+            .select(key, "poi_id", "dist_m", "rank")
+        )
+        resolved.append(done)
+        pending = pending.join(done_keys, on=key, how="left_anti")
+
+    if not pending.isEmpty():
+        resolved.append(knn_broadcast(pending, pois_pdf, k=k, lon=lon, lat=lat, key=key))
+
+    out = resolved[0]
+    for df in resolved[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _disk_cells_df(pending: DataFrame, zoom: int, r: int) -> DataFrame:
+    """Explode pages to all cells of the Chebyshev disk of radius r
+    (vectorized: one (batch × (2r+1)^2) broadcast per Arrow batch; x wraps,
+    y clamps)."""
+    from ..functions.geo import unpack_cell_np
+
+    n = 1 << zoom
+    offs = np.arange(-r, r + 1, dtype=np.int64)
+    dx, dy = np.meshgrid(offs, offs)
+    dx, dy = dx.ravel(), dy.ravel()
+
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in pending.schema.fields)
+    schema = f"{fields}, home_tx long, home_ty long, disk_cell long"
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            _, txs, tys = unpack_cell_np(pdf["cell"].to_numpy())
+            cx = (txs[:, None] + dx[None, :]) % n  # wrap antimeridian
+            cy = tys[:, None] + dy[None, :]
+            valid = (cy >= 0) & (cy < n)
+            reps = valid.sum(axis=1)
+            out = pdf.loc[pdf.index.repeat(reps)].reset_index(drop=True)
+            out["home_tx"] = np.repeat(txs, reps)
+            out["home_ty"] = np.repeat(tys, reps)
+            out["disk_cell"] = pack_cell_np(zoom, cx[valid], cy[valid])
+            # dedup cells per page (wrap can alias when 2r+1 >= n)
+            out = out.drop_duplicates(subset=[pdf.columns[0], "disk_cell"])
+            yield out
+
+    out = pending.mapInPandas(gen, schema)
+    return out.drop("cell").withColumnRenamed("disk_cell", "cell")
+
+
+def _disk_boundary_bound_col(lon, lat, home_tx, home_ty, r: int, zoom: int, n: int):
+    """Lower bound (meters) on distance from the page to any point outside
+    the searched disk: min over the 4 bounding planes —
+    parallels (exact meridian-arc distance) and meridians
+    (angular distance asin(|sin dlon| * cos lat))."""
+    R = 6_371_008.8
+    big = F.lit(4.0e7)  # > earth circumference: plane not crossable
+    # disk tile bounds
+    y_lo = home_ty - r          # north edge tile row
+    y_hi = home_ty + r + 1      # south edge boundary row
+    lat_n = _tile_lat_col(y_lo, n)
+    lat_s = _tile_lat_col(y_hi, n)
+    d_north = F.when(F.lit(r) >= home_ty, big).otherwise(
+        F.lit(R) * F.radians(lat_n - lat)
+    )
+    d_south = F.when(y_hi >= F.lit(n), big).otherwise(F.lit(R) * F.radians(lat - lat_s))
+    # meridians (skip when the disk wraps the full globe)
+    lon_w = (home_tx - r).cast("double") / F.lit(float(n)) * 360.0 - 180.0
+    lon_e = (home_tx + r + 1).cast("double") / F.lit(float(n)) * 360.0 - 180.0
+    wraps = F.lit(2 * r + 1 >= n)
+    coslat = F.cos(F.radians(lat))
+    d_west = F.when(wraps, big).otherwise(
+        F.lit(R) * F.asin(F.abs(F.sin(F.radians(lon - lon_w))) * coslat)
+    )
+    d_east = F.when(wraps, big).otherwise(
+        F.lit(R) * F.asin(F.abs(F.sin(F.radians(lon_e - lon))) * coslat)
+    )
+    return F.least(d_north, d_south, d_west, d_east)
+
+
+def _tile_lat_col(ty, n: int):
+    """North-edge latitude of mercator tile row ty: atan(sinh(pi*(1-2y/n)))."""
+    import math as _m
+
+    yy = ty.cast("double") / F.lit(float(n))
+    return F.degrees(F.atan(F.sinh(F.lit(_m.pi) * (F.lit(1.0) - F.lit(2.0) * yy))))
+
+
+def _haversine_col(lon1, lat1, lon2, lat2):
+    """Haversine meters as a pure column expression (JVM-side)."""
+    r = 6_371_008.8
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = F.sin(dlat / 2) ** 2 + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2
+    return F.lit(2.0 * r) * F.asin(F.least(F.lit(1.0), F.sqrt(a)))

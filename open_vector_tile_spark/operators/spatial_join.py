@@ -1,0 +1,146 @@
+"""Two-phase spatial join: cell prefilter + exact point-in-polygon (J1+J2),
+with mega-cell skew handling (J4).
+
+Phase 1 (J1) is a plain equi-join on the packed cell id — Catalyst picks
+broadcast-hash when the polygon covering set is small (we wrap it in
+``F.broadcast`` explicitly), so the big pages side never shuffles.
+Phase 2 (J2) refines candidates with a vectorized numpy ray-cast inside an
+Arrow ``mapInPandas`` — only candidate pairs reach Python.
+
+Scale notes (100 TB): the covering table is (polygons × covered cells) —
+thousands of rows even for large layers, always broadcastable.  With
+broadcast there is NO shuffle of the pages table at all; the only Python
+cost is candidates that survive the bbox-covering prefilter.  Skew from
+mega-cells is irrelevant under broadcast join (no partitioning by cell); for
+the shuffle-join variant (huge polygon sets) enable AQE skew-join splitting +
+salting via ``salt`` param.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.geo import cover_bbox_np, pack_cell_np, cell_col, points_in_polygon_np
+
+
+def polygon_covering(spark: SparkSession, polygons_pdf: pd.DataFrame, zoom: int) -> DataFrame:
+    """Polygon layer -> exploded (cell, poly_id) covering at ``zoom``
+    (F20 cell cover).  Covering is bbox-based (superset; exact test is
+    phase 2).  Computed on the driver (polygon layers are dim-table sized)
+    and broadcast."""
+    rows = []
+    for _, row in polygons_pdf.iterrows():
+        rings = _rings_of(row)
+        if not rings:
+            continue
+        outer = rings[0]
+        lon_min, lat_min = outer[:, 0].min(), outer[:, 1].min()
+        lon_max, lat_max = outer[:, 0].max(), outer[:, 1].max()
+        txs, tys = cover_bbox_np(lon_min, lat_min, lon_max, lat_max, zoom)
+        for c in pack_cell_np(zoom, txs, tys).tolist():
+            rows.append((int(c), int(row["poly_id"])))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cell", "poly_id"]),
+        schema="cell long, poly_id long",
+    )
+
+
+def _rings_of(row) -> list:
+    out = []
+    for flat in row["ring_xy"]:
+        arr = np.asarray(flat, dtype=np.float64).reshape(-1, 2)
+        out.append(arr)
+    return out
+
+
+def spatial_join(
+    points: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    zoom: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    salt: Optional[int] = None,
+    exact: bool = True,
+) -> DataFrame:
+    """points(lon,lat,...) ⋈ polygons -> rows + ``poly_id`` (+ per-row cell).
+
+    J1: equi-join on packed cell id against the broadcast covering.
+    J2: exact PIP refinement via Arrow-vectorized ray-cast (skipped when
+    ``exact=False`` for covering-only semantics).
+    J4: optional salting for the non-broadcast path.
+    """
+    spark = points.sparkSession
+    covering = polygon_covering(spark, polygons_pdf, zoom)
+    pts = points.withColumn("cell", cell_col(F.col(lon), F.col(lat), zoom))
+    if salt:
+        # replicate the (small) covering side xN, split hot cells on the big side
+        pts = pts.withColumn("salt", F.pmod(F.xxhash64(F.col(lon), F.col(lat)), F.lit(salt)))
+        covering = covering.crossJoin(
+            spark.range(salt).select(F.col("id").alias("salt"))
+        )
+        candidates = pts.join(
+            F.broadcast(covering), on=["cell", "salt"], how="inner"
+        ).drop("salt")
+    else:
+        candidates = pts.join(F.broadcast(covering), on="cell", how="inner")
+    if not exact:
+        return candidates
+
+    # phase 2: vectorized PIP per candidate batch.  Polygon rings ride to the
+    # executors via closure capture (dim-table sized).
+    rings_by_id = {int(r["poly_id"]): [a.tolist() for a in _rings_of(r)] for _, r in polygons_pdf.iterrows()}
+    schema = candidates.schema
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            px = pdf[lon].to_numpy()
+            py = pdf[lat].to_numpy()
+            for pid, idx in pdf.groupby("poly_id").indices.items():
+                rings = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in rings_by_id[int(pid)]]
+                keep[idx] = points_in_polygon_np(px[idx], py[idx], rings)
+            yield pdf[keep]
+
+    return candidates.mapInPandas(refine, schema)
+
+
+def bbox_prejoin(points: DataFrame, polygons_pdf: pd.DataFrame, lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """J6 range/interval join variant: 1-D interval conditions on the
+    polygon bboxes (no cell index).  Broadcast NL-join with range predicates;
+    useful when no covering is precomputed."""
+    spark = points.sparkSession
+    rows = []
+    for _, row in polygons_pdf.iterrows():
+        rings = _rings_of(row)
+        if not rings:
+            continue
+        outer = rings[0]
+        rows.append(
+            (
+                int(row["poly_id"]),
+                float(outer[:, 0].min()),
+                float(outer[:, 1].min()),
+                float(outer[:, 0].max()),
+                float(outer[:, 1].max()),
+            )
+        )
+    boxes = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["poly_id", "lon_min", "lat_min", "lon_max", "lat_max"])
+    )
+    cond = (
+        (F.col(lon) >= F.col("lon_min"))
+        & (F.col(lon) <= F.col("lon_max"))
+        & (F.col(lat) >= F.col("lat_min"))
+        & (F.col(lat) <= F.col("lat_max"))
+    )
+    return points.join(F.broadcast(boxes), on=cond, how="inner").drop(
+        "lon_min", "lat_min", "lon_max", "lat_max"
+    )

@@ -1,0 +1,198 @@
+"""Spark integration tests with brute-force oracles (FIXTURES.md §8):
+
+- join_expected: pure-numpy PIP over every (page, polygon) pair
+- knn_expected: brute-force haversine
+- cell_expected: tile assignment vs numpy oracle
+- tiles round-trip: Spark-encoded bytes decode under the codec's reference
+  reader with exact quantized geometry
+- text byte-identity per url at every stage (north_rule invariant)
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from open_vector_tile_spark.codec import VectorTile
+from open_vector_tile_spark.functions import geo
+from open_vector_tile_spark.functions.text import geoparse
+from open_vector_tile_spark.operators import (
+    TileStore,
+    encode_tiles,
+    grid_aggregate,
+    grid_tiles,
+    knn_broadcast,
+    knn_cell_ring,
+    points_to_features,
+    spatial_join,
+)
+from open_vector_tile_spark.sources import pages_pdf, pois_pdf, polygons_pdf
+
+N_PAGES = 800
+ZOOM = 4
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame(pages_pdf(N_PAGES)).cache()
+
+
+@pytest.fixture(scope="module")
+def points_oracle():
+    pdf = pages_pdf(N_PAGES)
+    lat = pdf["text"].str.extract(r"\((-?\d+\.\d+), (-?\d+\.\d+)\)")[0].astype(float)
+    lon = pdf["text"].str.extract(r"\((-?\d+\.\d+), (-?\d+\.\d+)\)")[1].astype(float)
+    return pd.DataFrame({"url": pdf["url"], "lon": lon, "lat": lat, "text": pdf["text"]})
+
+
+def test_geoparse_matches_embedded_coords(spark, pages, points_oracle):
+    got = geoparse(pages).select("url", "lon", "lat").toPandas().set_index("url")
+    want = points_oracle.set_index("url")
+    assert len(got) == N_PAGES
+    joined = got.join(want, lsuffix="_g")
+    assert np.abs(joined["lon_g"] - joined["lon"]).max() < 1e-9
+    assert np.abs(joined["lat_g"] - joined["lat"]).max() < 1e-9
+
+
+def test_text_byte_identity_through_pipeline(spark, pages):
+    """north_rule invariant: text bytes per url unchanged end-to-end."""
+    src = {r["url"]: r["text"] for r in pages.select("url", "text").collect()}
+    parsed = geoparse(pages)
+    joined = spatial_join(parsed, polygons_pdf(), zoom=ZOOM)
+    out = {r["url"]: r["text"] for r in joined.select("url", "text").collect()}
+    for url, text in out.items():
+        assert text.encode() == src[url].encode()
+
+
+def test_cell_assignment_matches_numpy_oracle(spark, pages, points_oracle):
+    parsed = geoparse(pages).withColumn("cell", geo.cell_col(F.col("lon"), F.col("lat"), ZOOM))
+    got = parsed.select("url", "cell").toPandas().set_index("url")["cell"]
+    want = pd.Series(
+        geo.cell_id_np(points_oracle["lon"], points_oracle["lat"], ZOOM),
+        index=points_oracle["url"],
+    )
+    mismatch = (got.sort_index() != want.sort_index()).sum()
+    assert mismatch == 0
+
+
+def test_spatial_join_matches_bruteforce_pip(spark, pages, points_oracle):
+    polys = polygons_pdf()
+    got = (
+        spatial_join(geoparse(pages), polys, zoom=ZOOM)
+        .select("url", "poly_id")
+        .toPandas()
+    )
+    got_set = set(map(tuple, got.itertuples(index=False)))
+    # brute force oracle over all pairs
+    want = set()
+    px = points_oracle["lon"].to_numpy()
+    py = points_oracle["lat"].to_numpy()
+    urls = points_oracle["url"].to_numpy()
+    for _, row in polys.iterrows():
+        rings = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in row["ring_xy"]]
+        inside = geo.points_in_polygon_np(px, py, rings)
+        for u in urls[inside]:
+            want.add((u, row["poly_id"]))
+    assert got_set == want
+    assert len(want) > 0  # fixture must actually exercise the join
+
+
+def test_degenerate_polygons_match_nothing(spark, pages):
+    polys = polygons_pdf()
+    degenerate = polys[polys["poly_id"].isin([48, 49])]
+    got = spatial_join(geoparse(pages), degenerate, zoom=ZOOM).count()
+    assert got == 0
+
+
+def test_knn_broadcast_matches_bruteforce(spark, pages, points_oracle):
+    pois = pois_pdf(60)
+    got = knn_broadcast(geoparse(pages), pois, k=3).toPandas()
+    # oracle
+    d = geo.haversine_np(
+        points_oracle["lon"].to_numpy()[:, None],
+        points_oracle["lat"].to_numpy()[:, None],
+        pois["lon"].to_numpy()[None, :],
+        pois["lat"].to_numpy()[None, :],
+    )
+    order = np.argsort(d, axis=1)[:, :3]
+    want = {
+        (u, int(pois["poi_id"].iloc[order[i, r]]), r + 1)
+        for i, u in enumerate(points_oracle["url"])
+        for r in range(3)
+    }
+    got_set = set(zip(got["url"], got["poi_id"].astype(int), got["rank"].astype(int)))
+    assert got_set == want
+
+
+def test_knn_cell_ring_agrees_with_broadcast(spark, pages):
+    pois = pois_pdf(60)
+    pts = geoparse(pages).limit(120).cache()
+    a = knn_cell_ring(pts, pois, zoom=3, k=3).toPandas()
+    b = knn_broadcast(pts, pois, k=3).toPandas()
+    ka = set(zip(a["url"], a["poi_id"].astype(int), a["rank"].astype(int)))
+    kb = set(zip(b["url"], b["poi_id"].astype(int), b["rank"].astype(int)))
+    assert ka == kb
+
+
+def test_tile_encode_roundtrip_and_quantization(spark, pages, points_oracle):
+    feats = points_to_features(
+        geoparse(pages), zoom=ZOOM, layer="pages", extent=4096, props_cols=["url", "lang"]
+    )
+    tiles = encode_tiles(feats).toPandas()
+    assert tiles["n_features"].sum() == N_PAGES
+    # oracle: quantized in-tile coords per url
+    n = 1 << ZOOM
+    mx = geo.merc_x_np(points_oracle["lon"]) * n
+    my = geo.merc_y_np(points_oracle["lat"]) * n
+    tx = np.clip(np.floor(mx), 0, n - 1).astype(int)
+    ty = np.clip(np.floor(my), 0, n - 1).astype(int)
+    qx = np.floor((mx - tx) * 4096 + 0.5).astype(int)
+    qy = np.floor((my - ty) * 4096 + 0.5).astype(int)
+    want = {
+        u: (int(tx[i]), int(ty[i]), int(qx[i]), int(qy[i]))
+        for i, u in enumerate(points_oracle["url"])
+    }
+    seen = 0
+    for _, t in tiles.iterrows():
+        parsed = VectorTile(bytes(t["tile"]))
+        layer = parsed.layers["pages"]
+        for i in range(len(layer)):
+            f = layer.feature(i)
+            url = f.properties["url"]
+            wtx, wty, wqx, wqy = want[url]
+            assert (wtx, wty) == (t["tile_x"], t["tile_y"]), url
+            assert f.geometry == [(wqx, wqy)], url
+            seen += 1
+    assert seen == N_PAGES
+
+
+def test_resume_skips_completed_tiles(spark, pages, tmp_path):
+    feats = points_to_features(geoparse(pages), zoom=ZOOM, layer="pages", extent=4096).cache()
+    store = TileStore(str(tmp_path / "store"))
+    first = encode_tiles(store.pending(feats))
+    store.commit(first)
+    n_first = store.read_tiles(spark).count()
+    assert n_first > 0
+    # second run: nothing pending
+    assert store.pending(feats).isEmpty()
+    # metrics/lineage recorded per partition
+    m = store.metrics(spark).toPandas()
+    assert {"zoom", "tile_x", "tile_y", "rows", "bytes", "snapshot", "run_id"} <= set(m.columns)
+    assert m["rows"].sum() == n_first
+
+
+def test_gridding_roundtrip(spark, pages):
+    pts = geoparse(pages).withColumn("value", F.col("lat") * 10)
+    cells = grid_aggregate(pts, zoom=2, size=32, value="value")
+    tiles = grid_tiles(cells, size=32, extent=8192, name="density").toPandas()
+    assert len(tiles) > 0
+    cpdf = cells.toPandas()
+    for _, t in tiles.iterrows():
+        parsed = VectorTile(bytes(t["tile"]))
+        g = parsed.grids["density"]
+        data = g.data()
+        sub = cpdf[(cpdf.tile_x == t.tile_x) & (cpdf.tile_y == t.tile_y)]
+        tol = (g.max - g.min) / g.extent / 2 + 1e-6
+        for _, c in sub.iterrows():
+            got = data[int(c.py) * 32 + int(c.px)]
+            assert abs(got - c.mean_value) <= tol
