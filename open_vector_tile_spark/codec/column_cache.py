@@ -66,6 +66,16 @@ class ColumnCacheWriter:
         # col id -> {key: NumberChunk}
         self._cols: dict[int, dict] = {c: {} for c in range(1, 11)}
 
+    def add_string(self, value: str) -> int:
+        """Hot-path string insert (no type dispatch)."""
+        col_data = self._cols[OColumn.string]
+        chunk = col_data.get(value)
+        if chunk is not None:
+            chunk.count += 1
+            return chunk.index
+        col_data[value] = NumberChunk(col=OColumn.string, data=value, index=len(col_data), count=1)
+        return len(col_data) - 1
+
     def add_column_data(self, col: int, value: Any) -> int:
         """Dedup + insert non-number data; returns insertion index
         (src/open/columnCache.ts:291-322)."""

@@ -111,8 +111,10 @@ class BaseFeature:
             # single-point inline fast path (src/base/vectorFeature.ts:93-101)
             p = geometry[0]
             if self.ftype == 4:
-                return int(K.weave3d(K.zigzag(p[0]), K.zigzag(p[1]), K.zigzag(p[2])))
-            return int(K.weave2d(K.zigzag(p[0]), K.zigzag(p[1])))
+                return K.weave3d_scalar(
+                    K.zigzag_scalar(p[0]), K.zigzag_scalar(p[1]), K.zigzag_scalar(p[2])
+                )
+            return K.weave2d_scalar(K.zigzag_scalar(p[0]), K.zigzag_scalar(p[1]))
         indices = [cache.add_column_data(col, [tuple(p) for p in geometry])]
         if self.has_mvalues:
             for m in self.mvalues or []:

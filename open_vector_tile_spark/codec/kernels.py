@@ -118,6 +118,43 @@ def unweave3d(num):
     return _compact1by2(n), _compact1by2(n >> np.uint64(1)), _compact1by2(n >> np.uint64(2))
 
 
+# scalar (pure python int) fast paths — numpy scalar ops cost ~2-5us each,
+# which dominates per-feature encode; these are ~50ns
+def zigzag_scalar(n: int) -> int:
+    return ((n << 1) ^ (n >> 31)) & 0xFFFFFFFF
+
+
+def zagzig_scalar(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _part1by1_scalar(x: int) -> int:
+    x &= 0xFFFF
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def weave2d_scalar(a: int, b: int) -> int:
+    return _part1by1_scalar(a) | (_part1by1_scalar(b) << 1)
+
+
+def _part1by2_scalar(x: int) -> int:
+    x &= 0x1FFFFF
+    x = (x | (x << 32)) & 0x1F00000000FFFF
+    x = (x | (x << 16)) & 0x1F0000FF0000FF
+    x = (x | (x << 8)) & 0x100F00F00F00F00F
+    x = (x | (x << 4)) & 0x10C30C30C30C30C3
+    x = (x | (x << 2)) & 0x1249249249249249
+    return x
+
+
+def weave3d_scalar(a: int, b: int, c: int) -> int:
+    return _part1by2_scalar(a) | (_part1by2_scalar(b) << 1) | (_part1by2_scalar(c) << 2)
+
+
 # ---------------------------------------------------------------------------
 # delta encodings (reference: src/util.ts:154-313)
 # ---------------------------------------------------------------------------

@@ -34,6 +34,9 @@ def zagzig64(n: int) -> int:
 def write_varint(out: bytearray, value: int) -> None:
     """Append an unsigned LEB128 varint. Negative ints are written as their
     64-bit two's complement (protobuf convention)."""
+    if 0 <= value < 0x80:  # 1-byte fast path (the overwhelmingly common case)
+        out.append(value)
+        return
     value &= _MASK64
     while True:
         b = value & 0x7F

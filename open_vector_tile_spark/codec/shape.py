@@ -101,7 +101,7 @@ def _encode_value(value: Any, shape: Any, store: list, cache: ColumnCacheWriter)
             _encode_value(obj.get(key), shape[key], store, cache)
     else:
         if shape == "string":
-            store.append(cache.add_column_data(OColumn.string, value if value is not None else ""))
+            store.append(cache.add_string(value if value is not None else ""))
         elif shape == "u64":
             store.append(cache.add_number(int(value or 0), OColumn.unsigned))
         elif shape == "i64":

@@ -28,6 +28,7 @@ import json
 from dataclasses import dataclass
 from typing import Iterable, Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -54,21 +55,28 @@ class LayerSpec:
     mshape: Optional[dict] = None
 
 
-def rows_to_base_feature(row: pd.Series) -> BaseFeature:
-    """One feature row -> write-side IR."""
+def rows_to_base_feature(row) -> BaseFeature:
+    """One feature row (dict-like; all-null columns may be absent) -> IR."""
     ftype = int(row["ftype"])
     dims = 3 if ftype in (4, 5, 6) else 2
     geom = row["geom_xy"]
-    geom = [] if geom is None else list(geom)
-    verts = [tuple(int(v) for v in geom[i : i + dims]) for i in range(0, len(geom), dims)]
+    if geom is None:
+        geom = []
+    elif hasattr(geom, "tolist"):
+        geom = geom.tolist()  # C-speed numpy->python ints (scalar math is 5x faster)
+    if dims == 2 and len(geom) == 2:
+        verts = [(geom[0], geom[1])]  # single-point fast path
+    else:
+        verts = [tuple(geom[i : i + dims]) for i in range(0, len(geom), dims)]
     mvals = json.loads(row["mvals_json"]) if row.get("mvals_json") else None
-    offsets = list(row["offsets"]) if row["offsets"] is not None else []
+    offsets_raw = row.get("offsets")
+    offsets = list(offsets_raw) if offsets_raw is not None else []
 
     if ftype in (1, 4):
         geometry: list = verts
         feature_mvals = mvals
     else:
-        ring_lens = [int(x) for x in (row["ring_lens"] or [])]
+        ring_lens = [int(x) for x in (row.get("ring_lens") or [])]
         lines: list = []
         pos = 0
         flat_m = mvals if mvals else None
@@ -85,7 +93,7 @@ def rows_to_base_feature(row: pd.Series) -> BaseFeature:
         if ftype in (2, 5):
             geometry = lines
         else:
-            poly_lens = [int(x) for x in (row["poly_lens"] or [])] or [len(lines)]
+            poly_lens = [int(x) for x in (row.get("poly_lens") or [])] or [len(lines)]
             geometry = []
             p = 0
             for n in poly_lens:
@@ -93,20 +101,42 @@ def rows_to_base_feature(row: pd.Series) -> BaseFeature:
                 p += n
         feature_mvals = None
 
-    fid = row["id"]
-    tess_flat = list(row["tess_xy"] or [])
+    fid = row.get("id")
+    tess_flat = list(row.get("tess_xy") or [])
+    props = row.get("props_json")
+    bbox_raw = row.get("bbox")
     return BaseFeature(
         ftype=ftype,
         geometry=geometry,
-        properties=json.loads(row["props_json"]) if row["props_json"] else {},
+        properties=json.loads(props) if props else {},
         id=int(fid) if fid is not None and not pd.isna(fid) else None,
-        bbox=list(row["bbox"]) if row["bbox"] is not None and len(row["bbox"]) else None,
-        indices=[int(x) for x in (row["indices"] or [])],
+        bbox=list(bbox_raw) if bbox_raw is not None and len(bbox_raw) else None,
+        indices=[int(x) for x in (row.get("indices") or [])],
         tessellation=[
             (int(tess_flat[i]), int(tess_flat[i + 1])) for i in range(0, len(tess_flat), 2)
         ],
         mvalues=feature_mvals,
     )
+
+
+def _encode_rows(rows: list[dict], specs: Optional[dict]) -> tuple:
+    """Feature row dicts of ONE tile -> (tile_bytes, n_features)."""
+    layers_by_name: dict[str, BaseLayer] = {}
+    for row in rows:
+        lname = row["layer"]
+        layer = layers_by_name.get(lname)
+        if layer is None:
+            spec = (specs or {}).get(lname, None)
+            layer = BaseLayer(
+                name=str(lname),
+                extent=spec.extent if spec else int(row["extent"]),
+                shape=dict(spec.shape) if spec and spec.shape else None,
+                mshape=dict(spec.mshape) if spec and spec.mshape else None,
+            )
+            layers_by_name[lname] = layer
+        layer.add_feature(rows_to_base_feature(row))
+    tile_bytes = write_ov_tile([layers_by_name[k] for k in sorted(layers_by_name)])
+    return tile_bytes, len(rows)
 
 
 def encode_tile_group(pdf: pd.DataFrame, specs: Optional[dict] = None) -> pd.DataFrame:
@@ -115,46 +145,102 @@ def encode_tile_group(pdf: pd.DataFrame, specs: Optional[dict] = None) -> pd.Dat
         return pd.DataFrame(
             columns=["zoom", "tile_x", "tile_y", "tile", "n_features", "n_bytes"]
         )
-    zoom = int(pdf["zoom"].iloc[0])
-    tx = int(pdf["tile_x"].iloc[0])
-    ty = int(pdf["tile_y"].iloc[0])
-    layers = []
-    for lname, group in pdf.groupby("layer", sort=True):
-        spec = (specs or {}).get(lname, None)
-        extent = int(group["extent"].iloc[0])
-        layer = BaseLayer(
-            name=str(lname),
-            extent=spec.extent if spec else extent,
-            shape=dict(spec.shape) if spec and spec.shape else None,
-            mshape=dict(spec.mshape) if spec and spec.mshape else None,
-        )
-        for _, row in group.iterrows():
-            layer.add_feature(rows_to_base_feature(row))
-        layers.append(layer)
-    tile_bytes = write_ov_tile(layers)
+    tile_bytes, n = _encode_rows(pdf.to_dict("records"), specs)
     return pd.DataFrame(
         {
-            "zoom": [zoom],
-            "tile_x": [tx],
-            "tile_y": [ty],
+            "zoom": [int(pdf["zoom"].iloc[0])],
+            "tile_x": [int(pdf["tile_x"].iloc[0])],
+            "tile_y": [int(pdf["tile_y"].iloc[0])],
             "tile": [tile_bytes],
-            "n_features": [len(pdf)],
+            "n_features": [n],
             "n_bytes": [len(tile_bytes)],
         }
     )
 
 
-def encode_tiles(features: DataFrame, specs: Optional[dict] = None) -> DataFrame:
+def encode_tiles(
+    features: DataFrame, specs: Optional[dict] = None, partitions: Optional[int] = None
+) -> DataFrame:
     """features (FEATURE_SCHEMA) -> tiles (TILE_SCHEMA).
 
-    groupBy triggers exactly one shuffle keyed on (zoom, tile_x, tile_y); AQE
-    coalesces/splits partitions at runtime (session config).
+    One shuffle keyed on (zoom, tile_x, tile_y) via repartition +
+    sortWithinPartitions, then ONE Python call per Arrow batch
+    (``mapInPandas``) that walks sorted runs of the tile key — groups that
+    span batch boundaries are carried over.  This beats
+    ``groupBy().applyInPandas`` by ~8x when tiles are small (64k tiny groups
+    = 64k pandas DataFrame constructions vs one per 10k-row batch).
     """
+    key = ["zoom", "tile_x", "tile_y"]
+    if partitions:
+        arranged = features.repartition(partitions, *key).sortWithinPartitions(*key)
+    else:
+        arranged = features.repartition(*key).sortWithinPartitions(*key)
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        return encode_tile_group(pdf, specs)
+    def encode_partition(batches: Iterable[pd.DataFrame]):
+        pending_key: Optional[tuple] = None
+        pending_rows: list[dict] = []
+        out_keys: list[tuple] = []
+        out_tiles: list[bytes] = []
+        out_counts: list[int] = []
 
-    return features.groupBy("zoom", "tile_x", "tile_y").applyInPandas(encode, TILE_SCHEMA)
+        def flush():
+            if pending_rows:
+                tile_bytes, n = _encode_rows(pending_rows, specs)
+                out_keys.append(pending_key)
+                out_tiles.append(tile_bytes)
+                out_counts.append(n)
+
+        def emit() -> pd.DataFrame:
+            pdf = pd.DataFrame(
+                {
+                    "zoom": [k[0] for k in out_keys],
+                    "tile_x": [k[1] for k in out_keys],
+                    "tile_y": [k[2] for k in out_keys],
+                    "tile": out_tiles,
+                    "n_features": out_counts,
+                    "n_bytes": [len(t) for t in out_tiles],
+                }
+            )
+            out_keys.clear()
+            out_tiles.clear()
+            out_counts.clear()
+            return pdf
+
+        optional = [
+            "id", "ring_lens", "poly_lens", "offsets", "bbox",
+            "indices", "tess_xy", "props_json", "mvals_json",
+        ]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # drop all-null optional columns before row conversion (halves
+            # the Arrow->PyObject cost for the common point-layer case)
+            dead = [c for c in optional if c in pdf.columns and pdf[c].isna().all()]
+            records = (pdf.drop(columns=dead) if dead else pdf).to_dict("records")
+            zs = pdf["zoom"].to_numpy()
+            xs = pdf["tile_x"].to_numpy()
+            ys = pdf["tile_y"].to_numpy()
+            # run boundaries within the sorted batch
+            change = np.flatnonzero(
+                (zs[1:] != zs[:-1]) | (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
+            )
+            starts = np.concatenate([[0], change + 1])
+            ends = np.concatenate([change + 1, [len(records)]])
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                k = (int(zs[s]), int(xs[s]), int(ys[s]))
+                if k != pending_key:
+                    flush()
+                    pending_key = k
+                    pending_rows = records[s:e]
+                else:
+                    pending_rows.extend(records[s:e])
+            if out_keys:
+                yield emit()
+        flush()
+        if out_keys:
+            yield emit()
+
+    return arranged.mapInPandas(encode_partition, TILE_SCHEMA)
 
 
 def points_to_features(
@@ -181,24 +267,20 @@ def points_to_features(
     ty = F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), F.floor(my))).cast("long")
     qx = F.floor((mx - tx) * F.lit(float(extent)) + F.lit(0.5)).cast("int")
     qy = F.floor((my - ty) * F.lit(float(extent)) + F.lit(0.5)).cast("int")
-    props = (
-        F.to_json(F.struct(*[F.col(c) for c in props_cols])) if props_cols else F.lit(None)
-    )
-    return points.select(
+    cols = [
         F.lit(zoom).alias("zoom"),
         tx.alias("tile_x"),
         ty.alias("tile_y"),
         F.lit(layer).alias("layer"),
         F.lit(extent).alias("extent"),
-        (F.col(id_col).cast("long") if id_col else F.lit(None).cast("long")).alias("id"),
         F.lit(1).alias("ftype"),
         F.array(qx, qy).alias("geom_xy"),
-        F.lit(None).cast("array<int>").alias("ring_lens"),
-        F.lit(None).cast("array<int>").alias("poly_lens"),
-        F.lit(None).cast("array<double>").alias("offsets"),
-        F.lit(None).cast("array<double>").alias("bbox"),
-        F.lit(None).cast("array<int>").alias("indices"),
-        F.lit(None).cast("array<int>").alias("tess_xy"),
-        props.alias("props_json"),
-        F.lit(None).cast("string").alias("mvals_json"),
-    )
+    ]
+    # optional columns are OMITTED when unused: shipping all-null array<T>
+    # columns through Arrow->pandas costs ~16us/row/column (measured 64s of
+    # a 70s stage at 4M rows) — the encoder treats absent == null
+    if id_col:
+        cols.append(F.col(id_col).cast("long").alias("id"))
+    if props_cols:
+        cols.append(F.to_json(F.struct(*[F.col(c) for c in props_cols])).alias("props_json"))
+    return points.select(*cols)

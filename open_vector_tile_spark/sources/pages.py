@@ -30,17 +30,19 @@ def _frac(x: np.ndarray) -> np.ndarray:
 
 def page_coords(i: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Pure-function coordinates: hash-like frac(sin) spread, with rows where
-    ``i % 5 == 0`` pulled into one of 3 urban hotspots (20% skew)."""
+    ``i % 20 == 0`` (5%) pulled into one of 3 urban hotspots (~1.7% of all
+    rows per hot city — city-scale skew, exercises AQE/salting without being
+    a degenerate single-cell corpus)."""
     i = np.asarray(i, dtype=np.float64)
     lon = -180.0 + 360.0 * _frac(np.sin(i * 12.9898) * 43758.5453)
     lat = -85.0 + 170.0 * _frac(np.sin(i * 78.2330) * 12345.6789)
-    hot = (i.astype(np.int64) % 5) == 0
-    hidx = (i.astype(np.int64) // 5) % len(HOTSPOTS)
+    hot = (i.astype(np.int64) % 20) == 0
+    hidx = (i.astype(np.int64) // 20) % len(HOTSPOTS)
     hlon = np.array([h[0] for h in HOTSPOTS])[hidx]
     hlat = np.array([h[1] for h in HOTSPOTS])[hidx]
-    # ~0.2 degree jitter inside the hotspot
-    jlon = 0.2 * (_frac(np.sin(i * 3.9898) * 9871.123) - 0.5)
-    jlat = 0.2 * (_frac(np.sin(i * 5.1234) * 8765.432) - 0.5)
+    # ~1 degree metro-area jitter inside the hotspot
+    jlon = 1.0 * (_frac(np.sin(i * 3.9898) * 9871.123) - 0.5)
+    jlat = 1.0 * (_frac(np.sin(i * 5.1234) * 8765.432) - 0.5)
     lon = np.where(hot, hlon + jlon, lon)
     lat = np.where(hot, hlat + jlat, lat)
     return np.round(lon, 5), np.round(lat, 5)
