@@ -370,6 +370,52 @@ def _q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_elevation(spark: SparkSession, sf: str) -> DataFrame:
+    """F14/F15: Terrarium + Mapbox elevation converters as column arithmetic
+    (src/open/gridLayer.ts:119-131) over derived RGB bytes."""
+    ev = _load(spark, sf, "events")
+    r = F.pmod(F.col("event_id"), F.lit(256)).cast("double")
+    g = F.pmod(F.col("user_id"), F.lit(256)).cast("double")
+    b = F.pmod(F.col("event_id") * 7, F.lit(256)).cast("double")
+    terrarium = r * 256.0 + g + b / 256.0 - 32768.0
+    mapbox = F.lit(-10000.0) + (r * 65536.0 + g * 256.0 + b) * 0.1
+    return ev.select(
+        "event_id",
+        F.round(terrarium, 6).alias("terrarium_elev"),
+        F.round(mapbox, 6).alias("mapbox_elev"),
+    ).orderBy("event_id")
+
+
+def _q_zigzag_cmd(spark: SparkSession, sf: str) -> DataFrame:
+    """F1/F2: command encode (len<<3)+(cmd&7) and 32-bit zigzag as column
+    expressions (src/util.ts:10-47)."""
+    ev = _load(spark, sf, "events")
+    dz = (F.pmod(F.col("event_id"), F.lit(200)) - 100).cast("long")
+    zig = F.shiftleft(dz, 1).bitwiseXOR(F.shiftright(dz, 31))
+    cmd = F.pmod(F.col("user_id"), F.lit(7)).cast("long")
+    ln = F.pmod(F.col("event_id"), F.lit(30)).cast("long")
+    command = F.shiftleft(ln, 3) + cmd.bitwiseAND(F.lit(7))
+    return ev.select(
+        "event_id", zig.alias("zigzag"), command.alias("command_word")
+    ).orderBy("event_id")
+
+
+def _q_bbox_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """A6: bbox reduction (min/max vertex aggregation) per group."""
+    ev = _event_points(_load(spark, sf, "events"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.min("lon").alias("lon_min"),
+            F.min("lat").alias("lat_min"),
+            F.max("lon").alias("lon_max"),
+            F.max("lat").alias("lat_max"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -392,6 +438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "lsh_topk": _q_lsh_topk,
         "lang_id": _q_lang_id,
+        "elevation": _q_elevation,
+        "zigzag_cmd": _q_zigzag_cmd,
+        "bbox_agg": _q_bbox_agg,
     }
 
 
@@ -522,6 +571,31 @@ def oracle_sql() -> dict[str, str]:
                            ((CAST(s_suppkey*57 AS DOUBLE) % 1600)/10.0 - 80.0) AS plat
                     FROM supplier) s)
             WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "elevation": """
+            SELECT event_id,
+                   round((CAST(event_id % 256 AS DOUBLE))*256.0 + (CAST(user_id % 256 AS DOUBLE))
+                         + (CAST((event_id*7) % 256 AS DOUBLE))/256.0 - 32768.0, 6) AS terrarium_elev,
+                   round(-10000.0 + ((CAST(event_id % 256 AS DOUBLE))*65536.0
+                         + (CAST(user_id % 256 AS DOUBLE))*256.0
+                         + (CAST((event_id*7) % 256 AS DOUBLE)))*0.1, 6) AS mapbox_elev
+            FROM events ORDER BY event_id
+        """,
+        "zigzag_cmd": """
+            -- DuckDB refuses << on negatives: n<<1 == n*2 and n>>31 (arith)
+            -- == floor(n / 2^31) for in-range ints
+            SELECT event_id,
+                   xor((event_id % 200 - 100) * 2,
+                       CAST(floor(CAST(event_id % 200 - 100 AS DOUBLE) / 2147483648.0) AS BIGINT)) AS zigzag,
+                   ((event_id % 30) << 3) + ((user_id % 7) & 7) AS command_word
+            FROM events ORDER BY event_id
+        """,
+        "bbox_agg": f"""
+            SELECT event_type,
+                   min({_SQL_LON_EV}) AS lon_min, min({_SQL_LAT_EV}) AS lat_min,
+                   max({_SQL_LON_EV}) AS lon_max, max({_SQL_LAT_EV}) AS lat_max,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # lang_id / minhash_near_dups / simhash / lsh_topk: non-SQL-expressible
         # (xxhash64 / marker-vote chains) -> rows-only driver check; their

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.text import geoparse
 from .knn import knn_broadcast
 from .spatial_join import spatial_join
-from .tiler import encode_tiles, points_to_features
+from .tiler import encode_tiles, points_to_features, polygons_to_features
 from .resume import TileStore
 
 
@@ -50,6 +50,11 @@ def run_pipeline(
             "url", F.col("poi_id").alias("nearest_poi")
         )
         features = _attach_nearest(features, best)
+    # polygon layers ride in the same tiles (multi-layer OVT)
+    poly_features = polygons_to_features(
+        pages.sparkSession, polygons_pdf, zoom=zoom, layer="admin", extent=extent
+    )
+    features = features.unionByName(poly_features, allowMissingColumns=True)
     if store is not None:
         features = store.pending(features.select("*"))
     tiles = encode_tiles(features)

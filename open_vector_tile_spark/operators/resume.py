@@ -31,6 +31,16 @@ class TileStore:
         self.root = root
         self.tiles_dir = os.path.join(root, "tiles")
         self.metrics_dir = os.path.join(root, "metrics")
+        self.features_dir = os.path.join(root, "features")
+
+    # -- feature log (bronze layer for incremental rebuilds) -------------
+    def append_features(self, features: DataFrame) -> None:
+        features.write.mode("append").parquet(self.features_dir)
+
+    def read_features(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.isdir(self.features_dir):
+            return None
+        return spark.read.parquet(self.features_dir)
 
     # -- read ------------------------------------------------------------
     def snapshots(self) -> list[str]:
@@ -48,10 +58,30 @@ class TileStore:
         return df.select(*TILE_KEY).distinct()
 
     def read_tiles(self, spark: SparkSession) -> DataFrame | None:
+        """Union of snapshots with latest-wins per tile key (a rebuilt tile
+        in snapshot N+1 shadows its snapshot-N version — Iceberg-style
+        row-level replace semantics)."""
+        from pyspark.sql import Window
+
         snaps = self.snapshots()
         if not snaps:
             return None
-        return spark.read.parquet(*[os.path.join(self.tiles_dir, s) for s in snaps])
+        parts = []
+        for i, s in enumerate(snaps):
+            parts.append(
+                spark.read.parquet(os.path.join(self.tiles_dir, s)).withColumn(
+                    "_snap", F.lit(i)
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        w = Window.partitionBy(*TILE_KEY).orderBy(F.desc("_snap"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_snap")
+        )
 
     # -- write (snapshot commit) ----------------------------------------
     def commit(self, tiles: DataFrame, run_id: str | None = None) -> str:

@@ -55,6 +55,15 @@ class LayerSpec:
     mshape: Optional[dict] = None
 
 
+def _aslist(v) -> list:
+    """None/NaN-safe array-column -> python list (numpy arrays reject `or`)."""
+    if v is None:
+        return []
+    if hasattr(v, "tolist"):
+        return v.tolist()
+    return list(v)
+
+
 def rows_to_base_feature(row) -> BaseFeature:
     """One feature row (dict-like; all-null columns may be absent) -> IR."""
     ftype = int(row["ftype"])
@@ -69,14 +78,13 @@ def rows_to_base_feature(row) -> BaseFeature:
     else:
         verts = [tuple(geom[i : i + dims]) for i in range(0, len(geom), dims)]
     mvals = json.loads(row["mvals_json"]) if row.get("mvals_json") else None
-    offsets_raw = row.get("offsets")
-    offsets = list(offsets_raw) if offsets_raw is not None else []
+    offsets = _aslist(row.get("offsets"))
 
     if ftype in (1, 4):
         geometry: list = verts
         feature_mvals = mvals
     else:
-        ring_lens = [int(x) for x in (row.get("ring_lens") or [])]
+        ring_lens = [int(x) for x in _aslist(row.get("ring_lens"))]
         lines: list = []
         pos = 0
         flat_m = mvals if mvals else None
@@ -93,7 +101,7 @@ def rows_to_base_feature(row) -> BaseFeature:
         if ftype in (2, 5):
             geometry = lines
         else:
-            poly_lens = [int(x) for x in (row.get("poly_lens") or [])] or [len(lines)]
+            poly_lens = [int(x) for x in _aslist(row.get("poly_lens"))] or [len(lines)]
             geometry = []
             p = 0
             for n in poly_lens:
@@ -102,7 +110,7 @@ def rows_to_base_feature(row) -> BaseFeature:
         feature_mvals = None
 
     fid = row.get("id")
-    tess_flat = list(row.get("tess_xy") or [])
+    tess_flat = _aslist(row.get("tess_xy"))
     props = row.get("props_json")
     bbox_raw = row.get("bbox")
     return BaseFeature(
@@ -110,8 +118,8 @@ def rows_to_base_feature(row) -> BaseFeature:
         geometry=geometry,
         properties=json.loads(props) if props else {},
         id=int(fid) if fid is not None and not pd.isna(fid) else None,
-        bbox=list(bbox_raw) if bbox_raw is not None and len(bbox_raw) else None,
-        indices=[int(x) for x in (row.get("indices") or [])],
+        bbox=(_aslist(bbox_raw) or None) if bbox_raw is not None else None,
+        indices=[int(x) for x in _aslist(row.get("indices"))],
         tessellation=[
             (int(tess_flat[i]), int(tess_flat[i + 1])) for i in range(0, len(tess_flat), 2)
         ],
@@ -119,7 +127,12 @@ def rows_to_base_feature(row) -> BaseFeature:
     )
 
 
-def _encode_rows(rows: list[dict], specs: Optional[dict]) -> tuple:
+def _encode_rows(
+    rows: list[dict],
+    specs: Optional[dict],
+    tile_format: str = "ovt",
+    mapbox_support: bool = False,
+) -> tuple:
     """Feature row dicts of ONE tile -> (tile_bytes, n_features)."""
     layers_by_name: dict[str, BaseLayer] = {}
     for row in rows:
@@ -135,7 +148,14 @@ def _encode_rows(rows: list[dict], specs: Optional[dict]) -> tuple:
             )
             layers_by_name[lname] = layer
         layer.add_feature(rows_to_base_feature(row))
-    tile_bytes = write_ov_tile([layers_by_name[k] for k in sorted(layers_by_name)])
+    layers = [layers_by_name[k] for k in sorted(layers_by_name)]
+    if tile_format == "mvt":
+        # legacy writer flavor (S8, src/mapbox/writeMVTile.ts:45-66)
+        from ..codec import write_mvt
+
+        tile_bytes = write_mvt(layers, mapbox_support=mapbox_support)
+    else:
+        tile_bytes = write_ov_tile(layers)
     return tile_bytes, len(rows)
 
 
@@ -159,7 +179,11 @@ def encode_tile_group(pdf: pd.DataFrame, specs: Optional[dict] = None) -> pd.Dat
 
 
 def encode_tiles(
-    features: DataFrame, specs: Optional[dict] = None, partitions: Optional[int] = None
+    features: DataFrame,
+    specs: Optional[dict] = None,
+    partitions: Optional[int] = None,
+    tile_format: str = "ovt",
+    mapbox_support: bool = False,
 ) -> DataFrame:
     """features (FEATURE_SCHEMA) -> tiles (TILE_SCHEMA).
 
@@ -185,7 +209,7 @@ def encode_tiles(
 
         def flush():
             if pending_rows:
-                tile_bytes, n = _encode_rows(pending_rows, specs)
+                tile_bytes, n = _encode_rows(pending_rows, specs, tile_format, mapbox_support)
                 out_keys.append(pending_key)
                 out_tiles.append(tile_bytes)
                 out_counts.append(n)
@@ -284,3 +308,121 @@ def points_to_features(
     if props_cols:
         cols.append(F.to_json(F.struct(*[F.col(c) for c in props_cols])).alias("props_json"))
     return points.select(*cols)
+
+
+def polygons_to_features(
+    spark,
+    polygons_pdf,
+    zoom: int,
+    layer: str,
+    extent: int = 4096,
+    drop_degenerate: bool = True,
+) -> DataFrame:
+    """Polygon layer (dim-table pandas, FIXTURES.md §2 shape) -> feature rows.
+
+    Each polygon is assigned to every tile its bbox covers (spec buffer
+    semantics: coordinates outside [0, extent] are legal, reference does not
+    clip — vector-tile-spec README.md:411-413); ring coords are projected to
+    tile-local extent ints with JS half-up rounding (P13).  Zero-area rings
+    are dropped like classifyRings does (src/mapbox/vectorFeature.ts:357-381)
+    unless ``drop_degenerate=False``.
+
+    Runs driver-side (polygon layers are dim-sized) and returns a Spark
+    DataFrame ready to union with point feature rows for multi-layer tiles.
+    """
+    import json as _json
+
+    from ..functions.geo import cover_bbox_np, merc_x_np, merc_y_np
+    from ..codec.mvt import signed_area
+
+    n = float(1 << zoom)
+    rows = []
+    for _, poly in polygons_pdf.iterrows():
+        rings = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in poly["ring_xy"]]
+        rings = [r for r in rings if not drop_degenerate or signed_area([tuple(p) for p in r]) != 0.0]
+        if not rings:
+            continue
+        outer = rings[0]
+        txs, tys = cover_bbox_np(
+            outer[:, 0].min(), outer[:, 1].min(), outer[:, 0].max(), outer[:, 1].max(), zoom
+        )
+        props = _json.dumps(
+            {k: poly[k] for k in ("name", "kind", "rank") if k in poly.index},
+            default=int,
+        )
+        for tx, ty in zip(txs.tolist(), tys.tolist()):
+            geom_xy: list[int] = []
+            ring_lens: list[int] = []
+            for ring in rings:
+                qx = np.floor((merc_x_np(ring[:, 0]) * n - tx) * extent + 0.5).astype(np.int64)
+                qy = np.floor((merc_y_np(ring[:, 1]) * n - ty) * extent + 0.5).astype(np.int64)
+                ring_lens.append(len(ring))
+                geom_xy.extend(int(v) for pair in zip(qx.tolist(), qy.tolist()) for v in pair)
+            rows.append(
+                {
+                    "zoom": zoom,
+                    "tile_x": int(tx),
+                    "tile_y": int(ty),
+                    "layer": layer,
+                    "extent": extent,
+                    "id": int(poly["poly_id"]),
+                    "ftype": 3,
+                    "geom_xy": geom_xy,
+                    "ring_lens": ring_lens,
+                    "poly_lens": [len(ring_lens)],
+                    "props_json": props,
+                }
+            )
+    schema = (
+        "zoom int, tile_x long, tile_y long, layer string, extent int, id long, "
+        "ftype int, geom_xy array<int>, ring_lens array<int>, poly_lens array<int>, "
+        "props_json string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def lines_to_features(
+    spark, lines_pdf, zoom: int, layer: str, extent: int = 4096
+) -> DataFrame:
+    """Line layer (pandas with line_id, xy flat lon/lat list, optional offset,
+    props columns) -> type-2 feature rows, tile-assigned by bbox covering."""
+    import json as _json
+
+    from ..functions.geo import cover_bbox_np, merc_x_np, merc_y_np
+
+    n = float(1 << zoom)
+    rows = []
+    for _, line in lines_pdf.iterrows():
+        arr = np.asarray(line["xy"], dtype=np.float64).reshape(-1, 2)
+        txs, tys = cover_bbox_np(
+            arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max(), zoom
+        )
+        props = _json.dumps(
+            {k: line[k] for k in line.index if k not in ("line_id", "xy", "offset")},
+            default=int,
+        )
+        offset = float(line["offset"]) if "offset" in line.index else 0.0
+        for tx, ty in zip(txs.tolist(), tys.tolist()):
+            qx = np.floor((merc_x_np(arr[:, 0]) * n - tx) * extent + 0.5).astype(np.int64)
+            qy = np.floor((merc_y_np(arr[:, 1]) * n - ty) * extent + 0.5).astype(np.int64)
+            rows.append(
+                {
+                    "zoom": zoom,
+                    "tile_x": int(tx),
+                    "tile_y": int(ty),
+                    "layer": layer,
+                    "extent": extent,
+                    "id": int(line["line_id"]),
+                    "ftype": 2,
+                    "geom_xy": [int(v) for pair in zip(qx.tolist(), qy.tolist()) for v in pair],
+                    "ring_lens": [len(arr)],
+                    "offsets": [offset] if offset > 0 else None,
+                    "props_json": props,
+                }
+            )
+    schema = (
+        "zoom int, tile_x long, tile_y long, layer string, extent int, id long, "
+        "ftype int, geom_xy array<int>, ring_lens array<int>, offsets array<double>, "
+        "props_json string"
+    )
+    return spark.createDataFrame(rows, schema)

@@ -1,0 +1,139 @@
+"""Multi-layer tiles: polygons/lines through the Spark tiler, MVT sink
+flavor, and streaming incremental ingest."""
+
+import numpy as np
+import pytest
+
+from open_vector_tile_spark.codec import VectorTile
+from open_vector_tile_spark.codec.mvt import MvtLayer
+from open_vector_tile_spark.functions import geo
+from open_vector_tile_spark.functions.text import geoparse
+from open_vector_tile_spark.operators import (
+    encode_tiles,
+    lines_to_features,
+    points_to_features,
+    polygons_to_features,
+)
+from open_vector_tile_spark.sources import pages_pdf, polygons_pdf
+
+ZOOM = 3
+
+
+def test_polygon_layer_roundtrip_with_hole(spark):
+    polys = polygons_pdf()
+    feats = polygons_to_features(spark, polys, zoom=ZOOM, layer="admin", extent=4096)
+    tiles = encode_tiles(feats).toPandas()
+    assert len(tiles) > 0
+    # pick the polygon with a hole (poly_id 3) and verify ring structure
+    target = polys[polys.poly_id == 3].iloc[0]
+    rings = [np.asarray(r).reshape(-1, 2) for r in target["ring_xy"]]
+    n = 1 << ZOOM
+    found = False
+    for _, t in tiles.iterrows():
+        parsed = VectorTile(bytes(t["tile"]))
+        layer = parsed.layers["admin"]
+        for i in range(len(layer)):
+            f = layer.feature(i)
+            if f.id != 3:
+                continue
+            found = True
+            assert f.ftype == 3
+            got_rings = [ln.points for poly in f.geometry for ln in poly]
+            assert len(got_rings) == 2  # outer + hole
+            # exact quantization parity for the outer ring in this tile
+            qx = np.floor((geo.merc_x_np(rings[0][:, 0]) * n - t["tile_x"]) * 4096 + 0.5)
+            qy = np.floor((geo.merc_y_np(rings[0][:, 1]) * n - t["tile_y"]) * 4096 + 0.5)
+            want = list(zip(qx.astype(int).tolist(), qy.astype(int).tolist()))
+            assert got_rings[0] == want
+    assert found
+
+
+def test_degenerate_rings_dropped(spark):
+    polys = polygons_pdf()
+    feats = polygons_to_features(spark, polys, zoom=ZOOM, layer="admin")
+    ids = {r["id"] for r in feats.select("id").distinct().collect()}
+    assert 48 not in ids and 49 not in ids  # zero-area rings (classifyRings)
+
+
+def test_lines_layer_roundtrip_with_offsets(spark):
+    import pandas as pd
+
+    lines = pd.DataFrame(
+        [
+            {"line_id": 1, "xy": [0.0, 0.0, 10.0, 10.0, 20.0, 5.0], "offset": 1.5, "road": "a"},
+            {"line_id": 2, "xy": [-30.0, -30.0, -10.0, -20.0], "offset": 0.0, "road": "b"},
+        ]
+    )
+    feats = lines_to_features(spark, lines, zoom=2, layer="roads", extent=4096)
+    tiles = encode_tiles(feats).toPandas()
+    seen = {}
+    for _, t in tiles.iterrows():
+        parsed = VectorTile(bytes(t["tile"]))
+        layer = parsed.layers["roads"]
+        for i in range(len(layer)):
+            f = layer.feature(i)
+            seen[f.id] = f
+    assert seen[1].ftype == 2
+    assert seen[1].geometry[0].offset == 1.5
+    assert seen[2].geometry[0].offset == 0.0
+    assert seen[1].properties == {"road": "a"}
+
+
+def test_multi_layer_tile(spark):
+    pages = spark.createDataFrame(pages_pdf(300))
+    pts = points_to_features(
+        geoparse(pages), zoom=ZOOM, layer="pages", extent=4096, props_cols=["url"]
+    )
+    polys = polygons_to_features(spark, polygons_pdf(), zoom=ZOOM, layer="admin", extent=4096)
+    both = pts.unionByName(polys, allowMissingColumns=True)
+    tiles = encode_tiles(both).toPandas()
+    multi = 0
+    for _, t in tiles.iterrows():
+        parsed = VectorTile(bytes(t["tile"]))
+        if {"pages", "admin"} <= set(parsed.layers):
+            multi += 1
+            # layers share one column cache; both decodable
+            assert parsed.layers["pages"].feature(0).ftype == 1
+            assert parsed.layers["admin"].feature(0).ftype == 3
+    assert multi > 0
+
+
+def test_mvt_sink_flavor(spark):
+    pages = spark.createDataFrame(pages_pdf(200))
+    feats = points_to_features(
+        geoparse(pages), zoom=ZOOM, layer="pages", extent=4096, props_cols=["url", "lang"]
+    )
+    tiles = encode_tiles(feats, tile_format="mvt", mapbox_support=True).toPandas()
+    total = 0
+    for _, t in tiles.iterrows():
+        parsed = VectorTile(bytes(t["tile"]))
+        layer = parsed.layers["pages"]
+        assert isinstance(layer, MvtLayer)
+        for i in range(len(layer)):
+            f = layer.feature(i)
+            assert f.ftype == 1
+            assert "url" in f.properties
+            total += 1
+    assert total == 200
+
+
+def test_streaming_available_now(spark, tmp_path):
+    from open_vector_tile_spark.operators.resume import TileStore
+    from open_vector_tile_spark.streaming import stream_pages_to_tiles
+
+    src = str(tmp_path / "pages_src")
+    spark.createDataFrame(pages_pdf(150)).write.mode("overwrite").parquet(src)
+    store_root = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    stream_pages_to_tiles(spark, src, store_root, ckpt, zoom=ZOOM)
+    store = TileStore(store_root)
+    tiles = store.read_tiles(spark)
+    assert tiles.agg({"n_features": "sum"}).collect()[0][0] == 150
+    # second AvailableNow run: no new files -> no new snapshots
+    n_snaps = len(store.snapshots())
+    stream_pages_to_tiles(spark, src, store_root, str(tmp_path / "ckpt"), zoom=ZOOM)
+    assert len(store.snapshots()) == n_snaps
+    # new files arrive -> only the delta is encoded
+    spark.createDataFrame(pages_pdf(50, start=150)).write.mode("append").parquet(src)
+    stream_pages_to_tiles(spark, src, store_root, str(tmp_path / "ckpt"), zoom=ZOOM)
+    assert store.read_tiles(spark).agg({"n_features": "sum"}).collect()[0][0] >= 200
