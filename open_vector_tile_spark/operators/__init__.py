@@ -8,6 +8,7 @@ from .tiler import (  # noqa: F401
     TILE_SCHEMA,
     LayerSpec,
     encode_tiles,
+    images_to_tiles,
     lines_to_features,
     points_to_features,
     polygons_to_features,

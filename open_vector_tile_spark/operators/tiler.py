@@ -385,7 +385,9 @@ def lines_to_features(
     spark, lines_pdf, zoom: int, layer: str, extent: int = 4096
 ) -> DataFrame:
     """Line layer (pandas with line_id, xy flat lon/lat list, optional offset,
-    props columns) -> type-2 feature rows, tile-assigned by bbox covering."""
+    optional mvals (per-vertex dict list), props columns) -> type-2 feature
+    rows, tile-assigned by bbox covering.  M-values ride as mvals_json
+    (FIXTURES.md §6)."""
     import json as _json
 
     from ..functions.geo import cover_bbox_np, merc_x_np, merc_y_np
@@ -398,10 +400,17 @@ def lines_to_features(
             arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max(), zoom
         )
         props = _json.dumps(
-            {k: line[k] for k in line.index if k not in ("line_id", "xy", "offset")},
+            {
+                k: line[k]
+                for k in line.index
+                if k not in ("line_id", "xy", "offset", "mvals")
+            },
             default=int,
         )
         offset = float(line["offset"]) if "offset" in line.index else 0.0
+        mvals_json = (
+            _json.dumps(list(line["mvals"])) if "mvals" in line.index and line["mvals"] else None
+        )
         for tx, ty in zip(txs.tolist(), tys.tolist()):
             qx = np.floor((merc_x_np(arr[:, 0]) * n - tx) * extent + 0.5).astype(np.int64)
             qy = np.floor((merc_y_np(arr[:, 1]) * n - ty) * extent + 0.5).astype(np.int64)
@@ -418,11 +427,44 @@ def lines_to_features(
                     "ring_lens": [len(arr)],
                     "offsets": [offset] if offset > 0 else None,
                     "props_json": props,
+                    "mvals_json": mvals_json,
                 }
             )
     schema = (
         "zoom int, tile_x long, tile_y long, layer string, extent int, id long, "
         "ftype int, geom_xy array<int>, ring_lens array<int>, offsets array<double>, "
-        "props_json string"
+        "props_json string, mvals_json string"
     )
     return spark.createDataFrame(rows, schema)
+
+
+def images_to_tiles(images: DataFrame) -> DataFrame:
+    """Image rows (zoom, tile_x, tile_y, name, type, width, height, image)
+    -> one OVT tile per key carrying the image layer(s) (S10 passthrough,
+    src/open/imageLayer.ts:94-104)."""
+    from ..codec import write_ov_tile as _write
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        imgs = [
+            {
+                "name": r["name"],
+                "type": r["type"],
+                "width": int(r["width"]),
+                "height": int(r["height"]),
+                "image": bytes(r["image"]),
+            }
+            for _, r in pdf.iterrows()
+        ]
+        tile = _write(None, images=imgs)
+        return pd.DataFrame(
+            {
+                "zoom": [int(pdf["zoom"].iloc[0])],
+                "tile_x": [int(pdf["tile_x"].iloc[0])],
+                "tile_y": [int(pdf["tile_y"].iloc[0])],
+                "tile": [tile],
+                "n_features": [len(pdf)],
+                "n_bytes": [len(tile)],
+            }
+        )
+
+    return images.groupBy("zoom", "tile_x", "tile_y").applyInPandas(encode, TILE_SCHEMA)

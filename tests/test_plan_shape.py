@@ -1,0 +1,90 @@
+"""Physical-plan shape assertions (scale guards).
+
+These lock in the properties that matter at 100 TB: filters reach the
+parquet scan, dimension joins broadcast (no shuffle of the big side), the
+tile path shuffles exactly once on (zoom, tile_x, tile_y), and hot
+expressions stay inside WholeStageCodegen.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_vector_tile_spark.functions.text import geoparse
+from open_vector_tile_spark.operators import encode_tiles, points_to_features, spatial_join
+from open_vector_tile_spark.sources import pages_pdf, polygons_pdf
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_to_parquet_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_returnflag", "l_quantity")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: scan schema restricted to the 3 needed columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_returnflag", "l_quantity", "l_shipdate"}
+
+
+def test_dimension_joins_broadcast(spark):
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    q = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    plan = plan_of(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_spatial_join_broadcasts_covering(spark):
+    pages = spark.createDataFrame(pages_pdf(200))
+    joined = spatial_join(geoparse(pages), polygons_pdf(), zoom=4)
+    plan = plan_of(joined)
+    # the pages side must NOT shuffle: covering is broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def _parquet_pages(spark, tmp_path_factory, n=200):
+    path = str(tmp_path_factory.mktemp("pages") / "pages.parquet")
+    spark.createDataFrame(pages_pdf(n)).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_tile_encode_single_shuffle(spark, tmp_path_factory):
+    pages = _parquet_pages(spark, tmp_path_factory)
+    feats = points_to_features(geoparse(pages), zoom=4, layer="pages", extent=4096)
+    tiles = encode_tiles(feats)
+    plan = plan_of(tiles)
+    # exactly one exchange NODE (the rule-pinned (zoom,tile_x,tile_y) shuffle)
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.MULTILINE)
+    assert nodes.count("Exchange") == 1
+    # zoom is a literal per pipeline -> constant-folded out of the hash key
+    m = re.search(r"hashpartitioning\(([^)]*)\)", plan)
+    assert m and "tile_x" in m.group(1) and "tile_y" in m.group(1)
+
+
+def test_geoparse_stays_in_codegen(spark, tmp_path_factory):
+    # parquet-backed source (a local relation constant-folds the whole plan)
+    pages = _parquet_pages(spark, tmp_path_factory)
+    parsed = geoparse(pages)
+    plan = plan_of(parsed)
+    assert "codegen id" in plan
+    # no python evaluation in the geoparse path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_and_lang_are_jvm_side(spark):
+    from open_vector_tile_spark.functions.text import lang_id, quality_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select(quality_score(F.col("text")), lang_id(F.col("text")))
+    plan = plan_of(q)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

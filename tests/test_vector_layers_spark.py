@@ -137,3 +137,66 @@ def test_streaming_available_now(spark, tmp_path):
     spark.createDataFrame(pages_pdf(50, start=150)).write.mode("append").parquet(src)
     stream_pages_to_tiles(spark, src, store_root, str(tmp_path / "ckpt"), zoom=ZOOM)
     assert store.read_tiles(spark).agg({"n_features": "sum"}).collect()[0][0] >= 200
+
+
+def test_mvalues_through_spark_tiler(spark):
+    """FIXTURES.md §6: a line feature whose per-vertex M-values carry mShape
+    {size: i64} must round-trip through the full Spark encode path."""
+    import pandas as pd
+
+    lines = pd.DataFrame(
+        [
+            {
+                "line_id": 9,
+                "xy": [1.0, 1.0, 2.0, 2.0, 3.0, 1.5],
+                "offset": 0.0,
+                "mvals": [{"size": 1}, {"size": -7}, {"size": 42}],
+                "road": "m",
+            }
+        ]
+    )
+    from open_vector_tile_spark.operators import LayerSpec
+
+    feats = lines_to_features(spark, lines, zoom=2, layer="m", extent=4096)
+    # mShape pinned like the reference test does (mirrors
+    # tests/open_vector_tile/vectorFeature.test.ts:53-64): inference is
+    # last-write-wins (shape.ts:320-322), so mixed-sign ints would infer u64
+    specs = {"m": LayerSpec(extent=4096, mshape={"size": "i64"})}
+    tiles = encode_tiles(feats, specs=specs).toPandas()
+    f = None
+    for _, t in tiles.iterrows():
+        parsed = VectorTile(bytes(t["tile"]))
+        layer = parsed.layers["m"]
+        f = layer.feature(0)
+    assert f is not None
+    assert f.geometry[0].mvalues == [{"size": 1}, {"size": -7}, {"size": 42}]
+
+
+def test_image_tiles_operator(spark):
+    from open_vector_tile_spark.operators import images_to_tiles
+
+    img = bytes(range(64)) * 4
+    rows = [(4, 1, 2, "satellite", "raw", 16, 16, img), (4, 1, 2, "hillshade", "raw", 16, 16, img[::-1])]
+    df = spark.createDataFrame(
+        rows, "zoom int, tile_x long, tile_y long, name string, type string, width int, height int, image binary"
+    )
+    tiles = images_to_tiles(df).toPandas()
+    assert len(tiles) == 1
+    parsed = VectorTile(bytes(tiles["tile"].iloc[0]))
+    assert set(parsed.images) == {"satellite", "hillshade"}
+    assert parsed.images["satellite"].image() == img
+    assert parsed.images["hillshade"].image() == img[::-1]
+
+
+def test_spatial_join_salting_equivalence(spark):
+    """J4: salted join returns the identical row set."""
+    from open_vector_tile_spark.operators import spatial_join
+
+    pages = spark.createDataFrame(pages_pdf(400))
+    pts = geoparse(pages)
+    polys = polygons_pdf()
+    plain = spatial_join(pts, polys, zoom=4).select("url", "poly_id").toPandas()
+    salted = spatial_join(pts, polys, zoom=4, salt=8).select("url", "poly_id").toPandas()
+    assert set(map(tuple, plain.itertuples(index=False))) == set(
+        map(tuple, salted.itertuples(index=False))
+    )
