@@ -7,9 +7,11 @@ from .tiler import (  # noqa: F401
     FEATURE_SCHEMA,
     TILE_SCHEMA,
     LayerSpec,
+    encode_point_tiles,
     encode_tiles,
     images_to_tiles,
     lines_to_features,
     points_to_features,
+    points_to_features_columnar,
     polygons_to_features,
 )

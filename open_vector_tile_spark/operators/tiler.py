@@ -55,6 +55,11 @@ class LayerSpec:
     mshape: Optional[dict] = None
 
 
+def _py(v):
+    """numpy scalar -> python scalar (json-serializable)."""
+    return v.item() if hasattr(v, "item") else v
+
+
 def _aslist(v) -> list:
     """None/NaN-safe array-column -> python list (numpy arrays reject `or`)."""
     if v is None:
@@ -195,10 +200,15 @@ def encode_tiles(
     = 64k pandas DataFrame constructions vs one per 10k-row batch).
     """
     key = ["zoom", "tile_x", "tile_y"]
+    # stable within-tile order: shuffle arrival order is not guaranteed, and
+    # tile bytes depend on feature order — sort by id when the caller ships
+    # one (byte-deterministic output across runs/cluster sizes)
+    sort_cols = key + (["id"] if "id" in features.columns else [])
+
     if partitions:
-        arranged = features.repartition(partitions, *key).sortWithinPartitions(*key)
+        arranged = features.repartition(partitions, *key).sortWithinPartitions(*sort_cols)
     else:
-        arranged = features.repartition(*key).sortWithinPartitions(*key)
+        arranged = features.repartition(*key).sortWithinPartitions(*sort_cols)
 
     def encode_partition(batches: Iterable[pd.DataFrame]):
         pending_key: Optional[tuple] = None
@@ -267,6 +277,123 @@ def encode_tiles(
     return arranged.mapInPandas(encode_partition, TILE_SCHEMA)
 
 
+def encode_point_tiles(
+    features: DataFrame,
+    meta: dict,
+    partitions: Optional[int] = None,
+) -> DataFrame:
+    """Bulk path for uniform single-point layers (the 100 TB pages payload):
+    consumes the fully-columnar output of :func:`points_to_features_columnar`
+    and encodes each tile with the vectorized byte-exact writer
+    (codec.fast_points).  Hybrid dispatch per tile: numpy bulk encoder for
+    runs >= 16 features, generic per-row path below (numpy fixed costs lose
+    on tiny tiles).  All column extraction happens once per Arrow batch —
+    no per-row pandas access anywhere.
+    """
+    from ..codec.fast_points import encode_point_layer_tile
+
+    layer = meta["layer"]
+    extent = meta["extent"]
+    spec = meta["specs"][layer]
+    shape = dict(spec.shape or {})
+    specs = meta["specs"]
+    key = ["zoom", "tile_x", "tile_y"]
+    sort_cols = key + (["id"] if "id" in features.columns else [])
+    if partitions:
+        arranged = features.repartition(partitions, *key).sortWithinPartitions(*sort_cols)
+    else:
+        arranged = features.repartition(*key).sortWithinPartitions(*sort_cols)
+    prop_keys = list(shape)
+
+    def encode_partition(batches: Iterable[pd.DataFrame]):
+        pending: Optional[dict] = None  # dict of numpy arrays
+
+        def batch_arrays(pdf: pd.DataFrame) -> dict:
+            out = {
+                "zoom": pdf["zoom"].to_numpy(),
+                "tile_x": pdf["tile_x"].to_numpy(),
+                "tile_y": pdf["tile_y"].to_numpy(),
+                "qx": pdf["qx"].to_numpy(),
+                "qy": pdf["qy"].to_numpy(),
+            }
+            if "id" in pdf.columns:
+                out["id"] = pdf["id"].to_numpy()
+            for k in prop_keys:
+                out[k] = pdf[f"p_{k}"].to_numpy()
+            return out
+
+        def concat(a: dict, b: dict) -> dict:
+            return {k: np.concatenate([a[k], b[k]]) for k in a}
+
+        def encode_run(arrs: dict, s: int, e: int) -> tuple:
+            n_run = e - s
+            if n_run < 16:
+                # direct IR construction: no JSON, no record dicts (~25us/feat)
+                has_id = "id" in arrs
+                lyr = BaseLayer(name=layer, extent=extent, shape=dict(shape), mshape={})
+                qxs = arrs["qx"]
+                qys = arrs["qy"]
+                for i in range(s, e):
+                    lyr.features.append(
+                        BaseFeature(
+                            1,
+                            [(int(qxs[i]), int(qys[i]))],
+                            {k: _py(arrs[k][i]) for k in prop_keys},
+                            id=int(arrs["id"][i]) if has_id else None,
+                        )
+                    )
+                tile = write_ov_tile([lyr])
+            else:
+                tile = encode_point_layer_tile(
+                    layer,
+                    extent,
+                    shape,
+                    {k: arrs[k][s:e] for k in prop_keys},
+                    arrs["qx"][s:e],
+                    arrs["qy"][s:e],
+                    ids=arrs["id"][s:e] if "id" in arrs else None,
+                )
+            return (
+                int(arrs["zoom"][s]),
+                int(arrs["tile_x"][s]),
+                int(arrs["tile_y"][s]),
+                tile,
+                n_run,
+                len(tile),
+            )
+
+        def emit(rows: list) -> pd.DataFrame:
+            return pd.DataFrame(
+                rows, columns=["zoom", "tile_x", "tile_y", "tile", "n_features", "n_bytes"]
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arrs = batch_arrays(pdf)
+            if pending is not None:
+                arrs = concat(pending, arrs)
+                pending = None
+            zs, xs, ys = arrs["zoom"], arrs["tile_x"], arrs["tile_y"]
+            change = np.flatnonzero(
+                (zs[1:] != zs[:-1]) | (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
+            )
+            starts = np.concatenate([[0], change + 1]).tolist()
+            ends = np.concatenate([change + 1, [len(zs)]]).tolist()
+            out = []
+            for i, (s, e) in enumerate(zip(starts, ends)):
+                if i == len(starts) - 1:
+                    pending = {k: v[s:e] for k, v in arrs.items()}
+                    break
+                out.append(encode_run(arrs, s, e))
+            if out:
+                yield emit(out)
+        if pending is not None and len(pending["zoom"]):
+            yield emit([encode_run(pending, 0, len(pending["zoom"]))])
+
+    return arranged.mapInPandas(encode_partition, TILE_SCHEMA)
+
+
 def points_to_features(
     points: DataFrame,
     zoom: int,
@@ -308,6 +435,60 @@ def points_to_features(
     if props_cols:
         cols.append(F.to_json(F.struct(*[F.col(c) for c in props_cols])).alias("props_json"))
     return points.select(*cols)
+
+
+_SPARK_TO_PRIM = {
+    "string": "string",
+    "bigint": "i64",
+    "int": "i64",
+    "smallint": "i64",
+    "tinyint": "i64",
+    "double": "f64",
+    "float": "f32",
+    "boolean": "bool",
+}
+
+
+def points_to_features_columnar(
+    points: DataFrame,
+    zoom: int,
+    layer: str,
+    extent: int = 4096,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: Optional[str] = None,
+    props_cols: Optional[Iterable[str]] = None,
+) -> tuple[DataFrame, dict]:
+    """Fully-columnar point featurization for the bulk encoder: emits
+    (qx, qy[, id][, p_<prop>...]) typed columns instead of geom arrays /
+    props JSON, plus the derived LayerSpec dict to pass to
+    ``encode_tiles(fast=True)``.  Shape is pinned from the Spark schema."""
+    from ..functions.geo import merc_x_col, merc_y_col
+
+    n = float(1 << zoom)
+    mx = merc_x_col(F.col(lon)) * F.lit(n)
+    my = merc_y_col(F.col(lat)) * F.lit(n)
+    tx = F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), F.floor(mx))).cast("long")
+    ty = F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), F.floor(my))).cast("long")
+    qx = F.floor((mx - tx) * F.lit(float(extent)) + F.lit(0.5)).cast("int")
+    qy = F.floor((my - ty) * F.lit(float(extent)) + F.lit(0.5)).cast("int")
+    cols = [
+        F.lit(zoom).alias("zoom"),
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
+        qx.alias("qx"),
+        qy.alias("qy"),
+    ]
+    if id_col:
+        cols.append(F.col(id_col).cast("long").alias("id"))
+    shape: dict = {}
+    dtypes = dict(points.dtypes)
+    for c in props_cols or []:
+        prim = _SPARK_TO_PRIM.get(dtypes.get(c, "string"), "string")
+        shape[c] = prim
+        cols.append(F.col(c).alias(f"p_{c}"))
+    specs = {layer: LayerSpec(extent=extent, shape=shape)}
+    return points.select(*cols), {"layer": layer, "extent": extent, "specs": specs}
 
 
 def polygons_to_features(
