@@ -101,6 +101,51 @@ def cell_ring_np(zoom: int, tx: int, ty: int, r: int) -> np.ndarray:
     return pack_cell_np(zoom, np.array(xs), np.array(ys))
 
 
+def cover_polygon_np(rings: list, zoom: int):
+    """Tiles intersecting a polygon (outer ring), by per-tile-row slab spans:
+    for each tile row, x-extent of the outer ring clipped to the row's slab.
+    A strict subset of the bbox covering for non-rectangular shapes
+    (conservative superset of the exact cover — the PIP refinement stays
+    exact); holes never extend coverage, so only ring 0 matters."""
+    outer = np.asarray(rings[0], dtype=np.float64)
+    n = 1 << zoom
+    px = merc_x_np(outer[:, 0]) * n
+    py = merc_y_np(outer[:, 1]) * n
+    if len(px) >= 2 and px[0] == px[-1] and py[0] == py[-1]:
+        px, py = px[:-1], py[:-1]
+    x1, y1 = px, py
+    x2, y2 = np.roll(px, -1), np.roll(py, -1)
+    row_lo = int(np.clip(np.floor(py.min()), 0, n - 1))
+    row_hi = int(np.clip(np.floor(py.max()), 0, n - 1))
+    txs_out, tys_out = [], []
+    for row in range(row_lo, row_hi + 1):
+        lo, hi = float(row), float(row + 1)
+        # edges overlapping the slab [lo, hi)
+        emin, emax = np.minimum(y1, y2), np.maximum(y1, y2)
+        sel = (emax >= lo) & (emin <= hi)
+        if not sel.any():
+            continue
+        ax, ay, bx, by = x1[sel], y1[sel], x2[sel], y2[sel]
+        # clip each edge segment to the slab, track x extremes
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_lo = np.clip((lo - ay) / (by - ay), 0.0, 1.0)
+            t_hi = np.clip((hi - ay) / (by - ay), 0.0, 1.0)
+        t_lo = np.where(np.isfinite(t_lo), t_lo, 0.0)
+        t_hi = np.where(np.isfinite(t_hi), t_hi, 1.0)
+        xa = ax + (bx - ax) * t_lo
+        xb = ax + (bx - ax) * t_hi
+        xmin = min(xa.min(), xb.min())
+        xmax = max(xa.max(), xb.max())
+        c0 = int(np.clip(np.floor(xmin), 0, n - 1))
+        c1 = int(np.clip(np.floor(xmax), 0, n - 1))
+        cols = np.arange(c0, c1 + 1, dtype=np.int64)
+        txs_out.append(cols)
+        tys_out.append(np.full(len(cols), row, dtype=np.int64))
+    if not txs_out:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(txs_out), np.concatenate(tys_out)
+
+
 def cover_bbox_np(lon_min, lat_min, lon_max, lat_max, zoom: int):
     """All (tx, ty) tiles intersecting a lon/lat bbox (polygon covering)."""
     x0, y1 = tile_xy_np([lon_min], [lat_min], zoom)  # lat_min -> larger ty

@@ -26,23 +26,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.geo import cover_bbox_np, pack_cell_np, cell_col, points_in_polygon_np
+from ..functions.geo import (
+    cell_col,
+    cover_bbox_np,
+    cover_polygon_np,
+    pack_cell_np,
+    points_in_polygon_np,
+)
 
 
-def polygon_covering(spark: SparkSession, polygons_pdf: pd.DataFrame, zoom: int) -> DataFrame:
+def polygon_covering(
+    spark: SparkSession, polygons_pdf: pd.DataFrame, zoom: int, exact: bool = True
+) -> DataFrame:
     """Polygon layer -> exploded (cell, poly_id) covering at ``zoom``
-    (F20 cell cover).  Covering is bbox-based (superset; exact test is
-    phase 2).  Computed on the driver (polygon layers are dim-table sized)
-    and broadcast."""
+    (F20 cell cover).  ``exact=True`` uses per-tile-row slab spans (tight
+    superset; shrinks the candidate set vs bbox covering on non-rectangular
+    polygons), else the bbox covering.  Computed on the driver (polygon
+    layers are dim-table sized) and broadcast."""
     rows = []
     for _, row in polygons_pdf.iterrows():
         rings = _rings_of(row)
         if not rings:
             continue
         outer = rings[0]
-        lon_min, lat_min = outer[:, 0].min(), outer[:, 1].min()
-        lon_max, lat_max = outer[:, 0].max(), outer[:, 1].max()
-        txs, tys = cover_bbox_np(lon_min, lat_min, lon_max, lat_max, zoom)
+        if exact:
+            txs, tys = cover_polygon_np(rings, zoom)
+        else:
+            txs, tys = cover_bbox_np(
+                outer[:, 0].min(), outer[:, 1].min(), outer[:, 0].max(), outer[:, 1].max(), zoom
+            )
         for c in pack_cell_np(zoom, txs, tys).tolist():
             rows.append((int(c), int(row["poly_id"])))
     return spark.createDataFrame(

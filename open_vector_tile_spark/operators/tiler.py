@@ -437,6 +437,47 @@ def points_to_features(
     return points.select(*cols)
 
 
+def points3d_to_features(
+    points: DataFrame,
+    zoom: int,
+    layer: str,
+    extent: int = 4096,
+    lon: str = "lon",
+    lat: str = "lat",
+    z: str = "z",
+    z_scale: float = 1.0,
+    id_col: Optional[str] = None,
+    props_cols: Optional[Iterable[str]] = None,
+) -> DataFrame:
+    """3D point rows -> type-4 feature rows (z quantized by ``z_scale`` with
+    the same JS half-up rounding as x/y; reference 3D types
+    src/vectorTile.spec.ts:29-35)."""
+    from ..functions.geo import merc_x_col, merc_y_col
+
+    n = float(1 << zoom)
+    mx = merc_x_col(F.col(lon)) * F.lit(n)
+    my = merc_y_col(F.col(lat)) * F.lit(n)
+    tx = F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), F.floor(mx))).cast("long")
+    ty = F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), F.floor(my))).cast("long")
+    qx = F.floor((mx - tx) * F.lit(float(extent)) + F.lit(0.5)).cast("int")
+    qy = F.floor((my - ty) * F.lit(float(extent)) + F.lit(0.5)).cast("int")
+    qz = F.floor(F.col(z) * F.lit(z_scale) + F.lit(0.5)).cast("int")
+    cols = [
+        F.lit(zoom).alias("zoom"),
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
+        F.lit(layer).alias("layer"),
+        F.lit(extent).alias("extent"),
+        F.lit(4).alias("ftype"),
+        F.array(qx, qy, qz).alias("geom_xy"),
+    ]
+    if id_col:
+        cols.append(F.col(id_col).cast("long").alias("id"))
+    if props_cols:
+        cols.append(F.to_json(F.struct(*[F.col(c) for c in props_cols])).alias("props_json"))
+    return points.select(*cols)
+
+
 _SPARK_TO_PRIM = {
     "string": "string",
     "bigint": "i64",
