@@ -416,6 +416,23 @@ def _q_bbox_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tile_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S1+S7 end-to-end: encode documents points into OVT tiles, DECODE the
+    tile bytes back, count decoded features per tile — the oracle sees only
+    the tile-assignment SQL, so a match proves the byte round-trip preserved
+    every feature."""
+    from open_vector_tile_spark.operators import decode_tiles, encode_tiles, points_to_features
+
+    docs = _doc_points(_load(spark, sf, "documents"))
+    feats = points_to_features(docs, zoom=ZOOM, layer="docs", extent=4096, id_col="doc_id")
+    tiles = encode_tiles(feats)
+    decoded = decode_tiles(tiles, layers=["docs"])
+    return (
+        decoded.groupBy("zoom", "tile_x", "tile_y")
+        .agg(F.count("*").alias("n_features"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -441,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elevation": _q_elevation,
         "zigzag_cmd": _q_zigzag_cmd,
         "bbox_agg": _q_bbox_agg,
+        "tile_roundtrip": _q_tile_roundtrip,
     }
 
 
@@ -458,6 +476,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events ORDER BY event_id
         """,
         "tile_assignment": f"""
+            SELECT {ZOOM} AS zoom, {tx_doc} AS tile_x, {ty_doc} AS tile_y,
+                   count(*) AS n_features
+            FROM documents GROUP BY 1, 2, 3
+        """,
+        "tile_roundtrip": f"""
             SELECT {ZOOM} AS zoom, {tx_doc} AS tile_x, {ty_doc} AS tile_y,
                    count(*) AS n_features
             FROM documents GROUP BY 1, 2, 3

@@ -253,3 +253,25 @@ def test_exact_covering_subset_of_bbox_and_join_unchanged(spark):
     cov_bbox = polygon_covering(spark, polys, zoom=4, exact=False)
     cov_exact = polygon_covering(spark, polys, zoom=4, exact=True)
     assert cov_exact.count() <= cov_bbox.count()
+
+
+def test_decode_tiles_roundtrip_and_layer_pruning(spark):
+    from open_vector_tile_spark.operators import decode_tiles
+
+    pages = spark.createDataFrame(pages_pdf(200))
+    pts = points_to_features(
+        geoparse(pages), zoom=ZOOM, layer="pages", extent=4096, props_cols=["url"]
+    )
+    polys = polygons_to_features(spark, polygons_pdf(), zoom=ZOOM, layer="admin", extent=4096)
+    tiles = encode_tiles(pts.unionByName(polys, allowMissingColumns=True)).cache()
+    decoded = decode_tiles(tiles).toPandas()
+    assert set(decoded["layer"]) == {"pages", "admin"}
+    assert (decoded[decoded.layer == "pages"]["ftype"] == 1).all()
+    assert len(decoded[decoded.layer == "pages"]) == 200
+    # full encode->decode round trip preserves the url property
+    urls = {__import__("json").loads(p)["url"] for p in decoded[decoded.layer == "pages"]["props_json"]}
+    assert len(urls) == 200
+    # layer pruning
+    only_pages = decode_tiles(tiles, layers=["pages"]).toPandas()
+    assert set(only_pages["layer"]) == {"pages"}
+    assert len(only_pages) == 200
