@@ -363,8 +363,9 @@ def _q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    dim = len(emb.first()["embedding"])
-    out = cosine_topk_lsh(emb, queries, dim=dim, k=5, qid_col="query_id")
+    # dim derived from the collected query vectors inside cosine_topk_lsh —
+    # no extra driver action here
+    out = cosine_topk_lsh(emb, queries, k=5, qid_col="query_id")
     return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank").orderBy(
         "query_id", "rank"
     )
@@ -433,6 +434,85 @@ def _q_tile_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_tile_roundtrip_full(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 full fidelity: mixed point/line(+offsets+M-values)/polygon(+bbox+
+    indices+tessellation) layers -> encode -> DECODE (full FEATURE_SCHEMA) ->
+    re-encode -> per-tile byte equality.  The oracle predicts feature counts
+    and asserts bytes_equal=TRUE, so a hash match proves the decode is
+    lossless (reference read walkers src/open/vectorFeature.ts:182-329)."""
+    from open_vector_tile_spark.operators import decode_tiles, encode_tiles
+
+    docs = _tile_cols(_doc_points(_load(spark, sf, "documents")))
+    d = F.col("doc_id")
+    base = [
+        F.lit(ZOOM).alias("zoom"),
+        F.col("tile_x"),
+        F.col("tile_y"),
+        F.lit("mix").alias("layer"),
+        F.lit(4096).alias("extent"),
+    ]
+    i32 = lambda e: e.cast("int")  # noqa: E731
+    pts = docs.select(
+        *base,
+        (d * 3).cast("long").alias("id"),
+        F.lit(1).alias("ftype"),
+        F.array(i32(d * 11 % 4097), i32(d * 13 % 4097)).alias("geom_xy"),
+        F.format_string('{"name": "doc%d", "rank": %d}', d, d % 9).alias("props_json"),
+    )
+    lines = docs.filter(d % 5 == 0).select(
+        *base,
+        (d * 3 + 1).cast("long").alias("id"),
+        F.lit(2).alias("ftype"),
+        F.array(
+            i32(d * 3 % 4097), i32(d * 17 % 4097), i32((d * 23 + 100) % 4097),
+            i32((d * 29 + 7) % 4097), i32((d * 31 + 11) % 4097), i32((d * 41 + 13) % 4097),
+            i32((d * 43 + 5) % 4097), i32((d * 47 + 9) % 4097), i32((d * 53 + 3) % 4097),
+            i32((d * 59 + 1) % 4097), i32((d * 61 + 2) % 4097), i32((d * 67 + 4) % 4097),
+        ).alias("geom_xy"),
+        F.array(F.lit(3), F.lit(3)).alias("ring_lens"),
+        F.array(((d % 7 + 1) * F.lit(0.25)), F.lit(0.0)).alias("offsets"),
+        F.format_string('{"name": "road%d"}', d).alias("props_json"),
+        F.format_string(
+            '[{"m": %d}, {"m": %d}, {"m": %d}, {"m": %d}, {"m": %d}, {"m": %d}]',
+            d % 11, d % 13, d % 17, d % 19, d % 23, d % 29,
+        ).alias("mvals_json"),
+    )
+    polys = docs.filter(d % 7 == 0).select(
+        *base,
+        (d * 3 + 2).cast("long").alias("id"),
+        F.lit(3).alias("ftype"),
+        F.array(
+            F.lit(0), F.lit(0), i32(d % 1000 + 10), F.lit(0),
+            i32(d % 1000 + 10), i32(d % 1000 + 10), F.lit(0), i32(d % 1000 + 10),
+            F.lit(2), F.lit(2), F.lit(4), F.lit(2), F.lit(4), F.lit(4),
+        ).alias("geom_xy"),
+        F.array(F.lit(4), F.lit(3)).alias("ring_lens"),
+        F.array(F.lit(2)).alias("poly_lens"),
+        F.array(
+            F.lit(0.0), F.lit(0.0),
+            (d % 100 + 1).cast("double"), (d % 50 + 1).cast("double"),
+        ).alias("bbox"),
+        F.array(F.lit(0), F.lit(1), F.lit(2)).alias("indices"),
+        F.array(i32(d % 4096), i32(d * 3 % 4096)).alias("tess_xy"),
+        F.format_string('{"kind": "k%d"}', d % 5).alias("props_json"),
+    )
+    feats = pts.unionByName(lines, allowMissingColumns=True).unionByName(
+        polys, allowMissingColumns=True
+    )
+    tiles1 = encode_tiles(feats)
+    decoded = decode_tiles(tiles1).drop("source", "feature_index", "n_vertices")
+    tiles2 = encode_tiles(decoded)
+    a = tiles1.alias("a")
+    b = tiles2.alias("b")
+    return a.join(b, ["zoom", "tile_x", "tile_y"]).select(
+        "zoom",
+        "tile_x",
+        "tile_y",
+        F.col("a.n_features").alias("n_features"),
+        (F.col("a.tile") == F.col("b.tile")).alias("bytes_equal"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -459,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zigzag_cmd": _q_zigzag_cmd,
         "bbox_agg": _q_bbox_agg,
         "tile_roundtrip": _q_tile_roundtrip,
+        "tile_roundtrip_full": _q_tile_roundtrip_full,
     }
 
 
@@ -483,6 +564,14 @@ def oracle_sql() -> dict[str, str]:
         "tile_roundtrip": f"""
             SELECT {ZOOM} AS zoom, {tx_doc} AS tile_x, {ty_doc} AS tile_y,
                    count(*) AS n_features
+            FROM documents GROUP BY 1, 2, 3
+        """,
+        "tile_roundtrip_full": f"""
+            SELECT {ZOOM} AS zoom, {tx_doc} AS tile_x, {ty_doc} AS tile_y,
+                   count(*)
+                     + count(*) FILTER (WHERE doc_id % 5 = 0)
+                     + count(*) FILTER (WHERE doc_id % 7 = 0) AS n_features,
+                   TRUE AS bytes_equal
             FROM documents GROUP BY 1, 2, 3
         """,
         "agg_pushdown": """

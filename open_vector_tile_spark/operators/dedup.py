@@ -171,6 +171,24 @@ def _band_hash_udf(num_hashes: int, bands: int, shingle_n: int, text_col: str):
     return band_hashes
 
 
+def _cap_buckets(band_rows: DataFrame, id_col: str, keys: list[str], max_bucket: int) -> DataFrame:
+    """Hot-bucket guard for LSH self-joins: keep the ``max_bucket``
+    smallest-id members per bucket (deterministic truncation).
+
+    A self-equi-join is quadratic in bucket size — one degenerate bucket
+    (boilerplate/empty docs hashing equal) at web scale is a 10^6 x 10^6
+    pair explosion.  Capping bounds any bucket to max_bucket^2/2 pairs;
+    identical texts should be collapsed by :func:`exact_dedup` FIRST (cheap,
+    principled), leaving the cap as a backstop for near-identical floods —
+    standard MinHashLSH practice."""
+    w = Window.partitionBy(*keys).orderBy(F.col(id_col).asc())
+    return (
+        band_rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -178,12 +196,14 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """-> candidate pairs (id_a, id_b) sharing >= 1 LSH band bucket.
 
     Everything per-document (shingling, hashing, minhash, band fold) runs in
     one Arrow pandas_udf; the bucket join is a self-equi-join on
-    (band, band_hash) — shuffles only ids + band keys, never text.
+    (band, band_hash) — shuffles only ids + band keys, never text.  Buckets
+    larger than ``max_bucket`` are truncated (see :func:`_cap_buckets`).
     """
     df = _ensure_parallelism(df)
     udf = _band_hash_udf(num_hashes, bands, shingle_n, text_col)
@@ -191,6 +211,8 @@ def minhash_lsh_candidates(
         df.select(F.col(id_col), udf(F.col(text_col)).alias("bhs"))
         .select(id_col, F.posexplode("bhs").alias("band", "band_hash"))
     )
+    if max_bucket:
+        band_rows = _cap_buckets(band_rows, id_col, ["band", "band_hash"], max_bucket)
     left = band_rows.withColumnRenamed(id_col, "id_a")
     right = band_rows.withColumnRenamed(id_col, "id_b")
     return (
@@ -291,10 +313,15 @@ def simhash64(text: Column) -> Column:
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", band_bits: int = 16
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bits: int = 16,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-dup candidates: equal 16-bit band of the simhash (4 bands ->
-    hamming distance <= 3 guaranteed recall within any one band)."""
+    hamming distance <= 3 guaranteed recall within any one band).  Band
+    buckets larger than ``max_bucket`` are truncated (:func:`_cap_buckets`)."""
     df = _ensure_parallelism(df)
     sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
     bands = []
@@ -310,6 +337,8 @@ def simhash_near_dups(
     rows = sh.select(id_col, "simhash", F.explode(F.array(*bands)).alias("bh")).select(
         id_col, "simhash", "bh.band", "bh.band_val"
     )
+    if max_bucket:
+        rows = _cap_buckets(rows, id_col, ["band", "band_val"], max_bucket)
     a = rows.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band", "band_val"
     )

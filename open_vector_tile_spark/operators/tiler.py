@@ -115,6 +115,12 @@ def rows_to_base_feature(row) -> BaseFeature:
         feature_mvals = None
 
     fid = row.get("id")
+    if fid is not None and not pd.isna(fid):
+        fid = int(fid)
+        if fid < 0:  # two's-complement carrier for wire u64 ids (decode.py)
+            fid += 1 << 64
+    else:
+        fid = None
     tess_flat = _aslist(row.get("tess_xy"))
     props = row.get("props_json")
     bbox_raw = row.get("bbox")
@@ -122,7 +128,7 @@ def rows_to_base_feature(row) -> BaseFeature:
         ftype=ftype,
         geometry=geometry,
         properties=json.loads(props) if props else {},
-        id=int(fid) if fid is not None and not pd.isna(fid) else None,
+        id=fid,
         bbox=(_aslist(bbox_raw) or None) if bbox_raw is not None else None,
         indices=[int(x) for x in _aslist(row.get("indices"))],
         tessellation=[

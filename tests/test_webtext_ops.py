@@ -102,6 +102,31 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert (self_hits["query_id"] == self_hits["vec_id"]).all()
 
 
+def test_lsh_hot_bucket_guard(spark):
+    """Degenerate corpus (3000 byte-identical docs): without a bucket cap the
+    band self-join is C(3000,2) x 16 bands ~ 7e7 pairs; with the guard the
+    candidate set is bounded by cap^2/2 (the cap keeps the same smallest ids
+    in every band, so pairs collapse to one bucket's worth)."""
+    from open_vector_tile_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        simhash_near_dups,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(3000),
+            "text": ["the same boilerplate text repeated on every single page of the site"] * 3000,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cap = 32
+    n = minhash_lsh_candidates(df, max_bucket=cap).count()
+    assert 0 < n <= cap * (cap - 1) / 2
+    sh = simhash_near_dups(df, max_bucket=cap).toPandas()
+    assert 0 < len(sh) <= cap * (cap - 1) / 2
+    assert (sh["hamming"] == 0).all()
+
+
 def test_embedding_near_dups_threshold(spark):
     from open_vector_tile_spark.operators.similarity import embedding_near_dups
 

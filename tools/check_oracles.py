@@ -43,8 +43,11 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracles = entry.oracle_sql()
+    only = set(sys.argv[1:])  # optional: check only the named queries
     failures = 0
     for name, fn in entry.queries().items():
+        if only and name not in only:
+            continue
         try:
             got = fn(spark, SF).toPandas()
         except Exception as e:  # noqa: BLE001
