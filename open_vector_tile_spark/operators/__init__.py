@@ -15,4 +15,5 @@ from .tiler import (  # noqa: F401
     points_to_features,
     points_to_features_columnar,
     polygons_to_features,
+    s2json_tiles_to_ovt,
 )

@@ -102,20 +102,32 @@ def knn_cell_ring(
     of those planes is necessary to leave the disk).  This makes the result
     identical to brute force; mercator distortion only costs extra rounds,
     never correctness.  Unresolved pages after ``max_rings`` fall back to the
-    broadcast kernel."""
+    broadcast kernel.
+
+    Job structure (bounded, no lineage recompute): ``pending`` is
+    ``localCheckpoint``-ed every round, so the base scan + cell assignment
+    run exactly ONCE regardless of rounds — each round's anti-join reads the
+    previous round's materialized partitions, never re-deriving the chain.
+    Each round's resolved set is checkpointed too, so the final union does
+    not re-run the joins.  Radii follow a geometric schedule (0,1,2,4,...,
+    max_rings): searching a larger disk early only resolves more pages (the
+    termination bound is exact per round), so skipping radii cannot change
+    the result — it just caps the rounds at O(log max_rings)."""
     spark = points.sparkSession
     pcells = poi_cells(spark, pois_pdf, zoom).cache()
     n = 1 << zoom
 
     pending = points.select(key, lon, lat).withColumn(
         "cell", cell_col(F.col(lon), F.col(lat), zoom)
-    )
+    ).localCheckpoint(eager=True)
     resolved: list[DataFrame] = []
     w = Window.partitionBy(key).orderBy(F.col("dist_m").asc(), F.col("poi_id").asc())
 
-    for r in range(max_rings + 1):
-        if pending.isEmpty():
-            break
+    schedule = [0]
+    while schedule[-1] < max_rings:
+        schedule.append(min(max(schedule[-1] * 2, 1), max_rings))
+
+    for r in schedule:
         disk = _disk_cells_df(pending, zoom, r)
         cand = disk.join(F.broadcast(pcells), on="cell", how="inner")
         scored = cand.withColumn(
@@ -136,9 +148,15 @@ def knn_cell_ring(
             scored.join(F.broadcast(done_keys), on=key, how="leftsemi")
             .filter(F.col("rank") <= k)
             .select(key, "poi_id", "dist_m", "rank")
-        )
+        ).localCheckpoint(eager=True)
         resolved.append(done)
-        pending = pending.join(done_keys, on=key, how="left_anti")
+        # one anti-join step on top of MATERIALIZED partitions, then cut
+        # the lineage again — round cost is O(|pending|), never O(history)
+        pending = pending.join(done_keys, on=key, how="left_anti").localCheckpoint(
+            eager=True
+        )
+        if pending.isEmpty():  # cheap: scans checkpointed partitions
+            break
 
     if not pending.isEmpty():
         resolved.append(knn_broadcast(pending, pois_pdf, k=k, lon=lon, lat=lat, key=key))

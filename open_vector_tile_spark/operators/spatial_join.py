@@ -91,13 +91,17 @@ def spatial_join(
     covering = polygon_covering(spark, polygons_pdf, zoom)
     pts = points.withColumn("cell", cell_col(F.col(lon), F.col(lat), zoom))
     if salt:
-        # replicate the (small) covering side xN, split hot cells on the big side
+        # shuffle-join variant (covering too big to broadcast): replicate the
+        # covering side xN and split hot cells on the big side so one
+        # mega-cell (dense urban tile) spreads over N reducers.  The
+        # shuffle_hash hint forces the shuffle path — auto-broadcast of a
+        # small covering would silently bypass the salting under test.
         pts = pts.withColumn("salt", F.pmod(F.xxhash64(F.col(lon), F.col(lat)), F.lit(salt)))
         covering = covering.crossJoin(
-            spark.range(salt).select(F.col("id").alias("salt"))
+            spark.range(salt).select(F.col("id").cast("long").alias("salt"))
         )
         candidates = pts.join(
-            F.broadcast(covering), on=["cell", "salt"], how="inner"
+            covering.hint("shuffle_hash"), on=["cell", "salt"], how="inner"
         ).drop("salt")
     else:
         candidates = pts.join(F.broadcast(covering), on="cell", how="inner")
@@ -105,11 +109,17 @@ def spatial_join(
         return candidates
 
     # phase 2: vectorized PIP per candidate batch.  Polygon rings ride to the
-    # executors via closure capture (dim-table sized).
-    rings_by_id = {int(r["poly_id"]): [a.tolist() for a in _rings_of(r)] for _, r in polygons_pdf.iterrows()}
+    # executors as an explicit broadcast variable — one torrent transfer per
+    # executor instead of a copy inside every task closure (matters when the
+    # polygon side grows to many MB).
+    rings_by_id = {
+        int(r["poly_id"]): [a.tolist() for a in _rings_of(r)] for _, r in polygons_pdf.iterrows()
+    }
+    b_rings = spark.sparkContext.broadcast(rings_by_id)
     schema = candidates.schema
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rings_by_id = b_rings.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue

@@ -666,6 +666,42 @@ def lines_to_features(
     return spark.createDataFrame(rows, schema)
 
 
+def s2json_tiles_to_ovt(
+    tiles: DataFrame,
+    layer_map: Optional[dict] = None,
+    json_col: str = "s2json",
+) -> DataFrame:
+    """S11 source adapter at table scale: rows of (zoom, tile_x, tile_y,
+    s2json string) -> OVT tile rows (TILE_SCHEMA).
+
+    Each S2JSON document is converted via the codec adapter
+    (``BaseVectorTile.fromS2JSONTile`` semantics, src/base/vectorTile.ts:39-49)
+    and written with the byte-exact writer — one Arrow batch pass, no
+    per-tile shuffle needed since each row IS one tile."""
+    import json as _json
+
+    from ..codec import write_ov_tile
+    from ..codec.s2json import s2json_to_base_layers
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = []
+            for zoom, tx, ty, doc in zip(
+                pdf["zoom"].tolist(), pdf["tile_x"].tolist(),
+                pdf["tile_y"].tolist(), pdf[json_col].tolist(),
+            ):
+                tile_dict = _json.loads(doc) if isinstance(doc, str) else doc
+                layers = s2json_to_base_layers(tile_dict, layer_map)
+                blob = write_ov_tile(layers)
+                n = sum(len(ly.features) for ly in layers)
+                out.append((int(zoom), int(tx), int(ty), blob, n, len(blob)))
+            yield pd.DataFrame(
+                out, columns=["zoom", "tile_x", "tile_y", "tile", "n_features", "n_bytes"]
+            )
+
+    return tiles.mapInPandas(run, TILE_SCHEMA)
+
+
 def images_to_tiles(images: DataFrame) -> DataFrame:
     """Image rows (zoom, tile_x, tile_y, name, type, width, height, image)
     -> one OVT tile per key carrying the image layer(s) (S10 passthrough,

@@ -134,6 +134,26 @@ def test_knn_cell_ring_agrees_with_broadcast(spark, pages):
     assert ka == kb
 
 
+def test_knn_cell_ring_single_base_scan(spark, pages):
+    """The iterative ring expansion must NOT re-derive the base lineage per
+    round: pending is localCheckpoint-ed, so the source scan + cell
+    assignment run exactly once no matter how many rounds execute."""
+    pois = pois_pdf(60)
+    pts = geoparse(pages).limit(100).toPandas()[["url", "lon", "lat"]]
+    src = spark.createDataFrame(pts).repartition(4)
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = src.mapInPandas(counting, "url string, lon double, lat double")
+    out = knn_cell_ring(counted, pois, zoom=3, k=3)
+    assert out.count() == 100 * 3
+    assert acc.value == 100  # one pass over the source, ever
+
+
 def test_tile_encode_roundtrip_and_quantization(spark, pages, points_oracle):
     feats = points_to_features(
         geoparse(pages), zoom=ZOOM, layer="pages", extent=4096, props_cols=["url", "lang"]

@@ -52,6 +52,29 @@ def test_spatial_join_broadcasts_covering(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_salted_skew_join_matches_unsalted(spark):
+    """J4: mega-cell skew — 90% of points share one cell.  The salted
+    shuffle-join variant (AQE on, shuffle_hash hint) must return exactly the
+    unsalted broadcast result, and its plan must actually take the shuffle
+    path with the salt in the partitioning key."""
+    import pandas as pd
+
+    base = pages_pdf(300)
+    hot = base.iloc[[0]].copy()
+    skewed = pd.concat([base] + [hot.assign(url=f"hot-{i}") for i in range(2700)], ignore_index=True)
+    pts = geoparse(spark.createDataFrame(skewed))
+    polys = polygons_pdf()
+    a = spatial_join(pts, polys, zoom=4, salt=8).select("url", "poly_id")
+    b = spatial_join(pts, polys, zoom=4).select("url", "poly_id")
+    pa = set(map(tuple, a.toPandas().itertuples(index=False)))
+    pb = set(map(tuple, b.toPandas().itertuples(index=False)))
+    assert pa == pb and len(pa) > 0
+    plan = plan_of(a)
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+    m = re.search(r"hashpartitioning\(([^)]*)\)", plan)
+    assert m and "salt" in m.group(1)
+
+
 def _parquet_pages(spark, tmp_path_factory, n=200):
     path = str(tmp_path_factory.mktemp("pages") / "pages.parquet")
     spark.createDataFrame(pages_pdf(n)).write.parquet(path)
