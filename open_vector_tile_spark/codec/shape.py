@@ -12,6 +12,7 @@ columns (see column_cache.NumberChunk).
 
 from __future__ import annotations
 
+import json as _json
 from typing import Any
 
 from .column_cache import ColumnCacheReader, ColumnCacheWriter, NumberChunk, OColumn
@@ -100,19 +101,51 @@ def _encode_value(value: Any, shape: Any, store: list, cache: ColumnCacheWriter)
         for key in shape:
             _encode_value(obj.get(key), shape[key], store, cache)
     else:
+        # TOTAL semantics for type-mismatched values.  The reference's
+        # last-write-wins shape inference (src/open/shape.ts:320-321) can pin
+        # e.g. 'string' for a key whose earlier features hold numbers; its
+        # writer then THROWS (columnCache.ts:291-292 'Use addNumber instead')
+        # — several committed amazon/amazon_here benchmark tiles hit this,
+        # which is presumably why ovtVScovt.ts runs only the bing corpus.
+        # We coerce instead (str() / numeric-or-0), a deliberate robustness
+        # divergence: mixed-type keys are already lossy under the inferred
+        # shape, and a 100 TB pipeline cannot crash on one dirty property.
         if shape == "string":
-            store.append(cache.add_string(value if value is not None else ""))
+            if value is None:
+                value = ""
+            elif not isinstance(value, str):
+                value = _json.dumps(value, separators=(",", ":")) if isinstance(
+                    value, (dict, list, tuple)
+                ) else str(value)
+            store.append(cache.add_string(value))
         elif shape == "u64":
-            store.append(cache.add_number(int(value or 0), OColumn.unsigned))
+            store.append(cache.add_number(_as_int(value), OColumn.unsigned))
         elif shape == "i64":
-            store.append(cache.add_number(int(value or 0), OColumn.signed))
+            store.append(cache.add_number(_as_int(value), OColumn.signed))
         elif shape == "f32":
-            store.append(cache.add_number(float(value or 0), OColumn.float))
+            store.append(cache.add_number(_as_float(value), OColumn.float))
         elif shape == "f64":
-            store.append(cache.add_number(float(value or 0), OColumn.double))
+            store.append(cache.add_number(_as_float(value), OColumn.double))
         elif shape == "bool":
             store.append(cache.add_number(1 if value else 0, OColumn.unsigned))
         # 'null' encodes nothing (shape carries it, src/open/shape.ts:224)
+
+
+def _as_int(value) -> int:
+    try:
+        return int(value or 0)
+    except (TypeError, ValueError):
+        try:
+            return int(float(value))
+        except (TypeError, ValueError):
+            return 0
+
+
+def _as_float(value) -> float:
+    try:
+        return float(value or 0)
+    except (TypeError, ValueError):
+        return 0.0
 
 
 def decode_value(value_index: int, shape: dict, cache: ColumnCacheReader) -> dict:

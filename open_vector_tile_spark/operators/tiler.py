@@ -55,11 +55,6 @@ class LayerSpec:
     mshape: Optional[dict] = None
 
 
-def _py(v):
-    """numpy scalar -> python scalar (json-serializable)."""
-    return v.item() if hasattr(v, "item") else v
-
-
 def _aslist(v) -> list:
     """None/NaN-safe array-column -> python list (numpy arrays reject `or`)."""
     if v is None:
@@ -290,13 +285,14 @@ def encode_point_tiles(
 ) -> DataFrame:
     """Bulk path for uniform single-point layers (the 100 TB pages payload):
     consumes the fully-columnar output of :func:`points_to_features_columnar`
-    and encodes each tile with the vectorized byte-exact writer
-    (codec.fast_points).  Hybrid dispatch per tile: numpy bulk encoder for
-    runs >= 16 features, generic per-row path below (numpy fixed costs lose
-    on tiny tiles).  All column extraction happens once per Arrow batch —
-    no per-row pandas access anywhere.
+    and encodes ALL tiles of each Arrow batch in ONE numpy pass with the
+    cross-tile byte-exact writer (codec.fast_points.
+    encode_point_layer_tiles_bulk) — the per-tile fixed cost that dominated
+    the z10+ tiny-tile regime (~90us/tile single-tile numpy, ~25us/feature
+    generic) collapses to a byte-slice join per tile.  No per-row pandas
+    access anywhere.
     """
-    from ..codec.fast_points import encode_point_layer_tile
+    from ..codec.fast_points import encode_point_layer_tiles_bulk
 
     layer = meta["layer"]
     extent = meta["extent"]
@@ -331,46 +327,28 @@ def encode_point_tiles(
         def concat(a: dict, b: dict) -> dict:
             return {k: np.concatenate([a[k], b[k]]) for k in a}
 
-        def encode_run(arrs: dict, s: int, e: int) -> tuple:
-            n_run = e - s
-            if n_run < 16:
-                # direct IR construction: no JSON, no record dicts (~25us/feat)
-                has_id = "id" in arrs
-                lyr = BaseLayer(name=layer, extent=extent, shape=dict(shape), mshape={})
-                qxs = arrs["qx"]
-                qys = arrs["qy"]
-                for i in range(s, e):
-                    lyr.features.append(
-                        BaseFeature(
-                            1,
-                            [(int(qxs[i]), int(qys[i]))],
-                            {k: _py(arrs[k][i]) for k in prop_keys},
-                            id=int(arrs["id"][i]) if has_id else None,
-                        )
-                    )
-                tile = write_ov_tile([lyr])
-            else:
-                tile = encode_point_layer_tile(
-                    layer,
-                    extent,
-                    shape,
-                    {k: arrs[k][s:e] for k in prop_keys},
-                    arrs["qx"][s:e],
-                    arrs["qy"][s:e],
-                    ids=arrs["id"][s:e] if "id" in arrs else None,
-                )
-            return (
-                int(arrs["zoom"][s]),
-                int(arrs["tile_x"][s]),
-                int(arrs["tile_y"][s]),
-                tile,
-                n_run,
-                len(tile),
+        def encode_runs(arrs: dict, starts: np.ndarray, ends: np.ndarray) -> pd.DataFrame:
+            counts = ends - starts
+            hi = int(ends[-1])
+            tiles = encode_point_layer_tiles_bulk(
+                layer,
+                extent,
+                shape,
+                {k: arrs[k][:hi] for k in prop_keys},
+                arrs["qx"][:hi],
+                arrs["qy"][:hi],
+                counts,
+                ids=arrs["id"][:hi] if "id" in arrs else None,
             )
-
-        def emit(rows: list) -> pd.DataFrame:
             return pd.DataFrame(
-                rows, columns=["zoom", "tile_x", "tile_y", "tile", "n_features", "n_bytes"]
+                {
+                    "zoom": arrs["zoom"][starts],
+                    "tile_x": arrs["tile_x"][starts],
+                    "tile_y": arrs["tile_y"][starts],
+                    "tile": [bytes(t) for t in tiles],
+                    "n_features": counts,
+                    "n_bytes": [len(t) for t in tiles],
+                }
             )
 
         for pdf in batches:
@@ -384,18 +362,19 @@ def encode_point_tiles(
             change = np.flatnonzero(
                 (zs[1:] != zs[:-1]) | (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
             )
-            starts = np.concatenate([[0], change + 1]).tolist()
-            ends = np.concatenate([change + 1, [len(zs)]]).tolist()
-            out = []
-            for i, (s, e) in enumerate(zip(starts, ends)):
-                if i == len(starts) - 1:
-                    pending = {k: v[s:e] for k, v in arrs.items()}
-                    break
-                out.append(encode_run(arrs, s, e))
-            if out:
-                yield emit(out)
+            if len(change) == 0:
+                pending = arrs  # whole batch is one (possibly continuing) tile
+                continue
+            starts = np.concatenate([[0], change + 1])
+            ends = np.concatenate([change + 1, [len(zs)]])
+            # last run may continue into the next batch: carry it over
+            pending = {k: v[starts[-1] :] for k, v in arrs.items()}
+            yield encode_runs(arrs, starts[:-1], ends[:-1])
         if pending is not None and len(pending["zoom"]):
-            yield emit([encode_run(pending, 0, len(pending["zoom"]))])
+            n_last = len(pending["zoom"])
+            yield encode_runs(
+                pending, np.array([0], dtype=np.int64), np.array([n_last], dtype=np.int64)
+            )
 
     return arranged.mapInPandas(encode_partition, TILE_SCHEMA)
 

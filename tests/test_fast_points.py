@@ -116,3 +116,74 @@ def test_encode_point_tiles_spark_equals_generic(spark):
     assert set(fast) == set(generic)
     mismatches = [k for k in fast if fast[k] != generic[k]]
     assert mismatches == []
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bulk_cross_tile_equals_single_tile(seed):
+    """Cross-tile bulk encoder: every tile byte-identical to the single-tile
+    encoder (itself byte-identical to the generic writer, above)."""
+    from open_vector_tile_spark.codec.fast_points import encode_point_layer_tiles_bulk
+
+    rng = np.random.RandomState(seed)
+    shape = {"name": "string", "rank": "u64", "score": "f64", "delta": "i64",
+             "ok": "bool", "temp": "f32"}
+    for trial in range(10):
+        n_tiles = int(rng.randint(1, 40))
+        counts = rng.randint(1, 20, size=n_tiles)
+        n = int(counts.sum())
+        props = {
+            "name": np.array([f"s{rng.randint(6)}" for _ in range(n)], dtype=object),
+            "rank": rng.randint(0, 5, n).astype(np.int64),
+            "score": np.round(rng.randn(n), 2),
+            "delta": rng.randint(-5, 5, n).astype(np.int64),
+            "ok": rng.randint(0, 2, n).astype(np.int64),
+            "temp": np.round(rng.randn(n).astype(np.float64), 1),
+        }
+        qx = rng.randint(0, 4096, n)
+        qy = rng.randint(0, 4096, n)
+        ids = np.arange(n, dtype=np.int64) if trial % 2 else None
+        bulk = encode_point_layer_tiles_bulk(
+            "pages", 4096, shape, props, qx, qy, counts, ids=ids
+        )
+        s = 0
+        for t, c in enumerate(counts):
+            e = s + int(c)
+            single = encode_point_layer_tile(
+                "pages", 4096, shape,
+                {k: v[s:e] for k, v in props.items()}, qx[s:e], qy[s:e],
+                ids=ids[s:e] if ids is not None else None,
+            )
+            assert bulk[t] == single, f"trial {trial} tile {t}"
+            s = e
+
+
+def test_encode_point_tiles_tiny_tile_regime(spark):
+    """z12: thousands of 1-3 feature tiles — the cross-tile path must match
+    the generic writer byte-for-byte in the regime it exists to accelerate."""
+    from open_vector_tile_spark.functions.text import geoparse
+    from open_vector_tile_spark.operators import (
+        encode_point_tiles,
+        encode_tiles,
+        points_to_features,
+        points_to_features_columnar,
+    )
+    from open_vector_tile_spark.sources import pages_pdf
+
+    pages = spark.createDataFrame(pages_pdf(2000)).cache()
+    pts = geoparse(pages)
+    fast_feats, meta = points_to_features_columnar(
+        pts, zoom=12, layer="pages", extent=4096, props_cols=["url", "lang"]
+    )
+    fast = {
+        (r["tile_x"], r["tile_y"]): bytes(r["tile"])
+        for r in encode_point_tiles(fast_feats, meta).collect()
+    }
+    generic_feats = points_to_features(
+        pts, zoom=12, layer="pages", extent=4096, props_cols=["url", "lang"]
+    )
+    generic = {
+        (r["tile_x"], r["tile_y"]): bytes(r["tile"])
+        for r in encode_tiles(generic_feats, meta["specs"]).collect()
+    }
+    assert set(fast) == set(generic) and len(fast) > 500
+    assert all(fast[k] == generic[k] for k in fast)
