@@ -496,8 +496,20 @@ def _q_tile_roundtrip_full(spark: SparkSession, sf: str) -> DataFrame:
         F.array(i32(d % 4096), i32(d * 3 % 4096)).alias("tess_xy"),
         F.format_string('{"kind": "k%d"}', d % 5).alias("props_json"),
     )
-    feats = pts.unionByName(lines, allowMissingColumns=True).unionByName(
-        polys, allowMissingColumns=True
+    pts3d = docs.filter(d % 11 == 0).select(
+        *base,
+        (d * 3 + F.lit(1 << 40)).cast("long").alias("id"),  # disjoint id range
+        F.lit(4).alias("ftype"),
+        F.array(
+            i32(d * 7 % 4097), i32(d * 19 % 4097), i32(d % 512),
+            i32((d * 37 + 3) % 4097), i32((d * 73 + 1) % 4097), i32((d + 17) % 512),
+        ).alias("geom_xy"),
+        F.format_string('{"name": "p3-%d"}', d).alias("props_json"),
+    )
+    feats = (
+        pts.unionByName(lines, allowMissingColumns=True)
+        .unionByName(polys, allowMissingColumns=True)
+        .unionByName(pts3d, allowMissingColumns=True)
     )
     tiles1 = encode_tiles(feats)
     decoded = decode_tiles(tiles1).drop("source", "feature_index", "n_vertices")
@@ -570,7 +582,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT {ZOOM} AS zoom, {tx_doc} AS tile_x, {ty_doc} AS tile_y,
                    count(*)
                      + count(*) FILTER (WHERE doc_id % 5 = 0)
-                     + count(*) FILTER (WHERE doc_id % 7 = 0) AS n_features,
+                     + count(*) FILTER (WHERE doc_id % 7 = 0)
+                     + count(*) FILTER (WHERE doc_id % 11 = 0) AS n_features,
                    TRUE AS bytes_equal
             FROM documents GROUP BY 1, 2, 3
         """,

@@ -11,8 +11,11 @@ from .tiler import (  # noqa: F401
     encode_point_tiles,
     encode_tiles,
     images_to_tiles,
+    lines3d_to_features,
     lines_to_features,
+    points3d_to_features,
     points_to_features,
+    polygons3d_to_features,
     points_to_features_columnar,
     polygons_to_features,
     s2json_tiles_to_ovt,

@@ -645,6 +645,135 @@ def lines_to_features(
     return spark.createDataFrame(rows, schema)
 
 
+def lines3d_to_features(
+    spark, lines_pdf, zoom: int, layer: str, extent: int = 4096, z_scale: float = 1.0
+) -> DataFrame:
+    """3D line layer (pandas with line_id, xyz flat [lon,lat,z,...] list,
+    optional offset/mvals/props columns) -> type-5 feature rows, tile-assigned
+    by bbox covering.  x/y quantize like P13; z quantizes by ``z_scale`` with
+    the same JS half-up rounding (reference 3D read/write:
+    src/open/vectorFeature.ts:376-587)."""
+    import json as _json
+
+    from ..functions.geo import cover_bbox_np, merc_x_np, merc_y_np
+
+    n = float(1 << zoom)
+    rows = []
+    for _, line in lines_pdf.iterrows():
+        arr = np.asarray(line["xyz"], dtype=np.float64).reshape(-1, 3)
+        txs, tys = cover_bbox_np(
+            arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max(), zoom
+        )
+        props = _json.dumps(
+            {k: line[k] for k in line.index if k not in ("line_id", "xyz", "offset", "mvals")},
+            default=int,
+        )
+        offset = float(line["offset"]) if "offset" in line.index else 0.0
+        mvals_json = (
+            _json.dumps(list(line["mvals"])) if "mvals" in line.index and line["mvals"] else None
+        )
+        qz = np.floor(arr[:, 2] * z_scale + 0.5).astype(np.int64)
+        for tx, ty in zip(txs.tolist(), tys.tolist()):
+            qx = np.floor((merc_x_np(arr[:, 0]) * n - tx) * extent + 0.5).astype(np.int64)
+            qy = np.floor((merc_y_np(arr[:, 1]) * n - ty) * extent + 0.5).astype(np.int64)
+            rows.append(
+                {
+                    "zoom": zoom,
+                    "tile_x": int(tx),
+                    "tile_y": int(ty),
+                    "layer": layer,
+                    "extent": extent,
+                    "id": int(line["line_id"]),
+                    "ftype": 5,
+                    "geom_xy": [
+                        int(v)
+                        for trip in zip(qx.tolist(), qy.tolist(), qz.tolist())
+                        for v in trip
+                    ],
+                    "ring_lens": [len(arr)],
+                    "offsets": [offset] if offset > 0 else None,
+                    "props_json": props,
+                    "mvals_json": mvals_json,
+                }
+            )
+    schema = (
+        "zoom int, tile_x long, tile_y long, layer string, extent int, id long, "
+        "ftype int, geom_xy array<int>, ring_lens array<int>, offsets array<double>, "
+        "props_json string, mvals_json string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def polygons3d_to_features(
+    spark, polygons_pdf, zoom: int, layer: str, extent: int = 4096, z_scale: float = 1.0
+) -> DataFrame:
+    """3D polygon layer (pandas with poly_id, ring_xyz = list of flat
+    [lon,lat,z,...] rings, optional mvals (flat per-vertex dict list across
+    rings), props columns) -> type-6 feature rows.  Mirrors
+    polygons_to_features for the 3D wire type; M-values ride as mvals_json
+    (the encoder distributes them per ring via ring_lens)."""
+    import json as _json
+
+    from ..functions.geo import cover_bbox_np, merc_x_np, merc_y_np
+
+    n = float(1 << zoom)
+    rows = []
+    for _, poly in polygons_pdf.iterrows():
+        rings = [np.asarray(r, dtype=np.float64).reshape(-1, 3) for r in poly["ring_xyz"]]
+        if not rings:
+            continue
+        outer = rings[0]
+        txs, tys = cover_bbox_np(
+            outer[:, 0].min(), outer[:, 1].min(), outer[:, 0].max(), outer[:, 1].max(), zoom
+        )
+        props = _json.dumps(
+            {
+                k: poly[k]
+                for k in poly.index
+                if k not in ("poly_id", "ring_xyz", "mvals")
+            },
+            default=int,
+        )
+        mvals_json = (
+            _json.dumps(list(poly["mvals"])) if "mvals" in poly.index and poly["mvals"] else None
+        )
+        for tx, ty in zip(txs.tolist(), tys.tolist()):
+            geom_xy: list[int] = []
+            ring_lens: list[int] = []
+            for ring in rings:
+                qx = np.floor((merc_x_np(ring[:, 0]) * n - tx) * extent + 0.5).astype(np.int64)
+                qy = np.floor((merc_y_np(ring[:, 1]) * n - ty) * extent + 0.5).astype(np.int64)
+                qz = np.floor(ring[:, 2] * z_scale + 0.5).astype(np.int64)
+                ring_lens.append(len(ring))
+                geom_xy.extend(
+                    int(v)
+                    for trip in zip(qx.tolist(), qy.tolist(), qz.tolist())
+                    for v in trip
+                )
+            rows.append(
+                {
+                    "zoom": zoom,
+                    "tile_x": int(tx),
+                    "tile_y": int(ty),
+                    "layer": layer,
+                    "extent": extent,
+                    "id": int(poly["poly_id"]),
+                    "ftype": 6,
+                    "geom_xy": geom_xy,
+                    "ring_lens": ring_lens,
+                    "poly_lens": [len(ring_lens)],
+                    "props_json": props,
+                    "mvals_json": mvals_json,
+                }
+            )
+    schema = (
+        "zoom int, tile_x long, tile_y long, layer string, extent int, id long, "
+        "ftype int, geom_xy array<int>, ring_lens array<int>, poly_lens array<int>, "
+        "props_json string, mvals_json string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def s2json_tiles_to_ovt(
     tiles: DataFrame,
     layer_map: Optional[dict] = None,
