@@ -147,11 +147,23 @@ def _scale_measure(cores: int) -> dict:
 
         def job(src):
             pts = geoparse(src)
-            if path == "fast":
+            if path in ("fast", "verify"):
                 feats, meta = points_to_features_columnar(
                     pts, zoom=10, layer="pages", extent=4096, props_cols=["url", "lang"]
                 )
-                return encode_point_tiles(feats, meta, partitions=3 * cores).agg(
+                tiles = encode_point_tiles(feats, meta, partitions=3 * cores)
+                if path == "verify":
+                    # CPU-dense variant: encode AND decode-verify each tile in
+                    # the same pass — raises arithmetic intensity per shuffled
+                    # byte, isolating compute scaling from the box's memory
+                    # bandwidth ceiling (see BENCH.md)
+                    from open_vector_tile_spark.operators import decode_tiles
+
+                    return decode_tiles(tiles).agg(
+                        F.count("*").alias("rows"),
+                        F.countDistinct("tile_x", "tile_y").alias("tiles"),
+                    )
+                return tiles.agg(
                     F.count("*").alias("tiles"), F.sum("n_features").alias("rows")
                 )
             from open_vector_tile_spark.operators import encode_tiles, points_to_features

@@ -61,16 +61,31 @@ def extract_features(media: DataFrame, bins: int = 16) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, nbytes = [], []
-            for _, row in pdf.iterrows():
-                img = decode_image(
-                    bytes(row["payload"]), row["mime"], int(row["width"]), int(row["height"])
+            imgs = [
+                decode_image(bytes(p), m, int(w), int(h))
+                for p, m, w, h in zip(
+                    pdf["payload"], pdf["mime"], pdf["width"], pdf["height"]
                 )
-                hist, _ = np.histogram(img, bins=bins, range=(0, 256))
-                feats.append((hist / max(img.size, 1)).astype(np.float32).tolist())
-                nbytes.append(len(row["payload"]))
+            ]
+            # one histogram pass for the WHOLE batch: concatenate pixels,
+            # bucket = px*bins//256 (== np.histogram bins over [0,256) for
+            # uint8), segment by image via bincount on (img_idx*bins + bucket)
+            sizes = np.array([im.size for im in imgs], dtype=np.int64)
+            if len(imgs) and sizes.sum():
+                px = np.concatenate([im.ravel() for im in imgs]).astype(np.int64)
+                seg = np.repeat(np.arange(len(imgs), dtype=np.int64), sizes)
+                flat = np.bincount(seg * bins + ((px * bins) >> 8), minlength=len(imgs) * bins)
+                hists = flat.reshape(len(imgs), bins)
+            else:
+                hists = np.zeros((len(imgs), bins), dtype=np.int64)
+            denom = np.maximum(sizes, 1)[:, None]
+            feats = (hists / denom).astype(np.float32)
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "feat": feats, "n_bytes": nbytes}
+                {
+                    "media_id": pdf["media_id"],
+                    "feat": [f.tolist() for f in feats],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                }
             )
 
     return media.select("media_id", "mime", "width", "height", "payload").mapInPandas(
@@ -81,16 +96,20 @@ def extract_features(media: DataFrame, bins: int = 16) -> DataFrame:
 def resize_stub(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize for raw images (real plumbing, fake codec)."""
 
+    yi_cache: dict = {}
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                img = decode_image(
-                    bytes(row["payload"]), row["mime"], int(row["width"]), int(row["height"])
-                )
-                yi = (np.arange(out_h) * img.shape[0] // out_h).astype(int)
-                xi = (np.arange(out_w) * img.shape[1] // out_w).astype(int)
-                out.append(img[yi][:, xi].tobytes())
+            for p, m, w, h in zip(pdf["payload"], pdf["mime"], pdf["width"], pdf["height"]):
+                img = decode_image(bytes(p), m, int(w), int(h))
+                key = img.shape
+                idx = yi_cache.get(key)
+                if idx is None:
+                    yi = (np.arange(out_h) * key[0] // out_h).astype(int)
+                    xi = (np.arange(out_w) * key[1] // out_w).astype(int)
+                    idx = yi_cache[key] = np.ix_(yi, xi)
+                out.append(img[idx].tobytes())
             pdf = pdf.copy()
             pdf["payload"] = out
             pdf["width"] = out_w
