@@ -525,6 +525,158 @@ def _q_tile_roundtrip_full(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_knn_cell_ring(spark: SparkSession, sf: str) -> DataFrame:
+    """J3 scale path: iterative cell-ring expansion with the exact
+    termination bound — must bit-match the brute-force kNN oracle (same SQL
+    as knn_haversine), proving the ring search is exact, not approximate."""
+    from open_vector_tile_spark.operators.knn import knn_cell_ring
+
+    docs = _doc_points(_load(spark, sf, "documents")).select("doc_id", "lon", "lat")
+    sup = _load(spark, sf, "supplier")
+    anchors = sup.select(
+        F.col("s_suppkey").alias("poi_id"),
+        (((F.col("s_suppkey") * 91) % 3600) / 10.0 - 180.0).alias("lon"),
+        (((F.col("s_suppkey") * 57) % 1600) / 10.0 - 80.0).alias("lat"),
+    ).toPandas()
+    out = knn_cell_ring(docs, anchors, zoom=ZOOM, k=3, key="doc_id")
+    return out.select(
+        "doc_id", "poi_id", F.round("dist_m", 3).alias("dist_m"), "rank"
+    ).orderBy("doc_id", "rank")
+
+
+def _q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Similarity (IVF scale path): coarse k-means quantizer + probed-list
+    search.  n_probe = n_centroids degrades to exact brute force, so the
+    DuckDB pairwise-cosine oracle verifies the full IVF plumbing (training,
+    assignment, probe, re-rank) end to end."""
+    from open_vector_tile_spark.operators.similarity import ivf_topk
+
+    emb = _load(spark, sf, "embeddings")
+    queries_df = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = ivf_topk(emb, queries_df, n_centroids=16, n_probe=16, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def _q_near_dup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.4).  Runs the LSH-bucketed
+    operator in its exact mode (n_planes=0 -> single bucket, no cap) so the
+    DuckDB all-pairs oracle verifies the pair-scoring kernel + threshold
+    semantics; production uses n_planes>0 for bucketed candidate generation
+    (recall/threshold behavior pinned in pytest)."""
+    from open_vector_tile_spark.operators.similarity import embedding_near_dups
+
+    emb = _load(spark, sf, "embeddings")
+    out = embedding_near_dups(emb, dim=64, threshold=0.4, n_planes=0, max_bucket=None)
+    return out.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup verify kernel: exact word-3-gram Jaccard over a deterministic
+    pair set (doc_id, doc_id+1) — the DuckDB twin rebuilds the shingle sets
+    with list comprehensions, so the hash match proves the shingle/set
+    semantics, not just the plumbing."""
+    from open_vector_tile_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _load(spark, sf, "documents")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    out = ngram_jaccard_pairs(docs, pairs)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def _q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Text analysis: document fingerprint (xxhash64 of normalized text).
+    The hash itself has no DuckDB twin, but its collision-group-size
+    histogram must equal the histogram of exact normalized-text groups —
+    an oracle-checkable derived fact (collision-free at this scale)."""
+    from open_vector_tile_spark.functions.text import fingerprint
+
+    docs = _load(spark, sf, "documents")
+    # union in a duplicated slice so the histogram is non-trivial (testdata
+    # texts are unique); whitespace mangling must NOT change the print
+    corpus = docs.select("text").unionAll(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            F.concat(F.lit("  "), F.col("text")).alias("text")
+        )
+    )
+    groups = corpus.groupBy(fingerprint(F.col("text")).alias("fp")).agg(
+        F.count("*").alias("n_members")
+    )
+    return (
+        groups.groupBy("n_members")
+        .agg(F.count("*").alias("n_groups"))
+        .orderBy("n_members")
+    )
+
+
+def _q_s2json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S11 source adapter: per-doc S2JSON tile documents (Point +
+    LineString w/ offset + Polygon w/ indices+tessellation) -> fromS2JSONTile
+    semantics -> OVT bytes -> decode.  Coordinates are exact k/4096 decimals,
+    so the decoded quantized vertex sums are integer-predictable in SQL
+    (adapter: src/base/vectorTile.ts:30-49, vectorFeature.ts:421-576)."""
+    from open_vector_tile_spark.operators import decode_tiles
+    from open_vector_tile_spark.operators.tiler import s2json_tiles_to_ovt
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    q = lambda e: F.format_string("%.12f", e.cast("int") / F.lit(4096.0))  # noqa: E731
+    pt = F.format_string(
+        '{"type": "Feature", "properties": {"name": "d%d"}, "geometry": '
+        '{"type": "Point", "coordinates": {"x": %s, "y": %s}}}',
+        d, q(d * 11 % 4097), q(d * 13 % 4097),
+    )
+    line = F.format_string(
+        ', {"type": "Feature", "properties": {}, "geometry": '
+        '{"type": "LineString", "offset": %s, "coordinates": '
+        "[{\"x\": %s, \"y\": %s}, {\"x\": %s, \"y\": %s}, {\"x\": %s, \"y\": %s}]}}",
+        F.format_string("%.2f", (d % 5).cast("double") * 0.25),
+        q(d * 3 % 4097), q((d * 3 + 17) % 4097),
+        q((d * 3 + 34) % 4097), q((d * 3 + 51) % 4097),
+        q((d * 3 + 68) % 4097), q((d * 3 + 85) % 4097),
+    )
+    a = q(d % 1000 + 10)
+    poly = F.format_string(
+        ', {"type": "Feature", "properties": {}, "geometry": '
+        '{"type": "Polygon", "indices": [0, 1, 2], "tessellation": [%d, %d], '
+        '"coordinates": [[{"x": 0.0, "y": 0.0}, {"x": %s, "y": 0.0}, '
+        '{"x": %s, "y": %s}, {"x": 0.0, "y": %s}]]}}',
+        d % 4096, d * 3 % 4096, a, a, a, a,
+    )
+    s2json = F.concat(
+        F.lit('{"transformed": true, "layers": {"geo": {"name": "geo", "features": ['),
+        pt,
+        F.when(d % 2 == 0, line).otherwise(F.lit("")),
+        F.when(d % 3 == 0, poly).otherwise(F.lit("")),
+        F.lit("]}}}"),
+    )
+    tiles = docs.select(
+        F.lit(16).alias("zoom"),
+        (d % 65536).cast("long").alias("tile_x"),
+        ((d * 7 + 1) % 65536).cast("long").alias("tile_y"),
+        s2json.alias("s2json"),
+    )
+    decoded = decode_tiles(s2json_tiles_to_ovt(tiles))
+    coord_sum = F.aggregate(
+        F.col("geom_xy"), F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long")
+    )
+    return (
+        decoded.withColumn("csum", coord_sum)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_features"), F.sum("csum").alias("sum_coords"))
+        .orderBy("tile_x")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -552,6 +704,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_agg": _q_bbox_agg,
         "tile_roundtrip": _q_tile_roundtrip,
         "tile_roundtrip_full": _q_tile_roundtrip_full,
+        "knn_cell_ring": _q_knn_cell_ring,
+        "ivf_topk": _q_ivf_topk,
+        "near_dup_embeddings": _q_near_dup_embeddings,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "fingerprint": _q_fingerprint,
+        "s2json_roundtrip": _q_s2json_roundtrip,
     }
 
 
@@ -722,7 +880,121 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY event_type ORDER BY event_type
         """,
-        # lang_id / minhash_near_dups / simhash / lsh_topk: non-SQL-expressible
-        # (xxhash64 / marker-vote chains) -> rows-only driver check; their
-        # correctness oracles are in tests/test_webtext_ops.py.
+        "knn_cell_ring": f"""
+            SELECT doc_id, poi_id, round(dist_m, 3) AS dist_m, CAST(rank AS INT) AS rank FROM (
+              SELECT d.doc_id, s.poi_id,
+                     2.0*6371008.8*asin(least(1.0, sqrt(
+                        pow(sin(radians(s.plat - d.lat)/2),2)
+                        + cos(radians(d.lat))*cos(radians(s.plat))*pow(sin(radians(s.plon - d.lon)/2),2)
+                     ))) AS dist_m,
+                     row_number() OVER (PARTITION BY d.doc_id ORDER BY
+                        2.0*6371008.8*asin(least(1.0, sqrt(
+                          pow(sin(radians(s.plat - d.lat)/2),2)
+                          + cos(radians(d.lat))*cos(radians(s.plat))*pow(sin(radians(s.plon - d.lon)/2),2)
+                        ))) ASC, s.poi_id ASC) AS rank
+              FROM (SELECT doc_id, {_SQL_LON_DOC} AS lon, {_SQL_LAT_DOC} AS lat FROM documents) d,
+                   (SELECT s_suppkey AS poi_id,
+                           ((CAST(s_suppkey*91 AS DOUBLE) % 3600)/10.0 - 180.0) AS plon,
+                           ((CAST(s_suppkey*57 AS DOUBLE) % 1600)/10.0 - 80.0) AS plat
+                    FROM supplier) s)
+            WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "ivf_topk": """
+            SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
+              SELECT query_id, vec_id, cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, vec_id ASC) AS rank
+              FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                       list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cos_sim
+                FROM embeddings v, (SELECT * FROM embeddings WHERE vec_id >= 5 AND vec_id < 10) q))
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "near_dup_embeddings": """
+            SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos_sim
+              FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+            WHERE cos_sim >= 0.4 ORDER BY id_a, id_b
+        """,
+        "ngram_jaccard": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                              FOR i IN range(1, len(w) - 1)])
+                     END AS s
+              FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                    FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(a.s || b.s)), 6) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+            ORDER BY id_a, id_b
+        """,
+        "fingerprint": r"""
+            SELECT n_members, count(*) AS n_groups FROM (
+              SELECT count(*) AS n_members
+              FROM (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+                    FROM (SELECT text FROM documents
+                          UNION ALL
+                          SELECT concat('  ', text) FROM documents
+                          WHERE doc_id % 50 = 0))
+              GROUP BY norm)
+            GROUP BY n_members ORDER BY n_members
+        """,
+        "s2json_roundtrip": """
+            SELECT CAST(doc_id % 65536 AS BIGINT) AS tile_x,
+                   CAST((doc_id*7 + 1) % 65536 AS BIGINT) AS tile_y,
+                   CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                          + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_features,
+                   CAST((doc_id*11) % 4097 + (doc_id*13) % 4097
+                        + CASE WHEN doc_id % 2 = 0 THEN
+                            (doc_id*3) % 4097 + (doc_id*3 + 17) % 4097
+                          + (doc_id*3 + 34) % 4097 + (doc_id*3 + 51) % 4097
+                          + (doc_id*3 + 68) % 4097 + (doc_id*3 + 85) % 4097
+                          ELSE 0 END
+                        + CASE WHEN doc_id % 3 = 0 THEN 4*((doc_id % 1000) + 10)
+                          ELSE 0 END AS BIGINT) AS sum_coords
+            FROM documents ORDER BY tile_x
+        """,
+        "lang_id": """
+            WITH p AS (SELECT concat(' ', lower(text), ' ') AS t FROM documents),
+            s AS (SELECT
+              (length(t)-length(replace(t,' the ','')))/5
+                + (length(t)-length(replace(t,' and ','')))/5
+                + (length(t)-length(replace(t,' of ','')))/4 AS en,
+              (length(t)-length(replace(t,' der ','')))/5
+                + (length(t)-length(replace(t,' und ','')))/5
+                + (length(t)-length(replace(t,' die ','')))/5 AS de,
+              (length(t)-length(replace(t,' le ','')))/4
+                + (length(t)-length(replace(t,' la ','')))/4
+                + (length(t)-length(replace(t,' les ','')))/5 AS fr,
+              (length(t)-length(replace(t,' el ','')))/4
+                + (length(t)-length(replace(t,' los ','')))/5
+                + (length(t)-length(replace(t,' que ','')))/5 AS es,
+              (length(t)-length(replace(t,' os ','')))/4
+                + (length(t)-length(replace(t,' uma ','')))/5
+                + (length(t)-length(replace(t,' não ','')))/5 AS pt
+              FROM p)
+            SELECT lang_pred, count(*) AS n FROM (
+              SELECT CASE WHEN greatest(en, de, fr, es, pt) <= 0 THEN 'und'
+                          WHEN en >= de AND en >= fr AND en >= es AND en >= pt THEN 'en'
+                          WHEN de >= fr AND de >= es AND de >= pt THEN 'de'
+                          WHEN fr >= es AND fr >= pt THEN 'fr'
+                          WHEN es >= pt THEN 'es'
+                          ELSE 'pt' END AS lang_pred
+              FROM s)
+            GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        # minhash_near_dups / simhash / lsh_topk: non-SQL-expressible
+        # (xxhash64 signature chains / approximate LSH recall) -> rows-only
+        # driver check; their correctness oracles are in
+        # tests/test_webtext_ops.py (recall/precision vs exact Jaccard,
+        # hamming properties, recall vs brute force).
     }

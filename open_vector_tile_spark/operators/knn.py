@@ -42,7 +42,8 @@ def knn_broadcast(
     plon = pois_pdf["lon"].to_numpy(dtype=np.float64)
     plat = pois_pdf["lat"].to_numpy(dtype=np.float64)
     pids = pois_pdf["poi_id"].to_numpy(dtype=np.int64)
-    schema = f"{key} string, poi_id long, dist_m double, rank int"
+    key_t = points.schema[key].dataType.simpleString()
+    schema = f"{key} {key_t}, poi_id long, dist_m double, rank int"
 
     def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

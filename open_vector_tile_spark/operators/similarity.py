@@ -164,7 +164,13 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def _plane_matrix(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
-    """(n_tables*n_planes, dim) stacked hyperplane sets, seeds 42+7t."""
+    """(n_tables*n_planes, dim) stacked hyperplane sets, seeds 42+7t.
+
+    ``n_planes=0`` is the exact mode: zero hyperplanes -> every vector lands
+    in bucket 0, so bucketed operators degrade to exact all-pairs / all-
+    candidates (used by the driver oracle to verify the scoring kernel)."""
+    if n_planes == 0:
+        return np.zeros((0, dim))
     return np.concatenate(
         [np.asarray(_hyperplanes(dim, n_planes, seed=42 + 7 * t)) for t in range(n_tables)]
     )
@@ -238,6 +244,178 @@ def cosine_topk_lsh(
                     _seq_dot(Vc, Q[qi : qi + 1])[:, 0]
                     / (_seq_norm(Vc) * qn[qi])
                 )
+                sel = _topk_order(sims, idc, k)
+                cand_ids[qi].append(idc[sel])
+                cand_sims[qi].append(sims[sel])
+        rows = []
+        for qi, qid in enumerate(qids):
+            if not cand_ids[qi]:
+                continue
+            ids_all = np.concatenate(cand_ids[qi])
+            sims_all = np.concatenate(cand_sims[qi])
+            for j in _topk_order(sims_all, ids_all, k):
+                rows.append((qid, ids_all[j], sims_all[j]))
+        yield pd.DataFrame(rows, columns=[qid_col, id_col, "cos_sim"])
+
+    local = vectors.mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file ANN): coarse k-means quantizer + probed-list search
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic distributed Lloyd iterations -> (n_centroids, dim).
+
+    Init picks the ``n_centroids`` rows with the smallest ``xxhash64(id)``
+    (total order on unique ids -> same centroids at any parallelism).  Each
+    iteration is one map pass: Arrow batches score (batch x centroids) via
+    numpy, emit per-partition partial (centroid, pos, sum, cnt) rows; a
+    partial-aggregating groupBy reduces them to n_centroids*dim rows before
+    they reach the driver — scale-safe at any partition count."""
+    seed_rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.abs(F.xxhash64(F.col(id_col))).asc(), F.col(id_col).asc())
+        .limit(n_centroids)
+        .toPandas()
+    )
+    C = _to_matrix(seed_rows[vec_col])
+    spark = vectors.sparkSession
+
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast(C)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cm = bc.value
+            k, d = Cm.shape
+            sums = np.zeros((k, d), dtype=np.float64)
+            cnts = np.zeros(k, dtype=np.int64)
+            cn = _seq_norm(Cm)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = _to_matrix(pdf[vec_col])
+                sims = _seq_dot(V, Cm) / (_seq_norm(V)[:, None] * cn[None, :])
+                assign = np.argmax(sims, axis=1)
+                np.add.at(sums, assign, V)
+                cnts += np.bincount(assign, minlength=k)
+            cid, pos = np.meshgrid(np.arange(k), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "centroid": cid.ravel(),
+                    "pos": pos.ravel(),
+                    "vsum": sums.ravel(),
+                    "cnt": np.repeat(cnts, d),
+                }
+            )
+
+        agg = (
+            vectors.select(vec_col)
+            .mapInPandas(partials, "centroid int, pos int, vsum double, cnt long")
+            .groupBy("centroid", "pos")
+            .agg(F.sum("vsum").alias("vsum"), F.sum("cnt").alias("cnt"))
+            .toPandas()
+        )
+        new_C = C.copy()  # empty lists keep their centroid
+        for cid, grp in agg.groupby("centroid"):
+            cnt = int(grp["cnt"].iloc[0]) // C.shape[1]  # cnt repeated per pos
+            if cnt > 0:
+                vec = grp.sort_values("pos")["vsum"].to_numpy() / cnt
+                new_C[int(cid)] = vec
+        C = new_C
+        bc.destroy()
+    return C
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_list",
+) -> DataFrame:
+    """Tag each vector with its nearest-centroid list id (the materialized
+    inverted file — repartition/bucket by ``out_col`` to co-locate lists)."""
+    from pyspark.sql.functions import pandas_udf
+
+    Cm = np.asarray(centroids, dtype=np.float64)
+    cn = _seq_norm(Cm)
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        V = _to_matrix(vecs)
+        sims = _seq_dot(V, Cm) / (_seq_norm(V)[:, None] * cn[None, :])
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return vectors.withColumn(out_col, nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: Optional[np.ndarray] = None,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``n_probe`` nearest inverted lists per query,
+    exact cosine re-rank inside them -> (query_id, vec_id, cos_sim, rank).
+
+    One map pass over the corpus, shuffle-free to the final
+    k*Q*partitions-row window (same shape as :func:`cosine_topk_lsh`): each
+    Arrow batch computes its rows' list assignment AND scores only rows whose
+    list is probed by some query.  ``n_probe >= n_centroids`` degrades to
+    exact brute force (the driver-oracle mode).  At deployment scale,
+    materialize :func:`ivf_assign` once and partition by list id so probes
+    touch only matching partitions."""
+    spark = vectors.sparkSession
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            vectors, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    Cm = np.asarray(centroids, dtype=np.float64)
+    n_probe = min(n_probe, Cm.shape[0])
+    qids, Q = _collect_queries(queries, qid_col, qvec_col)
+    qsims = _seq_dot(Q, Cm) / (_seq_norm(Q)[:, None] * _seq_norm(Cm)[None, :])
+    # per query: the n_probe nearest lists (ties broken by list id via stable argsort)
+    probes = np.argsort(-qsims, axis=1, kind="stable")[:, :n_probe]  # (q, n_probe)
+    bq = spark.sparkContext.broadcast((qids, Q, Cm, probes))
+    qid_t = queries.schema[qid_col].dataType.simpleString()
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    out_schema = f"{qid_col} {qid_t}, {id_col} {id_t}, cos_sim double"
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, Q, Cm, probes = bq.value
+        qn = _seq_norm(Q)
+        cn = _seq_norm(Cm)
+        cand_ids: list[list] = [[] for _ in qids]
+        cand_sims: list[list] = [[] for _ in qids]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _to_matrix(pdf[vec_col])
+            ids = pdf[id_col].to_numpy()
+            vn = _seq_norm(V)
+            assign = np.argmax(_seq_dot(V, Cm) / (vn[:, None] * cn[None, :]), axis=1)
+            for qi in range(len(qids)):
+                mask = np.isin(assign, probes[qi])
+                if not mask.any():
+                    continue
+                Vc = V[mask]
+                idc = ids[mask]
+                sims = _seq_dot(Vc, Q[qi : qi + 1])[:, 0] / (vn[mask] * qn[qi])
                 sel = _topk_order(sims, idc, k)
                 cand_ids[qi].append(idc[sel])
                 cand_sims[qi].append(sims[sel])

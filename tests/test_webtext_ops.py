@@ -136,6 +136,93 @@ def test_embedding_near_dups_threshold(spark):
     assert (out["cos_sim"] >= 0.99).all()
 
 
+def test_embedding_near_dups_exact_mode(spark):
+    """n_planes=0 (single bucket, no cap) = exact all-pairs: every pair with
+    cosine >= t appears, verified against a numpy brute-force oracle."""
+    from open_vector_tile_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 200)
+    pdf = emb.toPandas().sort_values("vec_id")
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    sims = (V @ V.T) / (np.linalg.norm(V, axis=1)[:, None] * np.linalg.norm(V, axis=1)[None, :])
+    t = 0.35
+    iu = np.triu_indices(len(ids), k=1)
+    # guard band: skip pairs within float-noise of the threshold (the
+    # operator accumulates sequentially; the oracle uses matmul)
+    keep = np.abs(sims[iu] - t) > 1e-9
+    expect = {
+        (int(ids[i]), int(ids[j]))
+        for i, j, s in zip(iu[0][keep], iu[1][keep], sims[iu][keep])
+        if s >= t
+    }
+    got = embedding_near_dups(emb, dim=V.shape[1], threshold=t, n_planes=0, max_bucket=None)
+    got_pairs = {(int(r.id_a), int(r.id_b)) for r in got.toPandas().itertuples()}
+    assert expect <= got_pairs
+    assert len(got_pairs - expect) <= np.count_nonzero(~keep)
+
+
+def test_ivf_topk_full_probe_is_exact(spark):
+    """IVF with n_probe = n_centroids probes every list -> must equal brute
+    force exactly (same ids, same ranks), independent of centroid quality."""
+    from open_vector_tile_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = (
+        cosine_topk_bruteforce(emb, queries, k=5, qid_col="query_id")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ivf = (
+        ivf_topk(emb, queries, n_centroids=8, n_probe=8, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert (exact["query_id"] == ivf["query_id"]).all()
+    assert (exact["vec_id"] == ivf["vec_id"]).all()
+    np.testing.assert_allclose(exact["cos_sim"], ivf["cos_sim"], rtol=0, atol=0)
+
+
+def test_ivf_topk_partial_probe_recall(spark):
+    """Probing half the lists on labeled (clustered) embeddings keeps
+    recall@5 high and must always return the query itself at rank 1."""
+    from open_vector_tile_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5, qid_col="query_id").toPandas()
+    approx = ivf_topk(emb, queries, n_centroids=8, n_probe=4, k=5).toPandas()
+    e = set(zip(exact["query_id"], exact["vec_id"]))
+    a = set(zip(approx["query_id"], approx["vec_id"]))
+    assert len(e & a) / len(e) >= 0.5
+    self_hits = approx[approx["rank"] == 1]
+    assert (self_hits["query_id"] == self_hits["vec_id"]).all()
+
+
+def test_ivf_centroids_deterministic_across_partitioning(spark):
+    """Training is seeded by xxhash64 id order and reduced associatively ->
+    identical centroids at any parallelism (the two-cluster-size invariant)."""
+    from open_vector_tile_spark.operators.similarity import ivf_train_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    c1 = ivf_train_centroids(emb.repartition(1), n_centroids=8)
+    c8 = ivf_train_centroids(emb.repartition(8), n_centroids=8)
+    np.testing.assert_allclose(c1, c8, rtol=0, atol=1e-12)
+
+
 def test_lang_id_on_marker_text(spark):
     from open_vector_tile_spark.functions.text import lang_id
 
