@@ -3,6 +3,14 @@ from .gridding import grid_aggregate, grid_tiles  # noqa: F401
 from .knn import knn_broadcast, knn_cell_ring  # noqa: F401
 from .pipeline import run_pipeline  # noqa: F401
 from .resume import TileStore  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_dups,
+    ivf_assign,
+    ivf_topk,
+    ivf_train_centroids,
+)
 from .spatial_join import bbox_prejoin, polygon_covering, spatial_join  # noqa: F401
 from .tiler import (  # noqa: F401
     FEATURE_SCHEMA,

@@ -19,6 +19,11 @@ def get_spark(
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(2 * cores, 32)
+    # one BLAS/OMP thread per python worker: Spark supplies the parallelism;
+    # N workers x M BLAS threads oversubscribes quadratically at local[N]
+    # (inherited by python workers from the driver env in local mode)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     # shuffle spill dir: tmpfs when available (local-mode shuffles are
     # otherwise bottlenecked by the VM's virtual disk; real clusters use NVMe)
     local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
@@ -30,6 +35,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # python DataSourceV2 filter pushdown (tileset source prunes files
+        # by parsed z/x/y before reading a byte)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # 50k-row Arrow batches: 5x fewer JVM<->python-worker socket
         # roundtrips than the 10k default (syscall storms measured at 8+
         # cores of kernel time with small batches at local[32])

@@ -6,3 +6,4 @@ from .pages import (  # noqa: F401
     pois_pdf,
     polygons_pdf,
 )
+from .tileset import OvtTilesetDataSource  # noqa: F401

@@ -1,0 +1,132 @@
+"""DataSourceV2 tileset-directory source/sink (sources/tileset.py).
+
+Reads the reference's committed benchmark tile directories
+(/root/reference/benchmarks/data/*/mvt — z_x_y.{mvt,pbf} files), asserting
+filename-level filter pushdown, partition-parallel reads, blob fidelity,
+and the write->read round trip."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+REF_MVT = "/root/reference/benchmarks/data/omt/mvt"
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    from open_vector_tile_spark.sources.tileset import OvtTilesetDataSource
+
+    spark.dataSource.register(OvtTilesetDataSource)
+    return spark
+
+
+def _expected_files(root):
+    import re
+
+    out = {}
+    for fn in os.listdir(root):
+        m = re.match(r"^(\d+)[-_](\d+)[-_](\d+)\b", fn)
+        if m and fn.endswith((".mvt", ".pbf", ".ovt")):
+            p = os.path.join(root, fn)
+            out[(int(m.group(1)), int(m.group(2)), int(m.group(3)))] = os.path.getsize(p)
+    return out
+
+
+def test_tileset_scan_lists_all_tiles(registered):
+    df = registered.read.format("ovt_tileset").option("path", REF_MVT).load()
+    got = {
+        (r["zoom"], r["tile_x"], r["tile_y"]): r["n_bytes"]
+        for r in df.select("zoom", "tile_x", "tile_y", "n_bytes").collect()
+    }
+    assert got == _expected_files(REF_MVT)
+
+
+def test_tileset_blob_bytes_match_disk(registered):
+    df = (
+        registered.read.format("ovt_tileset")
+        .option("path", REF_MVT)
+        .load()
+        .filter(F.col("zoom") == 2)
+    )
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        with open(r["path"], "rb") as fh:
+            assert bytes(r["tile"]) == fh.read()
+
+
+def test_tileset_filter_pushdown_prunes_files(registered):
+    """The pushed zoom filter must shrink the PARTITION file lists (pruning
+    happens in partitions(), before any read), not just the output rows."""
+    from open_vector_tile_spark.sources.tileset import OvtTilesetReader
+    from pyspark.sql.datasource import EqualTo
+
+    reader = OvtTilesetReader({"path": REF_MVT, "num_partitions": "4"})
+    all_files = sum(len(p.files) for p in reader.partitions())
+
+    reader2 = OvtTilesetReader({"path": REF_MVT, "num_partitions": "4"})
+    rest = list(reader2.pushFilters([EqualTo(("zoom",), 2)]))
+    assert rest == []  # fully absorbed
+    pruned = sum(len(p.files) for p in reader2.partitions())
+    assert 0 < pruned < all_files
+    assert all(t[0] == 2 for p in reader2.partitions() for t in p.files)
+
+    # end-to-end: the DataFrame filter produces exactly the pruned files
+    df = (
+        registered.read.format("ovt_tileset")
+        .option("path", REF_MVT)
+        .load()
+        .filter(F.col("zoom") == 2)
+    )
+    assert df.count() == pruned
+
+
+def test_tileset_unsupported_filter_returned(registered):
+    from open_vector_tile_spark.sources.tileset import OvtTilesetReader
+    from pyspark.sql.datasource import EqualTo, StringContains
+
+    reader = OvtTilesetReader({"path": REF_MVT})
+    rest = list(
+        reader.pushFilters([EqualTo(("zoom",), 2), StringContains(("path",), "omt")])
+    )
+    assert len(rest) == 1 and isinstance(rest[0], StringContains)
+    assert len(reader.pushed) == 1
+
+
+def test_tileset_skip_blob_stats_only(registered):
+    df = (
+        registered.read.format("ovt_tileset")
+        .option("path", REF_MVT)
+        .option("skip_blob", "true")
+        .load()
+    )
+    r = df.filter(F.col("zoom") == 2).select("n_bytes", "tile").first()
+    assert r["n_bytes"] > 0 and r["tile"] is None
+
+
+def test_tileset_write_read_roundtrip(registered, tmp_path):
+    """Encode real OVT tiles with the Spark tiler, sink them as a tileset
+    directory, scan the directory back, decode — bytes and counts intact."""
+    from open_vector_tile_spark.operators import decode_tiles, encode_tiles, points_to_features
+
+    pts = registered.range(200).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37 % 3600) / 10.0 - 180.0).alias("lon"),
+        ((F.col("id") * 53 % 1600) / 10.0 - 80.0).alias("lat"),
+    )
+    feats = points_to_features(pts, zoom=3, layer="docs", extent=4096, id_col="doc_id")
+    tiles = encode_tiles(feats).cache()
+    out = str(tmp_path / "tileset")
+    (
+        tiles.select("zoom", "tile_x", "tile_y", "tile")
+        .write.format("ovt_tileset")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    back = registered.read.format("ovt_tileset").option("path", out).load()
+    orig = {(r["zoom"], r["tile_x"], r["tile_y"]): bytes(r["tile"]) for r in tiles.collect()}
+    got = {(r["zoom"], r["tile_x"], r["tile_y"]): bytes(r["tile"]) for r in back.collect()}
+    assert got == orig
+    assert decode_tiles(back.select("zoom", "tile_x", "tile_y", "tile")).count() == 200
