@@ -435,11 +435,13 @@ def _q_tile_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_tile_roundtrip_full(spark: SparkSession, sf: str) -> DataFrame:
-    """S1 full fidelity: mixed point/line(+offsets+M-values)/polygon(+bbox+
-    indices+tessellation) layers -> encode -> DECODE (full FEATURE_SCHEMA) ->
+    """S1 full fidelity, ALL SIX feature types: points, lines(+offsets+
+    M-values), polygons(+bbox+indices+tessellation), 3D points, 3D lines
+    (+offsets), 3D polygons -> encode -> DECODE (full FEATURE_SCHEMA) ->
     re-encode -> per-tile byte equality.  The oracle predicts feature counts
     and asserts bytes_equal=TRUE, so a hash match proves the decode is
-    lossless (reference read walkers src/open/vectorFeature.ts:182-329)."""
+    lossless (reference read walkers src/open/vectorFeature.ts:182-329,
+    376-587)."""
     from open_vector_tile_spark.operators import decode_tiles, encode_tiles
 
     docs = _tile_cols(_doc_points(_load(spark, sf, "documents")))
@@ -506,10 +508,39 @@ def _q_tile_roundtrip_full(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("geom_xy"),
         F.format_string('{"name": "p3-%d"}', d).alias("props_json"),
     )
+    lines3d = docs.filter(d % 13 == 0).select(
+        *base,
+        (d * 3 + F.lit(1 << 41)).cast("long").alias("id"),
+        F.lit(5).alias("ftype"),
+        F.array(
+            i32(d * 5 % 4097), i32(d * 23 % 4097), i32(d % 512),
+            i32((d * 31 + 9) % 4097), i32((d * 43 + 2) % 4097), i32((d + 31) % 512),
+            i32((d * 61 + 4) % 4097), i32((d * 71 + 8) % 4097), i32((d + 63) % 512),
+        ).alias("geom_xy"),
+        F.array(F.lit(3)).alias("ring_lens"),
+        F.array(((d % 3 + 1) * F.lit(0.5))).alias("offsets"),
+        F.format_string('{"name": "r3-%d"}', d).alias("props_json"),
+    )
+    polys3d = docs.filter(d % 17 == 0).select(
+        *base,
+        (d * 3 + F.lit(1 << 42)).cast("long").alias("id"),
+        F.lit(6).alias("ftype"),
+        F.array(
+            F.lit(0), F.lit(0), i32(d % 256),
+            i32(d % 900 + 20), F.lit(0), i32(d % 256),
+            i32(d % 900 + 20), i32(d % 900 + 20), i32((d + 7) % 256),
+            F.lit(0), i32(d % 900 + 20), i32((d + 7) % 256),
+        ).alias("geom_xy"),
+        F.array(F.lit(4)).alias("ring_lens"),
+        F.array(F.lit(1)).alias("poly_lens"),
+        F.format_string('{"kind": "k3-%d"}', d % 5).alias("props_json"),
+    )
     feats = (
         pts.unionByName(lines, allowMissingColumns=True)
         .unionByName(polys, allowMissingColumns=True)
         .unionByName(pts3d, allowMissingColumns=True)
+        .unionByName(lines3d, allowMissingColumns=True)
+        .unionByName(polys3d, allowMissingColumns=True)
     )
     tiles1 = encode_tiles(feats)
     decoded = decode_tiles(tiles1).drop("source", "feature_index", "n_vertices")
@@ -741,7 +772,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*)
                      + count(*) FILTER (WHERE doc_id % 5 = 0)
                      + count(*) FILTER (WHERE doc_id % 7 = 0)
-                     + count(*) FILTER (WHERE doc_id % 11 = 0) AS n_features,
+                     + count(*) FILTER (WHERE doc_id % 11 = 0)
+                     + count(*) FILTER (WHERE doc_id % 13 = 0)
+                     + count(*) FILTER (WHERE doc_id % 17 = 0) AS n_features,
                    TRUE AS bytes_equal
             FROM documents GROUP BY 1, 2, 3
         """,
