@@ -1,4 +1,4 @@
-from .decode import decode_grids, decode_images, decode_tiles  # noqa: F401
+from .decode import decode_grids, decode_images, decode_tiles, read_tileset  # noqa: F401
 from .gridding import grid_aggregate, grid_tiles  # noqa: F401
 from .knn import knn_broadcast, knn_cell_ring  # noqa: F401
 from .pipeline import run_pipeline  # noqa: F401

@@ -249,3 +249,37 @@ def decode_images(tiles: DataFrame, names: Optional[list[str]] = None) -> DataFr
             )
 
     return tiles.mapInPandas(run, IMAGE_SCHEMA)
+
+
+def read_tileset(
+    spark,
+    path: str,
+    layers: Optional[list[str]] = None,
+    sources: tuple = ("ovt", "mvt"),
+    num_partitions: int = 8,
+    where=None,
+) -> DataFrame:
+    """One-liner tileset scan: directory of ``z_x_y.{mvt,pbf,ovt}`` files ->
+    decoded feature rows (FEATURE_SCHEMA).
+
+    Composes the DataSourceV2 tileset source (partition-parallel file reads)
+    with the pruning decoder.  ``where`` is a Column predicate over
+    zoom/tile_x/tile_y applied BEFORE the decode — Catalyst pushes it into
+    the source's ``pushFilters``, so pruned files are never opened; a filter
+    applied by the caller on the returned frame runs after decode (the
+    mapInPandas is a planning barrier).  ``layers`` prunes inside the blob.
+    """
+    from ..sources.tileset import OvtTilesetDataSource
+
+    spark.dataSource.register(OvtTilesetDataSource)
+    tiles = (
+        spark.read.format("ovt_tileset")
+        .option("path", path)
+        .option("num_partitions", str(num_partitions))
+        .load()
+    )
+    if where is not None:
+        tiles = tiles.filter(where)
+    return decode_tiles(
+        tiles.select("zoom", "tile_x", "tile_y", "tile"), layers=layers, sources=sources
+    )

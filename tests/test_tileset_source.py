@@ -105,6 +105,20 @@ def test_tileset_skip_blob_stats_only(registered):
     assert r["n_bytes"] > 0 and r["tile"] is None
 
 
+def test_read_tileset_decodes_reference_tiles(registered):
+    """read_tileset: scan + pre-decode pushdown filter + blob decode in one
+    call, against the reference's own committed MVT tiles."""
+    from pyspark.sql import functions as F
+
+    from open_vector_tile_spark.operators import read_tileset
+
+    feats = read_tileset(registered, REF_MVT, where=F.col("zoom") == 2)
+    pdf = feats.select("zoom", "tile_x", "tile_y", "layer", "ftype").toPandas()
+    assert len(pdf) > 0
+    assert (pdf["zoom"] == 2).all()
+    assert pdf["layer"].nunique() >= 1
+
+
 def test_tileset_write_read_roundtrip(registered, tmp_path):
     """Encode real OVT tiles with the Spark tiler, sink them as a tileset
     directory, scan the directory back, decode — bytes and counts intact."""

@@ -212,6 +212,26 @@ def test_ivf_topk_partial_probe_recall(spark):
     assert (self_hits["query_id"] == self_hits["vec_id"]).all()
 
 
+def test_ivf_assign_consistent_lists(spark):
+    """ivf_assign tags every vector with a valid list id, and the id agrees
+    with a driver-side argmax against the same centroids."""
+    from open_vector_tile_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 100)
+    C = ivf_train_centroids(emb, n_centroids=4)
+    tagged = ivf_assign(emb, C).select("vec_id", "embedding", "ivf_list").toPandas()
+    assert tagged["ivf_list"].between(0, 3).all()
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in tagged["embedding"]])
+    sims = (V / np.linalg.norm(V, axis=1)[:, None]) @ (C / np.linalg.norm(C, axis=1)[:, None]).T
+    # guard band for matmul-vs-sequential float noise on near-ties
+    top2 = np.sort(sims, axis=1)[:, -2:]
+    clear = (top2[:, 1] - top2[:, 0]) > 1e-9
+    assert (tagged["ivf_list"].to_numpy()[clear] == np.argmax(sims, axis=1)[clear]).all()
+
+
 def test_ivf_centroids_deterministic_across_partitioning(spark):
     """Training is seeded by xxhash64 id order and reduced associatively ->
     identical centroids at any parallelism (the two-cluster-size invariant)."""
