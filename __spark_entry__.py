@@ -708,6 +708,35 @@ def _q_s2json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite training-data filter (the realistic pipeline shape): keep
+    documents passing quality >= 0.5 AND token-count band AND a language
+    allowlist, return id + the derived columns.  All three signals are the
+    oracle-checked primitives composed in one plan (single scan, no shuffle
+    until the sort)."""
+    from open_vector_tile_spark.functions.text import lang_id
+
+    docs = _load(spark, sf, "documents")
+    t = F.col("text")
+    n = F.length(t)
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z0-9]", ""))
+    quality = F.lit(0.4) * F.least(n / F.lit(500.0), F.lit(1.0)) + F.lit(0.6) * (
+        alpha / F.greatest(n, F.lit(1))
+    )
+    tokens = F.size(F.split(F.trim(t), r"\s+"))
+    out = docs.select(
+        "doc_id",
+        F.round(quality, 6).alias("quality"),
+        tokens.alias("n_tokens"),
+        lang_id(t).alias("lang_pred"),
+    ).filter(
+        (F.col("quality") >= 0.5)
+        & F.col("n_tokens").between(5, 2000)
+        & F.col("lang_pred").isin("en", "de", "fr", "es", "pt")
+    )
+    return out.orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -741,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "fingerprint": _q_fingerprint,
         "s2json_roundtrip": _q_s2json_roundtrip,
+        "corpus_filter": _q_corpus_filter,
     }
 
 
@@ -1024,6 +1054,47 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'pt' END AS lang_pred
               FROM s)
             GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        "corpus_filter": """
+            WITH s AS (
+              SELECT doc_id,
+                     round(0.4*least(length(text)/500.0, 1.0)
+                         + 0.6*(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+                                / greatest(length(text), 1)), 6) AS quality,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+                     concat(' ', lower(text), ' ') AS t
+              FROM documents
+            ), sc AS (
+              SELECT doc_id, quality, n_tokens,
+                (length(t)-length(replace(t,' the ','')))/5
+                  + (length(t)-length(replace(t,' and ','')))/5
+                  + (length(t)-length(replace(t,' of ','')))/4 AS en,
+                (length(t)-length(replace(t,' der ','')))/5
+                  + (length(t)-length(replace(t,' und ','')))/5
+                  + (length(t)-length(replace(t,' die ','')))/5 AS de,
+                (length(t)-length(replace(t,' le ','')))/4
+                  + (length(t)-length(replace(t,' la ','')))/4
+                  + (length(t)-length(replace(t,' les ','')))/5 AS fr,
+                (length(t)-length(replace(t,' el ','')))/4
+                  + (length(t)-length(replace(t,' los ','')))/5
+                  + (length(t)-length(replace(t,' que ','')))/5 AS es,
+                (length(t)-length(replace(t,' os ','')))/4
+                  + (length(t)-length(replace(t,' uma ','')))/5
+                  + (length(t)-length(replace(t,' não ','')))/5 AS pt
+              FROM s
+            )
+            SELECT doc_id, quality, n_tokens, lang_pred FROM (
+              SELECT doc_id, quality, n_tokens,
+                     CASE WHEN greatest(en, de, fr, es, pt) <= 0 THEN 'und'
+                          WHEN en >= de AND en >= fr AND en >= es AND en >= pt THEN 'en'
+                          WHEN de >= fr AND de >= es AND de >= pt THEN 'de'
+                          WHEN fr >= es AND fr >= pt THEN 'fr'
+                          WHEN es >= pt THEN 'es'
+                          ELSE 'pt' END AS lang_pred
+              FROM sc)
+            WHERE quality >= 0.5 AND n_tokens BETWEEN 5 AND 2000
+              AND lang_pred IN ('en', 'de', 'fr', 'es', 'pt')
+            ORDER BY doc_id
         """,
         # minhash_near_dups / simhash / lsh_topk: non-SQL-expressible
         # (xxhash64 signature chains / approximate LSH recall) -> rows-only

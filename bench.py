@@ -146,6 +146,25 @@ def _scale_measure(cores: int) -> dict:
         path = os.environ.get("SPARK_GRAFT_SCALING_PATH", "generic")
 
         def job(src):
+            if path == "cpuspark":
+                # pure-CPU Spark control: JVM sha2 chain over a range — no
+                # shuffle, no parquet, ~zero memory traffic.  If THIS scales
+                # at the cpu ceiling while the tile job is flat, Spark and
+                # the plan are fine and the gap is the box's memory bus.
+                return (
+                    spark.range(0, 24_000_000, 1, numPartitions=3 * cores)
+                    .select(
+                        F.sha2(
+                            F.sha2(F.col("id").cast("string"), 256), 256
+                        ).alias("h")
+                    )
+                    .agg(
+                        F.count("*").alias("rows"),
+                        # force h's evaluation (count(*) alone lets Catalyst
+                        # prune the sha2 away entirely)
+                        F.sum(F.crc32(F.col("h"))).cast("long").alias("tiles"),
+                    )
+                )
             pts = geoparse(src)
             if path in ("fast", "verify"):
                 feats, meta = points_to_features_columnar(
@@ -295,7 +314,12 @@ def run_scaling(sf_dir: str) -> dict:
     _ensure_scaling_corpus()
     best: dict[int, dict] = {}
     me = os.path.abspath(__file__)
-    for _ in range(1):
+    # interleaved rounds, best wall per level: co-tenant noise on this VM
+    # flips calm<->loaded on minute timescales, so each level's BEST across
+    # rounds estimates its calm-host value; the published efficiency is the
+    # ratio of those bests (single-shot pairs are a lottery — see BENCH.md)
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+    for _ in range(rounds):
         for cores in (8, 32):
             cmd = [
                 "taskset", "-c", f"0-{cores - 1}",
