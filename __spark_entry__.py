@@ -737,6 +737,62 @@ def _q_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+def _q_extract_text(spark: SparkSession, sf: str) -> DataFrame:
+    """north_rule byte-identity invariant as an oracle-checked query: wrap each
+    document's text in a full html page (escaped, with script/style/comment
+    noise), run the engine's extract_text over the binary column, and prove the
+    extraction reproduces the original text exactly.  All JVM-side codegen."""
+    from open_vector_tile_spark.functions.text import extract_text, html_escape
+
+    docs = _load(spark, sf, "documents")
+    html = F.concat(
+        F.lit(
+            "<html><head><script type='x'>var a = '<p>no</p>';</script>"
+            "<style>p { color: red; }</style></head><body><!-- hidden --><p>"
+        ),
+        html_escape(F.col("text")),
+        F.lit("</p></body></html>"),
+    ).cast("binary")
+    ext = extract_text(html)
+    return docs.select(
+        "doc_id",
+        (ext == F.col("text")).cast("int").alias("exact"),
+        F.length(ext).alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def _q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (backward): each click matched to the user's most recent
+    view at or before it.  Union + single-shuffle window formulation; DuckDB's
+    native ASOF JOIN is the oracle."""
+    from open_vector_tile_spark.operators.events import asof_join
+
+    ev = _load(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    j = asof_join(clicks, views, on=["user_id"], right_cols=["view_id"])
+    return j.select(
+        "event_id",
+        F.col("view_id_r").alias("view_id"),
+        F.timestamp_diff("MICROSECOND", F.col("ts_r"), F.col("ts")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap sessionization (1h cut) + per-session rollup."""
+    from open_vector_tile_spark.operators.events import sessionize
+
+    ev = _load(spark, sf, "events")
+    s = sessionize(ev, key=("user_id",), gap_seconds=3600.0)
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -771,6 +827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "s2json_roundtrip": _q_s2json_roundtrip,
         "corpus_filter": _q_corpus_filter,
+        "extract_text": _q_extract_text,
+        "asof_join": _q_asof_join,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -1095,6 +1154,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE quality >= 0.5 AND n_tokens BETWEEN 5 AND 2000
               AND lang_pred IN ('en', 'de', 'fr', 'es', 'pt')
             ORDER BY doc_id
+        """,
+        "extract_text": """
+            SELECT doc_id, CAST(extracted = text AS INT) AS exact,
+                   length(extracted) AS n_chars
+            FROM (
+              SELECT doc_id, text,
+                replace(replace(replace(replace(replace(replace(
+                  regexp_replace(
+                  regexp_replace(
+                  regexp_replace(
+                  regexp_replace(html, '<script\\b[^>]*>.*?</script\\s*>', '', 'gis'),
+                                 '<style\\b[^>]*>.*?</style\\s*>', '', 'gis'),
+                                 '<!--.*?-->', '', 'gs'),
+                                 '<[^>]*>', '', 'gs'),
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                  '&nbsp;', ' '), '&amp;', '&') AS extracted
+              FROM (
+                SELECT doc_id, text,
+                       '<html><head><script type=''x''>var a = ''<p>no</p>'';</script>'
+                       || '<style>p { color: red; }</style></head><body><!-- hidden --><p>'
+                       || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                       || '</p></body></html>' AS html
+                FROM documents))
+            ORDER BY doc_id
+        """,
+        "asof_join": """
+            SELECT c.event_id AS event_id, v.event_id AS view_id,
+                   date_diff('microsecond', v.ts, c.ts) AS gap_us
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+            ASOF JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+            ORDER BY event_id
+        """,
+        "sessionize": """
+            SELECT user_id, session_id, count(*) AS n_events FROM (
+              SELECT user_id,
+                     CAST(sum(is_cut) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                              OR date_diff('microsecond',
+                                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                                           ts) <= 3600000000
+                            THEN 0 ELSE 1 END AS is_cut
+                FROM events))
+            GROUP BY user_id, session_id ORDER BY user_id, session_id
         """,
         # minhash_near_dups / simhash / lsh_topk: non-SQL-expressible
         # (xxhash64 signature chains / approximate LSH recall) -> rows-only

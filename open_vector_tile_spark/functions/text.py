@@ -97,6 +97,62 @@ def quality_score(text: Column) -> Column:
     return F.greatest(F.lit(0.0), F.least(F.lit(1.0), score))
 
 
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (north_rule byte-identity invariant, made testable)
+# ---------------------------------------------------------------------------
+
+# Entity decode order matters: named/numeric entities first, ampersand LAST so
+# "&amp;lt;" decodes once to "&lt;" (single-pass HTML semantics).  Each pair is
+# a literal replace (JVM `replace`, codegen'd).
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def extract_text(html: Column, decode_entities: bool = True) -> Column:
+    """Visible text from an HTML ``binary``/``string`` column — the inverse of
+    the crawl's text->html embedding, so ``extract_text(html) == text``
+    byte-for-byte per url (north_rule invariant; pinned by
+    tests/test_text.py::test_extract_text_byte_identity).
+
+    Deterministic contract (documented, not heuristic):
+    - ``<script>``/``<style>`` elements are dropped WITH their contents;
+    - HTML comments are dropped;
+    - every remaining tag is removed and inserts NOTHING (no whitespace), so
+      surrounding text bytes are preserved exactly;
+    - the six core entities are decoded once, ``&amp;`` last;
+    - no whitespace normalization — extraction never rewrites content bytes.
+
+    Entirely JVM-side (cast + regexp_replace + replace → whole-stage codegen;
+    no Python in the path).  Patterns avoid backreferences so the DuckDB (RE2)
+    oracle twin is expressible verbatim.
+    """
+    s = html.cast("string")
+    s = F.regexp_replace(s, r"(?is)<script\b[^>]*>.*?</script\s*>", "")
+    s = F.regexp_replace(s, r"(?is)<style\b[^>]*>.*?</style\s*>", "")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", "")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", "")
+    if decode_entities:
+        for ent, ch in _ENTITIES:
+            s = F.replace(s, F.lit(ent), F.lit(ch))
+    return s
+
+
+def html_escape(text: Column) -> Column:
+    """Minimal HTML escape (&, <, > — ampersand FIRST).  Used by fixtures and
+    the extract_text oracle to build html whose extraction must round-trip to
+    the original text bytes."""
+    s = F.replace(text, F.lit("&"), F.lit("&amp;"))
+    s = F.replace(s, F.lit("<"), F.lit("&lt;"))
+    s = F.replace(s, F.lit(">"), F.lit("&gt;"))
+    return s
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: 64-bit hash of whitespace-normalized lowercase
     text (rolling-hash analogue, stable across runs — xxhash64 is seeded

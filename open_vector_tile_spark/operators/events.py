@@ -1,0 +1,143 @@
+"""Event-stream relational operators: as-of join and gap sessionization.
+
+These are the time-series primitives a Common-Crawl-style pipeline needs
+around the geospatial core (recrawl as-of matching, visit sessionization).
+The reference engine has no temporal operators — these extend the engine the
+way SURVEY.md §2's training-data ops do, Spark-first:
+
+- ``asof_join`` is the union + partitioned-window formulation: ONE shuffle on
+  the key, no range explosion, no per-key driver loop.  Equivalent to a
+  merge-join over (key, ts) — the plan Spark would pick for a sort-merge join
+  but with the inequality folded into a running ``last(...)`` window instead
+  of an O(n·m) range join.  DuckDB's native ASOF JOIN is the oracle twin.
+- ``sessionize`` is the classic gap-cut: a lag window marks session starts,
+  a running sum numbers them.  Same single shuffle on the key.
+
+Both scale by key cardinality (users), not table size: at 10^12 events the
+shuffle is hash-partitioned on user_id and each partition streams sorted
+runs — no state beyond the window frame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` on the same key (``direction='backward'``; inner
+    semantics — left rows with no prior right row are dropped, matching
+    DuckDB ``ASOF JOIN``).  ``direction='forward'`` matches the earliest
+    right row with ``right.ts >= left.ts``.
+
+    Tie rule: a right row at exactly ``left.ts`` matches (>= / <=), and among
+    right rows sharing one timestamp the one latest in (ts, side) order wins
+    — deterministic because the window sorts on (ts, side) with right rows
+    ordered before left rows.
+
+    Plan shape: union → single Exchange on ``on`` → one sort within
+    partitions → running ``last(ignorenulls)`` window → filter.  No range
+    join, no broadcast requirement, no skew beyond key skew (salt upstream if
+    one key dominates).
+    """
+    on = list(on)
+    right_cols = list(right_cols) or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    out_right = [f"{c}{suffix}" for c in right_cols]
+    lpay = [c for c in left.columns if c not in on and c != left_ts]
+
+    l_side = left.select(
+        *on,
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_aside"),
+        *[F.col(c) for c in lpay],
+        *[F.lit(None).alias(c) for c in out_right],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_ar_ts"),
+    )
+    r_side = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_aside"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lpay],
+        *[F.col(c).alias(a) for c, a in zip(right_cols, out_right)],
+        F.col(right_ts).alias("_ar_ts"),
+    )
+    both = l_side.unionByName(r_side)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ats").asc(), F.col("_aside").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last
+    elif direction == "forward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ats").asc(), F.col("_aside").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    filled = both.select(
+        *on,
+        F.col("_ats"),
+        F.col("_aside"),
+        *lpay,
+        *[pick(c, ignorenulls=True).over(w).alias(c) for c in out_right],
+        pick("_ar_ts", ignorenulls=True).over(w).alias("_ar_ts"),
+    )
+    matched = filled.filter((F.col("_aside") == 1) & F.col("_ar_ts").isNotNull())
+    return matched.select(
+        *on,
+        F.col("_ats").alias(left_ts),
+        *lpay,
+        *out_right,
+        F.col("_ar_ts").alias(f"{right_ts}{suffix}"),
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key: Sequence[str] = ("user_id",),
+    ts: str = "ts",
+    gap_seconds: float = 1800.0,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Number each key's events into sessions cut at inactivity gaps
+    ``> gap_seconds`` (strictly greater; an event exactly at the gap bound
+    continues the session).  ``session_id`` is 0-based per key, assigned in
+    ts order with the original row order preserved inside ties.
+
+    One shuffle on ``key``; the lag + running-sum pair stays in a single
+    window stage.
+    """
+    key = list(key)
+    w = Window.partitionBy(*key).orderBy(F.col(ts).asc())
+    gap_us = int(round(gap_seconds * 1_000_000))
+    prev = F.lag(F.col(ts)).over(w)
+    # timestamp_diff is pure wall-clock arithmetic — works for TIMESTAMP and
+    # TIMESTAMP_NTZ alike, no session-timezone / DST dependence
+    gap = F.timestamp_diff("MICROSECOND", prev, F.col(ts))
+    is_cut = F.when(prev.isNull() | (gap <= gap_us), F.lit(0)).otherwise(F.lit(1))
+    run = (
+        Window.partitionBy(*key)
+        .orderBy(F.col(ts).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.withColumn(out_col, F.sum(is_cut).over(run).cast("long"))

@@ -1,0 +1,201 @@
+"""extract_text byte-identity + as-of join / sessionize vs brute force."""
+
+import datetime as dt
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from open_vector_tile_spark.functions.text import extract_text, html_escape
+from open_vector_tile_spark.operators.events import asof_join, sessionize
+
+
+# ---------------------------------------------------------------------------
+# extract_text
+# ---------------------------------------------------------------------------
+
+
+def test_extract_text_byte_identity_on_pages(spark):
+    """north_rule invariant: extract_text(html) == text byte-for-byte per url
+    on the crawl fixture table."""
+    from open_vector_tile_spark.sources.pages import pages_spark
+
+    pages = pages_spark(spark, 500, partitions=4)
+    out = pages.select(
+        "url", "text", extract_text(F.col("html")).alias("extracted")
+    )
+    bad = out.filter(F.col("extracted") != F.col("text")).count()
+    assert bad == 0
+    assert out.count() == 500
+
+
+def test_extract_text_drops_script_style_comments(spark):
+    html = (
+        b"<html><head><script type='x'>var a = '<p>not text</p>';</script>"
+        b"<style>p { color: red; }</style></head>"
+        b"<body><!-- hidden --><p>keep me</p><div>and me</div></body></html>"
+    )
+    row = (
+        spark.createDataFrame([(html,)], "html binary")
+        .select(extract_text(F.col("html")).alias("t"))
+        .first()
+    )
+    assert row["t"] == "keep meand me"
+
+
+def test_extract_text_entity_roundtrip(spark):
+    """html_escape then extract decodes back to the exact original bytes,
+    including texts that already contain entity-looking substrings."""
+    texts = ["a < b & c > d", "literal &amp; stays", 'quote " and é', "5 &lt; 6"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    built = df.select(
+        "text",
+        F.concat(
+            F.lit("<html><body><p>"), html_escape(F.col("text")), F.lit("</p></body></html>")
+        ).cast("binary").alias("html"),
+    )
+    out = built.select("text", extract_text(F.col("html")).alias("e")).collect()
+    for r in out:
+        assert r["e"] == r["text"], (r["e"], r["text"])
+
+
+def test_extract_text_is_jvm_only(spark):
+    """No Python eval node in the extraction plan — stays codegen-able."""
+    from open_vector_tile_spark.sources.pages import pages_spark
+
+    pages = pages_spark(spark, 10, partitions=1)
+    plan = (
+        pages.select(extract_text(F.col("html")).alias("t"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the page generator itself is mapInPandas; extraction must add no more
+    assert plan.count("ArrowEvalPython") == 0
+    assert plan.count("BatchEvalPython") == 0
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def _events_pdf(n_users=7, n=400, seed=11):
+    rng = random.Random(seed)
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(n):
+        rows.append(
+            {
+                "event_id": i,
+                "user_id": rng.randrange(n_users),
+                "ts": t0 + dt.timedelta(seconds=rng.randrange(0, 3_000_000)),
+                "kind": rng.choice(["click", "view"]),
+                "value": float(i),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    # force some exact-tie timestamps across kinds for the tie rule
+    pdf.loc[5, ["user_id", "ts", "kind"]] = [0, pdf.loc[4, "ts"], "view"]
+    pdf.loc[4, "kind"] = "click"
+    pdf.loc[4, "user_id"] = 0
+    return pdf
+
+
+def _brute_asof(pdf, direction="backward"):
+    lefts = pdf[pdf.kind == "click"]
+    rights = pdf[pdf.kind == "view"]
+    out = []
+    for _, l in lefts.iterrows():
+        cand = rights[rights.user_id == l.user_id]
+        if direction == "backward":
+            cand = cand[cand.ts <= l.ts]
+            if len(cand):
+                best = cand.sort_values(["ts", "event_id"]).iloc[-1]
+                out.append((l.event_id, best.event_id))
+        else:
+            cand = cand[cand.ts >= l.ts]
+            if len(cand):
+                best = cand.sort_values(["ts", "event_id"]).iloc[0]
+                out.append((l.event_id, best.event_id))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_matches_bruteforce(spark, direction):
+    pdf = _events_pdf()
+    df = spark.createDataFrame(pdf)
+    clicks = df.filter(F.col("kind") == "click")
+    views = df.filter(F.col("kind") == "view").withColumnRenamed("event_id", "view_id")
+    got = asof_join(
+        clicks,
+        views.select("user_id", "ts", "view_id"),
+        on=["user_id"],
+        right_cols=["view_id"],
+        direction=direction,
+    )
+    pairs = sorted(
+        (r["event_id"], r["view_id_r"]) for r in got.select("event_id", "view_id_r").collect()
+    )
+    expected = _brute_asof(pdf, direction)
+    # brute tie-break inside equal ts uses event_id; the operator guarantees a
+    # deterministic pick but among equal-ts right rows picks by window order.
+    # The fixture has unique (user, ts) per kind except the injected tie pair,
+    # which has a single right candidate — so results must agree exactly.
+    assert pairs == expected
+
+
+def test_asof_join_tie_at_equal_ts_matches(spark):
+    """A right row at exactly left.ts is a valid backward match."""
+    t = dt.datetime(2024, 6, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, t, "L")], "user_id bigint, ts timestamp, tag string")
+    right = spark.createDataFrame([(1, t, 99)], "user_id bigint, ts timestamp, rid bigint")
+    got = asof_join(left, right, on=["user_id"], right_cols=["rid"]).collect()
+    assert len(got) == 1 and got[0]["rid_r"] == 99 and got[0]["ts_r"] == t
+
+
+def test_asof_join_single_shuffle(spark):
+    """Plan shape: exactly one Exchange (on the key) feeds the window."""
+    pdf = _events_pdf(n=50)
+    df = spark.createDataFrame(pdf)
+    clicks = df.filter(F.col("kind") == "click")
+    views = df.filter(F.col("kind") == "view").select("user_id", "ts", F.col("value").alias("v"))
+    plan = (
+        asof_join(clicks, views, on=["user_id"], right_cols=["v"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# sessionize
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_matches_bruteforce(spark):
+    pdf = _events_pdf(n_users=5, n=300, seed=3)
+    gap = 86400.0
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(df, gap_seconds=gap).select("event_id", "session_id").collect()
+    }
+    for uid, grp in pdf.sort_values("ts").groupby("user_id"):
+        sid, prev = 0, None
+        for _, row in grp.iterrows():
+            if prev is not None and (row.ts - prev).total_seconds() > gap:
+                sid += 1
+            assert got[row.event_id] == sid, (uid, row.event_id)
+            prev = row.ts
+
+
+def test_sessionize_gap_bound_is_exclusive(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, 1, t0),
+        (1, 1, t0 + dt.timedelta(seconds=10)),       # == gap -> same session
+        (2, 1, t0 + dt.timedelta(seconds=20, microseconds=1)),  # > gap -> cut
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp")
+    got = {r["event_id"]: r["session_id"] for r in sessionize(df, gap_seconds=10.0).collect()}
+    assert got == {0: 0, 1: 0, 2: 1}
