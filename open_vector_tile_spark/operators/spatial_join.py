@@ -134,6 +134,102 @@ def spatial_join(
     return candidates.mapInPandas(refine, schema)
 
 
+def polygon_covering_df(polygons: DataFrame, zoom: int, exact: bool = True) -> DataFrame:
+    """Executor-side covering: (cell, poly_id) computed inside mapInPandas.
+
+    The driver-side ``polygon_covering`` assumes a dim-table-sized polygon
+    layer; this variant removes that cap — each partition covers its own
+    polygons, so the layer can be arbitrarily large (country-scale admin sets,
+    parcel data).  Same cell semantics as the driver path (asserted equal in
+    tests)."""
+    spec = "cell long, poly_id long"
+
+    def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cells, pids = [], []
+            for pid, rings_flat in zip(pdf["poly_id"], pdf["ring_xy"]):
+                rings = [np.asarray(f, dtype=np.float64).reshape(-1, 2) for f in rings_flat]
+                if not rings:
+                    continue
+                outer = rings[0]
+                if exact:
+                    txs, tys = cover_polygon_np(rings, zoom)
+                else:
+                    txs, tys = cover_bbox_np(
+                        outer[:, 0].min(), outer[:, 1].min(),
+                        outer[:, 0].max(), outer[:, 1].max(), zoom,
+                    )
+                cs = pack_cell_np(zoom, txs, tys)
+                cells.append(cs)
+                pids.append(np.full(len(cs), int(pid), dtype=np.int64))
+            if cells:
+                yield pd.DataFrame(
+                    {"cell": np.concatenate(cells), "poly_id": np.concatenate(pids)}
+                )
+
+    return polygons.select("poly_id", "ring_xy").mapInPandas(cover, spec)
+
+
+def spatial_join_distributed(
+    points: DataFrame,
+    polygons: DataFrame,
+    zoom: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    salt: Optional[int] = None,
+    broadcast_polygons: bool = True,
+    exact: bool = True,
+) -> DataFrame:
+    """Fully-distributed two-phase spatial join — no driver materialization of
+    the polygon layer anywhere in the plan.
+
+    Same semantics as ``spatial_join`` but ``polygons`` is a DataFrame with
+    ``(poly_id long, ring_xy array<array<double>>)``.  Phase 1 equi-joins the
+    executor-computed covering; phase 2 joins candidates back to the polygon
+    rings on ``poly_id`` (broadcast when ``broadcast_polygons``, else a keyed
+    shuffle join — the 100 TB path when the polygon side itself is huge) and
+    ray-casts with rings carried in-row, parsed once per distinct polygon per
+    Arrow batch."""
+    spark = points.sparkSession
+    covering = polygon_covering_df(polygons, zoom, exact=exact)
+    pts = points.withColumn("cell", cell_col(F.col(lon), F.col(lat), zoom))
+    if salt:
+        pts = pts.withColumn("salt", F.pmod(F.xxhash64(F.col(lon), F.col(lat)), F.lit(salt)))
+        covering = covering.crossJoin(
+            spark.range(salt).select(F.col("id").cast("long").alias("salt"))
+        )
+        candidates = pts.join(
+            covering.hint("shuffle_hash"), on=["cell", "salt"], how="inner"
+        ).drop("salt")
+    else:
+        candidates = pts.join(F.broadcast(covering), on="cell", how="inner")
+    if not exact:
+        return candidates
+
+    rings_side = polygons.select("poly_id", "ring_xy")
+    if broadcast_polygons:
+        rings_side = F.broadcast(rings_side)
+    cand = candidates.join(rings_side, on="poly_id", how="inner")
+    out_schema = candidates.schema
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            px = pdf[lon].to_numpy()
+            py = pdf[lat].to_numpy()
+            for pid, idx in pdf.groupby("poly_id").indices.items():
+                rings = [
+                    np.asarray(f, dtype=np.float64).reshape(-1, 2)
+                    for f in pdf["ring_xy"].iloc[idx[0]]
+                ]
+                keep[idx] = points_in_polygon_np(px[idx], py[idx], rings)
+            yield pdf[keep].drop(columns=["ring_xy"])
+
+    return cand.mapInPandas(refine, out_schema)
+
+
 def bbox_prejoin(points: DataFrame, polygons_pdf: pd.DataFrame, lon: str = "lon", lat: str = "lat") -> DataFrame:
     """J6 range/interval join variant: 1-D interval conditions on the
     polygon bboxes (no cell index).  Broadcast NL-join with range predicates;

@@ -216,3 +216,73 @@ def test_gridding_roundtrip(spark, pages):
         for _, c in sub.iterrows():
             got = data[int(c.py) * 32 + int(c.px)]
             assert abs(got - c.mean_value) <= tol
+
+
+def test_spatial_join_distributed_matches_driver_variant(spark, pages):
+    """The fully-distributed join (executor-side covering + in-row ring PIP)
+    returns exactly the same (url, poly_id) rows as the driver-covering path,
+    with and without salting."""
+    from open_vector_tile_spark.operators.spatial_join import (
+        polygon_covering,
+        polygon_covering_df,
+        spatial_join_distributed,
+    )
+
+    polys = polygons_pdf()
+    polys_df = spark.createDataFrame(
+        polys[["poly_id", "ring_xy"]],
+        schema="poly_id long, ring_xy array<array<double>>",
+    )
+    pts = geoparse(pages)
+
+    want_cov = sorted(
+        map(tuple, polygon_covering(spark, polys, ZOOM).collect())
+    )
+    got_cov = sorted(map(tuple, polygon_covering_df(polys_df, ZOOM).collect()))
+    assert got_cov == want_cov
+
+    want = sorted(
+        (r["url"], r["poly_id"])
+        for r in spatial_join(pts, polys, zoom=ZOOM).select("url", "poly_id").collect()
+    )
+    got = sorted(
+        (r["url"], r["poly_id"])
+        for r in spatial_join_distributed(pts, polys_df, zoom=ZOOM)
+        .select("url", "poly_id")
+        .collect()
+    )
+    assert got == want and len(want) > 0
+
+    got_salted = sorted(
+        (r["url"], r["poly_id"])
+        for r in spatial_join_distributed(pts, polys_df, zoom=ZOOM, salt=4)
+        .select("url", "poly_id")
+        .collect()
+    )
+    assert got_salted == want
+
+
+def test_spatial_join_distributed_shuffle_polygon_side(spark, pages):
+    """broadcast_polygons=False keys the ring join by poly_id (the huge-
+    polygon-layer path) — result unchanged."""
+    from open_vector_tile_spark.operators.spatial_join import spatial_join_distributed
+
+    polys = polygons_pdf()
+    polys_df = spark.createDataFrame(
+        polys[["poly_id", "ring_xy"]],
+        schema="poly_id long, ring_xy array<array<double>>",
+    )
+    pts = geoparse(pages)
+    want = sorted(
+        (r["url"], r["poly_id"])
+        for r in spatial_join(pts, polys, zoom=ZOOM).select("url", "poly_id").collect()
+    )
+    got = sorted(
+        (r["url"], r["poly_id"])
+        for r in spatial_join_distributed(
+            pts, polys_df, zoom=ZOOM, broadcast_polygons=False
+        )
+        .select("url", "poly_id")
+        .collect()
+    )
+    assert got == want
