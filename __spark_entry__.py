@@ -793,6 +793,26 @@ def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_det_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic content-hash sampling (reproducible across runs/cluster
+    sizes/engines — md5 prefix threshold, no rand())."""
+    from open_vector_tile_spark.functions.sampling import deterministic_sample
+
+    docs = _load(spark, sf, "documents")
+    return deterministic_sample(docs, F.col("text"), 0.2).select("doc_id").orderBy("doc_id")
+
+
+def _q_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-keyed train/val/test split: key = source so all docs of a source
+    share a split (no leakage)."""
+    from open_vector_tile_spark.functions.sampling import dataset_split
+
+    docs = _load(spark, sf, "documents")
+    return docs.select(
+        "doc_id", dataset_split(F.col("source")).alias("split")
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -830,6 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": _q_extract_text,
         "asof_join": _q_asof_join,
         "sessionize": _q_sessionize,
+        "det_sample": _q_det_sample,
+        "dataset_split": _q_dataset_split,
     }
 
 
@@ -1201,6 +1223,18 @@ def oracle_sql() -> dict[str, str]:
                             THEN 0 ELSE 1 END AS is_cut
                 FROM events))
             GROUP BY user_id, session_id ORDER BY user_id, session_id
+        """,
+        "det_sample": """
+            SELECT doc_id FROM documents
+            WHERE substr(md5(text), 1, 8) < '33333333'
+            ORDER BY doc_id
+        """,
+        "dataset_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(source), 1, 8) < 'cccccccd' THEN 'train'
+                        WHEN substr(md5(source), 1, 8) < 'e6666666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
         """,
         # minhash_near_dups / simhash / lsh_topk: non-SQL-expressible
         # (xxhash64 signature chains / approximate LSH recall) -> rows-only

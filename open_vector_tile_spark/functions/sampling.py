@@ -1,0 +1,80 @@
+"""Deterministic sampling and dataset splitting for training-data pipelines.
+
+At 100 TB, `rand()`-based sampling is a reproducibility bug: re-runs, retried
+tasks, and different partitionings draw different rows.  Everything here is a
+pure function of row CONTENT (md5 of a chosen key), so any two runs — any
+cluster size, any partitioning, any engine — select exactly the same rows.
+
+Mechanics: md5 yields fixed-width lowercase hex, so lexicographic comparison
+of a hex prefix == numeric comparison of the top hash bits.  Thresholds are
+computed in Python as hex strings and compared JVM-side (codegen string
+compare, no UDF).  The same comparisons are expressible verbatim in any
+engine with md5() — which is what makes these ops exactly oracle-checkable
+against DuckDB (driver queries ``det_sample`` / ``dataset_split``).
+
+Group-keyed splitting (e.g. key = url host) guarantees no train/test leakage:
+every row of a group lands in the same split because the label depends only
+on the group key's hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PREFIX_CHARS = 8  # 32 bits of hash — plenty for percent-scale rates
+
+
+def _threshold_hex(frac: float) -> str:
+    """Hex string t such that P[md5_prefix < t] == round(frac * 2^32) / 2^32."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0,1], got {frac}")
+    return format(int(round(frac * (1 << 32))), "08x")
+
+
+def stable_frac_hex(key: Column) -> Column:
+    """First 8 hex chars of md5(key) — the row's uniform draw, as hex."""
+    return F.substring(F.md5(key.cast("string")), 1, _PREFIX_CHARS)
+
+
+def deterministic_sample(df: DataFrame, key: Column, rate: float) -> DataFrame:
+    """Keep a ``rate`` fraction of rows, chosen by content hash of ``key``.
+
+    Unlike ``df.sample()``: stable across runs/partitionings/retries, and
+    consistent across tables (the same key always draws the same verdict, so
+    sampling documents and their embeddings by doc_id keeps them aligned)."""
+    return df.filter(stable_frac_hex(key) < F.lit(_threshold_hex(rate)))
+
+
+def dataset_split(
+    key: Column,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    labels: Sequence[str] = ("train", "val", "test"),
+) -> Column:
+    """Split label column from cumulative hash-threshold bands.
+
+    ``key`` should be the leakage boundary: pass the url host (see
+    ``url_host``) rather than the url so all pages of a site share a split;
+    pass a dedup-cluster id so near-duplicates never straddle train/test."""
+    if len(weights) != len(labels):
+        raise ValueError("weights and labels must align")
+    total = float(sum(weights))
+    h = stable_frac_hex(key)
+    out = F.lit(labels[-1])
+    acc = 0.0
+    bands = []
+    for w, lab in zip(weights[:-1], labels[:-1]):
+        acc += w / total
+        bands.append((_threshold_hex(acc), lab))
+    # build from the last band backwards so earlier (smaller) thresholds win
+    for thr, lab in reversed(bands):
+        out = F.when(h < F.lit(thr), F.lit(lab)).otherwise(out)
+    return out
+
+
+def url_host(url: Column) -> Column:
+    """Host part of a url (scheme-tolerant, port kept) via one JVM regexp —
+    the standard no-leakage group key for web corpora."""
+    return F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)

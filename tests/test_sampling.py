@@ -1,0 +1,79 @@
+"""Deterministic sampling / dataset splitting properties."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from open_vector_tile_spark.functions.sampling import (
+    dataset_split,
+    deterministic_sample,
+    url_host,
+)
+
+
+def _docs(spark, n=4000, parts=8):
+    return spark.range(0, n, 1, parts).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc body "), F.col("id")).alias("text"),
+        F.concat(F.lit("host"), (F.col("id") % 37)).alias("host"),
+    )
+
+
+def test_sample_is_partitioning_invariant(spark):
+    a = deterministic_sample(_docs(spark, parts=2), F.col("text"), 0.25)
+    b = deterministic_sample(_docs(spark, parts=16), F.col("text"), 0.25)
+    ia = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    ib = sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    assert ia == ib
+    # rate is approximately honored (binomial, 4000 draws)
+    assert 0.20 < len(ia) / 4000 < 0.30
+
+
+def test_sample_matches_python_md5(spark):
+    """The JVM draw equals a reference md5 computed in Python — engine-portable."""
+    got = {
+        r["doc_id"]
+        for r in deterministic_sample(_docs(spark, 500), F.col("text"), 0.3)
+        .select("doc_id")
+        .collect()
+    }
+    thr = format(int(round(0.3 * (1 << 32))), "08x")
+    want = {
+        i
+        for i in range(500)
+        if hashlib.md5(f"doc body {i}".encode()).hexdigest()[:8] < thr
+    }
+    assert got == want
+
+
+def test_split_no_leakage_and_proportions(spark):
+    df = _docs(spark, 6000).withColumn("split", dataset_split(F.col("host")))
+    # every host maps to exactly one split
+    leaks = df.groupBy("host").agg(F.countDistinct("split").alias("k")).filter("k > 1")
+    assert leaks.count() == 0
+    # proportions at HOST level track the weights (37 hosts is small; loose bounds)
+    by = {r["split"]: r["n"] for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert by.get("train", 0) > by.get("val", 0)
+    assert set(by) <= {"train", "val", "test"}
+
+
+def test_split_banding_is_exact(spark):
+    """Band edges: the label is a pure function of the hash prefix bands."""
+    df = _docs(spark, 2000).withColumn("split", dataset_split(F.col("text"), (0.5, 0.5), ("a", "b")))
+    rows = df.select("text", "split").collect()
+    for r in rows:
+        pref = hashlib.md5(r["text"].encode()).hexdigest()[:8]
+        want = "a" if pref < format(1 << 31, "08x") else "b"
+        assert r["split"] == want
+
+
+def test_url_host(spark):
+    cases = [
+        ("https://example7.org/p/1", "example7.org"),
+        ("http://a.b.c:8080/x?y=1", "a.b.c:8080"),
+        ("ftp://files.net", "files.net"),
+        ("not a url", ""),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    for r in df.select(url_host(F.col("url")).alias("got"), "want").collect():
+        assert r["got"] == r["want"]
