@@ -129,3 +129,144 @@ def test_windowed_tile_counts(spark, two_batches, tmp_path):
     assert got["n_features"].tolist() == [2, 2]
     assert got["window_start"].iloc[0].minute == 0
     assert got["window_start"].iloc[1].minute == 10
+
+
+class _FakeState:
+    def __init__(self):
+        self.v = None
+
+    def exists(self):
+        return self.v is not None
+
+    def get(self):
+        return self.v
+
+    def update(self, t):
+        self.v = tuple(t)
+
+    def clear(self):
+        self.v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeState()
+        self.timers = []
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.state
+
+    def listTimers(self):
+        return list(self.timers)
+
+    def deleteTimer(self, t):
+        self.timers.remove(t)
+
+    def registerTimer(self, t):
+        self.timers.append(t)
+
+
+def test_session_processor_logic():
+    """The transformWithState session processor, driven directly (the state
+    protocol needs protobuf, absent here — see sessionize_stream docstring):
+    in-batch close on gap exceed, single re-registered timer at last+gap,
+    timer expiry emits and clears, batch fold sorts by ts."""
+    from open_vector_tile_spark.streaming.stateful import _make_session_processor
+
+    gap = 600_000
+    proc = _make_session_processor(gap)
+    h = _FakeHandle()
+    proc.init(h)
+
+    # batch 1: two events 2 min apart (one session), out-of-order input
+    out = list(proc.handleInputRows((1,), iter([pd.DataFrame({"ts_ms": [120_000, 0]})]), None))
+    assert out == []
+    assert h.state.v == (0, 120_000, 2)
+    assert h.timers == [120_000 + gap]
+
+    # batch 2: event far beyond the gap -> previous session emitted, new one opens
+    out = list(proc.handleInputRows((1,), iter([pd.DataFrame({"ts_ms": [3_600_000]})]), None))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row["session_start_ms"], row["session_end_ms"], row["n_events"]) == (0, 120_000, 2)
+    assert h.state.v == (3_600_000, 3_600_000, 1)
+    assert h.timers == [3_600_000 + gap]  # old timer deleted, one live timer
+
+    # timer expiry: open session emitted and state cleared
+    out = list(proc.handleExpiredTimer((1,), None, None))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row["session_start_ms"], row["session_end_ms"], row["n_events"]) == (
+        3_600_000,
+        3_600_000,
+        1,
+    )
+    assert h.state.v is None
+    # expiry with no state is a no-op
+    assert list(proc.handleExpiredTimer((1,), None, None)) == []
+
+
+def test_sessionize_stream_transform_with_state(spark, tmp_path):
+    """Streaming gap sessionization on transformWithStateInPandas: a session
+    closed by a later event of the same key is emitted in that micro-batch; a
+    session the stream goes quiet on is closed by its event-time timer when
+    the watermark passes; a still-open session is NOT emitted."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState state protocol needs protobuf"
+    )
+    from open_vector_tile_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    b1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": [t0, t0 + dt.timedelta(minutes=2), t0 + dt.timedelta(minutes=30)],
+        }
+    )
+    # user 2 reappears 30 min later (> 10 min gap -> closes their first
+    # session in-batch); user 1 stays quiet -> timer closes their session
+    b2 = pd.DataFrame({"user_id": [2], "ts": [t0 + dt.timedelta(minutes=60)]})
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = sessionize_stream(stream, gap_seconds=600.0, watermark="0 seconds")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sess_t")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    got = spark.sql(
+        "SELECT user_id, session_start_ms, session_end_ms, n_events FROM sess_t"
+    ).toPandas()
+    ms = lambda d: int(d.timestamp() * 1000)
+    rows = set(map(tuple, got.to_numpy().tolist()))
+    # user 1: 2-event session closed by timer after watermark passed 00:12
+    assert (1, ms(t0), ms(t0 + dt.timedelta(minutes=2)), 2) in rows
+    # user 2: single-event session closed in-batch by the 01:00 event
+    assert (2, ms(t0 + dt.timedelta(minutes=30)), ms(t0 + dt.timedelta(minutes=30)), 1) in rows
+    # user 2's 01:00 session is still open -> not emitted
+    assert len(rows) == 2
