@@ -21,7 +21,12 @@ as DataFrames with real predicate pushdown:
   a million-tile tileset lists on the driver but reads on executors).
 
 The write side materializes (zoom, tile_x, tile_y, tile) rows as
-``{z}_{x}_{y}.{suffix}`` files — the inverse layout, executor-parallel.
+``{z}_{x}_{y}.{suffix}`` files — the inverse layout, executor-parallel —
+or, with ``option("layout", "shard")``, as packed ``.ovtshard`` containers
+(one per task; index + concatenated blobs) that sidestep the small-files
+problem at web scale.  Shards read back through the same source with
+entry-level pushdown (matching blobs are seek-read; non-matching shards
+cost one header read).  Compaction is just read-loose → write-shard.
 
 Register per session::
 
@@ -56,6 +61,55 @@ from pyspark.sql.types import StructType
 _NAME_RE = re.compile(r"^(\d+)[-_](\d+)[-_](\d+)\b")
 _SUFFIXES = (".mvt", ".pbf", ".ovt")
 
+# ---------------------------------------------------------------------------
+# packed shard container — the small-files answer at 100 TB
+# ---------------------------------------------------------------------------
+# One z_x_y file per tile works for a benchmark directory but melts a real
+# filesystem/object store at web scale (10^9 tiles = 10^9 PUTs + a listing
+# that never finishes).  A shard packs a partition's tiles into ONE file:
+#
+#   magic "OVTS1\n" | n (int64 LE) | index n×5 int64 LE (z, x, y, rel_off,
+#   length) | concatenated blobs
+#
+# The index is read without touching blob bytes, so tile-key pushdown prunes
+# at the ENTRY level (seek straight to matching blobs) and a full-tileset
+# listing costs one small header read per shard instead of a dirent per tile.
+_SHARD_MAGIC = b"OVTS1\n"
+_SHARD_SUFFIX = ".ovtshard"
+
+
+def write_shard(path: str, entries: list) -> int:
+    """Write (zoom, x, y, blob) entries as one packed shard; returns count.
+    Entries are sorted by (z, x, y) so shard bytes are a pure function of the
+    entry SET (deterministic re-runs)."""
+    import numpy as np
+
+    entries = sorted(entries, key=lambda e: (e[0], e[1], e[2]))
+    idx = np.zeros((len(entries), 5), dtype="<i8")
+    off = 0
+    for i, (z, x, y, blob) in enumerate(entries):
+        idx[i] = (z, x, y, off, len(blob))
+        off += len(blob)
+    with open(path, "wb") as fh:
+        fh.write(_SHARD_MAGIC)
+        fh.write(np.int64(len(entries)).tobytes())
+        fh.write(idx.tobytes())
+        for _z, _x, _y, blob in entries:
+            fh.write(bytes(blob))
+    return len(entries)
+
+
+def read_shard_index(path: str):
+    """(index ndarray n×5 [z,x,y,rel_off,length], data_start byte offset)."""
+    import numpy as np
+
+    with open(path, "rb") as fh:
+        if fh.read(len(_SHARD_MAGIC)) != _SHARD_MAGIC:
+            raise ValueError(f"{path}: not an OVTS1 shard")
+        n = int(np.frombuffer(fh.read(8), "<i8")[0])
+        idx = np.frombuffer(fh.read(n * 5 * 8), "<i8").reshape(n, 5)
+        return idx, fh.tell()
+
 SCHEMA = (
     "zoom int, tile_x bigint, tile_y bigint, path string, n_bytes bigint, tile binary"
 )
@@ -63,21 +117,28 @@ SCHEMA = (
 _KEYS = {"zoom", "tile_x", "tile_y"}
 
 
-def _list_tiles(root: str) -> list[tuple[int, int, int, str, int]]:
-    """Recursive (zoom, x, y, path, size) listing of parseable tile files."""
+def _list_tiles(root: str) -> list[tuple[int, int, int, str, int, int]]:
+    """Recursive (zoom, x, y, path, size, abs_offset) listing.  Loose tile
+    files carry ``abs_offset = -1`` (read whole file); shard members carry the
+    absolute byte offset of their blob inside the shard."""
     out = []
     for dirpath, _dirs, files in os.walk(root):
         for fn in sorted(files):
+            p = os.path.join(dirpath, fn)
+            if fn.endswith(_SHARD_SUFFIX):
+                idx, data_start = read_shard_index(p)
+                for z, x, y, rel, ln in idx.tolist():
+                    out.append((int(z), int(x), int(y), p, int(ln), data_start + int(rel)))
+                continue
             if not fn.endswith(_SUFFIXES):
                 continue
             m = _NAME_RE.match(fn)
             if not m:
                 continue
-            p = os.path.join(dirpath, fn)
             out.append(
-                (int(m.group(1)), int(m.group(2)), int(m.group(3)), p, os.path.getsize(p))
+                (int(m.group(1)), int(m.group(2)), int(m.group(3)), p, os.path.getsize(p), -1)
             )
-    out.sort(key=lambda t: t[3])
+    out.sort(key=lambda t: (t[3], t[5]))
     return out
 
 
@@ -138,16 +199,35 @@ class OvtTilesetReader(DataSourceReader):
             if all(_match(f, t[0], t[1], t[2]) for f in self.pushed)
         ]
         n = max(1, min(self.n_parts, len(files)))
-        return [_FilesPartition(files[i::n]) for i in range(n)] or [_FilesPartition([])]
+        # contiguous chunks, not striding: the listing is sorted by (path,
+        # offset) so a shard's entries stay in as few partitions as possible
+        # (sequential reads, one open per shard per task)
+        size = (len(files) + n - 1) // n
+        parts = [_FilesPartition(files[i : i + size]) for i in range(0, len(files), size)]
+        return parts or [_FilesPartition([])]
 
     def read(self, partition: _FilesPartition) -> Iterator[tuple]:
-        for z, x, y, path, size in partition.files:
-            if self.skip_blob:
-                yield (z, x, y, path, size, None)
-            else:
-                with open(path, "rb") as fh:
+        cur_path, fh = None, None
+        try:
+            for z, x, y, path, size, off in partition.files:
+                if self.skip_blob:
+                    yield (z, x, y, path, size, None)
+                    continue
+                if path != cur_path:
+                    if fh is not None:
+                        fh.close()
+                    fh = open(path, "rb")
+                    cur_path = path
+                if off < 0:
+                    fh.seek(0)
                     blob = fh.read()
+                else:
+                    fh.seek(off)
+                    blob = fh.read(size)
                 yield (z, x, y, path, len(blob), blob)
+        finally:
+            if fh is not None:
+                fh.close()
 
 
 @dataclass
@@ -161,9 +241,25 @@ class OvtTilesetWriter(DataSourceWriter):
         if not self.root:
             raise ValueError("ovt_tileset requires .option('path', <dir>)")
         self.suffix = options.get("suffix", "ovt").lstrip(".")
+        self.layout = options.get("layout", "files")
+        if self.layout not in ("files", "shard"):
+            raise ValueError(f"layout must be files|shard, got {self.layout!r}")
 
     def write(self, rows) -> _WroteFiles:
         os.makedirs(self.root, exist_ok=True)
+        if self.layout == "shard":
+            # one packed file per task — repartition upstream to choose the
+            # shard count/size (e.g. .repartition(200) -> 200 shards)
+            import uuid
+
+            entries = [
+                (int(r["zoom"]), int(r["tile_x"]), int(r["tile_y"]), bytes(r["tile"]))
+                for r in rows
+            ]
+            if not entries:
+                return _WroteFiles(0)
+            name = f"part-{uuid.uuid4().hex[:16]}{_SHARD_SUFFIX}"
+            return _WroteFiles(write_shard(os.path.join(self.root, name), entries))
         n = 0
         for row in rows:
             name = f"{int(row['zoom'])}_{int(row['tile_x'])}_{int(row['tile_y'])}.{self.suffix}"

@@ -144,3 +144,60 @@ def test_tileset_write_read_roundtrip(registered, tmp_path):
     got = {(r["zoom"], r["tile_x"], r["tile_y"]): bytes(r["tile"]) for r in back.collect()}
     assert got == orig
     assert decode_tiles(back.select("zoom", "tile_x", "tile_y", "tile")).count() == 200
+
+
+def test_shard_layout_roundtrip_and_pushdown(registered, tmp_path):
+    """Shard container: compact the reference tileset (445 loose files) into a
+    few packed shards, read back byte-identical rows, and verify pushdown
+    prunes at the ENTRY level inside shards."""
+    from open_vector_tile_spark.sources.tileset import (
+        OvtTilesetReader,
+        read_shard_index,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    loose = registered.read.format("ovt_tileset").option("path", REF_MVT).load()
+    want = {
+        (r["zoom"], r["tile_x"], r["tile_y"]): bytes(r["tile"])
+        for r in loose.collect()
+    }
+
+    out = str(tmp_path / "shards")
+    (
+        loose.select("zoom", "tile_x", "tile_y", "tile")
+        .repartition(3)
+        .write.format("ovt_tileset")
+        .option("path", out)
+        .option("layout", "shard")
+        .mode("append")
+        .save()
+    )
+    shard_files = [f for f in os.listdir(out) if f.endswith(".ovtshard")]
+    assert 1 <= len(shard_files) <= 3  # tiles packed, not one file per tile
+    assert sum(len(read_shard_index(os.path.join(out, f))[0]) for f in shard_files) == len(want)
+
+    back = registered.read.format("ovt_tileset").option("path", out).load()
+    got = {
+        (r["zoom"], r["tile_x"], r["tile_y"]): bytes(r["tile"]) for r in back.collect()
+    }
+    assert got == want
+
+    # pushdown prunes shard ENTRIES before any blob read
+    reader = OvtTilesetReader({"path": out, "num_partitions": "4"})
+    assert list(reader.pushFilters([EqualTo(("zoom",), 2)])) == []
+    entries = [t for p in reader.partitions() for t in p.files]
+    assert 0 < len(entries) < len(want)
+    assert all(t[0] == 2 for t in entries)
+    n_z2 = sum(1 for k in want if k[0] == 2)
+    assert len(entries) == n_z2
+
+
+def test_shard_bytes_deterministic(tmp_path):
+    """Shard bytes are a pure function of the entry set (order-insensitive)."""
+    from open_vector_tile_spark.sources.tileset import write_shard
+
+    e = [(2, 1, 1, b"aaa"), (1, 0, 0, b"bb"), (2, 0, 3, b"cccc")]
+    p1, p2 = str(tmp_path / "a.ovtshard"), str(tmp_path / "b.ovtshard")
+    write_shard(p1, e)
+    write_shard(p2, list(reversed(e)))
+    assert open(p1, "rb").read() == open(p2, "rb").read()
