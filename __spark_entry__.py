@@ -813,6 +813,24 @@ def _q_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus summary per language: counts, distinct sources, exact median
+    length, token totals — the one-scan partial-agg rollup a dataset card is
+    built from (exact percentile so DuckDB quantile_cont is a value oracle)."""
+    docs = _load(spark, sf, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.round(F.percentile(F.col("n_chars"), F.lit(0.5)), 6).alias("median_chars"),
+            F.sum(toks).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -852,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "det_sample": _q_det_sample,
         "dataset_split": _q_dataset_split,
+        "corpus_stats": _q_corpus_stats,
     }
 
 
@@ -1235,6 +1254,15 @@ def oracle_sql() -> dict[str, str]:
                         WHEN substr(md5(source), 1, 8) < 'e6666666' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents ORDER BY doc_id
+        """,
+        "corpus_stats": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   count(DISTINCT source) AS n_sources,
+                   round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+                   CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+                     AS total_tokens
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         # minhash_near_dups / simhash / lsh_topk: non-SQL-expressible
         # (xxhash64 signature chains / approximate LSH recall) -> rows-only
