@@ -57,13 +57,17 @@ class TileStore:
         df = spark.read.parquet(*[os.path.join(self.tiles_dir, s) for s in snaps])
         return df.select(*TILE_KEY).distinct()
 
-    def read_tiles(self, spark: SparkSession) -> DataFrame | None:
+    def read_tiles(self, spark: SparkSession, as_of: int | None = None) -> DataFrame | None:
         """Union of snapshots with latest-wins per tile key (a rebuilt tile
         in snapshot N+1 shadows its snapshot-N version — Iceberg-style
-        row-level replace semantics)."""
+        row-level replace semantics).  ``as_of`` is the time-travel read:
+        only snapshots with index <= as_of participate, reproducing the
+        table exactly as it stood after that commit."""
         from pyspark.sql import Window
 
         snaps = self.snapshots()
+        if as_of is not None:
+            snaps = [s for s in snaps if int(s.split("=", 1)[1]) <= as_of]
         if not snaps:
             return None
         parts = []
@@ -115,6 +119,28 @@ class TileStore:
         if done is None:
             return work
         return work.join(done, on=TILE_KEY, how="left_anti")
+
+    def changed_tiles(
+        self, spark: SparkSession, since: int, until: int | None = None
+    ) -> DataFrame | None:
+        """Incremental change feed between two snapshots: tile keys whose
+        bytes at ``until`` (default: latest) differ from — or did not exist
+        at — snapshot ``since``.  This is what a downstream consumer (CDN
+        sync, diff shipper) pulls instead of rescanning the tileset; both
+        sides are latest-wins time-travel reads, joined on the tile key."""
+        new = self.read_tiles(spark, as_of=until)
+        if new is None:
+            return None
+        old = self.read_tiles(spark, as_of=since)
+        if old is None:
+            return new
+        oldk = old.select(*TILE_KEY, F.xxhash64("tile").alias("_old_h"))
+        return (
+            new.withColumn("_new_h", F.xxhash64("tile"))
+            .join(oldk, on=TILE_KEY, how="left")
+            .filter(F.col("_old_h").isNull() | (F.col("_old_h") != F.col("_new_h")))
+            .drop("_old_h", "_new_h")
+        )
 
     def metrics(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.isdir(self.metrics_dir):

@@ -286,3 +286,41 @@ def test_spatial_join_distributed_shuffle_polygon_side(spark, pages):
         .collect()
     )
     assert got == want
+
+
+def test_tilestore_time_travel_and_change_feed(spark, tmp_path):
+    """as_of reproduces the table at an old commit; changed_tiles returns
+    exactly the keys whose bytes changed or appeared since a snapshot."""
+    store = TileStore(str(tmp_path / "tt_store"))
+
+    def tiles_for(ids):
+        pts = spark.createDataFrame(
+            [(int(i), (i * 37 % 3600) / 10.0 - 180.0, (i * 53 % 1600) / 10.0 - 80.0) for i in ids],
+            "doc_id long, lon double, lat double",
+        )
+        feats = points_to_features(pts, zoom=2, layer="docs", extent=4096, id_col="doc_id")
+        return encode_tiles(feats)
+
+    store.commit(tiles_for(range(40)))
+    store.commit(tiles_for(range(40, 60)))  # rebuilds some tiles, adds others
+
+    v0 = {
+        (r["tile_x"], r["tile_y"]): bytes(r["tile"])
+        for r in store.read_tiles(spark, as_of=0).collect()
+    }
+    latest = {
+        (r["tile_x"], r["tile_y"]): bytes(r["tile"])
+        for r in store.read_tiles(spark).collect()
+    }
+    assert v0 == {
+        (r["tile_x"], r["tile_y"]): bytes(r["tile"])
+        for r in tiles_for(range(40)).collect()
+    }
+
+    changed = {
+        (r["tile_x"], r["tile_y"]) for r in store.changed_tiles(spark, since=0).collect()
+    }
+    want_changed = {k for k, b in latest.items() if v0.get(k) != b}
+    assert changed == want_changed and len(changed) > 0
+    # unchanged tiles are NOT in the feed
+    assert all(v0.get(k) != latest[k] for k in changed)
