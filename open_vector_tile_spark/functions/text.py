@@ -56,16 +56,26 @@ def lang_score(text: Column, lang: str) -> Column:
 
 
 def lang_id(text: Column) -> Column:
-    """Best-scoring language marker set, 'und' when nothing matches."""
+    """Best-scoring language marker set, 'und' when nothing matches.
+
+    Implemented as ``greatest`` over (score, priority, lang) structs — NOT a
+    nested CASE chain: the chain re-inlines every score expression per branch
+    (exponential generated code; Janino rejects it past the 64 KB method
+    limit and the whole stage falls back to interpreted — a scale-killer
+    observed on the corpus_filter plan).  Struct comparison is field-wise, so
+    ties on score resolve by priority = marker-list order, exactly matching
+    the old chain's strictly-greater-keeps-earliest semantics."""
     langs = list(_LANG_MARKERS)
-    best_score = lang_score(text, langs[0])
-    best_lang = F.lit(langs[0])
-    for lg in langs[1:]:
-        s = lang_score(text, lg)
-        cond = s > best_score
-        best_lang = F.when(cond, F.lit(lg)).otherwise(best_lang)
-        best_score = F.when(cond, s).otherwise(best_score)
-    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+    packed = [
+        F.struct(
+            lang_score(text, lg).alias("s"),
+            F.lit(len(langs) - i).alias("p"),
+            F.lit(lg).alias("lang"),
+        )
+        for i, lg in enumerate(langs)
+    ]
+    best = F.greatest(*packed)
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 # ---------------------------------------------------------------------------
