@@ -1,1 +1,1 @@
-from . import geo, text  # noqa: F401
+from . import geo, sampling, text  # noqa: F401

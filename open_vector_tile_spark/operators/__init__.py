@@ -1,4 +1,5 @@
 from .decode import decode_grids, decode_images, decode_tiles, read_tileset  # noqa: F401
+from .events import asof_join, sessionize  # noqa: F401
 from .gridding import grid_aggregate, grid_tiles  # noqa: F401
 from .knn import knn_broadcast, knn_cell_ring  # noqa: F401
 from .pipeline import run_pipeline  # noqa: F401
@@ -11,7 +12,13 @@ from .similarity import (  # noqa: F401
     ivf_topk,
     ivf_train_centroids,
 )
-from .spatial_join import bbox_prejoin, polygon_covering, spatial_join  # noqa: F401
+from .spatial_join import (  # noqa: F401
+    bbox_prejoin,
+    polygon_covering,
+    polygon_covering_df,
+    spatial_join,
+    spatial_join_distributed,
+)
 from .tiler import (  # noqa: F401
     FEATURE_SCHEMA,
     TILE_SCHEMA,
