@@ -11,7 +11,7 @@ from .grid import GridData, write_grid_data  # noqa: F401
 from .image import ImageData, write_image_data  # noqa: F401
 from .layer import BaseLayer, OVLayer, write_ov_layer  # noqa: F401
 from .mvt import MvtLayer, classify_rings, signed_area, write_mvt  # noqa: F401
-from .pbf import PbfReader, PbfWriter  # noqa: F401
+from .pbf import PbfReader, PbfWriter, TileDecodeError  # noqa: F401
 from .s2json import s2json_feature_to_base, s2json_to_base_layers  # noqa: F401
 from .shape import (  # noqa: F401
     create_shape_from_data,

@@ -16,9 +16,26 @@ import struct
 
 import numpy as np
 
-__all__ = ["PbfWriter", "PbfReader", "write_varint", "read_varint", "zigzag64", "zagzig64"]
+__all__ = [
+    "PbfWriter",
+    "PbfReader",
+    "TileDecodeError",
+    "write_varint",
+    "read_varint",
+    "zigzag64",
+    "zagzig64",
+]
 
 _MASK64 = (1 << 64) - 1
+
+
+class TileDecodeError(ValueError):
+    """A tile buffer is truncated or structurally invalid.
+
+    The operational error type: at fleet scale a handful of corrupt blobs
+    (torn object-store writes, bitrot) must be skippable per-row
+    (``decode_tiles(on_error="skip")``) instead of failing a multi-hour job
+    with a bare IndexError from the framing layer."""
 
 
 def zigzag64(n: int) -> int:

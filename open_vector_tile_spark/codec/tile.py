@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import struct
 from typing import Optional
 
 from .column_cache import ColumnCacheReader, ColumnCacheWriter
@@ -9,7 +10,7 @@ from .grid import GridData, write_grid_data
 from .image import ImageData, write_image_data
 from .layer import BaseLayer, OVLayer, write_ov_layer
 from .mvt import MvtLayer
-from .pbf import PbfReader, PbfWriter
+from .pbf import PbfReader, PbfWriter, TileDecodeError
 
 
 class VectorTile:
@@ -18,6 +19,25 @@ class VectorTile:
     (src/vectorTile.ts:92-132)."""
 
     def __init__(self, data: bytes) -> None:
+        try:
+            self._parse(data)
+        except TileDecodeError:
+            raise
+        except (
+            IndexError,
+            ValueError,
+            KeyError,
+            OverflowError,
+            UnicodeDecodeError,
+            AttributeError,  # e.g. column-cache tag truncated away -> cache is None
+            TypeError,
+            struct.error,
+        ) as e:
+            raise TileDecodeError(
+                f"invalid tile buffer ({len(data)} bytes): {type(e).__name__}: {e}"
+            ) from e
+
+    def _parse(self, data: bytes) -> None:
         self.layers: dict[str, object] = {}
         self.grids: dict[str, GridData] = {}
         self.images: dict[str, ImageData] = {}

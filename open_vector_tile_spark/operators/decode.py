@@ -24,7 +24,7 @@ from typing import Iterator, Optional
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..codec import VectorTile
+from ..codec import TileDecodeError, VectorTile
 from ..codec.layer import OVLayer
 from ..codec.mvt import MvtLayer
 
@@ -130,6 +130,7 @@ def decode_tiles(
     tiles: DataFrame,
     layers: Optional[list[str]] = None,
     sources: tuple = ("ovt", "mvt"),
+    on_error: str = "fail",
 ) -> DataFrame:
     """tiles(zoom, tile_x, tile_y, tile) -> exploded feature rows.
 
@@ -137,10 +138,31 @@ def decode_tiles(
     features are never parsed (the codec's lazy position references mean
     skipping a layer costs only its header scan).  ``sources`` selects wire
     families: "ovt" (tag 4) and/or "mvt" (tags 1/3 incl. legacy S2).
+
+    ``on_error``: "fail" (default) raises :class:`TileDecodeError` on a
+    corrupt blob; "skip" drops the offending TILE atomically (no partial
+    feature output from a tile that fails mid-decode) and keeps the job
+    alive — the operational choice at fleet scale where torn writes happen.
     """
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be fail|skip, got {on_error!r}")
     want = set(layers) if layers else None
     want_ovt = "ovt" in sources
     want_mvt = "mvt" in sources
+    # lazy feature decode means truncation can surface as raw IndexError etc.
+    # after the header parse; treat the same error classes as TileDecodeError
+    import struct
+
+    _DECODE_ERRORS = (
+        TileDecodeError,
+        IndexError,
+        ValueError,
+        KeyError,
+        OverflowError,
+        AttributeError,
+        TypeError,
+        struct.error,
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -152,33 +174,44 @@ def decode_tiles(
                 pdf["tile"].tolist(),
             ):
                 zoom, tx, ty = int(zoom), int(tx), int(ty)
-                parsed = VectorTile(bytes(blob))
-                for lname, layer in parsed.layers.items():
-                    if want is not None and lname not in want:
+                tile_rows: list[tuple] = []
+                try:
+                    parsed = VectorTile(bytes(blob))
+                    for lname, layer in parsed.layers.items():
+                        if want is not None and lname not in want:
+                            continue
+                        if isinstance(layer, OVLayer):
+                            if not want_ovt:
+                                continue
+                            extent = layer.extent
+                            for i in range(len(layer)):
+                                tile_rows.append(
+                                    _feature_row(
+                                        zoom, tx, ty, lname, "ovt", extent, i,
+                                        layer.feature(i),
+                                    )
+                                )
+                        elif isinstance(layer, MvtLayer):
+                            if not want_mvt:
+                                continue
+                            extent = layer.extent
+                            src = "s2" if layer.is_s2 else "mvt"
+                            for i in range(len(layer)):
+                                tile_rows.append(
+                                    _feature_row(
+                                        zoom, tx, ty, lname, src, extent, i,
+                                        layer.feature(i).to_base(),
+                                    )
+                                )
+                except _DECODE_ERRORS as e:
+                    if on_error == "skip":
                         continue
-                    if isinstance(layer, OVLayer):
-                        if not want_ovt:
-                            continue
-                        extent = layer.extent
-                        for i in range(len(layer)):
-                            out.append(
-                                _feature_row(
-                                    zoom, tx, ty, lname, "ovt", extent, i,
-                                    layer.feature(i),
-                                )
-                            )
-                    elif isinstance(layer, MvtLayer):
-                        if not want_mvt:
-                            continue
-                        extent = layer.extent
-                        src = "s2" if layer.is_s2 else "mvt"
-                        for i in range(len(layer)):
-                            out.append(
-                                _feature_row(
-                                    zoom, tx, ty, lname, src, extent, i,
-                                    layer.feature(i).to_base(),
-                                )
-                            )
+                    if isinstance(e, TileDecodeError):
+                        raise
+                    raise TileDecodeError(
+                        f"tile ({zoom},{tx},{ty}): {type(e).__name__}: {e}"
+                    ) from e
+                out.extend(tile_rows)
             yield pd.DataFrame(out, columns=_DECODED_COLS)
 
     return tiles.mapInPandas(run, DECODED_SCHEMA)

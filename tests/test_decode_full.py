@@ -162,3 +162,54 @@ def test_decode_grids_and_images(spark):
     assert bytes(r["image"]) == img["image"]
     # name pruning
     assert decode_grids(tiles, names=["nope"]).count() == 0
+
+
+def test_truncated_buffer_raises_typed_error():
+    """Corrupt/truncated buffers raise TileDecodeError, not bare IndexError."""
+    import pytest
+
+    from open_vector_tile_spark.codec import TileDecodeError, VectorTile
+
+    raw = open("/root/reference/tests/fixtures/14-8801-5371.vector.pbf", "rb").read()
+    for cut in (1, 7, 100, len(raw) // 2, len(raw) - 3):
+        with pytest.raises(TileDecodeError):
+            VectorTile(raw[:cut])
+    with pytest.raises(TileDecodeError):
+        VectorTile(b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\xff\xff")
+
+
+def test_decode_tiles_on_error_skip(spark):
+    """on_error='skip' drops corrupt tiles atomically and keeps good ones;
+    the default fails loudly with the typed error in the task message."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_vector_tile_spark.operators import decode_tiles, encode_tiles, points_to_features
+
+    pts = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37 % 3600) / 10.0 - 180.0).alias("lon"),
+        ((F.col("id") * 53 % 1600) / 10.0 - 80.0).alias("lat"),
+    )
+    tiles = encode_tiles(
+        points_to_features(pts, zoom=2, layer="docs", extent=4096, id_col="doc_id")
+    ).select("zoom", "tile_x", "tile_y", "tile")
+    good_feats = decode_tiles(tiles).count()
+    assert good_feats == 100
+
+    corrupt = tiles.withColumn(
+        "tile",
+        F.when(F.col("tile_x") % 2 == 0, F.expr("substring(tile, 1, 5)")).otherwise(
+            F.col("tile")
+        ),
+    )
+    n_good_tiles = tiles.filter("tile_x % 2 != 0").count()
+    assert n_good_tiles > 0
+
+    kept = decode_tiles(corrupt, on_error="skip")
+    pdf = kept.select("tile_x").distinct().toPandas()
+    assert set(pdf["tile_x"] % 2) == {1}  # only intact tiles survive
+    assert kept.count() == decode_tiles(tiles.filter("tile_x % 2 != 0")).count()
+
+    with pytest.raises(Exception, match="TileDecodeError|invalid tile"):
+        decode_tiles(corrupt).count()
