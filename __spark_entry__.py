@@ -813,6 +813,23 @@ def _q_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ-ADC ANN top-k (rows-only: product quantization is lossy by design,
+    so there is no SQL value twin; correctness oracles are the pytest
+    cluster-retrieval + determinism tests in tests/test_webtext_ops.py)."""
+    from open_vector_tile_spark.operators.similarity import pq_topk, pq_train_codebooks
+
+    emb = _load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    C = pq_train_codebooks(emb, m=8, n_codes=16, n_iters=2)
+    out = pq_topk(emb, queries, C, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round(F.col("adc_dist"), 6).alias("adc_dist"), "rank"
+    ).orderBy("query_id", "rank")
+
+
 def _q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus summary per language: counts, distinct sources, exact median
     length, token totals — the one-scan partial-agg rollup a dataset card is
@@ -871,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_sample": _q_det_sample,
         "dataset_split": _q_dataset_split,
         "corpus_stats": _q_corpus_stats,
+        "pq_topk": _q_pq_topk,
     }
 
 

@@ -327,7 +327,12 @@ def ivf_train_centroids(
         )
         new_C = C.copy()  # empty lists keep their centroid
         for cid, grp in agg.groupby("centroid"):
-            cnt = int(grp["cnt"].iloc[0]) // C.shape[1]  # cnt repeated per pos
+            # each (centroid, pos) row carries the full per-partition count;
+            # the groupBy sum makes iloc[0] the TOTAL count.  (An earlier
+            # version divided by dim here — harmless for the cosine argmax,
+            # which is scale-invariant, but wrong for any metric where
+            # centroid magnitude matters.)
+            cnt = int(grp["cnt"].iloc[0])
             if cnt > 0:
                 vec = grp.sort_values("pos")["vsum"].to_numpy() / cnt
                 new_C[int(cid)] = vec
@@ -479,3 +484,188 @@ def embedding_near_dups(
     return pairs.select(
         "id_a", "id_b", pair_cos(F.col("vec_a"), F.col("vec_b")).alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): the memory-bound ANN scale path
+# ---------------------------------------------------------------------------
+# At 10^11 embeddings the raw vectors (d float32) no longer fit the cluster's
+# memory; PQ stores one byte-sized code per subspace (m bytes/vector, a
+# 32-128x compression) and scores with per-query lookup tables (ADC), so the
+# scan over codes is memory-bandwidth-cheap.  Distances are squared
+# Euclidean (the standard PQ metric; L2-normalize upstream for
+# cosine-equivalent ranking).
+
+
+def pq_train_codebooks(
+    vectors: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic distributed k-means per subspace -> (m, n_codes, d/m).
+
+    Same reduction shape as :func:`ivf_train_centroids`: init = subvectors of
+    the ``n_codes`` smallest-xxhash ids (parallelism-invariant), each Lloyd
+    iteration one map pass emitting (subspace, code, pos) partial sums that a
+    groupBy reduces to m*n_codes*(d/m) rows before the driver sees them."""
+    seed_rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.abs(F.xxhash64(F.col(id_col))).asc(), F.col(id_col).asc())
+        .limit(n_codes)
+        .toPandas()
+    )
+    S = _to_matrix(seed_rows[vec_col])
+    d = S.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    # (m, n_codes, sub): subspace s takes columns [s*sub, (s+1)*sub)
+    C = np.stack([S[:, s * sub : (s + 1) * sub].copy() for s in range(m)])
+    spark = vectors.sparkSession
+
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast(C)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cm = bc.value  # (m, n_codes, sub)
+            mm, kk, ss = Cm.shape
+            sums = np.zeros((mm, kk, ss), dtype=np.float64)
+            cnts = np.zeros((mm, kk), dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = _to_matrix(pdf[vec_col])
+                for s in range(mm):
+                    Vs = V[:, s * ss : (s + 1) * ss]
+                    # ||v - c||^2 argmin == argmax(2 v.c - ||c||^2)
+                    score = 2.0 * (Vs @ Cm[s].T) - (Cm[s] ** 2).sum(axis=1)[None, :]
+                    assign = np.argmax(score, axis=1)
+                    np.add.at(sums[s], assign, Vs)
+                    cnts[s] += np.bincount(assign, minlength=kk)
+            sidx, cidx, pidx = np.meshgrid(
+                np.arange(mm), np.arange(kk), np.arange(ss), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "sub": sidx.ravel(),
+                    "code": cidx.ravel(),
+                    "pos": pidx.ravel(),
+                    "vsum": sums.ravel(),
+                    "cnt": np.repeat(cnts.ravel(), ss),
+                }
+            )
+
+        agg = (
+            vectors.select(vec_col)
+            .mapInPandas(partials, "sub int, code int, pos int, vsum double, cnt long")
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("vsum").alias("vsum"), F.sum("cnt").alias("cnt"))
+            .toPandas()
+        )
+        new_C = C.copy()
+        for (s, code), grp in agg.groupby(["sub", "code"]):
+            # each (sub, code, pos) row already carries the full per-partition
+            # count; the groupBy sum makes it the TOTAL count — no rescaling
+            cnt = int(grp["cnt"].iloc[0])
+            if cnt > 0:
+                new_C[int(s), int(code)] = grp.sort_values("pos")["vsum"].to_numpy() / cnt
+        C = new_C
+        bc.destroy()
+    return C
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Tag each vector with its m-byte PQ code (array<int>, one code id per
+    subspace).  This is the column you MATERIALIZE at fleet scale — downstream
+    ADC scans read only ids + codes, never the raw vectors."""
+    from pyspark.sql.functions import pandas_udf
+
+    Cm = np.asarray(codebooks, dtype=np.float64)
+    mm, _kk, ss = Cm.shape
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        V = _to_matrix(vecs)
+        codes = np.empty((len(V), mm), dtype=np.int32)
+        for s in range(mm):
+            Vs = V[:, s * ss : (s + 1) * ss]
+            score = 2.0 * (Vs @ Cm[s].T) - (Cm[s] ** 2).sum(axis=1)[None, :]
+            codes[:, s] = np.argmax(score, axis=1)
+        return pd.Series(list(codes))
+
+    return vectors.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC top-k: per query a (m, n_codes) table of subspace squared
+    distances is built once on the driver and broadcast; each Arrow batch
+    encodes its rows and scores them as m table lookups + a sum — no
+    full-dimension arithmetic in the scan.  Local top-k per partition, then
+    the usual k*Q*partitions-row ranking window.  Returns
+    (query_id, vec_id, adc_dist, rank), rank 1 = nearest."""
+    spark = vectors.sparkSession
+    Cm = np.asarray(codebooks, dtype=np.float64)
+    mm, kk, ss = Cm.shape
+    qids, Q = _collect_queries(queries, qid_col, qvec_col)
+    # LUT[q, s, c] = ||q_s - C[s, c]||^2
+    lut = np.empty((len(qids), mm, kk), dtype=np.float64)
+    for s in range(mm):
+        Qs = Q[:, s * ss : (s + 1) * ss]
+        diff = Qs[:, None, :] - Cm[s][None, :, :]
+        lut[:, s, :] = (diff**2).sum(axis=2)
+    bq = spark.sparkContext.broadcast((qids, lut, Cm))
+    qid_t = queries.schema[qid_col].dataType.simpleString()
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    out_schema = f"{qid_col} {qid_t}, {id_col} {id_t}, adc_dist double"
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, lut, Cm = bq.value
+        mm, kk, ss = Cm.shape[0], Cm.shape[1], Cm.shape[2]
+        best_ids: list[list] = [[] for _ in qids]
+        best_d: list[list] = [[] for _ in qids]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _to_matrix(pdf[vec_col])
+            ids = pdf[id_col].to_numpy()
+            codes = np.empty((len(V), mm), dtype=np.int64)
+            for s in range(mm):
+                Vs = V[:, s * ss : (s + 1) * ss]
+                score = 2.0 * (Vs @ Cm[s].T) - (Cm[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = np.argmax(score, axis=1)
+            # ADC: dist[q, row] = sum_s lut[q, s, codes[row, s]]
+            for qi in range(len(qids)):
+                dist = lut[qi, np.arange(mm)[None, :], codes].sum(axis=1)
+                sel = _topk_order(-dist, ids, k)  # smallest distance first
+                best_ids[qi].append(ids[sel])
+                best_d[qi].append(dist[sel])
+        rows = []
+        for qi, qid in enumerate(qids):
+            if not best_ids[qi]:
+                continue
+            ids_all = np.concatenate(best_ids[qi])
+            d_all = np.concatenate(best_d[qi])
+            for j in _topk_order(-d_all, ids_all, k):
+                rows.append((qid, ids_all[j], d_all[j]))
+        yield pd.DataFrame(rows, columns=[qid_col, id_col, "adc_dist"])
+
+    local = vectors.mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy(qid_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -291,3 +291,72 @@ def test_multimodal_unknown_codec_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG", "image/png", 4, 4)
+
+
+def _clustered_vectors(n=240, dim=8, n_clusters=8):
+    """Deterministic well-separated clusters (PQ recall is meaningful here;
+    uniform random data has no structure for any quantizer to find)."""
+    import numpy as np
+
+    # one-hot-style centers: pairwise-distinct, equal separation ~21
+    centers = np.array(
+        [[15.0 if j == c % dim else 0.0 for j in range(dim)] for c in range(n_clusters)]
+    )
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        jit = np.array([(((i * 13 + j * 5) % 7) - 3) * 0.05 for j in range(dim)])
+        rows.append((i, (centers[c] + jit).tolist()))
+    return rows
+
+
+def test_pq_codebooks_deterministic_across_partitioning(spark):
+    from open_vector_tile_spark.operators.similarity import pq_train_codebooks
+
+    rows = _clustered_vectors()
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(2)
+    b = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(7)
+    import numpy as np
+
+    Ca = pq_train_codebooks(a, m=2, n_codes=8)
+    Cb = pq_train_codebooks(b, m=2, n_codes=8)
+    assert Ca.shape == (2, 8, 4)
+    assert np.allclose(Ca, Cb)
+
+
+def test_pq_encode_and_adc_recall(spark):
+    """PQ-ADC top-k finds the true L2 neighbors on clustered data; encoding
+    yields valid per-subspace code ids."""
+    import numpy as np
+
+    from open_vector_tile_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    C = pq_train_codebooks(df, m=2, n_codes=16, n_iters=3)
+
+    codes = pq_encode(df, C).select("vec_id", "pq_code").toPandas()
+    assert all(len(c) == 2 and all(0 <= int(x) < 16 for x in c) for c in codes["pq_code"])
+
+    queries = df.filter("vec_id < 4").withColumnRenamed("vec_id", "query_id")
+    k = 10
+    got = pq_topk(df, queries, C, k=k).toPandas()
+    assert set(got["query_id"]) == {0, 1, 2, 3}
+    assert got.groupby("query_id").size().eq(k).all()
+
+    # a coarse quantizer collapses a tight cluster to one code (by design),
+    # so within-cluster ORDER is not recoverable — the correct property is
+    # cluster-level: every retrieved neighbor comes from the query's cluster
+    # (which contains 30 members, > k)
+    n_clusters = 8
+    for q in range(4):
+        mine = got[got["query_id"] == q]["vec_id"].tolist()
+        assert all(int(v) % n_clusters == q % n_clusters for v in mine), (q, mine)
+
+    # ADC distance of a query to its own cluster is (near) the minimum
+    top1 = got[got["rank"] == 1]
+    assert (top1.groupby("query_id")["adc_dist"].min() < 1.0).all()
