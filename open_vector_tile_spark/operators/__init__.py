@@ -11,6 +11,9 @@ from .similarity import (  # noqa: F401
     ivf_assign,
     ivf_topk,
     ivf_train_centroids,
+    pq_encode,
+    pq_topk,
+    pq_train_codebooks,
 )
 from .spatial_join import (  # noqa: F401
     bbox_prejoin,
