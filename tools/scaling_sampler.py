@@ -54,12 +54,12 @@ def _control(kind: str, cores: int) -> dict | None:
         return None
 
 
-def sample(minutes: float, rows: int, paths: list[str]) -> None:
+def sample(minutes: float, rows: int, paths: list[str], cores_levels=(8, 32)) -> None:
     deadline = time.time() + minutes * 60
     with open(LEDGER, "a") as fh:
         while time.time() < deadline:
             for path in paths:
-                for cores in (8, 32):
+                for cores in cores_levels:
                     r = _measure(path, cores, rows)
                     if r:
                         rec = {"ts": round(time.time(), 1), "kind": "job",
@@ -67,7 +67,7 @@ def sample(minutes: float, rows: int, paths: list[str]) -> None:
                         fh.write(json.dumps(rec) + "\n")
                         fh.flush()
             for kind in ("cpu", "memstream"):
-                for cores in (8, 32):
+                for cores in cores_levels:
                     r = _control(kind, cores)
                     if r:
                         rec = {"ts": round(time.time(), 1), "kind": kind,
@@ -78,38 +78,45 @@ def sample(minutes: float, rows: int, paths: list[str]) -> None:
 
 
 def summarize() -> dict:
+    """Best-per-level throughputs and every observed N->4N pair efficiency
+    ((2,8) and (8,32) when both levels have samples)."""
     rows = [json.loads(ln) for ln in open(LEDGER)]
     out: dict = {"n_samples": len(rows)}
+    pairs = ((2, 8), (8, 32))
     for path in sorted({r.get("path") for r in rows if r["kind"] == "job"}):
         cell = {}
-        for cores in (8, 32):
+        best = {}
+        for cores in (2, 8, 32):
             obs = [r for r in rows
                    if r["kind"] == "job" and r.get("path") == path and r["cores"] == cores]
             if obs:
-                best = max(obs, key=lambda r: r["rows_per_sec"])
+                b = max(obs, key=lambda r: r["rows_per_sec"])
+                best[cores] = b["rows_per_sec"]
                 cell[f"local[{cores}]"] = {
-                    "best_rows_per_sec": best["rows_per_sec"],
-                    "best_sec": best["sec"],
+                    "best_rows_per_sec": b["rows_per_sec"],
+                    "best_sec": b["sec"],
                     "n": len(obs),
                 }
-        if len(cell) == 2:
-            cell["efficiency_best"] = round(
-                (cell["local[32]"]["best_rows_per_sec"]
-                 / cell["local[8]"]["best_rows_per_sec"]) / 4.0, 3)
+        for lo, hi in pairs:
+            if lo in best and hi in best:
+                cell[f"efficiency_best_{lo}to{hi}"] = round(
+                    (best[hi] / best[lo]) / (hi / lo), 3)
         out[path] = cell
     for kind in ("cpu", "memstream"):
         cell = {}
-        for cores in (8, 32):
+        best = {}
+        for cores in (2, 8, 32):
             obs = [r for r in rows if r["kind"] == kind and r["cores"] == cores]
             if obs:
+                best[cores] = max(r["units_per_sec"] for r in obs)
                 cell[f"local[{cores}]"] = {
-                    "best_units_per_sec": max(r["units_per_sec"] for r in obs),
+                    "best_units_per_sec": best[cores],
                     "n": len(obs),
                 }
-        if len(cell) == 2:
-            cell["efficiency_best"] = round(
-                (cell["local[32]"]["best_units_per_sec"]
-                 / cell["local[8]"]["best_units_per_sec"]) / 4.0, 3)
+        for lo, hi in pairs:
+            if lo in best and hi in best:
+                cell[f"efficiency_best_{lo}to{hi}"] = round(
+                    (best[hi] / best[lo]) / (hi / lo), 3)
         out[kind] = cell
     return out
 
@@ -121,10 +128,14 @@ def main() -> None:
     sp.add_argument("--minutes", type=float, default=60)
     sp.add_argument("--rows", type=int, default=2_000_000)
     sp.add_argument("--paths", default="fast,verify,cpuspark")
+    sp.add_argument("--cores", default="8,32",
+                    help="comma list of pinned core counts; (2,8) pairs probe "
+                         "N->4N below the box's memory-bandwidth saturation point")
     sub.add_parser("summarize")
     args = ap.parse_args()
     if args.cmd == "sample":
-        sample(args.minutes, args.rows, args.paths.split(","))
+        sample(args.minutes, args.rows, args.paths.split(","),
+               tuple(int(c) for c in args.cores.split(",")))
     else:
         print(json.dumps(summarize(), indent=2))
 
