@@ -83,16 +83,23 @@ def build_queries(spark, sf_dir):
 
 
 def run_session(cores: int, sf_dir: str) -> dict[str, float]:
+    """Headline timings: per-query MIN over SPARK_GRAFT_BENCH_PASSES (default
+    2) passes in one session.  The co-tenant host flips calm<->loaded on
+    minute timescales (BENCH.md forensics); a single-shot suite measures the
+    window it lands in, min-of-2 measures the engine."""
     from open_vector_tile_spark.plans import get_spark
 
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     spark = get_spark(f"bench-{cores}", cores=cores)
     try:
         queries = build_queries(spark, sf_dir)
         timings: dict[str, float] = {}
-        for name, fn in queries.items():
-            t0 = time.perf_counter()
-            fn().collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
+        for _ in range(passes):
+            for name, fn in queries.items():
+                t0 = time.perf_counter()
+                fn().collect()
+                dt = round(time.perf_counter() - t0, 3)
+                timings[name] = min(timings.get(name, dt), dt)
         return timings
     finally:
         spark.stop()

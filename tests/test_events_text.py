@@ -199,3 +199,14 @@ def test_sessionize_gap_bound_is_exclusive(spark):
     df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp")
     got = {r["event_id"]: r["session_id"] for r in sessionize(df, gap_seconds=10.0).collect()}
     assert got == {0: 0, 1: 0, 2: 1}
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both window stages (lag gap-cut + running sum) share one Exchange on
+    the key — no second shuffle between them."""
+    pdf = _events_pdf(n=50)
+    df = spark.createDataFrame(pdf)
+    plan = (
+        sessionize(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
