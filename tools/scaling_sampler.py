@@ -121,6 +121,35 @@ def summarize() -> dict:
     return out
 
 
+def pairwise() -> dict:
+    """Same-window N->4N efficiencies: consecutive (path, lo)->(path, hi)
+    measurements taken back-to-back in one sampling round, so both levels see
+    (approximately) the same host state.  Cross-window best-per-level mixing
+    can exceed 1.0 spuriously; these pairs cannot."""
+    rows = [json.loads(ln) for ln in open(LEDGER)]
+    jobs = [r for r in rows if r["kind"] == "job"]
+    out: dict = {}
+    for path in sorted({r.get("path") for r in jobs}):
+        seq = [r for r in jobs if r["path"] == path]
+        seq.sort(key=lambda r: r["ts"])
+        for lo, hi in ((2, 8), (8, 32)):
+            effs = []
+            for a, b in zip(seq, seq[1:]):
+                if a["cores"] == lo and b["cores"] == hi and b["ts"] - a["ts"] < 900:
+                    effs.append(
+                        round((b["rows_per_sec"] / a["rows_per_sec"]) / (hi / lo), 3)
+                    )
+            if effs:
+                effs.sort()
+                out[f"{path}_{lo}to{hi}"] = {
+                    "n_pairs": len(effs),
+                    "best": effs[-1],
+                    "median": effs[len(effs) // 2],
+                    "all": effs,
+                }
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -132,10 +161,13 @@ def main() -> None:
                     help="comma list of pinned core counts; (2,8) pairs probe "
                          "N->4N below the box's memory-bandwidth saturation point")
     sub.add_parser("summarize")
+    sub.add_parser("pairs")
     args = ap.parse_args()
     if args.cmd == "sample":
         sample(args.minutes, args.rows, args.paths.split(","),
                tuple(int(c) for c in args.cores.split(",")))
+    elif args.cmd == "pairs":
+        print(json.dumps(pairwise(), indent=2))
     else:
         print(json.dumps(summarize(), indent=2))
 
