@@ -70,12 +70,12 @@ def _sql_merc_y(lat_expr: str) -> str:
     return f"(0.5 - ln((1.0+{s})/(1.0-{s}))/(4.0*pi()))"
 
 
-def _sql_tx(lon_expr: str) -> str:
-    return f"CAST(floor(({lon_expr}+180.0)/360.0*{N_TILES}) AS BIGINT)"
+def _sql_tx(lon_expr: str, n_tiles: int = N_TILES) -> str:
+    return f"CAST(floor(({lon_expr}+180.0)/360.0*{n_tiles}) AS BIGINT)"
 
 
-def _sql_ty(lat_expr: str) -> str:
-    return f"CAST(floor({_sql_merc_y(lat_expr)}*{N_TILES}) AS BIGINT)"
+def _sql_ty(lat_expr: str, n_tiles: int = N_TILES) -> str:
+    return f"CAST(floor({_sql_merc_y(lat_expr)}*{n_tiles}) AS BIGINT)"
 
 
 # ---------------------------------------------------------------------------
@@ -830,6 +830,22 @@ def _q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _q_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
+    """Whole zoom-pyramid (z2/z3/z4) built in ONE pass — explode-per-zoom
+    featurization, single shuffle on (zoom, tile_x, tile_y) through the full
+    encode path; per-tile feature counts are the oracle surface."""
+    from open_vector_tile_spark.operators import encode_tiles, points_to_features_pyramid
+
+    docs = _doc_points(_load(spark, sf, "documents"))
+    feats = points_to_features_pyramid(
+        docs, zooms=(2, 3, 4), layer="docs", extent=4096, id_col="doc_id"
+    )
+    tiles = encode_tiles(feats)
+    return tiles.select("zoom", "tile_x", "tile_y", "n_features").orderBy(
+        "zoom", "tile_x", "tile_y"
+    )
+
+
 def _q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus summary per language: counts, distinct sources, exact median
     length, token totals — the one-scan partial-agg rollup a dataset card is
@@ -889,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "corpus_stats": _q_corpus_stats,
         "pq_topk": _q_pq_topk,
+        "tile_pyramid": _q_tile_pyramid,
     }
 
 
@@ -1272,6 +1289,16 @@ def oracle_sql() -> dict[str, str]:
                         WHEN substr(md5(source), 1, 8) < 'e6666666' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents ORDER BY doc_id
+        """,
+        "tile_pyramid": f"""
+            SELECT zoom, tile_x, tile_y, count(*) AS n_features FROM (
+              SELECT 2 AS zoom, {_sql_tx(_SQL_LON_DOC, 4)} AS tile_x,
+                     {_sql_ty(_SQL_LAT_DOC, 4)} AS tile_y FROM documents
+              UNION ALL
+              SELECT 3, {_sql_tx(_SQL_LON_DOC, 8)}, {_sql_ty(_SQL_LAT_DOC, 8)} FROM documents
+              UNION ALL
+              SELECT 4, {_sql_tx(_SQL_LON_DOC, 16)}, {_sql_ty(_SQL_LAT_DOC, 16)} FROM documents)
+            GROUP BY zoom, tile_x, tile_y ORDER BY zoom, tile_x, tile_y
         """,
         "corpus_stats": """
             SELECT lang,

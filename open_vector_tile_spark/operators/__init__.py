@@ -33,6 +33,7 @@ from .tiler import (  # noqa: F401
     lines_to_features,
     points3d_to_features,
     points_to_features,
+    points_to_features_pyramid,
     polygons3d_to_features,
     points_to_features_columnar,
     polygons_to_features,

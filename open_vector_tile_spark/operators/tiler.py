@@ -422,6 +422,59 @@ def points_to_features(
     return points.select(*cols)
 
 
+def points_to_features_pyramid(
+    points: DataFrame,
+    zooms: Iterable[int],
+    layer: str,
+    extent: int = 4096,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: Optional[str] = None,
+    props_cols: Optional[Iterable[str]] = None,
+) -> DataFrame:
+    """Whole zoom-pyramid featurization in ONE pass: each point is exploded
+    to every requested zoom level JVM-side (``array``+``explode``, no
+    Python), with tile/quantization math parameterized by the zoom COLUMN —
+    so the full pyramid is built with a single scan of the source and a
+    single downstream shuffle on (zoom, tile_x, tile_y) in
+    ``encode_tiles``.  The per-level alternative scans the source and
+    shuffles once PER zoom — z2..z14 would be 13 scans; this is one.
+
+    Per-zoom output is row-identical to ``points_to_features(zoom=z)``
+    (pinned by tests/test_vector_layers_spark.py::test_pyramid...)."""
+    from ..functions.geo import merc_x_col, merc_y_col
+
+    zs = sorted({int(z) for z in zooms})
+    if not zs:
+        raise ValueError("zooms must be non-empty")
+    pts = points.withColumn("zoom", F.explode(F.array(*[F.lit(z) for z in zs])))
+    # 2^zoom as a column expression (shiftleft needs a literal shift; pow is
+    # exact in double for any real zoom level)
+    n = F.pow(F.lit(2.0), F.col("zoom"))
+    mx = merc_x_col(F.col(lon)) * n
+    my = merc_y_col(F.col(lat)) * n
+    nmax = (n - F.lit(1.0)).cast("long")
+    zero = F.lit(0).cast("long")
+    tx = F.greatest(zero, F.least(nmax, F.floor(mx).cast("long")))
+    ty = F.greatest(zero, F.least(nmax, F.floor(my).cast("long")))
+    qx = F.floor((mx - tx) * F.lit(float(extent)) + F.lit(0.5)).cast("int")
+    qy = F.floor((my - ty) * F.lit(float(extent)) + F.lit(0.5)).cast("int")
+    cols = [
+        F.col("zoom"),
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
+        F.lit(layer).alias("layer"),
+        F.lit(extent).alias("extent"),
+        F.lit(1).alias("ftype"),
+        F.array(qx, qy).alias("geom_xy"),
+    ]
+    if id_col:
+        cols.append(F.col(id_col).cast("long").alias("id"))
+    if props_cols:
+        cols.append(F.to_json(F.struct(*[F.col(c) for c in props_cols])).alias("props_json"))
+    return pts.select(*cols)
+
+
 def points3d_to_features(
     points: DataFrame,
     zoom: int,

@@ -342,3 +342,55 @@ def test_lines3d_and_polygons3d_roundtrip(spark):
     m1 = {(r.tile_x, r.tile_y): bytes(r.tile) for r in t1.itertuples()}
     m2 = {(r.tile_x, r.tile_y): bytes(r.tile) for r in t2.itertuples()}
     assert m1 == m2
+
+
+def test_pyramid_matches_per_level_featurization(spark):
+    """points_to_features_pyramid == points_to_features per zoom, and the
+    whole pyramid encodes in one pass with byte-identical tiles."""
+    from pyspark.sql import functions as F
+
+    from open_vector_tile_spark.operators import (
+        encode_tiles,
+        points_to_features,
+        points_to_features_pyramid,
+    )
+
+    pts = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37 % 3600) / 10.0 - 180.0).alias("lon"),
+        ((F.col("id") * 53 % 1600) / 10.0 - 80.0).alias("lat"),
+    )
+    zooms = (2, 3, 5)
+    pyr = points_to_features_pyramid(pts, zooms, layer="docs", extent=4096, id_col="doc_id")
+    for z in zooms:
+        want = sorted(
+            map(
+                tuple,
+                points_to_features(pts, zoom=z, layer="docs", extent=4096, id_col="doc_id")
+                .select("tile_x", "tile_y", "geom_xy", "id")
+                .collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                pyr.filter(F.col("zoom") == z)
+                .select("tile_x", "tile_y", "geom_xy", "id")
+                .collect(),
+            )
+        )
+        assert got == want
+
+    tiles_pyr = {
+        (r["zoom"], r["tile_x"], r["tile_y"]): bytes(r["tile"])
+        for r in encode_tiles(pyr).collect()
+    }
+    for z in zooms:
+        per_level = encode_tiles(
+            points_to_features(pts, zoom=z, layer="docs", extent=4096, id_col="doc_id")
+        )
+        for r in per_level.collect():
+            assert tiles_pyr[(z, r["tile_x"], r["tile_y"])] == bytes(r["tile"])
+    assert len(tiles_pyr) == sum(
+        1 for k in tiles_pyr
+    )  # no duplicate keys across zooms
