@@ -846,6 +846,40 @@ def _q_tile_pyramid(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_merge_overlay(spark: SparkSession, sf: str) -> DataFrame:
+    """Tileset composition: two derived tilesets (base = even doc_ids,
+    overlay = every 3rd) merged at the layer level, decoded back, per-layer
+    feature counts checked against plain SQL."""
+    from open_vector_tile_spark.operators import (
+        decode_tiles,
+        encode_tiles,
+        merge_tilesets,
+        points_to_features,
+    )
+
+    zoom = 3
+    docs = _doc_points(_load(spark, sf, "documents"))
+    a = encode_tiles(
+        points_to_features(
+            docs.filter(F.col("doc_id") % 2 == 0), zoom=zoom, layer="base",
+            extent=4096, id_col="doc_id",
+        )
+    ).select("zoom", "tile_x", "tile_y", "tile")
+    b = encode_tiles(
+        points_to_features(
+            docs.filter(F.col("doc_id") % 3 == 0), zoom=zoom, layer="overlay",
+            extent=4096, id_col="doc_id",
+        )
+    ).select("zoom", "tile_x", "tile_y", "tile")
+    merged = merge_tilesets(a, b)
+    feats = decode_tiles(merged)
+    return (
+        feats.groupBy("zoom", "tile_x", "tile_y", "layer")
+        .agg(F.count("*").alias("n_features"))
+        .orderBy("zoom", "tile_x", "tile_y", "layer")
+    )
+
+
 def _q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus summary per language: counts, distinct sources, exact median
     length, token totals — the one-scan partial-agg rollup a dataset card is
@@ -906,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "pq_topk": _q_pq_topk,
         "tile_pyramid": _q_tile_pyramid,
+        "merge_overlay": _q_merge_overlay,
     }
 
 
@@ -1289,6 +1324,19 @@ def oracle_sql() -> dict[str, str]:
                         WHEN substr(md5(source), 1, 8) < 'e6666666' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents ORDER BY doc_id
+        """,
+        "merge_overlay": f"""
+            SELECT CAST(3 AS INT) AS zoom, tile_x, tile_y, layer,
+                   count(*) AS n_features FROM (
+              SELECT {_sql_tx(_SQL_LON_DOC, 8)} AS tile_x,
+                     {_sql_ty(_SQL_LAT_DOC, 8)} AS tile_y,
+                     'base' AS layer
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT {_sql_tx(_SQL_LON_DOC, 8)}, {_sql_ty(_SQL_LAT_DOC, 8)}, 'overlay'
+              FROM documents WHERE doc_id % 3 = 0)
+            GROUP BY tile_x, tile_y, layer
+            ORDER BY zoom, tile_x, tile_y, layer
         """,
         "tile_pyramid": f"""
             SELECT zoom, tile_x, tile_y, count(*) AS n_features FROM (

@@ -22,4 +22,11 @@ from .shape import (  # noqa: F401
     update_shape_from_data,
     validate_types,
 )
-from .tile import VectorTile, mvt_tile_to_base_layers, write_ov_tile  # noqa: F401
+from .tile import (  # noqa: F401
+    VectorTile,
+    merge_tile_bytes,
+    mvt_tile_to_base_layers,
+    ovt_tile_to_base_layers,
+    tile_to_base_layers,
+    write_ov_tile,
+)

@@ -122,3 +122,83 @@ def mvt_tile_to_base_layers(tile: VectorTile) -> list[BaseLayer]:
             base.add_feature(layer.feature(i).to_base())
         out.append(base)
     return out
+
+
+def ovt_tile_to_base_layers(tile: VectorTile) -> list[BaseLayer]:
+    """OVT layers of a parsed tile -> write-side IR.  The decoded OVFeature
+    shares BaseFeature's geometry model (points / BaseLine lists / ring
+    lists), so conversion is field-copying; re-encoding the result is
+    byte-identical to the original buffer (pinned by
+    tests/test_decode_full.py::test_ovt_to_base_reencode_byte_equal)."""
+    from .feature import BaseFeature
+
+    out = []
+    for name, layer in tile.layers.items():
+        if not isinstance(layer, OVLayer):
+            continue
+        # carry the decoded layer's EXACT shape/mshape instead of re-running
+        # inference: last-write-wins inference over the type-sorted decode
+        # order can flip a float key to u64 and truncate values (the
+        # reference's shape.ts:320-321 quirk); with the original shape the
+        # re-encode is value-exact and byte-stable
+        base = BaseLayer(
+            name=layer.name,
+            extent=layer.extent,
+            version=layer.version,
+            shape=dict(layer.shape),
+            mshape=dict(layer.mshape) if layer.mshape is not None else None,
+        )
+        for i in range(len(layer)):
+            f = layer.feature(i)
+            base.add_feature(
+                BaseFeature(
+                    ftype=f.ftype,
+                    geometry=f.geometry,
+                    properties=f.properties,
+                    id=f.id,
+                    bbox=f.bbox,
+                    indices=list(f.indices),
+                    tessellation=list(f.tessellation),
+                    mvalues=f.mvalues,
+                )
+            )
+        out.append(base)
+    return out
+
+
+def tile_to_base_layers(tile: VectorTile) -> list[BaseLayer]:
+    """All vector layers (both wire families) of a parsed tile -> IR."""
+    return ovt_tile_to_base_layers(tile) + mvt_tile_to_base_layers(tile)
+
+
+def merge_tile_bytes(a: Optional[bytes], b: Optional[bytes], prefer: str = "b") -> bytes:
+    """Merge two tile buffers at the layer level: the union of both tiles'
+    vector layers, grids, and images; name collisions resolved by ``prefer``
+    ("a" | "b").  Grids are re-encoded from their dequantized values
+    (requantization is within the codec's half-step tolerance); vector
+    layers round-trip exactly."""
+    if a is None:
+        return b if b is not None else write_ov_tile(layers=[])
+    if b is None:
+        return a
+    ta, tb = VectorTile(a), VectorTile(b)
+    first, second = (tb, ta) if prefer == "a" else (ta, tb)  # second wins
+    layers: dict[str, BaseLayer] = {}
+    for t in (first, second):
+        for lyr in tile_to_base_layers(t):
+            layers[lyr.name] = lyr
+    grids: dict[str, dict] = {}
+    images: dict[str, dict] = {}
+    for t in (first, second):
+        for name, g in t.grids.items():
+            grids[name] = {"name": g.name, "size": g.size, "extent": g.extent, "data": g.data()}
+        for name, im in t.images.items():
+            images[name] = {
+                "name": im.name, "type": im.type, "width": im.width,
+                "height": im.height, "image": im.image,
+            }
+    return write_ov_tile(
+        layers=list(layers.values()),
+        images=list(images.values()) or None,
+        grids=list(grids.values()) or None,
+    )

@@ -213,3 +213,122 @@ def test_decode_tiles_on_error_skip(spark):
 
     with pytest.raises(Exception, match="TileDecodeError|invalid tile"):
         decode_tiles(corrupt).count()
+
+
+def test_ovt_to_base_reencode_byte_equal(spark):
+    """ovt_tile_to_base_layers round-trip guarantees:
+
+    (1) byte-identical re-encode for shape-homogeneous tiles (every feature
+        carries the same property keys — all engine-built tiles qualify);
+    (2) byte-identical re-encode for the reference's heterogeneous OMT tile
+        too — the converter carries the decoded layer's exact shape instead
+        of re-running last-write-wins inference over the type-sorted decode
+        order (which can flip a float key to u64 and truncate values).
+    """
+    from open_vector_tile_spark.codec import (
+        VectorTile,
+        mvt_tile_to_base_layers,
+        ovt_tile_to_base_layers,
+        write_ov_tile,
+    )
+
+    # (1) homogeneous: engine-built point tile with ids
+    from open_vector_tile_spark.operators import encode_tiles, points_to_features
+    from pyspark.sql import functions as F
+
+    pts = spark.createDataFrame(
+        [(i, i * 1.7 - 90.0, i * 0.9 - 40.0) for i in range(50)],
+        "doc_id long, lon double, lat double",
+    )
+    tiles = encode_tiles(
+        points_to_features(pts, zoom=1, layer="docs", extent=4096, id_col="doc_id")
+    ).collect()
+    assert tiles
+    for r in tiles:
+        blob = bytes(r["tile"])
+        again = write_ov_tile(ovt_tile_to_base_layers(VectorTile(blob)))
+        assert again == blob
+
+    # (2) heterogeneous: the reference's OMT tile
+    raw = open("/root/reference/tests/fixtures/14-8801-5371.vector.pbf", "rb").read()
+    ovt_bytes = write_ov_tile(mvt_tile_to_base_layers(VectorTile(raw)))
+    once = write_ov_tile(ovt_tile_to_base_layers(VectorTile(ovt_bytes)))
+    assert once == ovt_bytes
+
+
+def test_merge_tilesets_layer_union(spark):
+    """merge_tilesets: disjoint keys pass through byte-unchanged; shared keys
+    carry the union of both sides' layers with all features intact."""
+    from pyspark.sql import functions as F
+
+    from open_vector_tile_spark.codec import VectorTile
+    from open_vector_tile_spark.operators import (
+        encode_tiles,
+        merge_tilesets,
+        points_to_features,
+    )
+
+    def tiles_for(ids, layer):
+        pts = spark.createDataFrame(
+            [(int(i), (i * 37 % 3600) / 10.0 - 180.0, (i * 53 % 1600) / 10.0 - 80.0) for i in ids],
+            "doc_id long, lon double, lat double",
+        )
+        return encode_tiles(
+            points_to_features(pts, zoom=2, layer=layer, extent=4096, id_col="doc_id")
+        ).select("zoom", "tile_x", "tile_y", "tile")
+
+    a = tiles_for(range(0, 60), "base").cache()
+    b = tiles_for(range(30, 90), "overlay").cache()
+    merged = {
+        (r["zoom"], r["tile_x"], r["tile_y"]): bytes(r["tile"])
+        for r in merge_tilesets(a, b).collect()
+    }
+    am = {(r["zoom"], r["tile_x"], r["tile_y"]): bytes(r["tile"]) for r in a.collect()}
+    bm = {(r["zoom"], r["tile_x"], r["tile_y"]): bytes(r["tile"]) for r in b.collect()}
+    assert set(merged) == set(am) | set(bm)
+    for k, blob in merged.items():
+        t = VectorTile(blob)
+        want_layers = ({"base"} if k in am else set()) | ({"overlay"} if k in bm else set())
+        assert set(t.layers) == want_layers, k
+        if k in am:
+            n_base = len(VectorTile(am[k]).layers["base"])
+            assert len(t.layers["base"]) == n_base
+        if k in bm:
+            n_over = len(VectorTile(bm[k]).layers["overlay"])
+            assert len(t.layers["overlay"]) == n_over
+        if k in am and k not in bm:
+            assert blob == am[k]  # one-sided tiles pass through byte-unchanged
+        if k in bm and k not in am:
+            assert blob == bm[k]
+
+
+def test_merge_tilesets_prefer_resolves_collisions(spark):
+    from open_vector_tile_spark.codec import VectorTile
+    from open_vector_tile_spark.operators import (
+        encode_tiles,
+        merge_tilesets,
+        points_to_features,
+    )
+
+    def tiles_for(ids):
+        pts = spark.createDataFrame(
+            [(int(i), (i * 37 % 3600) / 10.0 - 180.0, (i * 53 % 1600) / 10.0 - 80.0) for i in ids],
+            "doc_id long, lon double, lat double",
+        )
+        return encode_tiles(
+            points_to_features(pts, zoom=1, layer="docs", extent=4096, id_col="doc_id")
+        ).select("zoom", "tile_x", "tile_y", "tile")
+
+    a = tiles_for(range(0, 40)).cache()
+    b = tiles_for(range(0, 80)).cache()  # same layer name, more features
+    for prefer, src in (("a", a), ("b", b)):
+        got = {
+            (r["tile_x"], r["tile_y"]): bytes(r["tile"])
+            for r in merge_tilesets(a, b, prefer=prefer).collect()
+        }
+        want = {
+            (r["tile_x"], r["tile_y"]): len(VectorTile(bytes(r["tile"])).layers["docs"])
+            for r in src.collect()
+        }
+        for k, n in want.items():
+            assert len(VectorTile(got[k]).layers["docs"]) == n, (prefer, k)
