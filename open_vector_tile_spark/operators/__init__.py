@@ -2,7 +2,7 @@ from .decode import decode_grids, decode_images, decode_tiles, read_tileset  # n
 from .events import asof_join, sessionize  # noqa: F401
 from .gridding import grid_aggregate, grid_tiles  # noqa: F401
 from .knn import knn_broadcast, knn_cell_ring  # noqa: F401
-from .merge import merge_tilesets  # noqa: F401
+from .merge import extract_layers, merge_tilesets  # noqa: F401
 from .pipeline import run_pipeline  # noqa: F401
 from .resume import TileStore  # noqa: F401
 from .similarity import (  # noqa: F401

@@ -51,3 +51,58 @@ def merge_tilesets(a: DataFrame, b: DataFrame, prefer: str = "b") -> DataFrame:
             yield out
 
     return joined.mapInPandas(run, MERGED_SCHEMA)
+
+
+def extract_layers(
+    tiles: DataFrame,
+    keep: list[str],
+    keep_grids: bool = False,
+    keep_images: bool = False,
+) -> DataFrame:
+    """Project a tileset down to a subset of its vector layers — the serving
+    op for "ship only the roads layer to this consumer".  Tiles that end up
+    empty are dropped.  Because the OVT→IR conversion is lossless (decoded
+    shape carried through), extracting layer L from a tile that was built
+    from L alone reproduces the original bytes."""
+    from ..codec.tile import VectorTile, tile_to_base_layers, write_ov_tile
+
+    want = set(keep)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for z, tx, ty, blob in zip(
+                pdf["zoom"], pdf["tile_x"], pdf["tile_y"], pdf["tile"]
+            ):
+                t = VectorTile(bytes(blob))
+                layers = [l for l in tile_to_base_layers(t) if l.name in want]
+                grids = (
+                    [
+                        {"name": g.name, "size": g.size, "extent": g.extent, "data": g.data()}
+                        for g in t.grids.values()
+                    ]
+                    if keep_grids and t.grids
+                    else None
+                )
+                images = (
+                    [
+                        {
+                            "name": im.name, "type": im.type, "width": im.width,
+                            "height": im.height, "image": im.image,
+                        }
+                        for im in t.images.values()
+                    ]
+                    if keep_images and t.images
+                    else None
+                )
+                if not layers and grids is None and images is None:
+                    continue
+                out = write_ov_tile(layers=layers, images=images, grids=grids)
+                rows.append((int(z), int(tx), int(ty), out, len(out)))
+            yield pd.DataFrame(
+                rows, columns=["zoom", "tile_x", "tile_y", "tile", "n_bytes"]
+            )
+
+    return tiles.select("zoom", "tile_x", "tile_y", "tile").mapInPandas(
+        run, MERGED_SCHEMA
+    )

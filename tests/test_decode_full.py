@@ -332,3 +332,38 @@ def test_merge_tilesets_prefer_resolves_collisions(spark):
         }
         for k, n in want.items():
             assert len(VectorTile(got[k]).layers["docs"]) == n, (prefer, k)
+
+
+def test_extract_layers_roundtrip(spark):
+    """Extracting 'base' from a merged two-layer tileset reproduces the
+    original single-layer tiles byte-for-byte (lossless IR + carried shape);
+    tiles without the layer are dropped."""
+    from pyspark.sql import functions as F
+
+    from open_vector_tile_spark.operators import (
+        encode_tiles,
+        extract_layers,
+        merge_tilesets,
+        points_to_features,
+    )
+
+    def tiles_for(ids, layer):
+        pts = spark.createDataFrame(
+            [(int(i), (i * 37 % 3600) / 10.0 - 180.0, (i * 53 % 1600) / 10.0 - 80.0) for i in ids],
+            "doc_id long, lon double, lat double",
+        )
+        return encode_tiles(
+            points_to_features(pts, zoom=2, layer=layer, extent=4096, id_col="doc_id")
+        ).select("zoom", "tile_x", "tile_y", "tile")
+
+    a = tiles_for(range(0, 60), "base").cache()
+    b = tiles_for(range(30, 90), "overlay").cache()
+    merged = merge_tilesets(a, b)
+    back = {
+        (r["zoom"], r["tile_x"], r["tile_y"]): bytes(r["tile"])
+        for r in extract_layers(merged, ["base"]).collect()
+    }
+    am = {(r["zoom"], r["tile_x"], r["tile_y"]): bytes(r["tile"]) for r in a.collect()}
+    assert set(back) == set(am)
+    for k in am:
+        assert back[k] == am[k], k
