@@ -71,7 +71,7 @@ def build_queries(spark, sf_dir):
     def q_gridding():
         return entry._q_gridding(spark, sf_dir).agg(F.count("*"))
 
-    return {
+    out = {
         "tile_encode": q_tile_encode,
         "spatial_join": q_spatial_join,
         "knn": q_knn,
@@ -80,6 +80,36 @@ def build_queries(spark, sf_dir):
         "cosine_topk": q_cosine_topk,
         "gridding": q_gridding,
     }
+    if os.environ.get("SPARK_GRAFT_BENCH_EXTENDED") == "1":
+        # round-2 session-2 operators (kept out of the headline total so the
+        # metric stays comparable across rounds)
+        def q_extract_text():
+            return entry._q_extract_text(spark, sf_dir).agg(F.sum("exact"))
+
+        def q_asof_join():
+            return entry._q_asof_join(spark, sf_dir).agg(F.count("*"))
+
+        def q_sessionize():
+            return entry._q_sessionize(spark, sf_dir).agg(F.count("*"))
+
+        def q_det_sample():
+            return entry._q_det_sample(spark, sf_dir).agg(F.count("*"))
+
+        def q_tile_pyramid():
+            return entry._q_tile_pyramid(spark, sf_dir).agg(F.sum("n_features"))
+
+        def q_merge_overlay():
+            return entry._q_merge_overlay(spark, sf_dir).agg(F.sum("n_features"))
+
+        out.update(
+            extract_text=q_extract_text,
+            asof_join=q_asof_join,
+            sessionize=q_sessionize,
+            det_sample=q_det_sample,
+            tile_pyramid=q_tile_pyramid,
+            merge_overlay=q_merge_overlay,
+        )
+    return out
 
 
 def run_session(cores: int, sf_dir: str) -> dict[str, float]:
@@ -373,9 +403,15 @@ def main() -> None:
         timings = {}
     else:
         timings = run_session(CPUS, SF_DIR)
+    _HEADLINE = (
+        "tile_encode", "spatial_join", "knn", "dedup_minhash",
+        "agg_q1", "cosine_topk", "gridding",
+    )
     result = {
         "metric": "headline_suite_total",
-        "value": round(sum(timings.values()), 3),
+        # extended (SPARK_GRAFT_BENCH_EXTENDED) queries are reported but kept
+        # out of the total so the metric stays comparable across rounds
+        "value": round(sum(v for k, v in timings.items() if k in _HEADLINE), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
