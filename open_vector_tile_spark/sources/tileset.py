@@ -275,6 +275,25 @@ class OvtTilesetWriter(DataSourceWriter):
         pass
 
 
+def compact_tileset(spark, src: str, dst: str, shards: int = 16) -> int:
+    """Loose tileset directory -> ``shards`` packed ``.ovtshard`` files.
+    Returns the tile count.  (Read side registered per session; requires
+    ``spark.sql.python.filterPushdown.enabled=true`` — plans.get_spark sets
+    it.)"""
+    spark.dataSource.register(OvtTilesetDataSource)
+    df = spark.read.format("ovt_tileset").option("path", src).load()
+    (
+        df.select("zoom", "tile_x", "tile_y", "tile")
+        .repartition(shards)
+        .write.format("ovt_tileset")
+        .option("path", dst)
+        .option("layout", "shard")
+        .mode("append")
+        .save()
+    )
+    return df.count()
+
+
 class OvtTilesetDataSource(DataSource):
     """``spark.read.format("ovt_tileset").option("path", dir).load()``."""
 

@@ -201,3 +201,15 @@ def test_shard_bytes_deterministic(tmp_path):
     write_shard(p1, e)
     write_shard(p2, list(reversed(e)))
     assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_compact_tileset_one_liner(registered, tmp_path):
+    from open_vector_tile_spark.sources.tileset import compact_tileset
+
+    dst = str(tmp_path / "compacted")
+    n = compact_tileset(registered, REF_MVT, dst, shards=2)
+    assert n == 429
+    back = registered.read.format("ovt_tileset").option("path", dst).load()
+    assert back.count() == n
+    shard_files = [f for f in os.listdir(dst) if f.endswith(".ovtshard")]
+    assert 1 <= len(shard_files) <= 2
