@@ -175,8 +175,16 @@ def merge_tile_bytes(a: Optional[bytes], b: Optional[bytes], prefer: str = "b") 
     """Merge two tile buffers at the layer level: the union of both tiles'
     vector layers, grids, and images; name collisions resolved by ``prefer``
     ("a" | "b").  Grids are re-encoded from their dequantized values
-    (requantization is within the codec's half-step tolerance); vector
-    layers round-trip exactly."""
+    (requantization is within the codec's half-step tolerance).
+
+    **Output is always the OVT wire family.**  MVT/S2 input layers are
+    value-losslessly converted to IR and re-encoded as OVT columnar layers
+    (``tile_to_base_layers`` feeds ``write_ov_tile``) — geometry, ids,
+    properties, and M-values survive exactly, but the merged buffer is no
+    longer parseable by an MVT-only consumer, and only layers that were
+    ALREADY OVT round-trip byte-identically.  If MVT byte fidelity is
+    required, keep those tiles out of merge/extract paths (pass them
+    through untouched)."""
     if a is None:
         return b if b is not None else write_ov_tile(layers=[])
     if b is None:

@@ -27,11 +27,20 @@ from pyspark.sql import functions as F
 _PREFIX_CHARS = 8  # 32 bits of hash — plenty for percent-scale rates
 
 
-def _threshold_hex(frac: float) -> str:
-    """Hex string t such that P[md5_prefix < t] == round(frac * 2^32) / 2^32."""
+def _threshold_hex(frac: float) -> str | None:
+    """Hex string t such that P[md5_prefix < t] == round(frac * 2^32) / 2^32.
+
+    Returns ``None`` for "keep everything": round(frac * 2^32) == 2^32 would
+    format as the 9-char '100000000', and a lexicographic compare of an 8-char
+    md5 prefix against a 9-char threshold is wrong (only prefixes starting
+    with '0' sort below it).  Callers must treat None as an always-true band.
+    """
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac must be in [0,1], got {frac}")
-    return format(int(round(frac * (1 << 32))), "08x")
+    n = int(round(frac * (1 << 32)))
+    if n >= (1 << 32):
+        return None
+    return format(n, "08x")
 
 
 def stable_frac_hex(key: Column) -> Column:
@@ -45,7 +54,10 @@ def deterministic_sample(df: DataFrame, key: Column, rate: float) -> DataFrame:
     Unlike ``df.sample()``: stable across runs/partitionings/retries, and
     consistent across tables (the same key always draws the same verdict, so
     sampling documents and their embeddings by doc_id keeps them aligned)."""
-    return df.filter(stable_frac_hex(key) < F.lit(_threshold_hex(rate)))
+    thr = _threshold_hex(rate)
+    if thr is None:  # rate rounds to 1.0 — keep all rows
+        return df
+    return df.filter(stable_frac_hex(key) < F.lit(thr))
 
 
 def dataset_split(
@@ -70,7 +82,12 @@ def dataset_split(
         bands.append((_threshold_hex(acc), lab))
     # build from the last band backwards so earlier (smaller) thresholds win
     for thr, lab in reversed(bands):
-        out = F.when(h < F.lit(thr), F.lit(lab)).otherwise(out)
+        if thr is None:
+            # cumulative weight reached 1.0 (e.g. trailing zero weights):
+            # this band covers everything seen so far
+            out = F.lit(lab)
+        else:
+            out = F.when(h < F.lit(thr), F.lit(lab)).otherwise(out)
     return out
 
 

@@ -59,21 +59,34 @@ def asof_join(
     out_right = [f"{c}{suffix}" for c in right_cols]
     lpay = [c for c in left.columns if c not in on and c != left_ts]
 
+    # Pack the WHOLE right payload (match ts + every right column) into ONE
+    # struct so the window picks an entire right row atomically.  Filling each
+    # column with an independent last(ignorenulls) would stitch fields from
+    # DIFFERENT right rows whenever a newer right row has a NULL in one
+    # payload column (the NULL would be back-filled from an older row).  The
+    # struct itself is NULL on left-side rows, so last(ignorenulls) over the
+    # struct skips them but keeps matched rows' NULL fields as NULL — exactly
+    # DuckDB ASOF JOIN semantics.
+    rdt = dict(right.dtypes)
+    pack_ddl = ", ".join(
+        [f"_ar_ts {rdt[right_ts]}"] + [f"`{a}` {rdt[c]}" for c, a in zip(right_cols, out_right)]
+    )
     l_side = left.select(
         *on,
         F.col(left_ts).alias("_ats"),
         F.lit(1).alias("_aside"),
         *[F.col(c) for c in lpay],
-        *[F.lit(None).alias(c) for c in out_right],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_ar_ts"),
+        F.lit(None).cast(f"struct<{pack_ddl}>").alias("_rpack"),
     )
     r_side = right.select(
         *on,
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_aside"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lpay],
-        *[F.col(c).alias(a) for c, a in zip(right_cols, out_right)],
-        F.col(right_ts).alias("_ar_ts"),
+        F.struct(
+            F.col(right_ts).alias("_ar_ts"),
+            *[F.col(c).alias(a) for c, a in zip(right_cols, out_right)],
+        ).alias("_rpack"),
     )
     both = l_side.unionByName(r_side)
 
@@ -99,16 +112,15 @@ def asof_join(
         F.col("_ats"),
         F.col("_aside"),
         *lpay,
-        *[pick(c, ignorenulls=True).over(w).alias(c) for c in out_right],
-        pick("_ar_ts", ignorenulls=True).over(w).alias("_ar_ts"),
+        pick("_rpack", ignorenulls=True).over(w).alias("_rpack"),
     )
-    matched = filled.filter((F.col("_aside") == 1) & F.col("_ar_ts").isNotNull())
+    matched = filled.filter((F.col("_aside") == 1) & F.col("_rpack").isNotNull())
     return matched.select(
         *on,
         F.col("_ats").alias(left_ts),
         *lpay,
-        *out_right,
-        F.col("_ar_ts").alias(f"{right_ts}{suffix}"),
+        *[F.col("_rpack").getField(a).alias(a) for a in out_right],
+        F.col("_rpack").getField("_ar_ts").alias(f"{right_ts}{suffix}"),
     )
 
 

@@ -63,7 +63,11 @@ def extract_layers(
     op for "ship only the roads layer to this consumer".  Tiles that end up
     empty are dropped.  Because the OVT→IR conversion is lossless (decoded
     shape carried through), extracting layer L from a tile that was built
-    from L alone reproduces the original bytes."""
+    from L alone reproduces the original bytes.
+
+    Like ``merge_tile_bytes``, output is always the OVT wire family: an MVT
+    input layer is value-losslessly re-encoded as OVT (not MVT bytes), so
+    byte-identity holds only for layers that were already OVT."""
     from ..codec.tile import VectorTile, tile_to_base_layers, write_ov_tile
 
     want = set(keep)

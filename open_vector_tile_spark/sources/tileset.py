@@ -233,9 +233,30 @@ class OvtTilesetReader(DataSourceReader):
 @dataclass
 class _WroteFiles(WriterCommitMessage):
     count: int
+    renames: list  # [(tmp_name, final_name)] relative to root
+
+
+_TMP_PREFIX = ".tmp-"
 
 
 class OvtTilesetWriter(DataSourceWriter):
+    """Two-phase task-commit writer.
+
+    Tasks write ONLY attempt-suffixed temp names (``.tmp-{attempt}-...``);
+    the driver renames winners to final names in :meth:`commit` and deletes
+    temps in :meth:`abort`.  This makes retried / speculatively-executed
+    tasks safe (the losing attempt's temp is swept, never renamed — no
+    duplicate shards), failed jobs leave no final files, and readers never
+    see torn half-written tiles (temp names don't match the reader's
+    ``_SUFFIXES`` / shard patterns, and rename is atomic per file).
+
+    Shard final names are ``part-{partitionId:05d}.ovtshard`` — deterministic
+    per partition, so re-running the job converges to the same layout.
+    ``mode("overwrite")`` clears pre-existing tile/shard files at commit time
+    (commit-scoped, not constructor-scoped: an aborted overwrite leaves the
+    old tileset intact).
+    """
+
     def __init__(self, options, overwrite: bool):
         self.root = options.get("path")
         if not self.root:
@@ -244,35 +265,85 @@ class OvtTilesetWriter(DataSourceWriter):
         self.layout = options.get("layout", "files")
         if self.layout not in ("files", "shard"):
             raise ValueError(f"layout must be files|shard, got {self.layout!r}")
+        self.overwrite = overwrite
+        # driver-side per-job tag, pickled to every task: shard names are
+        # deterministic within a job (retries converge to one final file) but
+        # unique across jobs (mode("append") never clobbers an earlier run)
+        import uuid
+
+        self.job_tag = uuid.uuid4().hex[:8]
+
+    @staticmethod
+    def _attempt_tag() -> tuple[int, str]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is None:  # direct invocation outside a task (tests)
+            import uuid
+
+            return 0, uuid.uuid4().hex[:12]
+        return ctx.partitionId(), f"{ctx.partitionId()}-{ctx.taskAttemptId()}"
 
     def write(self, rows) -> _WroteFiles:
         os.makedirs(self.root, exist_ok=True)
+        part_id, tag = self._attempt_tag()
         if self.layout == "shard":
             # one packed file per task — repartition upstream to choose the
             # shard count/size (e.g. .repartition(200) -> 200 shards)
-            import uuid
-
             entries = [
                 (int(r["zoom"]), int(r["tile_x"]), int(r["tile_y"]), bytes(r["tile"]))
                 for r in rows
             ]
             if not entries:
-                return _WroteFiles(0)
-            name = f"part-{uuid.uuid4().hex[:16]}{_SHARD_SUFFIX}"
-            return _WroteFiles(write_shard(os.path.join(self.root, name), entries))
-        n = 0
+                return _WroteFiles(0, [])
+            tmp = f"{_TMP_PREFIX}{tag}{_SHARD_SUFFIX}"
+            final = f"part-{self.job_tag}-{part_id:05d}{_SHARD_SUFFIX}"
+            n = write_shard(os.path.join(self.root, tmp), entries)
+            return _WroteFiles(n, [(tmp, final)])
+        renames = []
         for row in rows:
-            name = f"{int(row['zoom'])}_{int(row['tile_x'])}_{int(row['tile_y'])}.{self.suffix}"
-            with open(os.path.join(self.root, name), "wb") as fh:
+            final = f"{int(row['zoom'])}_{int(row['tile_x'])}_{int(row['tile_y'])}.{self.suffix}"
+            tmp = f"{_TMP_PREFIX}{tag}-{final}"
+            with open(os.path.join(self.root, tmp), "wb") as fh:
                 fh.write(bytes(row["tile"]))
-            n += 1
-        return _WroteFiles(n)
+            renames.append((tmp, final))
+        return _WroteFiles(len(renames), renames)
+
+    def _sweep_temps(self):
+        if not os.path.isdir(self.root):
+            return
+        for fn in os.listdir(self.root):
+            if fn.startswith(_TMP_PREFIX):
+                try:
+                    os.remove(os.path.join(self.root, fn))
+                except OSError:
+                    pass
 
     def commit(self, messages):
-        pass
+        keep = set()
+        renames = []
+        for m in messages:
+            if m is not None:
+                for tmp, final in m.renames:
+                    renames.append((tmp, final))
+                    keep.add(final)
+        if self.overwrite and os.path.isdir(self.root):
+            # clear pre-existing tileset files the new job didn't (re)write
+            for fn in os.listdir(self.root):
+                if fn.startswith(_TMP_PREFIX) or fn in keep:
+                    continue
+                if fn.endswith(_SUFFIXES) or fn.endswith(_SHARD_SUFFIX):
+                    try:
+                        os.remove(os.path.join(self.root, fn))
+                    except OSError:
+                        pass
+        for tmp, final in renames:
+            os.replace(os.path.join(self.root, tmp), os.path.join(self.root, final))
+        # losing speculative/retried attempts left temps not in any message
+        self._sweep_temps()
 
     def abort(self, messages):
-        pass
+        self._sweep_temps()
 
 
 def compact_tileset(spark, src: str, dst: str, shards: int = 16) -> int:

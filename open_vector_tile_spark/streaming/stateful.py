@@ -30,6 +30,7 @@ def first_seen(
     stream: DataFrame,
     key_col: str,
     timeout: str = GroupStateTimeout.NoTimeout,
+    timeout_duration_ms: int = 24 * 3600 * 1000,
 ) -> DataFrame:
     """Streaming first-occurrence filter: one output row per distinct key,
     from the micro-batch where the key first appeared.
@@ -37,21 +38,16 @@ def first_seen(
     Within a single micro-batch the winner is the first row in the group's
     Arrow batches (micro-batch-deterministic sources -> deterministic
     output).  State per key is a single boolean — the smallest possible
-    state row; for unbounded key spaces pass a processing-time ``timeout``
-    so the store evicts keys after the re-delivery horizon."""
+    state row; for unbounded key spaces pass
+    ``timeout=GroupStateTimeout.ProcessingTimeTimeout`` and the store evicts
+    a key ``timeout_duration_ms`` after its last arrival (sliding horizon:
+    every sighting re-arms the timer, so eviction happens only once
+    re-deliveries have gone quiet — after which a re-crawl is treated as new).
+    """
     schema = stream.schema
     out_type = schema
-
-    def dedup(
-        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            return
-        for pdf in pdfs:
-            if len(pdf):
-                state.update((True,))
-                yield pdf.iloc[:1]
-                return
+    evict = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    dedup = _make_first_seen_fn(evict, timeout_duration_ms)
 
     # append-mode operator: each key's row is emitted exactly once and never
     # revised -> compatible with append-only sinks (files) AND recoverable
@@ -59,6 +55,32 @@ def first_seen(
     return stream.groupBy(key_col).applyInPandasWithState(
         dedup, out_type, "seen boolean", "append", timeout
     )
+
+
+def _make_first_seen_fn(evict: bool, timeout_duration_ms: int):
+    """The applyInPandasWithState handler for :func:`first_seen`, exposed for
+    unit-testing the timeout contract against a fake GroupState."""
+
+    def dedup(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if evict and state.hasTimedOut:
+            # timer fired: drop the key's state so the store stays bounded
+            state.remove()
+            return
+        if state.exists:
+            if evict:  # re-arm on every sighting (sliding re-delivery horizon)
+                state.setTimeoutDuration(timeout_duration_ms)
+            return
+        for pdf in pdfs:
+            if len(pdf):
+                state.update((True,))
+                if evict:
+                    state.setTimeoutDuration(timeout_duration_ms)
+                yield pdf.iloc[:1]
+                return
+
+    return dedup
 
 
 def _make_session_processor(gap_ms: int):

@@ -210,3 +210,34 @@ def test_sessionize_single_shuffle(spark):
         sessionize(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_join_null_right_payload_not_stitched(spark):
+    """A matched right row's NULL field must stay NULL — not be back-filled
+    from an OLDER right row (all payload fields come from the SAME match)."""
+    from open_vector_tile_spark.operators.events import asof_join
+
+    left = spark.createDataFrame([("u", 30)], "k string, ts int")
+    right = spark.createDataFrame(
+        [("u", 10, 1, "old"), ("u", 20, None, "new")],
+        "k string, ts int, a int, b string",
+    )
+    out = asof_join(left, right, on=["k"], right_cols=["a", "b"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["ts_r"] == 20 and r["b_r"] == "new"
+    assert r["a_r"] is None  # NOT 1 stitched from the ts=10 row
+
+
+def test_asof_join_all_null_right_payload_still_matches(spark):
+    """A right row whose payload is entirely NULL is still a real match (the
+    row exists at that timestamp) — DuckDB ASOF semantics."""
+    from open_vector_tile_spark.operators.events import asof_join
+
+    left = spark.createDataFrame([("u", 30)], "k string, ts int")
+    right = spark.createDataFrame(
+        [("u", 20, None, None)], "k string, ts int, a int, b string"
+    )
+    out = asof_join(left, right, on=["k"], right_cols=["a", "b"]).collect()
+    assert len(out) == 1
+    assert out[0]["ts_r"] == 20 and out[0]["a_r"] is None and out[0]["b_r"] is None

@@ -77,3 +77,23 @@ def test_url_host(spark):
     df = spark.createDataFrame(cases, "url string, want string")
     for r in df.select(url_host(F.col("url")).alias("got"), "want").collect():
         assert r["got"] == r["want"]
+
+
+def test_sample_rate_one_keeps_everything(spark):
+    """rate=1.0 must keep ALL rows — the 9-char threshold string '100000000'
+    would lexicographically exclude any md5 prefix not starting with '0'."""
+    assert deterministic_sample(_docs(spark, 500), F.col("text"), 1.0).count() == 500
+    # and a rate that rounds up to 2^32 behaves the same
+    assert deterministic_sample(_docs(spark, 500), F.col("text"), 0.9999999999).count() == 500
+
+
+def test_split_trailing_zero_weight(spark):
+    """A zero trailing weight means its label must never appear (the cumulative
+    band before it reaches 1.0 and must cover everything remaining)."""
+    df = _docs(spark, 2000).withColumn(
+        "split", dataset_split(F.col("host"), (0.5, 0.5, 0.0), ("train", "val", "test"))
+    )
+    counts = {r["split"]: r["n"] for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("test", 0) == 0
+    assert counts["train"] > 0 and counts["val"] > 0
+    assert counts["train"] + counts["val"] == 2000

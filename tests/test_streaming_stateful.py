@@ -270,3 +270,54 @@ def test_sessionize_stream_transform_with_state(spark, tmp_path):
     assert (2, ms(t0 + dt.timedelta(minutes=30)), ms(t0 + dt.timedelta(minutes=30)), 1) in rows
     # user 2's 01:00 session is still open -> not emitted
     assert len(rows) == 2
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the first_seen handler."""
+
+    def __init__(self, exists=False, timed_out=False):
+        self.exists = exists
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    def update(self, v):
+        self.exists = True
+
+    def remove(self):
+        self.removed = True
+        self.exists = False
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_first_seen_timeout_contract():
+    """With ProcessingTimeTimeout the handler must (a) arm the timer on every
+    sighting and (b) evict state when the timer fires — otherwise the state
+    store grows without bound despite the documented contract."""
+    from open_vector_tile_spark.streaming.stateful import _make_first_seen_fn
+
+    fn = _make_first_seen_fn(evict=True, timeout_duration_ms=5000)
+    pdf = pd.DataFrame({"k": ["a"], "v": [1]})
+
+    # first sighting: emits, arms timer
+    st = _FakeState()
+    out = list(fn(("a",), iter([pdf]), st))
+    assert len(out) == 1 and st.exists and st.timeout_set == 5000
+
+    # repeat sighting: no emit, timer re-armed (sliding horizon)
+    st2 = _FakeState(exists=True)
+    assert list(fn(("a",), iter([pdf]), st2)) == []
+    assert st2.timeout_set == 5000
+
+    # timer fires: state removed, nothing emitted
+    st3 = _FakeState(exists=True, timed_out=True)
+    assert list(fn(("a",), iter([]), st3)) == []
+    assert st3.removed
+
+    # NoTimeout mode: never touches timer APIs
+    fn0 = _make_first_seen_fn(evict=False, timeout_duration_ms=0)
+    st4 = _FakeState()
+    assert len(list(fn0(("a",), iter([pdf]), st4))) == 1
+    assert st4.timeout_set is None

@@ -213,3 +213,83 @@ def test_compact_tileset_one_liner(registered, tmp_path):
     assert back.count() == n
     shard_files = [f for f in os.listdir(dst) if f.endswith(".ovtshard")]
     assert 1 <= len(shard_files) <= 2
+
+
+def _tiny_tiles(spark, n, start=0):
+    from open_vector_tile_spark.operators import encode_tiles, points_to_features
+
+    pts = spark.range(start, start + n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37 % 3600) / 10.0 - 180.0).alias("lon"),
+        ((F.col("id") * 53 % 1600) / 10.0 - 80.0).alias("lat"),
+    )
+    feats = points_to_features(pts, zoom=2, layer="docs", extent=4096, id_col="doc_id")
+    return encode_tiles(feats).select("zoom", "tile_x", "tile_y", "tile")
+
+
+def test_writer_overwrite_clears_previous_and_leaves_no_temps(registered, tmp_path):
+    """mode('overwrite') must replace the tileset, not silently append, and
+    the two-phase commit must leave zero temp files behind."""
+    out = str(tmp_path / "ow")
+    _tiny_tiles(registered, 200).write.format("ovt_tileset").option("path", out).mode(
+        "append"
+    ).save()
+    first = set(os.listdir(out))
+    assert first
+    # second job: different (smaller) tile set, overwrite
+    _tiny_tiles(registered, 30).write.format("ovt_tileset").option("path", out).mode(
+        "overwrite"
+    ).save()
+    back = registered.read.format("ovt_tileset").option("path", out).load()
+    want = {
+        (r["zoom"], r["tile_x"], r["tile_y"]): bytes(r["tile"])
+        for r in _tiny_tiles(registered, 30).collect()
+    }
+    got = {
+        (r["zoom"], r["tile_x"], r["tile_y"]): bytes(r["tile"]) for r in back.collect()
+    }
+    assert got == want  # old tiles gone, new tiles exact
+    assert not [f for f in os.listdir(out) if f.startswith(".tmp-")]
+
+
+def test_writer_shard_append_jobs_do_not_clobber(registered, tmp_path):
+    """Two append jobs keep both jobs' shards (job-tagged final names), and
+    shard names are deterministic per partition within a job."""
+    from open_vector_tile_spark.sources.tileset import read_shard_index
+
+    out = str(tmp_path / "sh")
+    for start in (0, 1000):
+        _tiny_tiles(registered, 50, start=start).repartition(2).write.format(
+            "ovt_tileset"
+        ).option("path", out).option("layout", "shard").mode("append").save()
+    shards = [f for f in os.listdir(out) if f.endswith(".ovtshard")]
+    assert len(shards) in (3, 4)  # 2 jobs x <=2 non-empty partitions, no clobber
+    assert not [f for f in os.listdir(out) if f.startswith(".tmp-")]
+    n = sum(len(read_shard_index(os.path.join(out, f))[0]) for f in shards)
+    back = registered.read.format("ovt_tileset").option("path", out).load()
+    assert back.count() == n
+
+
+def test_writer_abort_leaves_no_partial_output(registered, tmp_path):
+    """A failing write job must leave the destination with no final tile
+    files and no temps: succeeding tasks' temps are swept by abort(), and
+    nothing is ever renamed to a final name."""
+    out = str(tmp_path / "fail")
+    tiles = _tiny_tiles(registered, 50).cache()
+    poison = tiles.select("tile_x", "tile_y").first()  # any real tile key
+    # poison ONE tile's blob so one task fails after others already wrote temps
+    bad = tiles.repartition(4, "tile_x", "tile_y").select(
+        "zoom",
+        "tile_x",
+        "tile_y",
+        F.when(
+            (F.col("tile_x") == poison["tile_x"]) & (F.col("tile_y") == poison["tile_y"]),
+            F.raise_error(F.lit("boom")).cast("binary"),
+        )
+        .otherwise(F.col("tile"))
+        .alias("tile"),
+    )
+    with pytest.raises(Exception):
+        bad.write.format("ovt_tileset").option("path", out).mode("append").save()
+    leftovers = os.listdir(out) if os.path.isdir(out) else []
+    assert leftovers == [], leftovers
