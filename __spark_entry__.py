@@ -898,6 +898,111 @@ def _q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_polygon_ingest_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """Executor-side polygon featurizer end-to-end: a DataFrame of rectangle
+    rings (NO driver materialization, no createDataFrame(rows)) ->
+    polygons_to_features_dist (mapInPandas covering + quantization) ->
+    encode_tiles -> decode_tiles -> every decoded quantized vertex.  The
+    oracle recomputes tile cover AND every vertex's extent-quantized ints in
+    SQL, so a hash match pins the whole distributed ingest+codec path
+    (reference write path src/base/vectorFeature.ts + P13 quantization)."""
+    from open_vector_tile_spark.operators import (
+        decode_tiles,
+        encode_tiles,
+        polygons_to_features_dist,
+    )
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    lon = ((d * 37) % 3400) / 10.0 - 170.0
+    lat = ((d * 53) % 1500) / 10.0 - 75.0
+    w = ((d % 7) + 1) * 0.5
+    h = ((d % 5) + 1) * 0.5
+    ring = F.array(
+        F.array(
+            lon - w, lat - h, lon + w, lat - h, lon + w, lat + h,
+            lon - w, lat + h, lon - w, lat - h,
+        )
+    )
+    polys = docs.select(
+        d.cast("long").alias("poly_id"), ring.alias("ring_xy"), F.col("lang").alias("name")
+    )
+    feats = polygons_to_features_dist(
+        polys, zoom=ZOOM, layer="admin", extent=4096, props_cols=["name"]
+    )
+    dec = decode_tiles(encode_tiles(feats))
+    return dec.select(
+        "zoom", "tile_x", "tile_y", "id", F.posexplode("geom_xy").alias("pos", "coord")
+    )
+
+
+def _q_tileset_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Tileset DataSourceV2 round trip with pushdown: encode tiles -> sink as
+    packed .ovtshard containers (mode=overwrite, two-phase commit) -> scan the
+    directory back through the source with a zoom/tile_x pushdown filter ->
+    decode -> per-tile feature counts.  Oracle = plain tile assignment SQL
+    under the same predicate."""
+    from open_vector_tile_spark.operators import decode_tiles, encode_tiles, points_to_features
+    from open_vector_tile_spark.sources.tileset import OvtTilesetDataSource
+
+    spark.dataSource.register(OvtTilesetDataSource)
+    try:  # enables file/entry pruning; correct (just slower) without it
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    docs = _doc_points(_load(spark, sf, "documents"))
+    feats = points_to_features(docs, zoom=ZOOM, layer="docs", extent=4096, id_col="doc_id")
+    tiles = encode_tiles(feats)
+    out = f"/tmp/ovt_q_tileset_{sf.strip('/').replace('/', '_')}"
+    (
+        tiles.select("zoom", "tile_x", "tile_y", "tile")
+        .repartition(4)
+        .write.format("ovt_tileset")
+        .option("path", out)
+        .option("layout", "shard")
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("ovt_tileset")
+        .option("path", out)
+        .load()
+        .filter((F.col("zoom") == ZOOM) & (F.col("tile_x") < 8))
+    )
+    return (
+        decode_tiles(back.select("zoom", "tile_x", "tile_y", "tile"))
+        .groupBy("zoom", "tile_x", "tile_y")
+        .agg(F.count("*").alias("n_features"))
+    )
+
+
+def _q_spatial_join_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """J1/J2/J4 fully-distributed + salted spatial join: polygon side is a
+    DataFrame (executor-side covering via polygon_covering_df, salt=4 forces
+    the salted ShuffledHashJoin path, exact=True runs the Arrow ray-cast
+    refinement).  Rectangles make the exact-PIP semantics SQL-expressible, so
+    the whole covering+salt+raycast pipeline gets a value oracle (boundary
+    hits are impossible by construction: .05-offset bounds vs .1-grid
+    points)."""
+    from open_vector_tile_spark.operators.spatial_join import spatial_join_distributed
+
+    docs = _doc_points(_load(spark, sf, "documents")).select("doc_id", "lon", "lat")
+    sup = _load(spark, sf, "supplier")
+    k = F.col("s_suppkey")
+    x0 = ((k * 89) % 3200) / 10.0 - 165.05
+    y0 = ((k * 71) % 1400) / 10.0 - 72.05
+    x1 = x0 + ((k % 9) + 2).cast("double")
+    y1 = y0 + ((k % 6) + 2).cast("double")
+    ring = F.array(F.array(x0, y0, x1, y0, x1, y1, x0, y1, x0, y0))
+    polys = sup.select(k.cast("long").alias("poly_id"), ring.alias("ring_xy"))
+    joined = spatial_join_distributed(
+        docs, polys, zoom=6, salt=4, broadcast_polygons=True, exact=True
+    )
+    return joined.groupBy("poly_id").agg(
+        F.count("*").alias("n_points"), F.sum("doc_id").alias("sum_doc")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -941,7 +1046,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _q_pq_topk,
         "tile_pyramid": _q_tile_pyramid,
         "merge_overlay": _q_merge_overlay,
+        "polygon_ingest_dist": _q_polygon_ingest_dist,
+        "tileset_scan": _q_tileset_scan,
+        "spatial_join_dist": _q_spatial_join_dist,
     }
+
+
+def _sql_polygon_ingest_dist() -> str:
+    """SQL twin of _q_polygon_ingest_dist: recomputes the rectangle rings'
+    bbox tile cover (unnest(range(..)) cross product) and every vertex's
+    extent-quantized ints with the exact featurizer arithmetic order."""
+
+    def qx(vx: str) -> str:
+        return f"CAST(floor((({vx}+180.0)/360.0*{N_TILES} - tile_x)*4096.0 + 0.5) AS INT)"
+
+    def qy(vy: str) -> str:
+        return f"CAST(floor(({_sql_merc_y(vy)}*{N_TILES} - tile_y)*4096.0 + 0.5) AS INT)"
+
+    verts = [
+        ("(lon - w)", "(lat - h)"), ("(lon + w)", "(lat - h)"),
+        ("(lon + w)", "(lat + h)"), ("(lon - w)", "(lat + h)"),
+        ("(lon - w)", "(lat - h)"),
+    ]
+    coords = ",\n                      ".join(
+        v for vx, vy in verts for v in (qx(vx), qy(vy))
+    )
+    poss = ", ".join(str(i) for i in range(10))
+    return f"""
+        WITH p AS (
+          SELECT doc_id,
+                 (CAST(doc_id*37 % 3400 AS DOUBLE)/10.0 - 170.0) AS lon,
+                 (CAST(doc_id*53 % 1500 AS DOUBLE)/10.0 - 75.0) AS lat,
+                 CAST(doc_id % 7 + 1 AS DOUBLE) * 0.5 AS w,
+                 CAST(doc_id % 5 + 1 AS DOUBLE) * 0.5 AS h
+          FROM documents
+        ), b AS (
+          SELECT doc_id, lon, lat, w, h,
+                 CAST(floor(((lon - w)+180.0)/360.0*{N_TILES}) AS BIGINT) AS tx0,
+                 CAST(floor(((lon + w)+180.0)/360.0*{N_TILES}) AS BIGINT) AS tx1,
+                 CAST(floor({_sql_merc_y("(lat + h)")}*{N_TILES}) AS BIGINT) AS ty0,
+                 CAST(floor({_sql_merc_y("(lat - h)")}*{N_TILES}) AS BIGINT) AS ty1
+          FROM p
+        ), txx AS (
+          SELECT doc_id, lon, lat, w, h, ty0, ty1,
+                 unnest(range(tx0, tx1+1)) AS tile_x
+          FROM b
+        ), t AS (
+          SELECT doc_id, lon, lat, w, h, tile_x,
+                 unnest(range(ty0, ty1+1)) AS tile_y
+          FROM txx
+        )
+        SELECT CAST({ZOOM} AS INT) AS zoom, tile_x, tile_y,
+               doc_id AS id,
+               CAST(unnest([{poss}]) AS INT) AS pos,
+               unnest([{coords}]) AS coord
+        FROM t
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1356,6 +1516,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
                      AS total_tokens
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "polygon_ingest_dist": _sql_polygon_ingest_dist(),
+        "tileset_scan": f"""
+            SELECT * FROM (
+              SELECT {ZOOM} AS zoom, {tx_doc} AS tile_x, {ty_doc} AS tile_y,
+                     count(*) AS n_features
+              FROM documents GROUP BY 1, 2, 3
+            ) WHERE tile_x < 8
+        """,
+        "spatial_join_dist": """
+            WITH r AS (
+              SELECT CAST(s_suppkey AS BIGINT) AS poly_id,
+                     (CAST(s_suppkey*89 % 3200 AS DOUBLE)/10.0 - 165.05) AS x0,
+                     (CAST(s_suppkey*71 % 1400 AS DOUBLE)/10.0 - 72.05) AS y0
+              FROM supplier
+            ), rr AS (
+              SELECT poly_id, x0, y0,
+                     x0 + CAST(poly_id % 9 + 2 AS DOUBLE) AS x1,
+                     y0 + CAST(poly_id % 6 + 2 AS DOUBLE) AS y1
+              FROM r
+            ), d AS (
+              SELECT doc_id,
+                     ((CAST(doc_id*37 AS DOUBLE) % 3600)/10.0 - 180.0) AS lon,
+                     ((CAST(doc_id*53 AS DOUBLE) % 1600)/10.0 - 80.0) AS lat
+              FROM documents
+            )
+            SELECT poly_id, count(*) AS n_points, sum(doc_id) AS sum_doc
+            FROM rr, d
+            WHERE lon > x0 AND lon < x1 AND lat > y0 AND lat < y1
+            GROUP BY poly_id
         """,
         # minhash_near_dups / simhash / lsh_topk: non-SQL-expressible
         # (xxhash64 signature chains / approximate LSH recall) -> rows-only

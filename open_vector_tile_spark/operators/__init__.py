@@ -32,11 +32,13 @@ from .tiler import (  # noqa: F401
     images_to_tiles,
     lines3d_to_features,
     lines_to_features,
+    lines_to_features_dist,
     points3d_to_features,
     points_to_features,
     points_to_features_pyramid,
     polygons3d_to_features,
     points_to_features_columnar,
     polygons_to_features,
+    polygons_to_features_dist,
     s2json_tiles_to_ovt,
 )

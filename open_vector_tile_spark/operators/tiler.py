@@ -827,6 +827,291 @@ def polygons3d_to_features(
     return spark.createDataFrame(rows, schema)
 
 
+# ---------------------------------------------------------------------------
+# Executor-side line/polygon featurizers (the 100 TB ingest path)
+# ---------------------------------------------------------------------------
+# The *_to_features helpers above take a driver-side pandas frame — fine for
+# dim-sized layers, a bottleneck for corpus-scale ones (the reference's own
+# OMT corpus is 429 tiles of mostly line/poly layers, benchmarks/
+# ovtVScovt.ts:38-44).  These *_dist twins take a Spark DataFrame of geometry
+# arrays and featurize INSIDE mapInPandas, mirroring polygon_covering_df
+# (spatial_join.py:137): per Arrow batch, the mercator trig runs ONCE over
+# the concatenated vertex array (vectorized), per-geometry work is only the
+# bbox-cover tile expansion.  No createDataFrame(rows), no driver
+# materialization anywhere — the layer can be arbitrarily large and the
+# output unions straight into encode_tiles' single (zoom,tile_x,tile_y)
+# shuffle.  Output rows are exactly the driver twins' rows (pinned by
+# tests/test_vector_layers_spark.py equality tests).
+
+_LINES_SCHEMA = (
+    "zoom int, tile_x long, tile_y long, layer string, extent int, id long, "
+    "ftype int, geom_xy array<int>, ring_lens array<int>, offsets array<double>, "
+    "props_json string, mvals_json string"
+)
+_POLYS_SCHEMA = (
+    "zoom int, tile_x long, tile_y long, layer string, extent int, id long, "
+    "ftype int, geom_xy array<int>, ring_lens array<int>, poly_lens array<int>, "
+    "props_json string, mvals_json string"
+)
+
+
+def _props_json_col(df: DataFrame, props_cols, exclude: tuple) -> "F.Column":
+    """JVM-side props serialization (to_json keeps struct-field order, so the
+    parsed dict matches the driver twins' key order and the codec's shape
+    inference sees identical layouts)."""
+    cols = list(props_cols) if props_cols is not None else [
+        c for c in df.columns if c not in exclude
+    ]
+    if not cols:
+        return F.lit("{}")
+    # to_json omits null fields, like the driver path omits absent keys
+    return F.to_json(F.struct(*[F.col(c) for c in cols]))
+
+
+def _tile_range(mxn: np.ndarray, myn: np.ndarray, zoom: int) -> tuple:
+    """Covered tile index range from per-vertex mercator*2^zoom coords —
+    identical to cover_bbox_np over the lon/lat bbox (mercator is monotone,
+    so min/max commute with the projection bit-exactly)."""
+    nmax = (1 << zoom) - 1
+    tx0 = int(np.clip(np.floor(mxn.min()), 0, nmax))
+    tx1 = int(np.clip(np.floor(mxn.max()), 0, nmax))
+    ty0 = int(np.clip(np.floor(myn.min()), 0, nmax))
+    ty1 = int(np.clip(np.floor(myn.max()), 0, nmax))
+    return tx0, tx1, ty0, ty1
+
+
+def lines_to_features_dist(
+    lines: DataFrame,
+    zoom: int,
+    layer: str,
+    extent: int = 4096,
+    id_col: str = "line_id",
+    xy_col: str = "xy",
+    offset_col: str = "offset",
+    mvals_json_col: Optional[str] = None,
+    props_cols: Optional[Iterable[str]] = None,
+    dims: int = 2,
+    z_scale: float = 1.0,
+) -> DataFrame:
+    """Distributed twin of :func:`lines_to_features` (dims=2 → type 2) /
+    :func:`lines3d_to_features` (dims=3 → type 5).
+
+    ``lines``: Spark DataFrame with ``id_col long``, ``xy_col array<double>``
+    (flat interleaved lon,lat[,z]), optional ``offset_col double``, optional
+    ``mvals_json_col string`` (pre-serialized per-vertex M-values), plus any
+    property columns.  Each line lands in every tile its bbox covers (spec
+    buffer semantics — no clipping, vector-tile-spec README.md:411-413);
+    vertex quantization is P13 JS half-up, z by ``z_scale``.
+    """
+    if dims not in (2, 3):
+        raise ValueError(f"dims must be 2|3, got {dims}")
+    ftype = 2 if dims == 2 else 5
+    n = float(1 << zoom)
+    has_off = offset_col in lines.columns
+    pj = _props_json_col(
+        lines, props_cols, (id_col, xy_col, offset_col, mvals_json_col or "")
+    )
+    src = lines.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(xy_col).alias("_xy"),
+        (F.col(offset_col).cast("double") if has_off else F.lit(0.0)).alias("_off"),
+        (F.col(mvals_json_col) if mvals_json_col else F.lit(None).cast("string")).alias("_mv"),
+        pj.alias("_pj"),
+    )
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arrs = [
+                np.asarray(v, dtype=np.float64).reshape(-1, dims) for v in pdf["_xy"]
+            ]
+            lens = np.array([len(a) for a in arrs], dtype=np.int64)
+            flat = np.concatenate(arrs) if arrs else np.zeros((0, dims))
+            from ..functions.geo import merc_x_np, merc_y_np
+
+            mxn = merc_x_np(flat[:, 0]) * n
+            myn = merc_y_np(flat[:, 1]) * n
+            qzf = (
+                np.floor(flat[:, 2] * z_scale + 0.5).astype(np.int64)
+                if dims == 3
+                else None
+            )
+            starts = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            out: dict = {k: [] for k in (
+                "tile_x", "tile_y", "id", "geom_xy", "ring_lens", "offsets",
+                "props_json", "mvals_json",
+            )}
+            ids = pdf["_id"].to_numpy()
+            offs = pdf["_off"].to_numpy()
+            mvs = pdf["_mv"].tolist()
+            pjs = pdf["_pj"].tolist()
+            for i in range(len(arrs)):
+                s, ln = int(starts[i]), int(lens[i])
+                if ln == 0:
+                    continue
+                mx, my = mxn[s : s + ln], myn[s : s + ln]
+                tx0, tx1, ty0, ty1 = _tile_range(mx, my, zoom)
+                off = float(offs[i])
+                for ty in range(ty0, ty1 + 1):
+                    qy = np.floor((my - ty) * extent + 0.5).astype(np.int64)
+                    for tx in range(tx0, tx1 + 1):
+                        qx = np.floor((mx - tx) * extent + 0.5).astype(np.int64)
+                        if dims == 2:
+                            g = np.empty(2 * ln, dtype=np.int64)
+                            g[0::2], g[1::2] = qx, qy
+                        else:
+                            g = np.empty(3 * ln, dtype=np.int64)
+                            g[0::3], g[1::3], g[2::3] = qx, qy, qzf[s : s + ln]
+                        out["tile_x"].append(tx)
+                        out["tile_y"].append(ty)
+                        out["id"].append(int(ids[i]))
+                        out["geom_xy"].append(g.tolist())
+                        out["ring_lens"].append([ln])
+                        out["offsets"].append([off] if off > 0 else None)
+                        out["props_json"].append(pjs[i])
+                        out["mvals_json"].append(mvs[i])
+            if out["id"]:
+                m = len(out["id"])
+                yield pd.DataFrame(
+                    {
+                        "zoom": [zoom] * m,
+                        **out,
+                        "layer": [layer] * m,
+                        "extent": [extent] * m,
+                        "ftype": [ftype] * m,
+                    }
+                )
+
+    return src.mapInPandas(run, _LINES_SCHEMA)
+
+
+def polygons_to_features_dist(
+    polygons: DataFrame,
+    zoom: int,
+    layer: str,
+    extent: int = 4096,
+    drop_degenerate: bool = True,
+    id_col: str = "poly_id",
+    rings_col: str = "ring_xy",
+    mvals_json_col: Optional[str] = None,
+    props_cols: Optional[Iterable[str]] = None,
+    dims: int = 2,
+    z_scale: float = 1.0,
+) -> DataFrame:
+    """Distributed twin of :func:`polygons_to_features` (dims=2 → type 3) /
+    :func:`polygons3d_to_features` (dims=3 → type 6).
+
+    ``polygons``: Spark DataFrame with ``id_col long``, ``rings_col
+    array<array<double>>`` (each ring a flat interleaved vertex list), plus
+    property columns.  Tile cover comes from the OUTER ring's bbox;
+    zero-area rings are dropped like classifyRings
+    (src/mapbox/vectorFeature.ts:357-381) when ``drop_degenerate`` (2D only,
+    matching the driver twin).
+    """
+    if dims not in (2, 3):
+        raise ValueError(f"dims must be 2|3, got {dims}")
+    ftype = 3 if dims == 2 else 6
+    n = float(1 << zoom)
+    pj = _props_json_col(polygons, props_cols, (id_col, rings_col, mvals_json_col or ""))
+    src = polygons.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(rings_col).alias("_rings"),
+        (F.col(mvals_json_col) if mvals_json_col else F.lit(None).cast("string")).alias("_mv"),
+        pj.alias("_pj"),
+    )
+
+    def run(batches: Iterable[pd.DataFrame]):
+        from ..codec.mvt import signed_area
+        from ..functions.geo import merc_x_np, merc_y_np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # flatten (poly, ring) raggedness once per batch
+            ring_arrs: list[np.ndarray] = []
+            ring_poly: list[int] = []
+            for i, rings_flat in enumerate(pdf["_rings"]):
+                for r in rings_flat:
+                    arr = np.asarray(r, dtype=np.float64).reshape(-1, dims)
+                    if (
+                        dims == 2
+                        and drop_degenerate
+                        and signed_area([tuple(p) for p in arr]) == 0.0
+                    ):
+                        continue
+                    ring_arrs.append(arr)
+                    ring_poly.append(i)
+            if not ring_arrs:
+                continue
+            lens = np.array([len(a) for a in ring_arrs], dtype=np.int64)
+            flat = np.concatenate(ring_arrs)
+            mxn = merc_x_np(flat[:, 0]) * n
+            myn = merc_y_np(flat[:, 1]) * n
+            qzf = (
+                np.floor(flat[:, 2] * z_scale + 0.5).astype(np.int64)
+                if dims == 3
+                else None
+            )
+            starts = np.zeros(len(ring_arrs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            out: dict = {k: [] for k in (
+                "tile_x", "tile_y", "id", "geom_xy", "ring_lens", "poly_lens",
+                "props_json", "mvals_json",
+            )}
+            ids = pdf["_id"].to_numpy()
+            mvs = pdf["_mv"].tolist()
+            pjs = pdf["_pj"].tolist()
+            r = 0
+            while r < len(ring_arrs):
+                i = ring_poly[r]
+                r_end = r
+                while r_end < len(ring_arrs) and ring_poly[r_end] == i:
+                    r_end += 1
+                # outer ring (first surviving ring) drives the tile cover
+                s0, l0 = int(starts[r]), int(lens[r])
+                tx0, tx1, ty0, ty1 = _tile_range(
+                    mxn[s0 : s0 + l0], myn[s0 : s0 + l0], zoom
+                )
+                s_all, e_all = int(starts[r]), int(starts[r_end - 1] + lens[r_end - 1])
+                mx, my = mxn[s_all:e_all], myn[s_all:e_all]
+                rlens = [int(lens[j]) for j in range(r, r_end)]
+                nv = e_all - s_all
+                for ty in range(ty0, ty1 + 1):
+                    qy = np.floor((my - ty) * extent + 0.5).astype(np.int64)
+                    for tx in range(tx0, tx1 + 1):
+                        qx = np.floor((mx - tx) * extent + 0.5).astype(np.int64)
+                        if dims == 2:
+                            g = np.empty(2 * nv, dtype=np.int64)
+                            g[0::2], g[1::2] = qx, qy
+                        else:
+                            g = np.empty(3 * nv, dtype=np.int64)
+                            g[0::3], g[1::3], g[2::3] = qx, qy, qzf[s_all:e_all]
+                        out["tile_x"].append(tx)
+                        out["tile_y"].append(ty)
+                        out["id"].append(int(ids[i]))
+                        out["geom_xy"].append(g.tolist())
+                        out["ring_lens"].append(rlens)
+                        out["poly_lens"].append([len(rlens)])
+                        out["props_json"].append(pjs[i])
+                        out["mvals_json"].append(mvs[i])
+                r = r_end
+            if out["id"]:
+                m = len(out["id"])
+                yield pd.DataFrame(
+                    {
+                        "zoom": [zoom] * m,
+                        **out,
+                        "layer": [layer] * m,
+                        "extent": [extent] * m,
+                        "ftype": [ftype] * m,
+                    }
+                )
+
+    return src.mapInPandas(run, _POLYS_SCHEMA)
+
+
 def s2json_tiles_to_ovt(
     tiles: DataFrame,
     layer_map: Optional[dict] = None,

@@ -1,0 +1,178 @@
+"""Executor-side line/polygon featurizers == driver-side twins, byte-for-byte.
+
+The *_dist featurizers (operators/tiler.py) run inside mapInPandas on a Spark
+DataFrame of geometry arrays — no createDataFrame(rows), no driver
+materialization.  These tests pin (a) feature-row equality with the
+driver-side paths on the repo's standard fixtures and (b) byte-identical
+tiles after encode_tiles, plus assert the plan has no driver-side scan
+(input is a real distributed DataFrame)."""
+
+import json
+
+import pandas as pd
+import pytest
+
+from open_vector_tile_spark.operators.tiler import (
+    encode_tiles,
+    lines3d_to_features,
+    lines_to_features,
+    lines_to_features_dist,
+    polygons3d_to_features,
+    polygons_to_features,
+    polygons_to_features_dist,
+)
+from open_vector_tile_spark.sources import polygons_pdf
+
+ZOOM = 3
+
+
+def _norm_rows(df):
+    """Collected feature rows -> comparable tuples (props parsed, arrays as
+    tuples), sorted."""
+    out = []
+    for r in df.collect():
+        d = r.asDict()
+        props = json.loads(d.get("props_json") or "{}")
+        mv = d.get("mvals_json")
+        out.append(
+            (
+                d["zoom"], d["tile_x"], d["tile_y"], d["layer"], d["extent"],
+                d["id"], d["ftype"],
+                tuple(d["geom_xy"] or []),
+                tuple(d["ring_lens"] or []),
+                tuple(d.get("poly_lens") or []),
+                tuple(d.get("offsets") or []),
+                tuple(sorted(props.items())),
+                json.dumps(json.loads(mv)) if mv else None,
+            )
+        )
+    return sorted(out)
+
+
+def _tile_bytes(feats):
+    return sorted(
+        (r["zoom"], r["tile_x"], r["tile_y"], bytes(r["tile"]))
+        for r in encode_tiles(feats).collect()
+    )
+
+
+def test_polygons_dist_matches_driver_rows_and_bytes(spark):
+    polys = polygons_pdf()
+    driver = polygons_to_features(spark, polys, zoom=ZOOM, layer="admin", extent=4096)
+    sdf = spark.createDataFrame(polys).repartition(4)
+    dist = polygons_to_features_dist(
+        sdf, zoom=ZOOM, layer="admin", extent=4096,
+        props_cols=["name", "kind", "rank"],
+    )
+    assert _norm_rows(dist) == _norm_rows(driver)
+    assert _tile_bytes(dist) == _tile_bytes(driver)
+
+
+def test_polygons_dist_drops_degenerate_rings(spark):
+    sdf = spark.createDataFrame(polygons_pdf())
+    dist = polygons_to_features_dist(
+        sdf, zoom=ZOOM, layer="admin", props_cols=["name", "kind", "rank"]
+    )
+    ids = {r["id"] for r in dist.select("id").distinct().collect()}
+    assert 48 not in ids and 49 not in ids
+
+
+def test_lines_dist_matches_driver_rows_and_bytes(spark):
+    lines = pd.DataFrame(
+        [
+            {"line_id": 1, "xy": [0.0, 0.0, 10.0, 10.0, 20.0, 5.0], "offset": 1.5, "road": "a"},
+            {"line_id": 2, "xy": [-30.0, -30.0, -10.0, -20.0], "offset": 0.0, "road": "b"},
+            # crosses several z2 tiles -> multi-tile assignment exercised
+            {"line_id": 3, "xy": [-120.0, 10.0, 60.0, 40.0], "offset": 0.0, "road": "c"},
+        ]
+    )
+    driver = lines_to_features(spark, lines, zoom=2, layer="roads", extent=4096)
+    dist = lines_to_features_dist(
+        spark.createDataFrame(lines).repartition(3),
+        zoom=2, layer="roads", extent=4096, props_cols=["road"],
+    )
+    assert _norm_rows(dist) == _norm_rows(driver)
+    assert _tile_bytes(dist) == _tile_bytes(driver)
+
+
+def test_lines_dist_mvalues_parity(spark):
+    mv = [{"speed": 30}, {"speed": 50}, {"speed": 70}]
+    lines = pd.DataFrame(
+        [{"line_id": 9, "xy": [0.0, 0.0, 5.0, 5.0, 9.0, 2.0], "offset": 0.0, "mvals": mv}]
+    )
+    driver = lines_to_features(spark, lines, zoom=2, layer="m", extent=4096)
+    sdf = spark.createDataFrame(
+        pd.DataFrame(
+            [{"line_id": 9, "xy": lines["xy"][0], "offset": 0.0,
+              "mvals_json": json.dumps(mv)}]
+        )
+    )
+    dist = lines_to_features_dist(
+        sdf, zoom=2, layer="m", extent=4096,
+        mvals_json_col="mvals_json", props_cols=[],
+    )
+    assert _norm_rows(dist) == _norm_rows(driver)
+    assert _tile_bytes(dist) == _tile_bytes(driver)
+
+
+def test_lines3d_dist_matches_driver(spark):
+    lines = pd.DataFrame(
+        [
+            {"line_id": 1, "xyz": [0.0, 0.0, 10.0, 10.0, 10.0, 20.0, 20.0, 5.0, 15.0], "kind": "x"},
+            {"line_id": 2, "xyz": [-30.0, -30.0, 100.0, -10.0, -20.0, 110.0], "kind": "y"},
+        ]
+    )
+    driver = lines3d_to_features(spark, lines, zoom=ZOOM, layer="l3", extent=4096, z_scale=2.0)
+    sdf = spark.createDataFrame(lines.rename(columns={"xyz": "xy"}))
+    dist = lines_to_features_dist(
+        sdf, zoom=ZOOM, layer="l3", extent=4096,
+        props_cols=["kind"], dims=3, z_scale=2.0,
+    )
+    assert _norm_rows(dist) == _norm_rows(driver)
+    assert _tile_bytes(dist) == _tile_bytes(driver)
+
+
+def test_polygons3d_dist_matches_driver(spark):
+    polys = pd.DataFrame(
+        [
+            {
+                "poly_id": 1,
+                "ring_xyz": [
+                    [0.0, 0.0, 5.0, 8.0, 0.0, 6.0, 8.0, 8.0, 7.0, 0.0, 8.0, 5.5, 0.0, 0.0, 5.0]
+                ],
+                "zone": "a",
+            },
+            {
+                "poly_id": 2,
+                "ring_xyz": [
+                    [20.0, 20.0, 1.0, 30.0, 20.0, 2.0, 30.0, 30.0, 3.0, 20.0, 20.0, 1.0],
+                    [24.0, 24.0, 1.5, 26.0, 24.0, 1.5, 26.0, 26.0, 1.5, 24.0, 24.0, 1.5],
+                ],
+                "zone": "b",
+            },
+        ]
+    )
+    driver = polygons3d_to_features(spark, polys, zoom=ZOOM, layer="p3", extent=4096, z_scale=2.0)
+    sdf = spark.createDataFrame(polys.rename(columns={"ring_xyz": "ring_xy"}))
+    dist = polygons_to_features_dist(
+        sdf, zoom=ZOOM, layer="p3", extent=4096,
+        props_cols=["zone"], dims=3, z_scale=2.0,
+    )
+    assert _norm_rows(dist) == _norm_rows(driver)
+    assert _tile_bytes(dist) == _tile_bytes(driver)
+
+
+def test_dist_path_has_no_driver_scan(spark):
+    """The plan must read from the distributed input (Scan over the parquet /
+    in-memory relation), not a LocalTableScan of driver-built rows."""
+    sdf = spark.range(0, 100, 1, 8).selectExpr(
+        "id as poly_id",
+        "array(array(double(id % 30), double(id % 20), double(id % 30 + 5), "
+        "double(id % 20), double(id % 30 + 5), double(id % 20 + 5), "
+        "double(id % 30), double(id % 20))) as ring_xy",
+        "concat('p', id) as name",
+    )
+    dist = polygons_to_features_dist(sdf, zoom=4, layer="x", props_cols=["name"])
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan
+    assert dist.count() > 0
