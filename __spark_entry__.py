@@ -338,12 +338,19 @@ def _q_knn_haversine(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    """Dedup (MinHash+LSH): near-dup pairs at Jaccard >= 0.5 (rows-only
-    check — xxhash64 has no DuckDB twin; verified in pytest instead)."""
+    """Dedup (MinHash+LSH): near-dup pairs at Jaccard >= 0.5, VERIFIED stage
+    output — (id_a, id_b, exact jaccard).  Oracle = exact all-pairs shingle
+    Jaccard in SQL: the testdata's qualifying pairs sit at j>=0.9 where
+    16-band/4-row LSH recall is 1-4e-8, so the LSH candidate stage must
+    surface every qualifying pair for the hash to match — an end-to-end
+    value check of candidate generation + exact verification."""
     from open_vector_tile_spark.operators.dedup import minhash_dedup
 
     docs = _load(spark, sf, "documents")
-    return minhash_dedup(docs, threshold=0.5).orderBy("id_a", "id_b")
+    out = minhash_dedup(docs, threshold=0.5)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
 
 
 def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -355,17 +362,20 @@ def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Similarity (scale path): LSH-bucketed ANN top-5 (rows-only; recall
-    vs brute force asserted in pytest)."""
+    """Similarity (scale path): LSH bucket+match+re-rank pipeline in EXACT
+    mode (n_planes=0 -> one bucket, all candidates) so the full plumbing —
+    bucket keys, candidate masking, sequential-dot re-rank, local-then-global
+    top-k — is value-checked against the brute-force SQL oracle (the
+    near_dup_embeddings trick, similarity.py _plane_matrix docstring).
+    Approximate-mode recall is pytest-asserted vs brute force
+    (tests/test_webtext_ops.py)."""
     from open_vector_tile_spark.operators.similarity import cosine_topk_lsh
 
     emb = _load(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    # dim derived from the collected query vectors inside cosine_topk_lsh —
-    # no extra driver action here
-    out = cosine_topk_lsh(emb, queries, k=5, qid_col="query_id")
+    out = cosine_topk_lsh(emb, queries, k=5, n_planes=0, n_tables=1, qid_col="query_id")
     return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank").orderBy(
         "query_id", "rank"
     )
@@ -1547,9 +1557,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE lon > x0 AND lon < x1 AND lat > y0 AND lat < y1
             GROUP BY poly_id
         """,
-        # minhash_near_dups / simhash / lsh_topk: non-SQL-expressible
-        # (xxhash64 signature chains / approximate LSH recall) -> rows-only
-        # driver check; their correctness oracles are in
-        # tests/test_webtext_ops.py (recall/precision vs exact Jaccard,
-        # hamming properties, recall vs brute force).
+        # the LSH pipeline in exact mode (n_planes=0) is the brute-force
+        # ranking — same oracle as cosine_topk (the near_dup_embeddings trick)
+        "lsh_topk": """
+            SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim, CAST(rank AS INT) AS rank FROM (
+              SELECT query_id, vec_id, cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos_sim DESC, vec_id ASC) AS rank
+              FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                       list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cos_sim
+                FROM embeddings v, (SELECT * FROM embeddings WHERE vec_id < 5) q))
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # exact all-pairs verified-Jaccard twin: the LSH candidate stage must
+        # surface every pair with j >= 0.5 (testdata pairs sit at j >= 0.9,
+        # where 16x4 banding recall is 1 - 4e-8) for the hash to match
+        "minhash_near_dups": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                              FOR i IN range(1, len(w) - 1)])
+                     END AS s
+              FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                    FROM documents)
+            )
+            SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(a.s || b.s)) AS j
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ) WHERE j >= 0.5 ORDER BY id_a, id_b
+        """,
+        # simhash / pq_topk: non-SQL-expressible (xxhash64 bit-vote signature
+        # / lossy product quantization) -> rows-only driver check; their
+        # correctness oracles are in tests/test_webtext_ops.py (hamming
+        # properties, PQ cluster-retrieval vs brute force).
     }
