@@ -114,12 +114,13 @@ def build_queries(spark, sf_dir):
 
 def run_session(cores: int, sf_dir: str) -> dict[str, float]:
     """Headline timings: per-query MIN over SPARK_GRAFT_BENCH_PASSES (default
-    2) passes in one session.  The co-tenant host flips calm<->loaded on
+    3) passes in one session.  The co-tenant host flips calm<->loaded on
     minute timescales (BENCH.md forensics); a single-shot suite measures the
-    window it lands in, min-of-2 measures the engine."""
+    window it lands in, min-of-N measures the engine (pass 1 additionally
+    pays one-time JVM/codegen/python-worker warmup)."""
     from open_vector_tile_spark.plans import get_spark
 
-    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     spark = get_spark(f"bench-{cores}", cores=cores)
     try:
         queries = build_queries(spark, sf_dir)

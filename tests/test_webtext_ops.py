@@ -360,3 +360,68 @@ def test_pq_encode_and_adc_recall(spark):
     # ADC distance of a query to its own cluster is (near) the minimum
     top1 = got[got["rank"] == 1]
     assert (top1.groupby("query_id")["adc_dist"].min() < 1.0).all()
+
+
+def test_batch_minhash_kernel_matches_per_doc_reference():
+    """The whole-batch segmented kernel (one hash_array call + rolling FNV
+    polynomial + minimum.reduceat) must equal a straightforward per-document
+    reference of the same hash family, across edge shapes: empty doc, 1 word,
+    exactly n words, n-1 words, long docs, duplicated grams."""
+    import numpy as np
+    import pandas as pd
+
+    from open_vector_tile_spark.operators.dedup import (
+        _FNV,
+        _batch_band_keys,
+        _batch_gram_hashes,
+        _minhash_A,
+    )
+
+    n, bands, rpb = 3, 16, 4
+    texts = [
+        "",                                   # empty -> gram hash 0
+        "one",                                # wc < n -> single fold
+        "two words",                          # wc = n-1
+        "exactly three words",                # wc = n -> one gram
+        "a b c d e f g h i j",                # long
+        "a b c a b c a b c",                  # duplicated grams
+        "The QUICK brown fox jumps over the lazy dog " * 5,
+        None,                                 # null text
+    ]
+
+    def ref_doc_grams(t):
+        words = (t or "").lower().split()
+        if not words:
+            return np.zeros(1, dtype=np.uint64)
+        wh = pd.util.hash_array(np.asarray(words, dtype=object)).astype(np.uint64)
+        if len(words) < n:
+            acc = np.uint64(0)
+            for h in wh:
+                acc = acc * _FNV + h
+            return np.array([acc], dtype=np.uint64)
+        out = []
+        for i in range(len(words) - n + 1):
+            acc = np.uint64(0)
+            for h in wh[i : i + n]:
+                acc = acc * _FNV + h
+            out.append(acc)
+        return np.array(out, dtype=np.uint64)
+
+    grams, offs = _batch_gram_hashes(texts, n)
+    ref = [ref_doc_grams(t) for t in texts]
+    ends = np.append(offs[1:], len(grams))
+    for i, r in enumerate(ref):
+        got = grams[offs[i] : ends[i]]
+        assert got.tolist() == r.tolist(), f"doc {i}"
+
+    # band keys: per-doc reference fold vs the batch kernel
+    A = _minhash_A(bands * rpb)
+    keys = _batch_band_keys(grams, offs, A, bands, rpb)
+    for i, r in enumerate(ref):
+        sig = np.array([(A[j] * r).min() for j in range(bands * rpb)], dtype=np.uint64)
+        folded = sig.reshape(bands, rpb)
+        key = np.zeros(bands, dtype=np.uint64)
+        for j in range(rpb):
+            key = key * _FNV + folded[:, j]
+        want = (key & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        assert keys[i].tolist() == want.tolist(), f"doc {i}"
