@@ -587,8 +587,11 @@ def polygons_to_features(
     are dropped like classifyRings does (src/mapbox/vectorFeature.ts:357-381)
     unless ``drop_degenerate=False``.
 
-    Runs driver-side (polygon layers are dim-sized) and returns a Spark
-    DataFrame ready to union with point feature rows for multi-layer tiles.
+    Runs driver-side (DECLARED dim-table helper — fine for dim-sized layers
+    only); the corpus-scale path is :func:`polygons_to_features_dist`, which
+    produces identical rows from a Spark DataFrame with no driver
+    materialization.  Returns a Spark DataFrame ready to union with point
+    feature rows for multi-layer tiles.
     """
     import json as _json
 
@@ -647,7 +650,8 @@ def lines_to_features(
     """Line layer (pandas with line_id, xy flat lon/lat list, optional offset,
     optional mvals (per-vertex dict list), props columns) -> type-2 feature
     rows, tile-assigned by bbox covering.  M-values ride as mvals_json
-    (FIXTURES.md §6)."""
+    (FIXTURES.md §6).  DECLARED driver-side dim-table helper; the
+    corpus-scale twin is :func:`lines_to_features_dist`."""
     import json as _json
 
     from ..functions.geo import cover_bbox_np, merc_x_np, merc_y_np
@@ -705,7 +709,8 @@ def lines3d_to_features(
     optional offset/mvals/props columns) -> type-5 feature rows, tile-assigned
     by bbox covering.  x/y quantize like P13; z quantizes by ``z_scale`` with
     the same JS half-up rounding (reference 3D read/write:
-    src/open/vectorFeature.ts:376-587)."""
+    src/open/vectorFeature.ts:376-587).  DECLARED driver-side dim-table
+    helper; scale twin: ``lines_to_features_dist(dims=3)``."""
     import json as _json
 
     from ..functions.geo import cover_bbox_np, merc_x_np, merc_y_np
@@ -764,7 +769,9 @@ def polygons3d_to_features(
     [lon,lat,z,...] rings, optional mvals (flat per-vertex dict list across
     rings), props columns) -> type-6 feature rows.  Mirrors
     polygons_to_features for the 3D wire type; M-values ride as mvals_json
-    (the encoder distributes them per ring via ring_lens)."""
+    (the encoder distributes them per ring via ring_lens).  DECLARED
+    driver-side dim-table helper; scale twin:
+    ``polygons_to_features_dist(dims=3)``."""
     import json as _json
 
     from ..functions.geo import cover_bbox_np, merc_x_np, merc_y_np
@@ -1151,30 +1158,65 @@ def s2json_tiles_to_ovt(
 def images_to_tiles(images: DataFrame) -> DataFrame:
     """Image rows (zoom, tile_x, tile_y, name, type, width, height, image)
     -> one OVT tile per key carrying the image layer(s) (S10 passthrough,
-    src/open/imageLayer.ts:94-104)."""
+    src/open/imageLayer.ts:94-104).
+
+    Same sorted-run ``mapInPandas`` shape as :func:`encode_tiles` (one
+    Python call per Arrow batch walking key runs, groups spanning batches
+    carried over) instead of per-tiny-group ``applyInPandas`` — the ledger
+    measured that anti-pattern at 3.6x for small groups.  Sorting by
+    (key, name) makes tile bytes order-independent of shuffle arrival."""
     from ..codec import write_ov_tile as _write
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        imgs = [
-            {
-                "name": r["name"],
-                "type": r["type"],
-                "width": int(r["width"]),
-                "height": int(r["height"]),
-                "image": bytes(r["image"]),
-            }
-            for _, r in pdf.iterrows()
-        ]
-        tile = _write(None, images=imgs)
-        return pd.DataFrame(
-            {
-                "zoom": [int(pdf["zoom"].iloc[0])],
-                "tile_x": [int(pdf["tile_x"].iloc[0])],
-                "tile_y": [int(pdf["tile_y"].iloc[0])],
-                "tile": [tile],
-                "n_features": [len(pdf)],
-                "n_bytes": [len(tile)],
-            }
-        )
+    arranged = images.repartition("zoom", "tile_x", "tile_y").sortWithinPartitions(
+        "zoom", "tile_x", "tile_y", "name"
+    )
 
-    return images.groupBy("zoom", "tile_x", "tile_y").applyInPandas(encode, TILE_SCHEMA)
+    def encode_partition(batches: Iterable[pd.DataFrame]):
+        pending_key: Optional[tuple] = None
+        pending: list[dict] = []
+        out: list[tuple] = []
+
+        def flush():
+            if pending:
+                tile = _write(None, images=pending)
+                out.append((*pending_key, tile, len(pending), len(tile)))
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            zs = pdf["zoom"].to_numpy()
+            xs = pdf["tile_x"].to_numpy()
+            ys = pdf["tile_y"].to_numpy()
+            imgs = [
+                {"name": nm, "type": tp, "width": int(w), "height": int(hh),
+                 "image": bytes(im)}
+                for nm, tp, w, hh, im in zip(
+                    pdf["name"].tolist(), pdf["type"].tolist(), pdf["width"].tolist(),
+                    pdf["height"].tolist(), pdf["image"].tolist(),
+                )
+            ]
+            change = np.flatnonzero(
+                (zs[1:] != zs[:-1]) | (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])
+            )
+            starts = np.concatenate([[0], change + 1])
+            ends = np.concatenate([change + 1, [len(imgs)]])
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                k = (int(zs[s]), int(xs[s]), int(ys[s]))
+                if k != pending_key:
+                    flush()
+                    pending_key = k
+                    pending = imgs[s:e]
+                else:
+                    pending.extend(imgs[s:e])
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["zoom", "tile_x", "tile_y", "tile", "n_features", "n_bytes"]
+                )
+                out = []
+        flush()
+        if out:
+            yield pd.DataFrame(
+                out, columns=["zoom", "tile_x", "tile_y", "tile", "n_features", "n_bytes"]
+            )
+
+    return arranged.mapInPandas(encode_partition, TILE_SCHEMA)

@@ -148,3 +148,45 @@ def test_corpus_parity_and_size():
     for c, (m, o, k) in sizes.items():
         delta = (o - m) / m
         assert delta <= 0.10, (c, k, delta)
+
+
+# reference-published OMT per-zoom OVT averages (motivation.md:84-103; that
+# table's 'kB' is KiB).  For z5-14 the published run used exactly the
+# committed corpus tiles (input MVT averages coincide), so this repo's
+# writer must reproduce the reference writer's PUBLISHED output size.
+PUBLISHED_OMT_OVT_KIB = {
+    5: 581.62, 6: 424.84, 7: 376.94, 8: 296.48, 9: 309.43,
+    10: 148.41, 11: 92.13, 12: 138.77, 13: 86.77, 14: 641.71,
+}
+
+
+def _omt_ovt_avg_kib(zoom: int) -> float:
+    files = [
+        f
+        for f in glob.glob(f"{DATA}/omt/mvt/*")
+        if os.path.basename(f).startswith(f"{zoom}_")
+    ]
+    assert files
+    tot = 0
+    for f in files:
+        raw = open(f, "rb").read()
+        tot += len(write_ov_tile(mvt_tile_to_base_layers(VectorTile(raw))))
+    return tot / len(files) / 1024.0
+
+
+@pytest.mark.parametrize("zoom", [11, 13])
+def test_published_ovt_size_parity_fast(zoom):
+    """Always-on spot check: repo writer output size == the reference
+    writer's published average at this zoom (to the table's 2-decimal
+    rounding)."""
+    got = _omt_ovt_avg_kib(zoom)
+    want = PUBLISHED_OMT_OVT_KIB[zoom]
+    assert abs(got - want) / want < 5e-4, (got, want)
+
+
+@pytest.mark.skipif(not FULL, reason="full sweep gated on SPARK_GRAFT_FULL_SWEEP=1")
+@pytest.mark.parametrize("zoom", sorted(PUBLISHED_OMT_OVT_KIB))
+def test_published_ovt_size_parity_full(zoom):
+    got = _omt_ovt_avg_kib(zoom)
+    want = PUBLISHED_OMT_OVT_KIB[zoom]
+    assert abs(got - want) / want < 5e-4, (got, want)
