@@ -101,6 +101,14 @@ def build_queries(spark, sf_dir):
         def q_merge_overlay():
             return entry._q_merge_overlay(spark, sf_dir).agg(F.sum("n_features"))
 
+        # round-3 additions: distributed featurizer ingest + distributed
+        # salted spatial join (driver-oracled paths)
+        def q_polygon_ingest_dist():
+            return entry._q_polygon_ingest_dist(spark, sf_dir).agg(F.count("*"))
+
+        def q_spatial_join_dist():
+            return entry._q_spatial_join_dist(spark, sf_dir).agg(F.count("*"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -108,6 +116,8 @@ def build_queries(spark, sf_dir):
             det_sample=q_det_sample,
             tile_pyramid=q_tile_pyramid,
             merge_overlay=q_merge_overlay,
+            polygon_ingest_dist=q_polygon_ingest_dist,
+            spatial_join_dist=q_spatial_join_dist,
         )
     return out
 
@@ -416,6 +426,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # same-window host yardstick (~1 s calm, see BENCH.md co-tenant
+        # forensics): makes a noisy measurement window visible IN the
+        # artifact instead of silently poisoning per-query seconds
+        "host_control_sec": _host_control(),
     }
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "1":
         result["scaling"] = run_scaling(SF_DIR)

@@ -242,3 +242,58 @@ def test_3d_polygons():
     layer.add_feature(BaseFeature(6, [[BaseLine(r) for r in poly]], {}))
     f = rt([layer]).layers["p3"].feature(0)
     assert [[ln.points for ln in p] for p in f.geometry] == [poly]
+
+
+def test_u64_above_2_63_codec_roundtrip():
+    """SURVEY §1.3 caveat made executable: wire u64 ids and u64 property
+    values ABOVE 2^63 round-trip exactly at the codec level (pure-python
+    ints, varint encoding — no i64 truncation in the library boundary).
+    Note the reference JS itself degrades above 2^53; this engine is exact
+    to the full u64 range here."""
+    big_id = (1 << 64) - 3          # > 2^63
+    big_val = (1 << 63) + 12345     # > 2^63
+    layer = BaseLayer(name="u", extent=4096)
+    layer.add_feature(BaseFeature(1, [(1, 2)], {"v": big_val}, id=big_id))
+    tile = rt([layer])
+    f = tile.layers["u"].feature(0)
+    assert f.id == big_id
+    assert f.properties == {"v": big_val}
+    # byte-stable under re-encode
+    from open_vector_tile_spark.codec import ovt_tile_to_base_layers
+
+    blob1 = write_ov_tile([layer])
+    blob2 = write_ov_tile(ovt_tile_to_base_layers(VectorTile(blob1)))
+    assert blob1 == blob2
+
+
+def test_u64_id_above_2_63_through_spark_carrier(spark):
+    """The Spark FEATURE_SCHEMA carries wire-u64 ids as two's-complement
+    LongType (decode.py:114-118; tiler rows_to_base_feature re-adds 2^64):
+    an id > 2^63 survives featurize -> encode -> decode -> re-encode."""
+    from pyspark.sql import functions as F
+
+    from open_vector_tile_spark.operators import decode_tiles, encode_tiles
+
+    big_id = (1 << 64) - 11
+    carrier = big_id - (1 << 64)  # negative i64
+    feats = spark.range(1).select(
+        F.lit(3).alias("zoom"),
+        F.lit(1).cast("long").alias("tile_x"),
+        F.lit(2).cast("long").alias("tile_y"),
+        F.lit("u").alias("layer"),
+        F.lit(4096).alias("extent"),
+        F.lit(carrier).cast("long").alias("id"),
+        F.lit(1).alias("ftype"),
+        F.array(F.lit(7), F.lit(9)).alias("geom_xy"),
+    )
+    tiles = encode_tiles(feats)
+    blob = bytes(tiles.collect()[0]["tile"])
+    assert VectorTile(blob).layers["u"].feature(0).id == big_id
+    dec = decode_tiles(tiles).select("id").collect()
+    assert dec[0]["id"] == carrier  # two's-complement carrier on the way out
+    blob2 = bytes(
+        encode_tiles(
+            decode_tiles(tiles).drop("source", "feature_index", "n_vertices")
+        ).collect()[0]["tile"]
+    )
+    assert blob2 == blob

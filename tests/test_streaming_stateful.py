@@ -272,7 +272,7 @@ def test_sessionize_stream_transform_with_state(spark, tmp_path):
     assert len(rows) == 2
 
 
-class _FakeState:
+class _FakeGroupState:
     """Minimal GroupState stand-in for unit-testing the first_seen handler."""
 
     def __init__(self, exists=False, timed_out=False):
@@ -302,22 +302,22 @@ def test_first_seen_timeout_contract():
     pdf = pd.DataFrame({"k": ["a"], "v": [1]})
 
     # first sighting: emits, arms timer
-    st = _FakeState()
+    st = _FakeGroupState()
     out = list(fn(("a",), iter([pdf]), st))
     assert len(out) == 1 and st.exists and st.timeout_set == 5000
 
     # repeat sighting: no emit, timer re-armed (sliding horizon)
-    st2 = _FakeState(exists=True)
+    st2 = _FakeGroupState(exists=True)
     assert list(fn(("a",), iter([pdf]), st2)) == []
     assert st2.timeout_set == 5000
 
     # timer fires: state removed, nothing emitted
-    st3 = _FakeState(exists=True, timed_out=True)
+    st3 = _FakeGroupState(exists=True, timed_out=True)
     assert list(fn(("a",), iter([]), st3)) == []
     assert st3.removed
 
     # NoTimeout mode: never touches timer APIs
     fn0 = _make_first_seen_fn(evict=False, timeout_duration_ms=0)
-    st4 = _FakeState()
+    st4 = _FakeGroupState()
     assert len(list(fn0(("a",), iter([pdf]), st4))) == 1
     assert st4.timeout_set is None
