@@ -354,11 +354,21 @@ def _q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """Dedup (SimHash): near-dup candidates with hamming distance (rows-only)."""
-    from open_vector_tile_spark.operators.dedup import simhash_near_dups
+    """Dedup (SimHash): the full pipeline — token hash, bit-majority vote,
+    banding, hot-bucket cap, self-join, hamming — in the engine-portable
+    md5 hash family (60 bits, 4x15-bit bands), so the ENTIRE operator gets
+    an exact DuckDB value twin.  Production default stays xxhash64 (same
+    expression tree, different token hash); its properties are pytest-
+    checked (tests/test_webtext_ops.py hamming tests)."""
+    from open_vector_tile_spark.operators.dedup import md5_token_hash, simhash_near_dups
 
-    docs = _load(spark, sf, "documents").limit(200)
-    return simhash_near_dups(docs).filter(F.col("hamming") <= 8).orderBy("id_a", "id_b")
+    docs = _load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    out = simhash_near_dups(docs, band_bits=15, token_hash=md5_token_hash, bits=60)
+    return (
+        out.filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def _q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -1592,8 +1602,42 @@ def oracle_sql() -> dict[str, str]:
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             ) WHERE j >= 0.5 ORDER BY id_a, id_b
         """,
-        # simhash / pq_topk: non-SQL-expressible (xxhash64 bit-vote signature
-        # / lossy product quantization) -> rows-only driver check; their
-        # correctness oracles are in tests/test_webtext_ops.py (hamming
-        # properties, PQ cluster-retrieval vs brute force).
+        # simhash in the md5 family: the oracle recomputes token hashes
+        # (60-bit md5 hex prefix), bit-majority simhash, 4x15-bit banding,
+        # the row_number hot-bucket cap, the self-join and hamming — the
+        # whole operator, value-exact
+        "simhash": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     [CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)
+                      FOR t IN string_split_regex(lower(trim(text)), '\s+')] AS hs
+              FROM documents WHERE doc_id < 200
+            ), s AS (
+              SELECT doc_id,
+                     CAST(list_sum(
+                       [CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
+                                            FOR h IN hs]) > 0
+                             THEN (1::BIGINT << b) ELSE 0 END
+                        FOR b IN range(0, 60)]) AS BIGINT) AS sim
+              FROM h
+            ), bands AS (
+              SELECT doc_id, sim, band, (sim >> (band*15)) & 32767 AS band_val
+              FROM s, (SELECT unnest(range(0, 4)) AS band)
+            ), capped AS (
+              SELECT doc_id, sim, band, band_val FROM (
+                SELECT *, row_number() OVER (PARTITION BY band, band_val
+                                             ORDER BY doc_id) AS rn
+                FROM bands) WHERE rn <= 256
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+            FROM capped a JOIN capped b USING (band, band_val)
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.sim, b.sim)) <= 8
+            ORDER BY id_a, id_b
+        """,
+        # pq_topk: non-SQL-expressible (lossy product quantization) ->
+        # rows-only driver check; correctness oracles in
+        # tests/test_webtext_ops.py (codebook determinism, ADC
+        # cluster-retrieval vs brute force).
     }

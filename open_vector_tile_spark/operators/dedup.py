@@ -344,16 +344,21 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit simhash: per-token 64-bit hash, bitwise majority vote.
+def simhash64(text: Column, token_hash=None, bits: int = 64) -> Column:
+    """``bits``-wide simhash: per-token hash, bitwise majority vote.
 
-    One expression tree: token hashes are let-bound (computed once), the 64
-    bit votes run over a literal mask array, and the bits fold into a long
-    with bitwiseOR.
+    One expression tree: token hashes are let-bound (computed once), the
+    per-bit votes run over a literal mask array, and the bits fold into a
+    long with bitwiseOR.  ``token_hash`` defaults to ``xxhash64`` (fastest);
+    pass :func:`md5_token_hash` with ``bits=60`` for the engine-portable
+    family the driver oracle uses (md5 exists in every engine, so the WHOLE
+    simhash pipeline gets a DuckDB value twin — same idea as the LSH
+    ``n_planes=0`` exact mode).
     """
     tokens = F.split(normalized_text(text), " ")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    masks = F.array(*[F.shiftleft(F.lit(1).cast("long"), b) for b in range(64)])
+    th = token_hash or F.xxhash64
+    hashes = F.transform(tokens, lambda t: th(t))
+    masks = F.array(*[F.shiftleft(F.lit(1).cast("long"), b) for b in range(bits)])
 
     def build(hs: Column) -> Column:
         bits = F.transform(
@@ -374,20 +379,33 @@ def simhash64(text: Column) -> Column:
     return _let(hashes, build)
 
 
+def md5_token_hash(t: Column) -> Column:
+    """60-bit token hash from the md5 hex prefix — bit-identical in any
+    engine with md5() (DuckDB: CAST('0x' || substring(md5(t),1,15) AS
+    BIGINT)), which makes simhash itself oracle-checkable."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     band_bits: int = 16,
     max_bucket: int = 256,
+    token_hash=None,
+    bits: int = 64,
 ) -> DataFrame:
-    """Near-dup candidates: equal 16-bit band of the simhash (4 bands ->
-    hamming distance <= 3 guaranteed recall within any one band).  Band
-    buckets larger than ``max_bucket`` are truncated (:func:`_cap_buckets`)."""
+    """Near-dup candidates: equal ``band_bits`` band of the simhash (bits/
+    band_bits bands -> hamming distance <= bands-1 guaranteed recall within
+    any one band).  Band buckets larger than ``max_bucket`` are truncated
+    (:func:`_cap_buckets`).  ``token_hash``/``bits`` select the hash family
+    (see :func:`simhash64`)."""
     df = _ensure_parallelism(df)
-    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+    sh = df.select(
+        F.col(id_col), simhash64(F.col(text_col), token_hash, bits).alias("simhash")
+    )
     bands = []
-    for b in range(64 // band_bits):
+    for b in range(bits // band_bits):
         bands.append(
             F.struct(
                 F.lit(b).alias("band"),

@@ -961,10 +961,14 @@ def lines_to_features_dist(
                 mx, my = mxn[s : s + ln], myn[s : s + ln]
                 tx0, tx1, ty0, ty1 = _tile_range(mx, my, zoom)
                 off = float(offs[i])
+                qxs = {
+                    tx: np.floor((mx - tx) * extent + 0.5).astype(np.int64)
+                    for tx in range(tx0, tx1 + 1)
+                }
                 for ty in range(ty0, ty1 + 1):
                     qy = np.floor((my - ty) * extent + 0.5).astype(np.int64)
                     for tx in range(tx0, tx1 + 1):
-                        qx = np.floor((mx - tx) * extent + 0.5).astype(np.int64)
+                        qx = qxs[tx]
                         if dims == 2:
                             g = np.empty(2 * ln, dtype=np.int64)
                             g[0::2], g[1::2] = qx, qy
@@ -1085,10 +1089,14 @@ def polygons_to_features_dist(
                 mx, my = mxn[s_all:e_all], myn[s_all:e_all]
                 rlens = [int(lens[j]) for j in range(r, r_end)]
                 nv = e_all - s_all
+                qxs = {
+                    tx: np.floor((mx - tx) * extent + 0.5).astype(np.int64)
+                    for tx in range(tx0, tx1 + 1)
+                }
                 for ty in range(ty0, ty1 + 1):
                     qy = np.floor((my - ty) * extent + 0.5).astype(np.int64)
                     for tx in range(tx0, tx1 + 1):
-                        qx = np.floor((mx - tx) * extent + 0.5).astype(np.int64)
+                        qx = qxs[tx]
                         if dims == 2:
                             g = np.empty(2 * nv, dtype=np.int64)
                             g[0::2], g[1::2] = qx, qy
