@@ -918,6 +918,28 @@ def _q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-line fraction (JVM
+    array exprs over a deterministically line-structured synth doc — the
+    corpus has no newlines, so the query builds identical multi-line docs in
+    both engines) and top-bigram occupancy (batch-vectorized Arrow kernel
+    shared with minhash shingling).  Oracle recomputes both with exact
+    string counting in SQL."""
+    from open_vector_tile_spark.functions.text import dup_line_frac, top_bigram_frac_udf
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    third = F.when(d % 3 == 0, F.col("text")).otherwise(F.concat(F.col("text"), F.lit("!")))
+    synth = F.concat_ws("\n", F.col("text"), F.col("lang"), third)
+    tb = top_bigram_frac_udf()
+    return docs.select(
+        "doc_id",
+        F.round(dup_line_frac(synth), 6).alias("dup_line_frac"),
+        F.size(F.split(synth, "\n")).alias("n_lines"),
+        F.round(tb(F.col("text")), 6).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
 def _q_polygon_ingest_dist(spark: SparkSession, sf: str) -> DataFrame:
     """Executor-side polygon featurizer end-to-end: a DataFrame of rectangle
     rings (NO driver materialization, no createDataFrame(rows)) ->
@@ -1069,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_ingest_dist": _q_polygon_ingest_dist,
         "tileset_scan": _q_tileset_scan,
         "spatial_join_dist": _q_spatial_join_dist,
+        "repetition": _q_repetition,
     }
 
 
@@ -1635,6 +1658,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
               AND bit_count(xor(a.sim, b.sim)) <= 8
             ORDER BY id_a, id_b
+        """,
+        "repetition": r"""
+            WITH synth AS (
+              SELECT doc_id, text,
+                     text || chr(10) || lang || chr(10) ||
+                     CASE WHEN doc_id % 3 = 0 THEN text ELSE text || '!' END AS s
+              FROM documents
+            ), lines AS (
+              SELECT doc_id,
+                     len(string_split(s, chr(10))) AS n_lines,
+                     len(string_split(s, chr(10)))
+                       - len(list_distinct(string_split(s, chr(10)))) AS ndup
+              FROM synth
+            ), w AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest([array_to_string(w[i:i+1], ' ')
+                             FOR i IN range(1, len(w))]) AS gram
+              FROM w WHERE len(w) >= 2
+            ), c AS (
+              SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2
+            ), t AS (
+              SELECT doc_id, max(c) AS topc, sum(c) AS tot FROM c GROUP BY 1
+            )
+            SELECT l.doc_id,
+                   round(CAST(l.ndup AS DOUBLE) / greatest(l.n_lines, 1), 6)
+                     AS dup_line_frac,
+                   CAST(l.n_lines AS INT) AS n_lines,
+                   round(coalesce(CAST(t.topc AS DOUBLE) / t.tot, 0.0), 6)
+                     AS top_bigram_frac
+            FROM lines l LEFT JOIN t USING (doc_id)
+            ORDER BY doc_id
         """,
         # pq_topk: non-SQL-expressible (lossy product quantization) ->
         # rows-only driver check; correctness oracles in

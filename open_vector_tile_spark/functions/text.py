@@ -12,6 +12,8 @@ All column-expression based (no UDFs) so Catalyst can push/prune/codegen.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -95,6 +97,54 @@ def word_chars(text: Column) -> Column:
 def punct_ratio(text: Column) -> Column:
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
     return punct / F.greatest(F.length(text), F.lit(1))
+
+
+def dup_line_frac(text: Column) -> Column:
+    """Fraction of a document's newline-split lines that are duplicates of an
+    earlier line (the Gopher/C4 boilerplate-repetition signal) — pure JVM
+    column expression: 1 - distinct/total."""
+    lines = F.split(text, "\n")
+    n = F.size(lines)
+    return (n - F.size(F.array_distinct(lines))) / F.greatest(n, F.lit(1))
+
+
+def top_bigram_frac_udf():
+    """pandas_udf: text -> fraction of word-bigram occurrences taken by the
+    single most frequent bigram (Gopher repetition rule: high values flag
+    machine-generated / boilerplate text).
+
+    Batch-vectorized via the dedup kernel: one C-siphash call for all words
+    of the Arrow batch, rolling bigram hashes, then per-doc top counts from
+    one lexsort + run-length pass — no per-document Python loop.  Counting
+    is over 64-bit hashes (an in-document collision between two DISTINCT
+    bigrams would perturb a count; odds ~grams^2/2^64, negligible — the
+    driver oracle recomputing exact string counts in SQL would catch one).
+    Docs with < 2 words return 0.0."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.dedup import _batch_gram_hashes
+
+    @pandas_udf("double")
+    def top_bigram_frac(texts: pd.Series) -> pd.Series:
+        grams, offs, wc = _batch_gram_hashes(texts.tolist(), 2)
+        D = len(offs)
+        if D == 0:
+            return pd.Series([], dtype=np.float64)
+        cnt = np.append(offs[1:], len(grams)) - offs
+        doc_of_gram = np.repeat(np.arange(D, dtype=np.int64), cnt)
+        order = np.lexsort((grams, doc_of_gram))
+        g2, d2 = grams[order], doc_of_gram[order]
+        new = np.concatenate([[True], (g2[1:] != g2[:-1]) | (d2[1:] != d2[:-1])])
+        run_counts = np.diff(np.append(np.flatnonzero(new), len(g2)))
+        run_doc = d2[new]
+        # runs are sorted by doc; max run length per doc via reduceat
+        starts = np.searchsorted(run_doc, np.arange(D))
+        top = np.maximum.reduceat(run_counts, np.minimum(starts, len(run_counts) - 1))
+        n_bigrams = np.maximum(wc - 1, 0).astype(np.float64)
+        frac = np.where(n_bigrams > 0, top / np.maximum(n_bigrams, 1), 0.0)
+        return pd.Series(frac)
+
+    return top_bigram_frac
 
 
 def quality_score(text: Column) -> Column:

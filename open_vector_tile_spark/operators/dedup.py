@@ -145,9 +145,10 @@ def _minhash_A(num_hashes: int) -> np.ndarray:
     )
 
 
-def _batch_gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+def _batch_gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Whole-batch word-n-gram hashing -> (gram hashes uint64, per-doc start
-    offsets).  Every doc owns >= 1 gram slot (offsets strictly increasing).
+    offsets, per-doc word counts).  Every doc owns >= 1 gram slot (offsets
+    strictly increasing).
 
     No per-gram work anywhere: all words of the batch are hashed in ONE
     pandas C-siphash call, and n-gram hashes are a rolling order-sensitive
@@ -167,7 +168,7 @@ def _batch_gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
     all_words = [w for ws in docs_words for w in ws]
     N = len(all_words)
     if N == 0:
-        return out, offs
+        return out, offs, wc
     wh = pd.util.hash_array(np.asarray(all_words, dtype=object)).astype(np.uint64)
     if N >= n:
         G = N - n + 1
@@ -188,7 +189,7 @@ def _batch_gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
         for h in wh[wstarts[i] : wstarts[i] + wc[i]]:
             acc = acc * _FNV + h
         out[offs[i]] = acc
-    return out, offs
+    return out, offs, wc
 
 
 def _batch_band_keys(
@@ -224,7 +225,7 @@ def _band_hash_udf(num_hashes: int, bands: int, shingle_n: int, text_col: str):
 
     @pandas_udf("array<long>")
     def band_hashes(texts: pd.Series) -> pd.Series:
-        grams, offs = _batch_gram_hashes(texts.tolist(), shingle_n)
+        grams, offs, _wc = _batch_gram_hashes(texts.tolist(), shingle_n)
         if len(offs) == 0:
             return pd.Series([], dtype=object)
         keys = _batch_band_keys(grams, offs, A, bands, rows_per_band)

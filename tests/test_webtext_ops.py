@@ -407,7 +407,7 @@ def test_batch_minhash_kernel_matches_per_doc_reference():
             out.append(acc)
         return np.array(out, dtype=np.uint64)
 
-    grams, offs = _batch_gram_hashes(texts, n)
+    grams, offs, _wc = _batch_gram_hashes(texts, n)
     ref = [ref_doc_grams(t) for t in texts]
     ends = np.append(offs[1:], len(grams))
     for i, r in enumerate(ref):
@@ -425,3 +425,44 @@ def test_batch_minhash_kernel_matches_per_doc_reference():
             key = key * _FNV + folded[:, j]
         want = (key & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         assert keys[i].tolist() == want.tolist(), f"doc {i}"
+
+
+def test_repetition_stats_match_bruteforce(spark):
+    """dup_line_frac (JVM exprs) and top_bigram_frac (batch Arrow kernel)
+    vs a per-doc pure-python reference, incl. edge docs (empty, 1 word,
+    duplicated bigrams, duplicate lines)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from open_vector_tile_spark.functions.text import dup_line_frac, top_bigram_frac_udf
+
+    texts = [
+        "a b a b a b",          # top bigram 'a b' = 3 of 5
+        "x y z",                # all distinct bigrams
+        "one",                  # <2 words -> 0.0
+        "",                     # empty -> 0.0
+        "l1\nl2\nl1\nl3",      # 1 dup line of 4
+        "same\nsame\nsame",     # 2 dup of 3
+        "The the THE the",      # case folding -> one bigram class
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    tb = top_bigram_frac_udf()
+    got = {
+        r["i"]: (r["d"], r["b"])
+        for r in df.select(
+            "i",
+            F.round(dup_line_frac(F.col("t")), 9).alias("d"),
+            F.round(tb(F.col("t")), 9).alias("b"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        want_d = round((len(lines) - len(set(lines))) / max(len(lines), 1), 9)
+        words = t.lower().split()
+        if len(words) < 2:
+            want_b = 0.0
+        else:
+            cnt = Counter(zip(words, words[1:]))
+            want_b = round(max(cnt.values()) / (len(words) - 1), 9)
+        assert got[i] == (want_d, want_b), (i, got[i], (want_d, want_b))
