@@ -940,6 +940,25 @@ def _q_repetition(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed connected components (operators/graph.py): the transitive
+    closure of a near-dup pair list -> one canonical id per duplicate
+    cluster.  The pair graph is built deterministically from doc_id
+    arithmetic (chains of 6 + bridges merging across chains + singletons)
+    so the oracle can rebuild the identical graph and close it with a
+    recursive CTE; the REAL pair producers (minhash/simhash) feed the same
+    operator in tests/test_graph.py against a union-find oracle."""
+    from open_vector_tile_spark.operators.graph import dedup_components
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id").cast("long")
+    ids = docs.select(d.alias("dst"))
+    chain = docs.filter(d % 10 <= 5).select(d.alias("src"), (d + 1).alias("dst"))
+    bridge = docs.filter(d % 30 == 7).select(d.alias("src"), (d + 3).alias("dst"))
+    edges = chain.union(bridge).join(ids, on="dst")
+    return dedup_components(docs, edges, src="src", dst="dst").orderBy("doc_id")
+
+
 def _q_polygon_ingest_dist(spark: SparkSession, sf: str) -> DataFrame:
     """Executor-side polygon featurizer end-to-end: a DataFrame of rectangle
     rings (NO driver materialization, no createDataFrame(rows)) ->
@@ -1092,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tileset_scan": _q_tileset_scan,
         "spatial_join_dist": _q_spatial_join_dist,
         "repetition": _q_repetition,
+        "dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -1691,6 +1711,33 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(CAST(t.topc AS DOUBLE) / t.tot, 0.0), 6)
                      AS top_bigram_frac
             FROM lines l LEFT JOIN t USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "dedup_clusters": r"""
+            WITH RECURSIVE nodes AS (
+              SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+            ), e0 AS (
+              SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id + 1 AS BIGINT) AS b
+              FROM documents WHERE doc_id % 10 <= 5
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 3 AS BIGINT)
+              FROM documents WHERE doc_id % 30 = 7
+            ), e AS (
+              SELECT a, b FROM e0 JOIN nodes n ON n.id = e0.b
+            ), sym AS (
+              SELECT a, b FROM e UNION SELECT b, a FROM e
+            ), walk AS (
+              SELECT id, id AS reach FROM nodes
+              UNION
+              SELECT w.id, s.b AS reach FROM walk w JOIN sym s ON s.a = w.reach
+            ), comp AS (
+              SELECT id, min(reach) AS component FROM walk GROUP BY id
+            ), sizes AS (
+              SELECT component, count(*) AS comp_size FROM comp GROUP BY component
+            )
+            SELECT c.id AS doc_id, c.component,
+                   CAST(s.comp_size AS BIGINT) AS comp_size
+            FROM comp c JOIN sizes s USING (component)
             ORDER BY doc_id
         """,
         # pq_topk: non-SQL-expressible (lossy product quantization) ->

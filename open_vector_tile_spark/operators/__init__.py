@@ -1,5 +1,6 @@
 from .decode import decode_grids, decode_images, decode_tiles, read_tileset  # noqa: F401
 from .events import asof_join, sessionize  # noqa: F401
+from .graph import connected_components, dedup_components  # noqa: F401
 from .gridding import grid_aggregate, grid_tiles  # noqa: F401
 from .knn import knn_broadcast, knn_cell_ring  # noqa: F401
 from .merge import extract_layers, merge_tilesets  # noqa: F401

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import os
 import re
+import time
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -309,15 +310,28 @@ class OvtTilesetWriter(DataSourceWriter):
             renames.append((tmp, final))
         return _WroteFiles(len(renames), renames)
 
-    def _sweep_temps(self):
-        if not os.path.isdir(self.root):
-            return
-        for fn in os.listdir(self.root):
-            if fn.startswith(_TMP_PREFIX):
-                try:
-                    os.remove(os.path.join(self.root, fn))
-                except OSError:
-                    pass
+    def _sweep_temps(self, settle_secs: float = 0.0):
+        """Remove attempt temp files.  With ``settle_secs`` > 0, keep
+        sweeping until two consecutive scans find nothing: when a job
+        aborts, Spark fails the job as soon as one task fails while sibling
+        tasks are still running ("zombies") — those may flush temps AFTER
+        the driver-side abort() starts, so a single sweep races them."""
+        deadline = time.monotonic() + settle_secs
+        clean_scans = 0
+        while True:
+            removed = 0
+            if os.path.isdir(self.root):
+                for fn in os.listdir(self.root):
+                    if fn.startswith(_TMP_PREFIX):
+                        try:
+                            os.remove(os.path.join(self.root, fn))
+                            removed += 1
+                        except OSError:
+                            pass
+            clean_scans = clean_scans + 1 if removed == 0 else 0
+            if clean_scans >= 2 or time.monotonic() >= deadline:
+                return
+            time.sleep(0.2)
 
     def commit(self, messages):
         keep = set()
@@ -343,7 +357,7 @@ class OvtTilesetWriter(DataSourceWriter):
         self._sweep_temps()
 
     def abort(self, messages):
-        self._sweep_temps()
+        self._sweep_temps(settle_secs=10.0)
 
 
 def compact_tileset(spark, src: str, dst: str, shards: int = 16) -> int:
