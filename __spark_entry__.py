@@ -940,6 +940,26 @@ def _q_repetition(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style cross-document line dedup (operators/dedup.py dedup_lines):
+    lines appearing in >= 2 distinct docs are boilerplate and get removed;
+    docs are reassembled from surviving lines in order.  The corpus has no
+    newlines, so the query builds the same line-structured docs in both
+    engines (text / lang / text-variant): every ``lang`` line is shared by
+    ~100 docs and must vanish; doc-unique text lines must survive byte-
+    identically.  Exact (string-keyed) mode for the oracle; hash-keyed mode
+    is asserted equal in tests/test_webtext_ops.py."""
+    from open_vector_tile_spark.operators.dedup import dedup_lines
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    third = F.when(d % 3 == 0, F.col("text")).otherwise(F.concat(F.col("text"), F.lit("!")))
+    synth = docs.select(
+        "doc_id", F.concat_ws("\n", F.col("text"), F.col("lang"), third).alias("text")
+    )
+    return dedup_lines(synth, use_hash=False).orderBy("doc_id")
+
+
 def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed connected components (operators/graph.py): the transitive
     closure of a near-dup pair list -> one canonical id per duplicate
@@ -1112,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_dist": _q_spatial_join_dist,
         "repetition": _q_repetition,
         "dedup_clusters": _q_dedup_clusters,
+        "line_dedup": _q_line_dedup,
     }
 
 
@@ -1712,6 +1733,43 @@ def oracle_sql() -> dict[str, str]:
                      AS top_bigram_frac
             FROM lines l LEFT JOIN t USING (doc_id)
             ORDER BY doc_id
+        """,
+        "line_dedup": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                     text || chr(10) || lang || chr(10) ||
+                     CASE WHEN doc_id % 3 = 0 THEN text ELSE text || '!' END AS s
+              FROM documents
+            ), ls AS (
+              SELECT doc_id, string_split(s, chr(10)) AS arr FROM synth
+            ), flat AS (
+              SELECT doc_id, u.pos AS pos, u.line AS line
+              FROM (
+                SELECT doc_id,
+                       unnest([struct_pack(pos := i, line := arr[i])
+                               FOR i IN range(1, len(arr) + 1)]) AS u
+                FROM ls
+              )
+            ), boiler AS (
+              SELECT line FROM flat GROUP BY line
+              HAVING count(DISTINCT doc_id) >= 2
+            ), kept AS (
+              SELECT f.doc_id, f.pos, f.line
+              FROM flat f ANTI JOIN boiler b USING (line)
+            ), rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            ), base AS (
+              SELECT doc_id, len(string_split(s, chr(10))) AS n_lines FROM synth
+            )
+            SELECT b.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   CAST(b.n_lines AS INT) AS n_lines,
+                   CAST(b.n_lines - coalesce(r.n_kept, 0) AS INT) AS n_removed
+            FROM base b LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY b.doc_id
         """,
         "dedup_clusters": r"""
             WITH RECURSIVE nodes AS (

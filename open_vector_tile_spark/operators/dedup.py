@@ -78,6 +78,70 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 # ---------------------------------------------------------------------------
+# cross-document line dedup (C4/CCNet boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    use_hash: bool = True,
+) -> DataFrame:
+    """Remove every line occurring in >= ``min_docs`` DISTINCT documents
+    (the C4 "three-sentence" / CCNet paragraph-dedup boilerplate rule,
+    applied at line granularity) and reassemble each document from its
+    surviving lines in original order.
+
+    -> (id_col, clean_text, n_lines int, n_removed int).  A document whose
+    every line is boilerplate yields ``clean_text = ''``.  A line repeated
+    only WITHIN one document survives (the count is distinct-documents).
+
+    Shape at 100 TB: one posexplode (no data growth beyond line boundaries),
+    one partial-aggregated groupBy on the line key for the boilerplate set,
+    one left_anti join (AQE broadcasts the boilerplate side when small — it
+    usually is: boilerplate is by definition the repeated minority), one
+    groupBy(id) to reassemble — bounded per-doc state.  With ``use_hash``
+    the shuffled keys are 8-byte xxhash64 values instead of line strings
+    (collision odds ~lines^2/2^64; the exact mode exists for oracle parity
+    and is asserted equal on the test corpus)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    keyed = lines.withColumn(
+        "lk", F.xxhash64("line") if use_hash else F.col("line")
+    )
+    boiler = (
+        keyed.groupBy("lk")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("lk")
+    )
+    kept = keyed.join(boiler, on="lk", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), "\n")).alias("n_lines")
+    )
+    return base.join(rebuilt, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # shingles + minhash + LSH
 # ---------------------------------------------------------------------------
 

@@ -466,3 +466,50 @@ def test_repetition_stats_match_bruteforce(spark):
             cnt = Counter(zip(words, words[1:]))
             want_b = round(max(cnt.values()) / (len(words) - 1), 9)
         assert got[i] == (want_d, want_b), (i, got[i], (want_d, want_b))
+
+
+def test_dedup_lines_matches_bruteforce_and_hash_mode(spark):
+    """dedup_lines vs per-corpus python reference; hash-keyed and exact
+    string-keyed modes must agree; within-doc repeats survive; all-
+    boilerplate docs come back empty with order preserved elsewhere."""
+    from open_vector_tile_spark.operators.dedup import dedup_lines
+
+    docs = [
+        (0, "keep me\nBOILER\nalso keep"),
+        (1, "BOILER\nunique one"),
+        (2, "solo\nsolo\nsolo"),          # within-doc repeats: 1 distinct doc -> survive
+        (3, "BOILER"),                     # all boilerplate -> ""
+        (4, "tail\nBOILER\ntail2\nBOILER"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # python reference
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for i, t in docs:
+        for ln in t.split("\n"):
+            seen[ln].add(i)
+    boiler = {ln for ln, ids in seen.items() if len(ids) >= 2}
+    want = {}
+    for i, t in docs:
+        lines = t.split("\n")
+        kept = [ln for ln in lines if ln not in boiler]
+        want[i] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+
+    for use_hash in (True, False):
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+            for r in dedup_lines(df, use_hash=use_hash).collect()
+        }
+        assert got == want, (use_hash, got)
+
+    # min_docs=3: BOILER is in 4 docs -> still removed; nothing else changes
+    got3 = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup_lines(df, min_docs=3).collect()
+    }
+    assert got3[3] == "" and got3[0] == "keep me\nalso keep"
+    # min_docs high enough -> identity
+    got9 = {r["doc_id"]: r["clean_text"] for r in dedup_lines(df, min_docs=9).collect()}
+    assert got9 == {i: t for i, t in docs}
