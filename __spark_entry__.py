@@ -940,6 +940,55 @@ def _q_repetition(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher quality gate (functions/text.py gopher_metrics): word count
+    band, mean word length, alpha-word fraction, stopword presence, and the
+    composite pass flag — all JVM array-HOF column exprs.  Oracle recomputes
+    every metric with DuckDB list functions.  Thresholds (30..80 words,
+    >=1 stopword) chosen so the synthetic corpus splits non-trivially."""
+    from open_vector_tile_spark.functions.text import gopher_metrics
+
+    docs = _load(spark, sf, "documents")
+    m = gopher_metrics(F.col("text"), min_words=30, max_words=80, min_stop_hits=1)
+    return docs.select(
+        "doc_id",
+        m["n_words"].cast("int").alias("n_words"),
+        F.round(m["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(m["alpha_frac"], 6).alias("alpha_frac"),
+        m["stop_hits"].cast("int").alias("stop_hits"),
+        m["passes"].cast("int").alias("passes"),
+    ).orderBy("doc_id")
+
+
+def _q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (functions/text.py redact_pii): emails, phones, IPv4 ->
+    typed tokens via an RE2-compatible JVM regexp chain; counts per category
+    computed on the same progressive chain.  The corpus has no PII, so the
+    query plants deterministic PII (same construction in both engines); the
+    oracle replays the identical pattern chain in DuckDB RE2 — replacement
+    AND counts must match byte-for-byte."""
+    from open_vector_tile_spark.functions.text import pii_counts, redact_pii
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@mail"), (d % 7).cast("string"), F.lit(".com or +1 555 010 "),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" node 10."), (d % 256).cast("string"), F.lit(".0."),
+        (d % 100).cast("string"),
+    )
+    ne, np_, ni = pii_counts(synth)
+    return docs.select(
+        "doc_id",
+        redact_pii(synth).alias("redacted"),
+        ne.cast("int").alias("n_emails"),
+        np_.cast("int").alias("n_phones"),
+        ni.cast("int").alias("n_ips"),
+    ).orderBy("doc_id")
+
+
 def _q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style cross-document line dedup (operators/dedup.py dedup_lines):
     lines appearing in >= 2 distinct docs are boilerplate and get removed;
@@ -1133,6 +1182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _q_repetition,
         "dedup_clusters": _q_dedup_clusters,
         "line_dedup": _q_line_dedup,
+        "pii_redact": _q_pii_redact,
+        "gopher_filter": _q_gopher_filter,
     }
 
 
@@ -1733,6 +1784,80 @@ def oracle_sql() -> dict[str, str]:
                      AS top_bigram_frac
             FROM lines l LEFT JOIN t USING (doc_id)
             ORDER BY doc_id
+        """,
+        "gopher_filter": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS ws
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     len(ws) AS n_words,
+                     CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+                       / greatest(len(ws), 1) AS mwl,
+                     CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                          AS DOUBLE) / greatest(len(ws), 1) AS alpha_frac,
+                     (CAST(list_contains(list_transform(ws, x -> lower(x)), 'the') AS INT)
+                      + CAST(list_contains(list_transform(ws, x -> lower(x)), 'be') AS INT)
+                      + CAST(list_contains(list_transform(ws, x -> lower(x)), 'to') AS INT)
+                      + CAST(list_contains(list_transform(ws, x -> lower(x)), 'of') AS INT)
+                      + CAST(list_contains(list_transform(ws, x -> lower(x)), 'and') AS INT)
+                      + CAST(list_contains(list_transform(ws, x -> lower(x)), 'that') AS INT)
+                      + CAST(list_contains(list_transform(ws, x -> lower(x)), 'have') AS INT)
+                      + CAST(list_contains(list_transform(ws, x -> lower(x)), 'with') AS INT)
+                     ) AS stop_hits
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(n_words AS INT) AS n_words,
+                   round(mwl, 6) AS mean_word_len,
+                   round(alpha_frac, 6) AS alpha_frac,
+                   CAST(stop_hits AS INT) AS stop_hits,
+                   CAST(n_words >= 30 AND n_words <= 80
+                        AND mwl >= 3 AND mwl <= 10
+                        AND alpha_frac >= 0.8
+                        AND stop_hits >= 1 AS INT) AS passes
+            FROM m ORDER BY doc_id
+        """,
+        "pii_redact": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                          || '.com or +1 555 010 '
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          || ' node 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS s
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id, s,
+                     len(regexp_extract_all(s,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                     regexp_replace(s,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS r1
+              FROM synth
+            ), s2 AS (
+              SELECT doc_id, n_emails,
+                     len(regexp_extract_all(r1,
+                       '\+?\d{1,3}[ -]\d{3}[ -]\d{3}[ -]?\d{2,4}')) AS n_phones,
+                     regexp_replace(r1,
+                       '\+?\d{1,3}[ -]\d{3}[ -]\d{3}[ -]?\d{2,4}',
+                       '<PHONE>', 'g') AS r2
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_emails, n_phones,
+                     len(regexp_extract_all(r2,
+                       '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+                     regexp_replace(r2,
+                       '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+              FROM s2
+            )
+            SELECT doc_id, redacted,
+                   CAST(n_emails AS INT) AS n_emails,
+                   CAST(n_phones AS INT) AS n_phones,
+                   CAST(n_ips AS INT) AS n_ips
+            FROM s3 ORDER BY doc_id
         """,
         "line_dedup": r"""
             WITH synth AS (

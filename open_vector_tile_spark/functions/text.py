@@ -147,6 +147,92 @@ def top_bigram_frac_udf():
     return top_bigram_frac
 
 
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible (no lookarounds/backrefs) so the DuckDB oracle runs the
+# byte-identical chain.  Order matters: emails first (their local parts can
+# contain digits that would otherwise feed the phone pattern), then phones,
+# then bare IPv4s; replacement tokens contain no digits so later patterns
+# can't re-match earlier replacements.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d{1,3}[ -]\d{3}[ -]\d{3}[ -]?\d{2,4}", "<PHONE>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / phone numbers / IPv4 addresses with typed tokens —
+    a pure JVM regexp_replace chain (codegen'd, no Python).  Everything
+    outside a match is byte-preserved (north_rule text invariant)."""
+    out = text
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) match counts, same patterns/order as
+    :func:`redact_pii` (each count runs on the text with earlier categories
+    already redacted, so a phone inside an email is counted once as email)."""
+    cur = text
+    counts = []
+    for pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, token)
+    return tuple(counts)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021 §A1.1, the standard LLM-corpus gate)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_metrics(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_hits: int = 2,
+) -> dict[str, Column]:
+    """Gopher-rule document metrics as pure JVM column expressions (array
+    HOFs — no Python, no shuffle): word count, mean word length, fraction
+    of words containing an alphabetic character, distinct-stopword hits,
+    and the composite pass flag (word-count band + mean-word-length in
+    [3,10] + >=80% alpha words + >= ``min_stop_hits`` stopwords present)."""
+    words = F.split(F.trim(text), r"\s+")
+    n = F.size(words)
+    safe_n = F.greatest(n, F.lit(1))
+    total_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mwl = total_chars / safe_n
+    alpha_frac = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / safe_n
+    lw = F.transform(words, lambda w: F.lower(w))
+    stop_hits = None
+    for sw in GOPHER_STOPWORDS:
+        hit = F.array_contains(lw, sw).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    passes = (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mwl >= 3)
+        & (mwl <= 10)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= min_stop_hits)
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": mwl,
+        "alpha_frac": alpha_frac,
+        "stop_hits": stop_hits,
+        "passes": passes,
+    }
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality: length band + alpha ratio − punct excess."""
     n = F.length(text)

@@ -513,3 +513,47 @@ def test_dedup_lines_matches_bruteforce_and_hash_mode(spark):
     # min_docs high enough -> identity
     got9 = {r["doc_id"]: r["clean_text"] for r in dedup_lines(df, min_docs=9).collect()}
     assert got9 == {i: t for i, t in docs}
+
+
+def test_redact_pii_and_counts(spark):
+    from open_vector_tile_spark.functions.text import pii_counts, redact_pii
+
+    cases = [
+        ("mail a.b+c%d@sub.example.co.uk now", "mail <EMAIL> now", (1, 0, 0)),
+        ("call +1 555 010 1234 or 44 123 456 78", "call <PHONE> or <PHONE>", (0, 2, 0)),
+        ("host 192.168.0.1 and 10.0.0.255.", "host <IP> and <IP>.", (0, 0, 2)),
+        ("x@y.com 1.2.3.4 x@y.com", "<EMAIL> <IP> <EMAIL>", (2, 0, 1)),
+        ("no pii here", "no pii here", (0, 0, 0)),
+        ("", "", (0, 0, 0)),
+        # the email's host dots must NOT later match as an IP
+        ("u@1.2.3.com", "<EMAIL>", (1, 0, 0)),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _, _) in enumerate(cases)], "i int, t string")
+    ne, np_, ni = pii_counts(F.col("t"))
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i", redact_pii(F.col("t")).alias("r"), ne.alias("e"), np_.alias("p"), ni.alias("n")
+        ).collect()
+    }
+    for i, (_, want_r, (we, wp, wn)) in enumerate(cases):
+        r = rows[i]
+        assert (r["r"], r["e"], r["p"], r["n"]) == (want_r, we, wp, wn), (i, r)
+
+
+def test_gopher_metrics_edges(spark):
+    from open_vector_tile_spark.functions.text import gopher_metrics
+
+    cases = [
+        "the cat sat with a hat and that mat",   # stopword-rich, 9 words
+        "zz",                                     # 1 word
+        "12 34 56 78",                            # no alpha words
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i int, t string")
+    m = gopher_metrics(F.col("t"), min_words=2, max_words=100, min_stop_hits=2)
+    got = {r["i"]: r for r in df.select("i", *[v.alias(k) for k, v in m.items()]).collect()}
+    assert got[0]["n_words"] == 9 and got[0]["stop_hits"] == 4 and got[0]["passes"]
+    assert got[1]["n_words"] == 1 and not got[1]["passes"]
+    assert got[2]["alpha_frac"] == 0.0 and not got[2]["passes"]
+    mwl0 = sum(len(w) for w in cases[0].split()) / 9
+    assert abs(got[0]["mean_word_len"] - mwl0) < 1e-9
