@@ -940,6 +940,40 @@ def _q_repetition(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-canonicalization dedup (functions/url.py): recrawl variants of
+    the same page — scheme/host case, www., :443, utm params, fragments,
+    trailing slash — collapse to one canonical URL.  URLs are synthesized
+    deterministically (identically in both engines): doc_id % 100 picks the
+    page, doc_id // 100 picks the noise variant, so each canonical URL
+    groups ~5 docs.  Oracle replays the same normalization chain in DuckDB
+    RE2 (the chain is backreference-free for exactly this portability)."""
+    from open_vector_tile_spark.functions.url import url_dedup
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    page = (d % 100).cast("string")
+    v = (d / 100).cast("int")  # 0..4 noise variant
+    url = F.concat(
+        F.when(v % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTPS://")),
+        F.when(v % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(v % 2 == 1, F.lit("Example.COM")).otherwise(F.lit("example.com")),
+        F.when(v == 2, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Page/"), page,
+        F.when(v % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(v == 1, F.lit("?utm_source=feed&x=1")).otherwise(
+            F.when(v == 3, F.lit("?x=1")).otherwise(F.lit(""))
+        ),
+        F.when(v == 4, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    out = url_dedup(docs.select("doc_id", url.alias("url")))
+    return out.select(
+        "canonical_url",
+        F.col("n_docs").cast("int").alias("n_docs"),
+        F.col("keeper_id").cast("long").alias("keeper_id"),
+    ).orderBy("canonical_url")
+
+
 def _q_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher quality gate (functions/text.py gopher_metrics): word count
     band, mean word length, alpha-word fraction, stopword presence, and the
@@ -1184,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "pii_redact": _q_pii_redact,
         "gopher_filter": _q_gopher_filter,
+        "url_dedup": _q_url_dedup,
     }
 
 
@@ -1784,6 +1819,48 @@ def oracle_sql() -> dict[str, str]:
                      AS top_bigram_frac
             FROM lines l LEFT JOIN t USING (doc_id)
             ORDER BY doc_id
+        """,
+        "url_dedup": r"""
+            WITH u0 AS (
+              SELECT doc_id,
+                (CASE WHEN (doc_id // 100) % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END)
+                || (CASE WHEN (doc_id // 100) % 3 = 0 THEN 'www.' ELSE '' END)
+                || (CASE WHEN (doc_id // 100) % 2 = 1 THEN 'Example.COM' ELSE 'example.com' END)
+                || (CASE WHEN (doc_id // 100) = 2 THEN ':443' ELSE '' END)
+                || '/Page/' || CAST(doc_id % 100 AS VARCHAR)
+                || (CASE WHEN (doc_id // 100) % 2 = 1 THEN '/' ELSE '' END)
+                || (CASE WHEN (doc_id // 100) = 1 THEN '?utm_source=feed&x=1'
+                         WHEN (doc_id // 100) = 3 THEN '?x=1' ELSE '' END)
+                || (CASE WHEN (doc_id // 100) = 4 THEN '#frag' ELSE '' END) AS url
+              FROM documents
+            ), n1 AS (
+              SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM u0
+            ), n2 AS (
+              SELECT doc_id,
+                lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+                regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest
+              FROM n1
+            ), n3 AS (
+              SELECT doc_id, scheme,
+                regexp_replace(regexp_replace(host, ':(80|443)$', '', 'g'),
+                               '^www\.', '', 'g') AS chost,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(rest,
+                          '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                        '\?&+', '?', 'g'),
+                      '&&+', '&', 'g'),
+                    '[?&]+$', '', 'g'),
+                  '/+$', '', 'g') AS crest
+              FROM n2
+            )
+            SELECT scheme || '://' || chost || crest AS canonical_url,
+                   CAST(count(*) AS INT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS keeper_id
+            FROM n3 GROUP BY 1 ORDER BY canonical_url
         """,
         "gopher_filter": r"""
             WITH w AS (

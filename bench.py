@@ -109,6 +109,15 @@ def build_queries(spark, sf_dir):
         def q_spatial_join_dist():
             return entry._q_spatial_join_dist(spark, sf_dir).agg(F.count("*"))
 
+        def q_line_dedup():
+            return entry._q_line_dedup(spark, sf_dir).agg(F.sum("n_removed"))
+
+        def q_dedup_clusters():
+            return entry._q_dedup_clusters(spark, sf_dir).agg(F.sum("comp_size"))
+
+        def q_gopher_filter():
+            return entry._q_gopher_filter(spark, sf_dir).agg(F.sum("passes"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -118,6 +127,9 @@ def build_queries(spark, sf_dir):
             merge_overlay=q_merge_overlay,
             polygon_ingest_dist=q_polygon_ingest_dist,
             spatial_join_dist=q_spatial_join_dist,
+            line_dedup=q_line_dedup,
+            dedup_clusters=q_dedup_clusters,
+            gopher_filter=q_gopher_filter,
         )
     return out
 

@@ -1,0 +1,54 @@
+"""URL canonicalization + URL-level dedup (the first dedup stage of a web
+crawl pipeline: CCNet/C4 collapse recrawls of the same page by canonical URL
+before any content hashing).
+
+Pure JVM regexp/string column expressions — codegen'd, no Python, and every
+rule is an RE2-compatible pattern so the DuckDB oracle can replay the
+identical chain byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TRACKING = r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form: lowercase scheme+host, strip fragment, default ports
+    (:80/:443), a leading ``www.``, tracking query params (utm_*, fbclid,
+    gclid, ref), empty leftover ``?``, and trailing slashes.  The path/query
+    otherwise keeps its original bytes (case matters in paths)."""
+    u = F.regexp_replace(url, r"#.*", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)", 1)
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    # drop tracking params wherever they sit in the query string, then tidy
+    # the separators left behind ("?&", "&&", trailing "?"/"&")
+    rest = F.regexp_replace(rest, _TRACKING, "")
+    rest = F.regexp_replace(rest, r"\?&+", "?")
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    # no backreferences anywhere: Java spells them $1, RE2 \1 — a chain that
+    # must replay identically in both engines can't use either
+    rest = F.regexp_replace(rest, r"/+$", "")
+    return F.concat(scheme, F.lit("://"), host, rest)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """-> (canonical_url, n_docs, keeper_id): one row per canonical URL with
+    the duplicate count and the smallest id (the keep policy).  One partial-
+    aggregated shuffle on the canonical key."""
+    return (
+        df.select(normalize_url(F.col(url_col)).alias("canonical_url"), F.col(id_col))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )

@@ -557,3 +557,23 @@ def test_gopher_metrics_edges(spark):
     assert got[2]["alpha_frac"] == 0.0 and not got[2]["passes"]
     mwl0 = sum(len(w) for w in cases[0].split()) / 9
     assert abs(got[0]["mean_word_len"] - mwl0) < 1e-9
+
+
+def test_normalize_url_cases(spark):
+    from open_vector_tile_spark.functions.url import normalize_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&id=2#frag",
+         "https://example.com/A/B/?id=2"),
+        ("http://example.com:80/", "http://example.com"),
+        ("https://example.com/path/", "https://example.com/path"),
+        ("https://example.com/p?utm_a=1&utm_b=2", "https://example.com/p"),
+        ("https://example.com/p?a=1&fbclid=xyz", "https://example.com/p?a=1"),
+        ("https://example.com/p?fbclid=xyz&a=1", "https://example.com/p?a=1"),
+        ("https://example.com/CaseSensitivePath", "https://example.com/CaseSensitivePath"),
+        ("https://sub.www.example.com/x", "https://sub.www.example.com/x"),  # only LEADING www.
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, u string")
+    got = {r["i"]: r["n"] for r in df.select("i", normalize_url(F.col("u")).alias("n")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
