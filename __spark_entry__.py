@@ -940,6 +940,22 @@ def _q_repetition(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set decontamination (operators/dedup.py decontaminate): flag
+    corpus docs sharing any word 4-gram with a benchmark slice (docs with
+    doc_id % 50 == 0 stand in for the eval suite; n=4 so the tiny-vocab
+    synthetic corpus contaminates non-trivially — production default is the
+    GPT-3 n=13 convention).  Benchmark grams
+    broadcast; corpus grams explode map-side; one partial-agg count per
+    doc.  Oracle rebuilds both gram sets with the DuckDB list-comprehension
+    shingle twin and intersects exactly."""
+    from open_vector_tile_spark.operators.dedup import decontaminate
+
+    docs = _load(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, bench, n=4).orderBy("doc_id")
+
+
 def _q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """URL-canonicalization dedup (functions/url.py): recrawl variants of
     the same page — scheme/host case, www., :443, utm params, fragments,
@@ -1219,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "gopher_filter": _q_gopher_filter,
         "url_dedup": _q_url_dedup,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -1819,6 +1836,29 @@ def oracle_sql() -> dict[str, str]:
                      AS top_bigram_frac
             FROM lines l LEFT JOIN t USING (doc_id)
             ORDER BY doc_id
+        """,
+        "decontaminate": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) <= 4 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([array_to_string(w[i:i+3], ' ')
+                                              FOR i IN range(1, len(w) - 2)])
+                     END AS s
+              FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                    FROM documents)
+            ), bg AS (
+              SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 50 = 0
+            ), dg AS (
+              SELECT doc_id, unnest(s) AS gram FROM sh
+            ), hits AS (
+              SELECT doc_id, count(DISTINCT d.gram) AS n_hits
+              FROM dg d JOIN bg USING (gram) GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS INT) AS n_hits,
+                   CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
+            FROM sh s LEFT JOIN hits h USING (doc_id)
+            ORDER BY s.doc_id
         """,
         "url_dedup": r"""
             WITH u0 AS (

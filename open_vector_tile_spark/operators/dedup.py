@@ -78,6 +78,55 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with a benchmark
+    corpus (the standard eval-decontamination gate; n=13 is the GPT-3/PaLM
+    convention).
+
+    -> (id_col, n_hits int, contaminated int): ``n_hits`` = number of
+    DISTINCT benchmark n-grams found in the doc.
+
+    Shape at 100 TB: benchmark gram sets are tiny relative to the corpus
+    (an eval suite is MBs), so the distinct benchmark grams broadcast and
+    the probe is a map-side semi-join on the exploded doc grams — no
+    shuffle of corpus text; the only corpus-wide exchange is the per-doc
+    hit count partial-agg.  Set ``broadcast_bench=False`` for a giant
+    benchmark (falls back to a shuffle join on the gram key)."""
+    bench_text_col = bench_text_col or text_col
+    bgrams = (
+        benchmark.select(F.explode(shingles(F.col(bench_text_col), n)).alias("gram"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bgrams = F.broadcast(bgrams)
+    dgrams = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
+    )
+    hits = (
+        dgrams.join(bgrams, on="gram")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gram").alias("n_hits"))
+    )
+    return docs.select(F.col(id_col)).join(hits, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # cross-document line dedup (C4/CCNet boilerplate removal)
 # ---------------------------------------------------------------------------
 

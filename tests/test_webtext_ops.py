@@ -577,3 +577,25 @@ def test_normalize_url_cases(spark):
     got = {r["i"]: r["n"] for r in df.select("i", normalize_url(F.col("u")).alias("n")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_decontaminate_bruteforce(spark):
+    from open_vector_tile_spark.operators.dedup import decontaminate
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "zzz alpha beta gamma delta yyy"),   # shares the 4-gram with 0
+        (2, "alpha beta gamma"),                  # only 3 words -> whole-text gram
+        (3, "totally different words here now"),
+        (4, "ALPHA  Beta   GAMMA delta"),         # normalization -> same grams
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = df.filter(F.col("doc_id") == 0)
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(df, bench, n=4).collect()
+    }
+    # bench doc 0 has 4-grams {abgd, bgde}; doc1 contains abgd; doc2's whole-
+    # text gram 'alpha beta gamma' is NOT a bench 4-gram; doc4 normalizes to
+    # the single gram 'alpha beta gamma delta' == abgd
+    assert got == {0: (2, 1), 1: (1, 1), 2: (0, 0), 3: (0, 0), 4: (1, 1)}
