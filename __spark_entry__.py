@@ -940,6 +940,19 @@ def _q_repetition(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (functions/sampling.py
+    weighted_sample): Efraimidis-Spirakis u^(1/w) keys over the md5-uniform
+    draw, w = n_chars, k = 100.  TakeOrderedAndProject plan (partition-local
+    top-k; no global sort).  Oracle replays the identical arithmetic and
+    LIMIT in DuckDB."""
+    from open_vector_tile_spark.functions.sampling import weighted_sample
+
+    docs = _load(spark, sf, "documents")
+    out = weighted_sample(docs, 100, F.col("n_chars"), F.col("doc_id"))
+    return out.select("doc_id", "n_chars", "sample_score").orderBy("doc_id")
+
+
 def _q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Eval-set decontamination (operators/dedup.py decontaminate): flag
     corpus docs sharing any word 4-gram with a benchmark slice (docs with
@@ -1236,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "url_dedup": _q_url_dedup,
         "decontaminate": _q_decontaminate,
+        "weighted_sample": _q_weighted_sample,
     }
 
 
@@ -1836,6 +1850,20 @@ def oracle_sql() -> dict[str, str]:
                      AS top_bigram_frac
             FROM lines l LEFT JOIN t USING (doc_id)
             ORDER BY doc_id
+        """,
+        "weighted_sample": r"""
+            SELECT doc_id, n_chars, sample_score FROM (
+              SELECT doc_id, n_chars, score, round(score, 6) AS sample_score
+              FROM (
+                SELECT doc_id, n_chars,
+                       CASE WHEN n_chars > 0 THEN pow(
+                         (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                               AS BIGINT) + 0.5) / 4294967296.0,
+                         1.0 / n_chars) ELSE -1.0 END AS score
+                FROM documents
+              )
+              ORDER BY score DESC, doc_id LIMIT 100
+            ) ORDER BY doc_id
         """,
         "decontaminate": r"""
             WITH sh AS (

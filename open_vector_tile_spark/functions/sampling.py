@@ -95,3 +95,35 @@ def url_host(url: Column) -> Column:
     """Host part of a url (scheme-tolerant, port kept) via one JVM regexp —
     the standard no-leakage group key for web corpora."""
     return F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight: Column,
+    key: Column,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: the k rows with the
+    largest u^(1/w), where u is the row's md5-uniform draw (Efraimidis &
+    Spirakis 2006 — inclusion probability proportional to weight, exactly
+    one pass, no mutable reservoir needed in a distributed setting).
+
+    Adds a ``sample_score`` column (rounded to 6 decimals).  Rows with
+    weight <= 0 can never be selected (score forced to -1).  Content-hash
+    determinism as everywhere in this module: any partitioning, any engine,
+    same k rows.
+
+    Shape at 100 TB: Catalyst compiles orderBy+limit to
+    TakeOrderedAndProject — per-partition top-k then a k-row driver merge;
+    nothing resembling a global sort materializes."""
+    u = (
+        F.conv(stable_frac_hex(key), 16, 10).cast("double") + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    w = weight.cast("double")
+    score = F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(-1.0))
+    return (
+        df.withColumn("sample_score", score)
+        .orderBy(F.col("sample_score").desc(), key.asc())
+        .limit(k)
+        .withColumn("sample_score", F.round("sample_score", 6))
+    )

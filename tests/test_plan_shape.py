@@ -111,3 +111,26 @@ def test_quality_and_lang_are_jvm_side(spark):
     q = docs.select(quality_score(F.col("text")), lang_id(F.col("text")))
     plan = plan_of(q)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_is_partition_local_topk(spark):
+    """weighted_sample must compile to TakeOrderedAndProject (per-partition
+    top-k + k-row driver merge) — never a global Sort Exchange."""
+    from open_vector_tile_spark.functions.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = weighted_sample(docs, 50, F.col("n_chars"), F.col("doc_id"))
+    p = plan_of(out)
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange rangepartitioning" not in p, p
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram side must broadcast: no shuffle of the exploded
+    corpus grams for the semi-join."""
+    from open_vector_tile_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    p = plan_of(decontaminate(docs, bench, n=4))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p

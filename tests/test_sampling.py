@@ -97,3 +97,27 @@ def test_split_trailing_zero_weight(spark):
     assert counts.get("test", 0) == 0
     assert counts["train"] > 0 and counts["val"] > 0
     assert counts["train"] + counts["val"] == 2000
+
+
+def test_weighted_sample_properties(spark):
+    """Determinism across partitionings; weight-monotone inclusion on
+    average; zero/negative weights never selected."""
+    import pandas as pd
+
+    from open_vector_tile_spark.functions.sampling import weighted_sample
+
+    pdf = pd.DataFrame({
+        "id": range(400),
+        "w": [0.0 if i % 100 == 7 else (10.0 if i % 4 == 0 else 1.0) for i in range(400)],
+    })
+    df1 = spark.createDataFrame(pdf).repartition(1)
+    df8 = spark.createDataFrame(pdf).repartition(8, "id")
+    k = 80
+    s1 = sorted(r["id"] for r in weighted_sample(df1, k, F.col("w"), F.col("id")).collect())
+    s8 = sorted(r["id"] for r in weighted_sample(df8, k, F.col("w"), F.col("id")).collect())
+    assert s1 == s8 and len(s1) == k
+    # no zero-weight row selected
+    assert all(i % 100 != 7 for i in s1)
+    # heavy rows (w=10, 25% of rows) should dominate the sample
+    heavy = sum(1 for i in s1 if i % 4 == 0)
+    assert heavy > k // 2, heavy
