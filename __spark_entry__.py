@@ -940,6 +940,41 @@ def _q_repetition(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed curation pipeline a training-data user actually runs —
+    four stages chained in ONE lazy plan (no intermediate materialization):
+      1. cross-doc line dedup (boilerplate removal, exact mode)
+      2. quality gate (>= 20 words, >= 80% alpha words)
+      3. eval decontamination (4-gram overlap vs the doc_id%50==0 slice)
+      4. quality-weighted sampling (k=50, w = cleaned length)
+    Oracle chains the same four stages as CTEs over the identical synth
+    corpus — the value hash pins every stage boundary at once."""
+    from open_vector_tile_spark.functions.sampling import weighted_sample
+    from open_vector_tile_spark.functions.text import gopher_metrics
+    from open_vector_tile_spark.operators.dedup import decontaminate, dedup_lines
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    third = F.when(d % 3 == 0, F.col("text")).otherwise(F.concat(F.col("text"), F.lit("!")))
+    synth = docs.select(
+        "doc_id", F.concat_ws("\n", F.col("text"), F.col("lang"), third).alias("text")
+    )
+    cleaned = dedup_lines(synth, use_hash=False).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    m = gopher_metrics(F.col("text"))
+    gated = cleaned.filter((m["n_words"] >= 20) & (m["alpha_frac"] >= 0.8))
+    bench = gated.filter(F.col("doc_id") % 50 == 0)
+    dec = decontaminate(gated, bench, n=4)
+    keep = gated.join(
+        dec.filter(F.col("contaminated") == 0).select("doc_id"), on="doc_id"
+    )
+    out = weighted_sample(keep, 50, F.length("text"), F.col("doc_id"))
+    return out.select(
+        "doc_id", F.length("text").cast("int").alias("n_chars"), "sample_score"
+    ).orderBy("doc_id")
+
+
 def _q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-weighted deterministic sampling (functions/sampling.py
     weighted_sample): Efraimidis-Spirakis u^(1/w) keys over the md5-uniform
@@ -1250,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "decontaminate": _q_decontaminate,
         "weighted_sample": _q_weighted_sample,
+        "corpus_pipeline": _q_corpus_pipeline,
     }
 
 
@@ -1850,6 +1886,76 @@ def oracle_sql() -> dict[str, str]:
                      AS top_bigram_frac
             FROM lines l LEFT JOIN t USING (doc_id)
             ORDER BY doc_id
+        """,
+        "corpus_pipeline": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                     text || chr(10) || lang || chr(10) ||
+                     CASE WHEN doc_id % 3 = 0 THEN text ELSE text || '!' END AS s
+              FROM documents
+            ), ls AS (
+              SELECT doc_id, string_split(s, chr(10)) AS arr FROM synth
+            ), flat AS (
+              SELECT doc_id, u.pos AS pos, u.line AS line
+              FROM (
+                SELECT doc_id,
+                       unnest([struct_pack(pos := i, line := arr[i])
+                               FOR i IN range(1, len(arr) + 1)]) AS u
+                FROM ls
+              )
+            ), boiler AS (
+              SELECT line FROM flat GROUP BY line
+              HAVING count(DISTINCT doc_id) >= 2
+            ), kept AS (
+              SELECT f.doc_id, f.pos, f.line
+              FROM flat f ANTI JOIN boiler b USING (line)
+            ), clean AS (
+              SELECT s.doc_id,
+                     coalesce(r.t, '') AS text
+              FROM synth s LEFT JOIN (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+                FROM kept GROUP BY doc_id
+              ) r USING (doc_id)
+            ), gated AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       string_split_regex(trim(text), '\s+') AS ws
+                FROM clean
+              )
+              WHERE len(ws) >= 20
+                AND CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                         AS DOUBLE) / greatest(len(ws), 1) >= 0.8
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) <= 4 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([array_to_string(w[i:i+3], ' ')
+                                              FOR i IN range(1, len(w) - 2)])
+                     END AS grams
+              FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                    FROM gated)
+            ), bg AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 50 = 0
+            ), hits AS (
+              SELECT d.doc_id, count(DISTINCT d.gram) AS n_hits
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM sh) d
+              JOIN bg USING (gram) GROUP BY d.doc_id
+            ), keep AS (
+              SELECT g.doc_id, g.text FROM gated g
+              LEFT JOIN hits h USING (doc_id)
+              WHERE coalesce(h.n_hits, 0) = 0
+            )
+            SELECT doc_id, n_chars, sample_score FROM (
+              SELECT doc_id, n_chars, score, round(score, 6) AS sample_score
+              FROM (
+                SELECT doc_id, CAST(len(text) AS INT) AS n_chars,
+                       CASE WHEN len(text) > 0 THEN pow(
+                         (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                               AS BIGINT) + 0.5) / 4294967296.0,
+                         1.0 / len(text)) ELSE -1.0 END AS score
+                FROM keep
+              )
+              ORDER BY score DESC, doc_id LIMIT 50
+            ) ORDER BY doc_id
         """,
         "weighted_sample": r"""
             SELECT doc_id, n_chars, sample_score FROM (

@@ -118,6 +118,24 @@ def build_queries(spark, sf_dir):
         def q_gopher_filter():
             return entry._q_gopher_filter(spark, sf_dir).agg(F.sum("passes"))
 
+        def q_url_dedup():
+            return entry._q_url_dedup(spark, sf_dir).agg(F.sum("n_docs"))
+
+        def q_decontaminate():
+            return entry._q_decontaminate(spark, sf_dir).agg(F.sum("n_hits"))
+
+        def q_weighted_sample():
+            return entry._q_weighted_sample(spark, sf_dir).agg(F.count("*"))
+
+        def q_pii_redact():
+            return entry._q_pii_redact(spark, sf_dir).agg(F.sum("n_emails"))
+
+        def q_repetition():
+            return entry._q_repetition(spark, sf_dir).agg(F.sum("n_lines"))
+
+        def q_corpus_pipeline():
+            return entry._q_corpus_pipeline(spark, sf_dir).agg(F.sum("n_chars"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -130,6 +148,12 @@ def build_queries(spark, sf_dir):
             line_dedup=q_line_dedup,
             dedup_clusters=q_dedup_clusters,
             gopher_filter=q_gopher_filter,
+            url_dedup=q_url_dedup,
+            decontaminate=q_decontaminate,
+            weighted_sample=q_weighted_sample,
+            pii_redact=q_pii_redact,
+            repetition=q_repetition,
+            corpus_pipeline=q_corpus_pipeline,
         )
     return out
 
