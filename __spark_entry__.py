@@ -940,6 +940,19 @@ def _q_repetition(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixture sampling (functions/sampling.py weighted_sample_per_group):
+    deterministic weighted top-20 PER LANGUAGE (w = n_chars) — the "balance
+    the mixture across languages/domains" primitive.  One shuffle on lang;
+    rank window bounds skewed groups at k rows.  Oracle: identical
+    arithmetic + row_number window in DuckDB."""
+    from open_vector_tile_spark.functions.sampling import weighted_sample_per_group
+
+    docs = _load(spark, sf, "documents")
+    out = weighted_sample_per_group(docs, 20, F.col("n_chars"), F.col("doc_id"), "lang")
+    return out.select("doc_id", "lang", "n_chars", "sample_score").orderBy("doc_id")
+
+
 def _q_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The composed curation pipeline a training-data user actually runs —
     four stages chained in ONE lazy plan (no intermediate materialization):
@@ -1286,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "weighted_sample": _q_weighted_sample,
         "corpus_pipeline": _q_corpus_pipeline,
+        "mix_sample": _q_mix_sample,
     }
 
 
@@ -1886,6 +1900,22 @@ def oracle_sql() -> dict[str, str]:
                      AS top_bigram_frac
             FROM lines l LEFT JOIN t USING (doc_id)
             ORDER BY doc_id
+        """,
+        "mix_sample": r"""
+            SELECT doc_id, lang, n_chars, round(score, 6) AS sample_score
+            FROM (
+              SELECT doc_id, lang, n_chars, score,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY score DESC, doc_id) AS rn
+              FROM (
+                SELECT doc_id, lang, n_chars,
+                       CASE WHEN n_chars > 0 THEN pow(
+                         (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                               AS BIGINT) + 0.5) / 4294967296.0,
+                         1.0 / n_chars) ELSE -1.0 END AS score
+                FROM documents
+              )
+            ) WHERE rn <= 20 ORDER BY doc_id
         """,
         "corpus_pipeline": r"""
             WITH synth AS (

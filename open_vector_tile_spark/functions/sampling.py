@@ -127,3 +127,33 @@ def weighted_sample(
         .limit(k)
         .withColumn("sample_score", F.round("sample_score", 6))
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    k: int,
+    weight: Column,
+    key: Column,
+    group_col: str,
+) -> DataFrame:
+    """Per-group deterministic weighted top-k (the data-mixing primitive:
+    "sample k docs per language/domain, weighted by quality").  Same
+    Efraimidis-Spirakis key as :func:`weighted_sample`, ranked inside each
+    group with a row_number window — one shuffle on ``group_col``; skewed
+    groups stay bounded because only k rows per group survive the rank
+    filter (the window sorts within partitions, nothing global)."""
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(stable_frac_hex(key), 16, 10).cast("double") + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    w = weight.cast("double")
+    score = F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(-1.0))
+    win = Window.partitionBy(group_col).orderBy(F.desc("sample_score"), key.asc())
+    return (
+        df.withColumn("sample_score", score)
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .withColumn("sample_score", F.round("sample_score", 6))
+    )
