@@ -955,13 +955,19 @@ def _q_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The composed curation pipeline a training-data user actually runs —
-    four stages chained in ONE lazy plan (no intermediate materialization):
+    four stages chained end-to-end:
       1. cross-doc line dedup (boilerplate removal, exact mode)
       2. quality gate (>= 20 words, >= 80% alpha words)
       3. eval decontamination (4-gram overlap vs the doc_id%50==0 slice)
       4. quality-weighted sampling (k=50, w = cleaned length)
     Oracle chains the same four stages as CTEs over the identical synth
-    corpus — the value hash pins every stage boundary at once."""
+    corpus — the value hash pins every stage boundary at once.
+
+    The gated corpus is localCheckpoint-ed: it feeds three consumers
+    (benchmark grams, corpus grams, final join) and Catalyst does not CSE
+    across join branches, so leaving it lazy recomputes the whole line-
+    dedup subtree three times.  At 100 TB this boundary is where you'd
+    write the cleaned corpus back to storage anyway."""
     from open_vector_tile_spark.functions.sampling import weighted_sample
     from open_vector_tile_spark.functions.text import gopher_metrics
     from open_vector_tile_spark.operators.dedup import decontaminate, dedup_lines
@@ -976,7 +982,9 @@ def _q_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.col("clean_text").alias("text")
     )
     m = gopher_metrics(F.col("text"))
-    gated = cleaned.filter((m["n_words"] >= 20) & (m["alpha_frac"] >= 0.8))
+    gated = cleaned.filter(
+        (m["n_words"] >= 20) & (m["alpha_frac"] >= 0.8)
+    ).localCheckpoint(eager=True)
     bench = gated.filter(F.col("doc_id") % 50 == 0)
     dec = decontaminate(gated, bench, n=4)
     keep = gated.join(

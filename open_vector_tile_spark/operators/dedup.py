@@ -196,12 +196,21 @@ def dedup_lines(
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct)."""
-    words = F.split(F.trim(normalized_text(text)), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
-    )
+    """Word n-gram shingle array (distinct).
+
+    The word array is let-bound (see :func:`_let`): HOF lambdas are
+    interpreted, and a captured EXPRESSION is re-evaluated per element —
+    with ``split`` captured directly, every gram re-tokenizes the whole
+    document (O(words^2) regex work per doc; measured 20x+ on real
+    corpora).  Bound as a lambda variable it is computed once per row."""
+
+    def body(words: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+        )
+
+    return _let(F.split(F.trim(normalized_text(text)), " "), body)
 
 
 _MERSENNE = (1 << 61) - 1
