@@ -211,11 +211,19 @@ def gopher_metrics(
     )
     mwl = total_chars / safe_n
     alpha_frac = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / safe_n
-    lw = F.transform(words, lambda w: F.lower(w))
-    stop_hits = None
-    for sw in GOPHER_STOPWORDS:
-        hit = F.array_contains(lw, sw).cast("int")
-        stop_hits = hit if stop_hits is None else stop_hits + hit
+
+    def _hits(lw: Column) -> Column:
+        out = None
+        for sw in GOPHER_STOPWORDS:
+            hit = F.array_contains(lw, sw).cast("int")
+            out = hit if out is None else out + hit
+        return out
+
+    # let-bind the lowercased array: as a plain expression argument it would
+    # be re-lowercased once per stopword containment check (8x per row)
+    stop_hits = F.element_at(
+        F.transform(F.array(F.transform(words, lambda w: F.lower(w))), _hits), 1
+    )
     passes = (
         (n >= min_words)
         & (n <= max_words)
