@@ -1957,7 +1957,8 @@ def oracle_sql() -> dict[str, str]:
             ), gated AS (
               SELECT doc_id, text FROM (
                 SELECT doc_id, text,
-                       string_split_regex(trim(text), '\s+') AS ws
+                       list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x != '') AS ws
                 FROM clean
               )
               WHERE len(ws) >= 20
@@ -2046,7 +2047,13 @@ def oracle_sql() -> dict[str, str]:
                 || (CASE WHEN (doc_id // 100) = 4 THEN '#frag' ELSE '' END) AS url
               FROM documents
             ), n1 AS (
-              SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM u0
+              SELECT doc_id,
+                CASE WHEN regexp_matches(regexp_replace(url, '#.*', '', 'g'),
+                                         '^[A-Za-z][A-Za-z0-9+.-]*://')
+                     THEN regexp_replace(url, '#.*', '', 'g')
+                     ELSE 'http://' || regexp_replace(url, '#.*', '', 'g')
+                END AS u
+              FROM u0
             ), n2 AS (
               SELECT doc_id,
                 lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
@@ -2055,16 +2062,21 @@ def oracle_sql() -> dict[str, str]:
               FROM n1
             ), n3 AS (
               SELECT doc_id, scheme,
-                regexp_replace(regexp_replace(host, ':(80|443)$', '', 'g'),
-                               '^www\.', '', 'g') AS chost,
+                regexp_replace(
+                  CASE WHEN scheme = 'http'
+                         THEN regexp_replace(host, ':80$', '', 'g')
+                       WHEN scheme = 'https'
+                         THEN regexp_replace(host, ':443$', '', 'g')
+                       ELSE host END,
+                  '^www\.', '', 'g') AS chost,
                 regexp_replace(
                   regexp_replace(
                     regexp_replace(
                       regexp_replace(
                         regexp_replace(rest,
-                          '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
-                        '\?&+', '?', 'g'),
-                      '&&+', '&', 'g'),
+                          '&(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                        '\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '?', 'g'),
+                      '\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$', '', 'g'),
                     '[?&]+$', '', 'g'),
                   '/+$', '', 'g') AS crest
               FROM n2
@@ -2077,7 +2089,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": r"""
             WITH w AS (
               SELECT doc_id,
-                     string_split_regex(trim(text), '\s+') AS ws
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x != '') AS ws
               FROM documents
             ), m AS (
               SELECT doc_id,

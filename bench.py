@@ -136,6 +136,9 @@ def build_queries(spark, sf_dir):
         def q_corpus_pipeline():
             return entry._q_corpus_pipeline(spark, sf_dir).agg(F.sum("n_chars"))
 
+        def q_mix_sample():
+            return entry._q_mix_sample(spark, sf_dir).agg(F.count("*"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -154,6 +157,7 @@ def build_queries(spark, sf_dir):
             pii_redact=q_pii_redact,
             repetition=q_repetition,
             corpus_pipeline=q_corpus_pipeline,
+            mix_sample=q_mix_sample,
         )
     return out
 

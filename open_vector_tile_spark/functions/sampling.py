@@ -109,9 +109,10 @@ def weighted_sample(
     one pass, no mutable reservoir needed in a distributed setting).
 
     Adds a ``sample_score`` column (rounded to 6 decimals).  Rows with
-    weight <= 0 can never be selected (score forced to -1).  Content-hash
-    determinism as everywhere in this module: any partitioning, any engine,
-    same k rows.
+    weight <= 0 can never be selected — they are filtered out before the
+    top-k, so an under-full corpus returns FEWER than k rows rather than
+    backfilling zero-weight ones.  Content-hash determinism as everywhere
+    in this module: any partitioning, any engine, same k rows.
 
     Shape at 100 TB: Catalyst compiles orderBy+limit to
     TakeOrderedAndProject — per-partition top-k then a k-row driver merge;
@@ -123,6 +124,7 @@ def weighted_sample(
     score = F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(-1.0))
     return (
         df.withColumn("sample_score", score)
+        .filter(F.col("sample_score") > 0)
         .orderBy(F.col("sample_score").desc(), key.asc())
         .limit(k)
         .withColumn("sample_score", F.round("sample_score", 6))
@@ -152,6 +154,7 @@ def weighted_sample_per_group(
     win = Window.partitionBy(group_col).orderBy(F.desc("sample_score"), key.asc())
     return (
         df.withColumn("sample_score", score)
+        .filter(F.col("sample_score") > 0)
         .withColumn("_rn", F.row_number().over(win))
         .filter(F.col("_rn") <= k)
         .drop("_rn")

@@ -202,8 +202,15 @@ def gopher_metrics(
     HOFs — no Python, no shuffle): word count, mean word length, fraction
     of words containing an alphabetic character, distinct-stopword hits,
     and the composite pass flag (word-count band + mean-word-length in
-    [3,10] + >=80% alpha words + >= ``min_stop_hits`` stopwords present)."""
-    words = F.split(F.trim(text), r"\s+")
+    [3,10] + >=80% alpha words + >= ``min_stop_hits`` stopwords present).
+
+    Empty tokens are dropped after the split: ``F.trim`` strips only
+    spaces, so text bordered by other whitespace (``\\n``, ``\\t``) would
+    otherwise contribute phantom '' words that deflate every ratio and
+    shift the word-count gate."""
+    words = F.filter(
+        F.split(F.trim(text), r"\s+"), lambda w: w != F.lit("")
+    )
     n = F.size(words)
     safe_n = F.greatest(n, F.lit(1))
     total_chars = F.aggregate(

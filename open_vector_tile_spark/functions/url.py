@@ -12,28 +12,40 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_TRACKING = r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+_TRACK_NAMES = r"(utm_[a-z]+|fbclid|gclid|ref)"
 
 
 def normalize_url(url: Column) -> Column:
-    """Canonical form: lowercase scheme+host, strip fragment, default ports
-    (:80/:443), a leading ``www.``, tracking query params (utm_*, fbclid,
-    gclid, ref), empty leftover ``?``, and trailing slashes.  The path/query
-    otherwise keeps its original bytes (case matters in paths)."""
+    """Canonical form: lowercase scheme+host, strip fragment, the scheme's
+    default port (:80 for http, :443 for https), a leading ``www.``,
+    tracking query params (utm_*, fbclid, gclid, ref — matched only at a
+    ``?``/``&`` boundary, so ``href=`` / ``xref=`` are untouched), empty
+    leftover ``?``, and trailing slashes.  Scheme-less input is treated as
+    http (the crawl convention).  The path/query otherwise keeps its
+    original bytes (case matters in paths).
+
+    No backreferences anywhere: Java spells them $1, RE2 \\1 — a chain
+    that must replay identically in both engines can use neither.  The
+    param-boundary anchoring therefore uses three passes (non-first
+    params, a first param with a successor, a lone param) instead of one
+    captured-separator replace."""
     u = F.regexp_replace(url, r"#.*", "")
+    u = F.when(u.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), u).otherwise(
+        F.concat(F.lit("http://"), u)
+    )
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)", 1)
-    host = F.regexp_replace(host, r":(80|443)$", "")
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
     host = F.regexp_replace(host, r"^www\.", "")
-    # drop tracking params wherever they sit in the query string, then tidy
-    # the separators left behind ("?&", "&&", trailing "?"/"&")
-    rest = F.regexp_replace(rest, _TRACKING, "")
-    rest = F.regexp_replace(rest, r"\?&+", "?")
-    rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"&" + _TRACK_NAMES + r"=[^&#]*", "")
+    rest = F.regexp_replace(rest, r"\?" + _TRACK_NAMES + r"=[^&#]*&", "?")
+    rest = F.regexp_replace(rest, r"\?" + _TRACK_NAMES + r"=[^&#]*$", "")
     rest = F.regexp_replace(rest, r"[?&]+$", "")
-    # no backreferences anywhere: Java spells them $1, RE2 \1 — a chain that
-    # must replay identically in both engines can't use either
     rest = F.regexp_replace(rest, r"/+$", "")
     return F.concat(scheme, F.lit("://"), host, rest)
 

@@ -45,7 +45,7 @@ def connected_components(
     dst: str = "dst",
     max_rounds: int = 25,
 ) -> DataFrame:
-    """-> (id long, component long): component = min reachable node id.
+    """-> (id long, comp long): comp = min reachable node id.
 
     ``edges`` is an undirected pair list; direction and duplicates are
     irrelevant (symmetrized + deduped internally).  Every endpoint appears

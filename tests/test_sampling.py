@@ -121,3 +121,25 @@ def test_weighted_sample_properties(spark):
     # heavy rows (w=10, 25% of rows) should dominate the sample
     heavy = sum(1 for i in s1 if i % 4 == 0)
     assert heavy > k // 2, heavy
+
+
+def test_weighted_sample_underfull_excludes_nonpositive(spark):
+    """k larger than the positive-weight population: returns only the
+    positive-weight rows, never backfills w<=0 ones (both variants)."""
+    import pandas as pd
+
+    from open_vector_tile_spark.functions.sampling import (
+        weighted_sample,
+        weighted_sample_per_group,
+    )
+
+    pdf = pd.DataFrame({
+        "id": range(20),
+        "g": ["a" if i < 10 else "b" for i in range(20)],
+        "w": [1.0 if i % 5 == 0 else 0.0 for i in range(20)],
+    })
+    df = spark.createDataFrame(pdf)
+    out = weighted_sample(df, 15, F.col("w"), F.col("id")).collect()
+    assert len(out) == 4 and all(r["w"] > 0 for r in out)
+    outg = weighted_sample_per_group(df, 9, F.col("w"), F.col("id"), "g").collect()
+    assert len(outg) == 4 and all(r["w"] > 0 for r in outg)

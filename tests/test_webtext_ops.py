@@ -572,6 +572,16 @@ def test_normalize_url_cases(spark):
         ("https://example.com/p?fbclid=xyz&a=1", "https://example.com/p?a=1"),
         ("https://example.com/CaseSensitivePath", "https://example.com/CaseSensitivePath"),
         ("https://sub.www.example.com/x", "https://sub.www.example.com/x"),  # only LEADING www.
+        # param-boundary anchoring: href/xref must NOT match the ref rule
+        ("https://example.com/p?href=siteA", "https://example.com/p?href=siteA"),
+        ("https://example.com/p?xref=1&utm_x=2", "https://example.com/p?xref=1"),
+        ("https://example.com/p?utm_a=1&utm_b=2", "https://example.com/p"),
+        # scheme-less input canonicalizes as http, not '://'
+        ("example.com/a", "http://example.com/a"),
+        ("WWW.Example.com", "http://example.com"),
+        # default-port stripping is scheme-aware
+        ("http://example.com:443/x", "http://example.com:443/x"),
+        ("https://example.com:80/x", "https://example.com:80/x"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, u string")
     got = {r["i"]: r["n"] for r in df.select("i", normalize_url(F.col("u")).alias("n")).collect()}
