@@ -78,15 +78,19 @@ def connected_components(
             labels.join(nbr, on="id", how="left")
             .select("id", F.least("comp", "nbr_comp").alias("comp"))
         )
-        # pointer jump: follow comp one hop (comp is always an existing id)
-        parent = stepped.select(
-            F.col("id").alias("comp"), F.col("comp").alias("jump")
-        )
-        jumped = (
-            stepped.join(parent, on="comp", how="left")
-            .select("id", F.least("comp", "jump").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
+        # pointer jump x2: follow comp two hops (comp is always an existing
+        # id).  The second jump is a pure plan extension — one more join in
+        # the same job, no extra action — and roughly halves the number of
+        # rounds (each round composes 2 levels of the label forest).
+        jumped = stepped
+        for _jump in range(2):
+            parent = jumped.select(
+                F.col("id").alias("comp"), F.col("comp").alias("jump")
+            )
+            jumped = jumped.join(parent, on="comp", how="left").select(
+                "id", F.least("comp", "jump").alias("comp")
+            )
+        jumped = jumped.localCheckpoint(eager=True)
         changed = (
             jumped.join(labels.withColumnRenamed("comp", "old"), on="id")
             .filter(F.col("comp") != F.col("old"))
