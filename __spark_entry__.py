@@ -1202,7 +1202,10 @@ def _q_tileset_scan(spark: SparkSession, sf: str) -> DataFrame:
     docs = _doc_points(_load(spark, sf, "documents"))
     feats = points_to_features(docs, zoom=ZOOM, layer="docs", extent=4096, id_col="doc_id")
     tiles = encode_tiles(feats)
-    out = f"/tmp/ovt_q_tileset_{sf.strip('/').replace('/', '_')}"
+    # session-scoped sink dir: a fixed path would let two concurrent
+    # sessions at the same sf overwrite each other between write and read
+    app_id = spark.sparkContext.applicationId
+    out = f"/tmp/ovt_q_tileset_{app_id}_{sf.strip('/').replace('/', '_')}"
     (
         tiles.select("zoom", "tile_x", "tile_y", "tile")
         .repartition(4)

@@ -28,19 +28,24 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     (shingling, hashing) must fan out to the cluster first.  No-op when the
     input is already parallel.
 
-    Uses ``inputFiles()`` (a driver-side name listing, already cached by the
-    scan) rather than ``df.rdd.getNumPartitions()`` — the latter forces a
-    full logical->RDD plan conversion just to count partitions.  Files larger
-    than maxPartitionBytes split into MORE partitions than files, so this
-    can only over-repartition small inputs (one cheap shuffle of ids+text),
-    never under-parallelize big ones."""
+    Two-step check: ``inputFiles()`` (free — a cached driver-side listing)
+    short-circuits the common file-scan case; only when the file count
+    looks sufficient do we confirm with ``df.rdd.getNumPartitions()``,
+    which is authoritative (it sees a downstream ``coalesce(1)`` that the
+    file count cannot) at the cost of one driver-side plan->RDD conversion
+    — planning only, nothing executes.  A file-less DataFrame (createDataFrame,
+    checkpoint) goes straight to the authoritative count instead of being
+    unconditionally reshuffled."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    threshold = max(2, target // 2)
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files < max(2, target // 2):
+    if n_files < threshold and n_files > 0:
+        return df.repartition(target)
+    if df.rdd.getNumPartitions() < threshold:
         return df.repartition(target)
     return df
 

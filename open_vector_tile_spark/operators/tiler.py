@@ -610,7 +610,8 @@ def polygons_to_features(
             outer[:, 0].min(), outer[:, 1].min(), outer[:, 0].max(), outer[:, 1].max(), zoom
         )
         props = _json.dumps(
-            {k: poly[k] for k in ("name", "kind", "rank") if k in poly.index},
+            {k: poly[k] for k in ("name", "kind", "rank")
+             if k in poly.index and _prop_present(poly[k])},
             default=int,
         )
         for tx, ty in zip(txs.tolist(), tys.tolist()):
@@ -668,6 +669,7 @@ def lines_to_features(
                 k: line[k]
                 for k in line.index
                 if k not in ("line_id", "xy", "offset", "mvals")
+                and _prop_present(line[k])
             },
             default=int,
         )
@@ -723,7 +725,8 @@ def lines3d_to_features(
             arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max(), zoom
         )
         props = _json.dumps(
-            {k: line[k] for k in line.index if k not in ("line_id", "xyz", "offset", "mvals")},
+            {k: line[k] for k in line.index
+             if k not in ("line_id", "xyz", "offset", "mvals") and _prop_present(line[k])},
             default=int,
         )
         offset = float(line["offset"]) if "offset" in line.index else 0.0
@@ -791,6 +794,7 @@ def polygons3d_to_features(
                 k: poly[k]
                 for k in poly.index
                 if k not in ("poly_id", "ring_xyz", "mvals")
+                and _prop_present(poly[k])
             },
             default=int,
         )
@@ -860,6 +864,17 @@ _POLYS_SCHEMA = (
     "ftype int, geom_xy array<int>, ring_lens array<int>, poly_lens array<int>, "
     "props_json string, mvals_json string"
 )
+
+
+def _prop_present(v) -> bool:
+    """Driver-twin null filter matching the distributed path's to_json
+    semantics: to_json OMITS null struct fields (and json.dumps would emit
+    spec-invalid NaN), so absent == null on the wire in BOTH ingest paths."""
+    if v is None:
+        return False
+    if isinstance(v, float) and v != v:  # NaN
+        return False
+    return True
 
 
 def _props_json_col(df: DataFrame, props_cols, exclude: tuple) -> "F.Column":
@@ -1172,11 +1187,14 @@ def images_to_tiles(images: DataFrame) -> DataFrame:
     Python call per Arrow batch walking key runs, groups spanning batches
     carried over) instead of per-tiny-group ``applyInPandas`` — the ledger
     measured that anti-pattern at 3.6x for small groups.  Sorting by
-    (key, name) makes tile bytes order-independent of shuffle arrival."""
+    (key, name, image) makes tile bytes order-independent of shuffle
+    arrival: the image bytes break ties between same-named rows within one
+    tile (binary sorts lexicographically JVM-side), so identical input
+    always packs in one order."""
     from ..codec import write_ov_tile as _write
 
     arranged = images.repartition("zoom", "tile_x", "tile_y").sortWithinPartitions(
-        "zoom", "tile_x", "tile_y", "name"
+        "zoom", "tile_x", "tile_y", "name", "image"
     )
 
     def encode_partition(batches: Iterable[pd.DataFrame]):

@@ -126,6 +126,11 @@ def _list_tiles(root: str) -> list[tuple[int, int, int, str, int, int]]:
     for dirpath, _dirs, files in os.walk(root):
         for fn in sorted(files):
             p = os.path.join(dirpath, fn)
+            if fn.startswith(_TMP_PREFIX):
+                # in-flight / orphaned task-attempt temps are never data: a
+                # half-written shard temp would otherwise crash
+                # read_shard_index for every reader until manually removed
+                continue
             if fn.endswith(_SHARD_SUFFIX):
                 idx, data_start = read_shard_index(p)
                 for z, x, y, rel, ln in idx.tolist():
@@ -243,19 +248,24 @@ _TMP_PREFIX = ".tmp-"
 class OvtTilesetWriter(DataSourceWriter):
     """Two-phase task-commit writer.
 
-    Tasks write ONLY attempt-suffixed temp names (``.tmp-{attempt}-...``);
-    the driver renames winners to final names in :meth:`commit` and deletes
-    temps in :meth:`abort`.  This makes retried / speculatively-executed
-    tasks safe (the losing attempt's temp is swept, never renamed — no
-    duplicate shards), failed jobs leave no final files, and readers never
-    see torn half-written tiles (temp names don't match the reader's
-    ``_SUFFIXES`` / shard patterns, and rename is atomic per file).
+    Tasks write ONLY job- and attempt-tagged temp names
+    (``.tmp-{job}-{attempt}-...``); the driver renames winners to final
+    names in :meth:`commit` and deletes THIS JOB'S temps in :meth:`abort`.
+    This makes retried / speculatively-executed tasks safe (the losing
+    attempt's temp is swept, never renamed — no duplicate shards), failed
+    jobs leave no final files, readers never see torn half-written tiles
+    (``_list_tiles`` skips the temp prefix explicitly, and rename is atomic
+    per file), and two jobs appending to the same directory cannot sweep
+    each other's in-flight temps (sweeps match the job tag).
 
-    Shard final names are ``part-{partitionId:05d}.ovtshard`` — deterministic
-    per partition, so re-running the job converges to the same layout.
-    ``mode("overwrite")`` clears pre-existing tile/shard files at commit time
-    (commit-scoped, not constructor-scoped: an aborted overwrite leaves the
-    old tileset intact).
+    Shard final names are ``part-{job}-{partitionId:05d}.ovtshard`` —
+    deterministic per partition WITHIN a job (a task retry converges to one
+    final file) and unique across jobs (``mode("append")`` runs never
+    clobber an earlier run's shards; re-running an append job therefore
+    APPENDS a second copy — use ``mode("overwrite")`` for idempotent
+    re-runs).  ``mode("overwrite")`` clears pre-existing tile/shard files at
+    commit time (commit-scoped, not constructor-scoped: an aborted
+    overwrite leaves the old tileset intact).
     """
 
     def __init__(self, options, overwrite: bool):
@@ -297,32 +307,35 @@ class OvtTilesetWriter(DataSourceWriter):
             ]
             if not entries:
                 return _WroteFiles(0, [])
-            tmp = f"{_TMP_PREFIX}{tag}{_SHARD_SUFFIX}"
+            tmp = f"{_TMP_PREFIX}{self.job_tag}-{tag}{_SHARD_SUFFIX}"
             final = f"part-{self.job_tag}-{part_id:05d}{_SHARD_SUFFIX}"
             n = write_shard(os.path.join(self.root, tmp), entries)
             return _WroteFiles(n, [(tmp, final)])
         renames = []
         for row in rows:
             final = f"{int(row['zoom'])}_{int(row['tile_x'])}_{int(row['tile_y'])}.{self.suffix}"
-            tmp = f"{_TMP_PREFIX}{tag}-{final}"
+            tmp = f"{_TMP_PREFIX}{self.job_tag}-{tag}-{final}"
             with open(os.path.join(self.root, tmp), "wb") as fh:
                 fh.write(bytes(row["tile"]))
             renames.append((tmp, final))
         return _WroteFiles(len(renames), renames)
 
     def _sweep_temps(self, settle_secs: float = 0.0):
-        """Remove attempt temp files.  With ``settle_secs`` > 0, keep
-        sweeping until two consecutive scans find nothing: when a job
-        aborts, Spark fails the job as soon as one task fails while sibling
-        tasks are still running ("zombies") — those may flush temps AFTER
-        the driver-side abort() starts, so a single sweep races them."""
+        """Remove THIS JOB'S attempt temp files (matched on the job tag —
+        a concurrent append job's in-flight temps are not ours to delete).
+        With ``settle_secs`` > 0, keep sweeping until two consecutive scans
+        find nothing: when a job aborts, Spark fails the job as soon as one
+        task fails while sibling tasks are still running ("zombies") —
+        those may flush temps AFTER the driver-side abort() starts, so a
+        single sweep races them."""
+        mine = f"{_TMP_PREFIX}{self.job_tag}-"
         deadline = time.monotonic() + settle_secs
         clean_scans = 0
         while True:
             removed = 0
             if os.path.isdir(self.root):
                 for fn in os.listdir(self.root):
-                    if fn.startswith(_TMP_PREFIX):
+                    if fn.startswith(mine):
                         try:
                             os.remove(os.path.join(self.root, fn))
                             removed += 1

@@ -176,3 +176,25 @@ def test_dist_path_has_no_driver_scan(spark):
     plan = dist._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" not in plan
     assert dist.count() > 0
+
+
+def test_null_props_parity_driver_vs_dist(spark):
+    """A None/NaN property must serialize identically in both ingest paths:
+    to_json omits null struct fields, and the driver twins now filter
+    null/NaN the same way (absent == null on the wire)."""
+    import numpy as np
+
+    polys = polygons_pdf().head(3).copy()
+    polys.loc[polys.index[0], "kind"] = None
+    polys.loc[polys.index[1], "rank"] = np.nan
+    driver = polygons_to_features(spark, polys, zoom=ZOOM, layer="admin", extent=4096)
+    sdf = spark.createDataFrame(polys).repartition(2)
+    dist = polygons_to_features_dist(
+        sdf, zoom=ZOOM, layer="admin", extent=4096,
+        props_cols=["name", "kind", "rank"],
+    )
+    assert _norm_rows(dist) == _norm_rows(driver)
+    assert _tile_bytes(dist) == _tile_bytes(driver)
+    # and the null key is genuinely absent, not "null"
+    some = json.loads(dist.limit(50).collect()[0]["props_json"])
+    assert "null" not in json.dumps(some)

@@ -293,3 +293,25 @@ def test_writer_abort_leaves_no_partial_output(registered, tmp_path):
         bad.write.format("ovt_tileset").option("path", out).mode("append").save()
     leftovers = os.listdir(out) if os.path.isdir(out) else []
     assert leftovers == [], leftovers
+
+
+def test_reader_ignores_orphaned_temps(registered, tmp_path):
+    """A torn/orphaned '.tmp-*' file (driver killed before abort could
+    sweep) must be invisible to readers — both a garbage temp shard and a
+    temp loose tile."""
+    out = str(tmp_path / "ts")
+    tiles = _tiny_tiles(registered, 10)
+    tiles.write.format("ovt_tileset").option("path", out).mode("append").save()
+    n = spark_read_count(registered, out)
+    # drop garbage temps that would crash read_shard_index / duplicate tiles
+    with open(os.path.join(out, ".tmp-deadbeef-3-99.ovtshard"), "wb") as fh:
+        fh.write(b"NOT A SHARD AT ALL")
+    with open(os.path.join(out, ".tmp-deadbeef-3-99-2_0_1.ovt"), "wb") as fh:
+        fh.write(b"\x00torn")
+    assert spark_read_count(registered, out) == n
+
+
+def spark_read_count(spark, path):
+    return (
+        spark.read.format("ovt_tileset").option("path", path).load().count()
+    )

@@ -3,7 +3,7 @@
 
 Converts every committed benchmark tile (benchmarks/data/{amazon,amazon_here,
 bing,omt}/mvt) through this repo's writer (MVT decode -> IR -> OVT encode)
-and prints per-corpus + per-zoom average sizes (raw and gzip-9) next to the
+and prints per-corpus + per-zoom average sizes (raw and real gzip-9 framing, mtime=0 for determinism) next to the
 input MVT, as a markdown table for BENCH.md.  The reference publishes the
 same shape of table for the OMT corpus (motivation.md:84-230); matching its
 per-zoom OVT/MVT ratios is the strongest byte-parity evidence available in a
@@ -18,7 +18,7 @@ import glob
 import os
 import re
 import sys
-import zlib
+import gzip
 from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -53,7 +53,7 @@ def main() -> None:
         ovt = write_ov_tile(mvt_tile_to_base_layers(VectorTile(raw)))
         rows.append(
             (corpus, zoom, len(raw), len(ovt),
-             len(zlib.compress(raw, 9)), len(zlib.compress(ovt, 9)))
+             len(gzip.compress(raw, 9, mtime=0)), len(gzip.compress(ovt, 9, mtime=0)))
         )
 
     def table(group_rows, keyname):
