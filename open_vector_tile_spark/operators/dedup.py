@@ -272,31 +272,102 @@ def _minhash_A(num_hashes: int) -> np.ndarray:
     )
 
 
+_WS_BYTES = np.zeros(256, dtype=bool)
+_WS_BYTES[[9, 10, 11, 12, 13, 32]] = True  # \t \n \v \f \r and space
+_POLY_P = np.uint64(1099511628211)  # FNV64 prime as the byte-poly multiplier
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized — restores avalanche after the
+    structured polynomial accumulation (minhash's multiply-shift family
+    needs uniform word hashes; a raw byte polynomial is biased in the low
+    bits)."""
+    x = x.copy()
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _batch_word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """All word hashes of an Arrow batch -> (uint64 hashes in batch order,
+    per-doc word counts) with NO per-word Python objects.
+
+    The whole batch is lowered, UTF-8 encoded, and joined into ONE byte
+    buffer; word boundaries come from a 256-entry whitespace table; each
+    word's hash is a byte polynomial sum(byte * P^(len-1-i)) computed with
+    np.repeat + one ``np.add.reduceat`` (uint64 wrap-around IS the mod),
+    then splitmix64-finalized.  Measured 1.5x pd.util.hash_array on Python
+    str objects in a calm window (5.4M vs 3.5M words/s/core) and allocates
+    no per-word Python objects (less GC pressure inside the Arrow worker).
+
+    Tokenization is ASCII-whitespace (matches ``str.split()`` everywhere
+    except exotic unicode spaces; affects only LSH candidate recall — the
+    verify stage recomputes exact Jaccard on the raw text)."""
+    lowered = [(t or "").lower() for t in texts]
+    parts = [t.encode("utf-8", "surrogatepass") for t in lowered]
+    D = len(parts)
+    buf = np.frombuffer(b"\n".join(parts), dtype=np.uint8)
+    doc_lens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=D)
+    if len(buf) == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(D, dtype=np.int64)
+    ws = _WS_BYTES[buf]
+    word_char = ~ws
+    prev_ws = np.empty_like(ws)
+    prev_ws[0] = True
+    prev_ws[1:] = ws[:-1]
+    next_ws = np.empty_like(ws)
+    next_ws[-1] = True
+    next_ws[:-1] = ws[1:]
+    starts = np.flatnonzero(word_char & prev_ws)
+    ends = np.flatnonzero(word_char & next_ws) + 1  # exclusive
+    W = len(starts)
+    # per-doc word counts: doc i spans [doc_off[i], doc_off[i]+doc_lens[i])
+    doc_off = np.zeros(D, dtype=np.int64)
+    np.cumsum(doc_lens[:-1] + 1, out=doc_off[1:])  # +1 for the '\n' joiner
+    wc = np.diff(np.searchsorted(starts, np.append(doc_off, len(buf) + 1)))
+    if W == 0:
+        return np.zeros(0, dtype=np.uint64), wc
+    lens = ends - starts
+    pmax = int(lens.max())
+    p_pows = np.empty(pmax, dtype=np.uint64)
+    p_pows[0] = 1
+    if pmax > 1:
+        np.cumprod(np.full(pmax - 1, _POLY_P, dtype=np.uint64), out=p_pows[1:])
+    char_pos = np.flatnonzero(word_char)
+    exp = np.repeat(ends, lens) - 1 - char_pos
+    contrib = buf[char_pos].astype(np.uint64) * p_pows[exp]
+    flat_starts = np.zeros(W, dtype=np.int64)
+    np.cumsum(lens[:-1], out=flat_starts[1:])
+    wh = _mix64(np.add.reduceat(contrib, flat_starts))
+    return wh, wc
+
+
 def _batch_gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Whole-batch word-n-gram hashing -> (gram hashes uint64, per-doc start
     offsets, per-doc word counts).  Every doc owns >= 1 gram slot (offsets
     strictly increasing).
 
-    No per-gram work anywhere: all words of the batch are hashed in ONE
-    pandas C-siphash call, and n-gram hashes are a rolling order-sensitive
-    FNV polynomial over the concatenated word-hash array with doc-boundary
-    masking (the segmented-batch pattern of multimodal.py's bincount).
-    Duplicate grams are not deduped — min() is multiset-invariant, so the
-    minhash signature is unchanged.  Docs with < n words produce one gram
-    folding all their words (the old single-" ".join shingle semantics);
-    empty docs hash to 0."""
-    docs_words = [(t or "").lower().split() for t in texts]
-    D = len(docs_words)
-    wc = np.fromiter((len(w) for w in docs_words), dtype=np.int64, count=D)
+    No per-gram OR per-word Python anywhere: word hashes come from the
+    byte-level segmented kernel (:func:`_batch_word_hashes`), and n-gram
+    hashes are a rolling order-sensitive FNV polynomial over the
+    concatenated word-hash array with doc-boundary masking (the
+    segmented-batch pattern of multimodal.py's bincount).  Duplicate grams
+    are not deduped — min() is multiset-invariant, so the minhash signature
+    is unchanged.  Docs with < n words produce one gram folding all their
+    words (the old single-" ".join shingle semantics); empty docs hash
+    to 0."""
+    wh, wc = _batch_word_hashes(texts)
+    D = len(wc)
     cnt = np.where(wc >= n, wc - n + 1, 1)
     offs = np.zeros(D, dtype=np.int64)
     np.cumsum(cnt[:-1], out=offs[1:])
     out = np.zeros(int(cnt.sum()), dtype=np.uint64)
-    all_words = [w for ws in docs_words for w in ws]
-    N = len(all_words)
+    N = len(wh)
     if N == 0:
         return out, offs, wc
-    wh = pd.util.hash_array(np.asarray(all_words, dtype=object)).astype(np.uint64)
     if N >= n:
         G = N - n + 1
         p_pows = [np.uint64(pow(int(_FNV), e, 1 << 64)) for e in range(n)]

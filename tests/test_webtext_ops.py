@@ -366,7 +366,11 @@ def test_batch_minhash_kernel_matches_per_doc_reference():
     """The whole-batch segmented kernel (one hash_array call + rolling FNV
     polynomial + minimum.reduceat) must equal a straightforward per-document
     reference of the same hash family, across edge shapes: empty doc, 1 word,
-    exactly n words, n-1 words, long docs, duplicated grams."""
+    exactly n words, n-1 words, long docs, duplicated grams.  Word hashes
+    come from the byte-level segmented kernel; the reference hashes each
+    word through the SAME kernel individually, so this pins the batch
+    segmentation (word boundaries, doc boundaries, gram windows), not the
+    hash family."""
     import numpy as np
     import pandas as pd
 
@@ -390,10 +394,14 @@ def test_batch_minhash_kernel_matches_per_doc_reference():
     ]
 
     def ref_doc_grams(t):
+        from open_vector_tile_spark.operators.dedup import _batch_word_hashes
+
         words = (t or "").lower().split()
         if not words:
             return np.zeros(1, dtype=np.uint64)
-        wh = pd.util.hash_array(np.asarray(words, dtype=object)).astype(np.uint64)
+        # per-WORD hashing through the same byte kernel, one word at a time —
+        # the batch path must reproduce this exactly across doc boundaries
+        wh = np.concatenate([_batch_word_hashes([w])[0] for w in words])
         if len(words) < n:
             acc = np.uint64(0)
             for h in wh:
