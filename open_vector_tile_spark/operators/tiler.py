@@ -866,6 +866,48 @@ _POLYS_SCHEMA = (
 )
 
 
+def _emit_quantized(
+    out: dict,
+    mx: np.ndarray,
+    my: np.ndarray,
+    qz: Optional[np.ndarray],
+    dims: int,
+    extent: int,
+    tile_range: tuple,
+    base_row: dict,
+) -> None:
+    """Quantize ONE geometry's mercator*2^zoom vertices into every covered
+    tile and append a feature row per tile — the inner emit shared by
+    lines_to_features_dist and polygons_to_features_dist (quantization is
+    P13 JS half-up in both; a fix here fixes both geometry types at once).
+
+    ``base_row`` carries the per-feature payload columns (id, ring_lens,
+    poly_lens/offsets, props_json, mvals_json) appended verbatim per tile.
+    Per-tx quantized x arrays are computed once and reused across the ty
+    row sweep."""
+    nv = len(mx)
+    tx0, tx1, ty0, ty1 = tile_range
+    qxs = {
+        tx: np.floor((mx - tx) * extent + 0.5).astype(np.int64)
+        for tx in range(tx0, tx1 + 1)
+    }
+    for ty in range(ty0, ty1 + 1):
+        qy = np.floor((my - ty) * extent + 0.5).astype(np.int64)
+        for tx in range(tx0, tx1 + 1):
+            qx = qxs[tx]
+            if dims == 2:
+                g = np.empty(2 * nv, dtype=np.int64)
+                g[0::2], g[1::2] = qx, qy
+            else:
+                g = np.empty(3 * nv, dtype=np.int64)
+                g[0::3], g[1::3], g[2::3] = qx, qy, qz
+            out["tile_x"].append(tx)
+            out["tile_y"].append(ty)
+            out["geom_xy"].append(g.tolist())
+            for k, v in base_row.items():
+                out[k].append(v)
+
+
 def _prop_present(v) -> bool:
     """Driver-twin null filter matching the distributed path's to_json
     semantics: to_json OMITS null struct fields (and json.dumps would emit
@@ -974,30 +1016,19 @@ def lines_to_features_dist(
                 if ln == 0:
                     continue
                 mx, my = mxn[s : s + ln], myn[s : s + ln]
-                tx0, tx1, ty0, ty1 = _tile_range(mx, my, zoom)
                 off = float(offs[i])
-                qxs = {
-                    tx: np.floor((mx - tx) * extent + 0.5).astype(np.int64)
-                    for tx in range(tx0, tx1 + 1)
-                }
-                for ty in range(ty0, ty1 + 1):
-                    qy = np.floor((my - ty) * extent + 0.5).astype(np.int64)
-                    for tx in range(tx0, tx1 + 1):
-                        qx = qxs[tx]
-                        if dims == 2:
-                            g = np.empty(2 * ln, dtype=np.int64)
-                            g[0::2], g[1::2] = qx, qy
-                        else:
-                            g = np.empty(3 * ln, dtype=np.int64)
-                            g[0::3], g[1::3], g[2::3] = qx, qy, qzf[s : s + ln]
-                        out["tile_x"].append(tx)
-                        out["tile_y"].append(ty)
-                        out["id"].append(int(ids[i]))
-                        out["geom_xy"].append(g.tolist())
-                        out["ring_lens"].append([ln])
-                        out["offsets"].append([off] if off > 0 else None)
-                        out["props_json"].append(pjs[i])
-                        out["mvals_json"].append(mvs[i])
+                _emit_quantized(
+                    out, mx, my,
+                    qzf[s : s + ln] if dims == 3 else None,
+                    dims, extent, _tile_range(mx, my, zoom),
+                    {
+                        "id": int(ids[i]),
+                        "ring_lens": [ln],
+                        "offsets": [off] if off > 0 else None,
+                        "props_json": pjs[i],
+                        "mvals_json": mvs[i],
+                    },
+                )
             if out["id"]:
                 m = len(out["id"])
                 yield pd.DataFrame(
@@ -1103,29 +1134,18 @@ def polygons_to_features_dist(
                 s_all, e_all = int(starts[r]), int(starts[r_end - 1] + lens[r_end - 1])
                 mx, my = mxn[s_all:e_all], myn[s_all:e_all]
                 rlens = [int(lens[j]) for j in range(r, r_end)]
-                nv = e_all - s_all
-                qxs = {
-                    tx: np.floor((mx - tx) * extent + 0.5).astype(np.int64)
-                    for tx in range(tx0, tx1 + 1)
-                }
-                for ty in range(ty0, ty1 + 1):
-                    qy = np.floor((my - ty) * extent + 0.5).astype(np.int64)
-                    for tx in range(tx0, tx1 + 1):
-                        qx = qxs[tx]
-                        if dims == 2:
-                            g = np.empty(2 * nv, dtype=np.int64)
-                            g[0::2], g[1::2] = qx, qy
-                        else:
-                            g = np.empty(3 * nv, dtype=np.int64)
-                            g[0::3], g[1::3], g[2::3] = qx, qy, qzf[s_all:e_all]
-                        out["tile_x"].append(tx)
-                        out["tile_y"].append(ty)
-                        out["id"].append(int(ids[i]))
-                        out["geom_xy"].append(g.tolist())
-                        out["ring_lens"].append(rlens)
-                        out["poly_lens"].append([len(rlens)])
-                        out["props_json"].append(pjs[i])
-                        out["mvals_json"].append(mvs[i])
+                _emit_quantized(
+                    out, mx, my,
+                    qzf[s_all:e_all] if dims == 3 else None,
+                    dims, extent, (tx0, tx1, ty0, ty1),
+                    {
+                        "id": int(ids[i]),
+                        "ring_lens": rlens,
+                        "poly_lens": [len(rlens)],
+                        "props_json": pjs[i],
+                        "mvals_json": mvs[i],
+                    },
+                )
                 r = r_end
             if out["id"]:
                 m = len(out["id"])
