@@ -834,9 +834,10 @@ def _q_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """PQ-ADC ANN top-k (rows-only: product quantization is lossy by design,
-    so there is no SQL value twin; correctness oracles are the pytest
-    cluster-retrieval + determinism tests in tests/test_webtext_ops.py)."""
+    """PQ-ADC ANN top-k in the real (lossy k-means) mode — rows-only by
+    design; the pytest cluster-retrieval + determinism tests cover it, and
+    the companion pq_topk_exact query oracles the identical plumbing
+    end-to-end under zero-error exact codebooks."""
     from open_vector_tile_spark.operators.similarity import pq_topk, pq_train_codebooks
 
     emb = _load(spark, sf, "embeddings")
@@ -847,6 +848,37 @@ def _q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     out = pq_topk(emb, queries, C, k=5)
     return out.select(
         "query_id", "vec_id", F.round(F.col("adc_dist"), 6).alias("adc_dist"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def _q_pq_topk_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ pipeline under a zero-error grid, fully oracled.  Embeddings are
+    quantized to the 1/8 grid (floor(x*8)/8 — exact in binary on any engine),
+    so each dimension's distinct-value set (<= ~10 values) IS an exact
+    codebook: assignment is lossless and ADC == exact squared L2.  Every ADC
+    term is a multiple of 1/64 < 2, so all sums are EXACT doubles regardless
+    of summation order — the DuckDB twin (||q||^2 - 2 q.v + ||v||^2 via
+    list_dot_product) is bit-identical.  This oracles the full PQ plumbing
+    (codebook broadcast, nearest-code assignment, per-query LUT, ADC scan,
+    local top-k, rank window); the companion pq_topk query keeps the real
+    lossy k-means mode (rows-only by design)."""
+    from open_vector_tile_spark.operators.similarity import (
+        pq_exact_codebooks,
+        pq_topk,
+    )
+
+    emb = _load(spark, sf, "embeddings")
+    q8 = F.transform(
+        F.col("embedding").cast("array<double>"), lambda x: F.floor(x * 8) / 8
+    )
+    embq = emb.select("vec_id", q8.alias("embedding"))
+    queries = embq.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    C = pq_exact_codebooks(embq)
+    out = pq_topk(embq, queries, C, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist"), "rank"
     ).orderBy("query_id", "rank")
 
 
@@ -1296,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "corpus_stats": _q_corpus_stats,
         "pq_topk": _q_pq_topk,
+        "pq_topk_exact": _q_pq_topk_exact,
         "tile_pyramid": _q_tile_pyramid,
         "merge_overlay": _q_merge_overlay,
         "polygon_ingest_dist": _q_polygon_ingest_dist,
@@ -1489,6 +1522,27 @@ def oracle_sql() -> dict[str, str]:
                        / (sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), CAST(v.embedding AS DOUBLE[])))
                           * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS cos_sim
                 FROM embeddings v, (SELECT * FROM embeddings WHERE vec_id < 5) q))
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # exact-grid PQ: floor(x*8)/8 is exact in binary on both engines and
+        # every ADC term is a multiple of 1/64, so sums are exact doubles in
+        # ANY order — ||q-v||^2 expanded via list_dot_product bit-matches the
+        # Spark ADC accumulation.
+        "pq_topk_exact": """
+            WITH qv AS (
+              SELECT vec_id,
+                     [floor(x*8)/8 FOR x IN CAST(embedding AS DOUBLE[])] AS v
+              FROM embeddings)
+            SELECT query_id, vec_id, round(adc_dist, 6) AS adc_dist,
+                   CAST(rank AS INT) AS rank FROM (
+              SELECT q.vec_id AS query_id, d.vec_id AS vec_id,
+                     list_dot_product(q.v, q.v) - 2*list_dot_product(q.v, d.v)
+                       + list_dot_product(d.v, d.v) AS adc_dist,
+                     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                        list_dot_product(q.v, q.v) - 2*list_dot_product(q.v, d.v)
+                          + list_dot_product(d.v, d.v) ASC,
+                        d.vec_id ASC) AS rank
+              FROM qv d, (SELECT * FROM qv WHERE vec_id < 5) q)
             WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "knn_haversine": f"""

@@ -577,6 +577,49 @@ def pq_train_codebooks(
     return C
 
 
+def pq_exact_codebooks(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    max_codes: int = 256,
+) -> np.ndarray:
+    """Exact-mode PQ codebooks: one 1-dim subspace per dimension whose
+    codebook is that dimension's DISTINCT value set -> (d, kmax, 1).
+
+    Requires a vector column with per-dimension cardinality <= ``max_codes``
+    (e.g. grid-quantized floats).  Encoding is then lossless and ADC equals
+    exact squared-L2 distance, which turns the (normally lossy) PQ pipeline
+    into an oracle-checkable exact operator: the same plumbing as the trained
+    path — codebook broadcast, nearest-code assignment, per-query LUT, ADC
+    scan, local top-k — with zero quantization error.  Same spirit as
+    ``n_probe == n_centroids`` for IVF and ``n_planes == 0`` for LSH.
+
+    The distinct-value scan is a Spark job (posexplode -> distinct ->
+    per-dim collect); only d rows of <= max_codes values reach the driver.
+    """
+    pdf = (
+        vectors.select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        .distinct()
+        .groupBy("pos")
+        .agg(F.sort_array(F.collect_list("val")).alias("vals"))
+        .orderBy("pos")
+        .toPandas()
+    )
+    d = len(pdf)
+    kmax = int(max(len(v) for v in pdf["vals"]))
+    if kmax > max_codes:
+        raise ValueError(
+            f"per-dimension cardinality {kmax} exceeds max_codes={max_codes}; "
+            "quantize the vector column to a coarser grid first"
+        )
+    # pad with a far sentinel: its assignment score 2*v*c - c^2 is ~ -1e24,
+    # so a padded slot can never win argmax
+    C = np.full((d, kmax, 1), 1e12, dtype=np.float64)
+    for row in pdf.itertuples():
+        vals = np.asarray(row.vals, dtype=np.float64)
+        C[int(row.pos), : len(vals), 0] = vals
+    return C
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: np.ndarray,

@@ -362,6 +362,59 @@ def test_pq_encode_and_adc_recall(spark):
     assert (top1.groupby("query_id")["adc_dist"].min() < 1.0).all()
 
 
+def test_pq_exact_mode_equals_bruteforce_l2(spark):
+    """Exact-mode codebooks (per-dim distinct values of a grid-quantized
+    column) make PQ lossless: ADC top-k must EQUAL numpy brute-force squared
+    L2 — ids, ranks, and bit-exact distances.  This is the mode the driver
+    oracle (pq_topk_exact) relies on."""
+    import numpy as np
+
+    from open_vector_tile_spark.operators.similarity import (
+        pq_exact_codebooks,
+        pq_topk,
+    )
+
+    rng_rows = []
+    for i in range(120):
+        # multiples of 1/8 in [-1, 1): deterministic pseudo-random grid
+        v = [(((i * 31 + j * 17) % 16) - 8) / 8.0 for j in range(12)]
+        rng_rows.append((i, v))
+    df = spark.createDataFrame(
+        rng_rows, "vec_id long, embedding array<double>"
+    ).repartition(5)
+
+    C = pq_exact_codebooks(df)
+    assert C.shape[0] == 12 and C.shape[2] == 1
+
+    queries = df.filter("vec_id < 3").withColumnRenamed("vec_id", "query_id")
+    k = 7
+    got = (
+        pq_topk(df, queries, C, k=k)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    V = np.array([r[1] for r in rng_rows], dtype=np.float64)
+    ids = np.array([r[0] for r in rng_rows])
+    for q in range(3):
+        d = ((V - V[q]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))[:k]
+        mine = got[got["query_id"] == q]
+        assert mine["vec_id"].tolist() == ids[order].tolist()
+        assert mine["adc_dist"].tolist() == d[order].tolist()  # bit-exact
+        assert mine["rank"].tolist() == list(range(1, k + 1))
+
+    # cardinality guard: a high-cardinality column must be rejected
+    import pytest as _pytest
+
+    fine = spark.createDataFrame(
+        [(i, [i / 1000.0]) for i in range(300)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError):
+        pq_exact_codebooks(fine, max_codes=16)
+
+
 def test_batch_minhash_kernel_matches_per_doc_reference():
     """The whole-batch segmented kernel (one hash_array call + rolling FNV
     polynomial + minimum.reduceat) must equal a straightforward per-document
