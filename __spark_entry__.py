@@ -1179,6 +1179,38 @@ def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_components(docs, edges, src="src", dst="dst").orderBy("doc_id")
 
 
+def _q_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end near-dup dedup MATERIALIZATION — the full lifecycle a
+    100 TB curation job runs: MinHash-LSH candidate generation -> exact
+    n-gram-Jaccard verification (>= 0.5) -> distributed connected
+    components -> keep the canonical (min doc_id) per cluster -> surviving
+    corpus rolled up per source.  Every stage is the already-oracled
+    operator (minhash_dedup, dedup_components); this query oracles their
+    COMPOSITION: the DuckDB twin rebuilds the pair list with exact all-pairs
+    shingle Jaccard and closes it with a recursive CTE (the testdata's
+    qualifying pairs sit at j>=0.9 where 16-band/4-row LSH recall is
+    1-4e-8, so candidate loss would break the hash)."""
+    from open_vector_tile_spark.operators.dedup import minhash_dedup
+    from open_vector_tile_spark.operators.graph import dedup_components
+
+    docs = _load(spark, sf, "documents")
+    pairs = minhash_dedup(docs, threshold=0.5)
+    comp = dedup_components(docs, pairs)
+    kept = comp.filter(F.col("component") == F.col("doc_id"))
+    return (
+        docs.join(kept, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.when(F.col("comp_size") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_cluster_reps"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_polygon_ingest_dist(spark: SparkSession, sf: str) -> DataFrame:
     """Executor-side polygon featurizer end-to-end: a DataFrame of rectangle
     rings (NO driver materialization, no createDataFrame(rows)) ->
@@ -1336,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_dist": _q_spatial_join_dist,
         "repetition": _q_repetition,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_apply": _q_dedup_apply,
         "line_dedup": _q_line_dedup,
         "pii_redact": _q_pii_redact,
         "gopher_filter": _q_gopher_filter,
@@ -2254,6 +2287,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.n_lines - coalesce(r.n_kept, 0) AS INT) AS n_removed
             FROM base b LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY b.doc_id
+        """,
+        "dedup_apply": r"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                              FOR i IN range(1, len(w) - 1)])
+                     END AS s
+              FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                    FROM documents)
+            ), pairs AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(a.s || b.s)) AS j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              ) WHERE j >= 0.5
+            ), sym AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), nodes AS (
+              SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+            ), walk AS (
+              SELECT id, id AS reach FROM nodes
+              UNION
+              SELECT w.id, s.b AS reach FROM walk w JOIN sym s ON s.a = w.reach
+            ), comp AS (
+              SELECT id, min(reach) AS component FROM walk GROUP BY id
+            ), sizes AS (
+              SELECT component, count(*) AS comp_size FROM comp GROUP BY component
+            ), kept AS (
+              SELECT c.id AS doc_id, s.comp_size
+              FROM comp c JOIN sizes s USING (component)
+              WHERE c.id = c.component
+            )
+            SELECT d.source,
+                   count(*) AS n_docs,
+                   CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(CASE WHEN k.comp_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_cluster_reps
+            FROM documents d JOIN kept k USING (doc_id)
+            GROUP BY d.source ORDER BY d.source
         """,
         "dedup_clusters": r"""
             WITH RECURSIVE nodes AS (
