@@ -1211,6 +1211,30 @@ def _q_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: place every document at its
+    absolute token offset in doc_id order and derive which 2048-token
+    training window it starts in, how far into it, and how many windows it
+    spans.  The naive spelling (one global ``sum OVER (ORDER BY)``) is a
+    single task at any cluster size; this runs the two-level distributed
+    prefix sum in operators/packing.py (bucket subtotals -> tiny serial
+    window over ~n_buckets rows -> broadcast offsets -> in-bucket
+    partitioned window), which the DuckDB global-window twin verifies
+    exactly."""
+    from open_vector_tile_spark.operators.packing import pack_sequences
+
+    docs = _load(spark, sf, "documents")
+    withtok = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return (
+        pack_sequences(withtok, "n_tokens", seq_len=2048, bucket_width=64)
+        .select("doc_id", "n_tokens", "start", "seq_id", "seq_offset", "n_seqs")
+        .orderBy("doc_id")
+    )
+
+
 def _q_polygon_ingest_dist(spark: SparkSession, sf: str) -> DataFrame:
     """Executor-side polygon featurizer end-to-end: a DataFrame of rectangle
     rings (NO driver materialization, no createDataFrame(rows)) ->
@@ -1369,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _q_repetition,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_apply": _q_dedup_apply,
+        "pack_sequences": _q_pack_sequences,
         "line_dedup": _q_line_dedup,
         "pii_redact": _q_pii_redact,
         "gopher_filter": _q_gopher_filter,
@@ -2329,6 +2354,28 @@ def oracle_sql() -> dict[str, str]:
                      AS n_cluster_reps
             FROM documents d JOIN kept k USING (doc_id)
             GROUP BY d.source ORDER BY d.source
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS start
+              FROM t
+            )
+            SELECT doc_id, n_tokens, CAST(start AS BIGINT) AS start,
+                   CAST(start // 2048 AS BIGINT) AS seq_id,
+                   CAST(start % 2048 AS BIGINT) AS seq_offset,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST((start + n_tokens - 1) // 2048 - start // 2048 + 1
+                                  AS BIGINT)
+                        ELSE 0 END AS n_seqs
+            FROM c ORDER BY doc_id
         """,
         "dedup_clusters": r"""
             WITH RECURSIVE nodes AS (

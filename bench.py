@@ -139,6 +139,12 @@ def build_queries(spark, sf_dir):
         def q_mix_sample():
             return entry._q_mix_sample(spark, sf_dir).agg(F.count("*"))
 
+        def q_dedup_apply():
+            return entry._q_dedup_apply(spark, sf_dir).agg(F.sum("n_docs"))
+
+        def q_pack_sequences():
+            return entry._q_pack_sequences(spark, sf_dir).agg(F.max("seq_id"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -158,6 +164,8 @@ def build_queries(spark, sf_dir):
             repetition=q_repetition,
             corpus_pipeline=q_corpus_pipeline,
             mix_sample=q_mix_sample,
+            dedup_apply=q_dedup_apply,
+            pack_sequences=q_pack_sequences,
         )
     return out
 

@@ -1,0 +1,104 @@
+"""Token-stream packing: place every document at its absolute offset in the
+concatenated token stream and derive which fixed-size training sequence
+(context window) it lands in — the address computation behind
+concat-and-chunk dataloaders.
+
+The naive Spark spelling — ``sum(tokens) OVER (ORDER BY key)`` with no
+PARTITION BY — collapses to a single task regardless of cluster size.  The
+scalable plan here is a two-level prefix sum:
+
+1. bucket rows by a coarse range of the order key;
+2. one partial-agg shuffle reduces each bucket to a subtotal — the running
+   (exclusive) offset of each bucket is then a window over the TINY bucket
+   table only (~n_buckets rows, the one serial step);
+3. broadcast the offsets back and finish with an in-bucket window
+   PARTITIONED by bucket, so the big-table pass is fully parallel.
+
+At 10^12 rows with bucket_width 10^6 the serial window sees 10^6 rows while
+every other stage is hash-partitioned — this is the standard distributed
+scan (prefix-sum) decomposition expressed in DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out_col: str = "cum_excl",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Exclusive prefix sum of ``val_col`` in ``order_col`` order (the sum of
+    all STRICTLY-earlier rows) without a global single-task window.
+
+    ``order_col`` must be numeric with distinct values (a doc id, a row
+    address); buckets are value ranges of width ``bucket_width``, so bucket
+    order == key order without a range repartition.
+    """
+    # integral `div`, not float floor: order keys can exceed 2^53 (row
+    # addresses over a 10^12-token corpus) where double division misbuckets
+    d = df.withColumn(
+        "_bkt", F.expr(f"CAST({order_col} DIV {int(bucket_width)} AS LONG)")
+    )
+    totals = d.groupBy("_bkt").agg(F.sum(val_col).alias("_tot"))
+    # exclusive running offset over the bucket table: n_buckets rows, the
+    # only unpartitioned window in the plan
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_tot").over(wb), F.lit(0)).cast("long").alias("_off")
+    )
+    wi = (
+        Window.partitionBy("_bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            out_col,
+            (F.col("_off") + F.coalesce(F.sum(val_col).over(wi), F.lit(0))).cast("long"),
+        )
+        .drop("_bkt", "_off")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    tokens_col: str,
+    seq_len: int,
+    id_col: str = "doc_id",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """-> docs + (start, seq_id, seq_offset, n_seqs) for concat-and-chunk
+    packing into ``seq_len``-token training sequences.
+
+    ``start`` is the doc's absolute token offset in id order; ``seq_id`` the
+    window containing its first token; ``seq_offset`` the position inside
+    that window; ``n_seqs`` how many windows the doc spans (0 for empty
+    docs).  Deterministic for a fixed id order, independent of
+    partitioning.
+    """
+    out = distributed_cumsum(
+        docs, id_col, tokens_col, out_col="start", bucket_width=bucket_width
+    )
+    t = F.col(tokens_col)
+    n = int(seq_len)
+    return (
+        out.withColumn("seq_id", F.expr(f"CAST(start DIV {n} AS LONG)"))
+        .withColumn("seq_offset", (F.col("start") % n).cast("long"))
+        .withColumn(
+            "n_seqs",
+            F.when(
+                t > 0,
+                F.expr(f"CAST((start + {tokens_col} - 1) DIV {n} AS LONG)")
+                - F.col("seq_id")
+                + 1,
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
