@@ -1343,6 +1343,33 @@ def _q_spatial_join_dist(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable KMV distinct-cardinality sketch (functions/sketch.py):
+    per-language distinct-token estimate from the k=64 smallest md5-derived
+    48-bit hashes.  Two-level min-k plan (no unbounded per-group state);
+    all-integer estimator, so the DuckDB twin matches to the bit."""
+    from open_vector_tile_spark.functions.sketch import kmv_distinct
+
+    docs = _load(spark, sf, "documents")
+    tokens = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    return kmv_distinct(tokens, ["lang"], "tok", k=64, fanout=8).orderBy("lang")
+
+
+def _q_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-k retrieval (operators/retrieval.py): postings build as a
+    partial-agg shuffle, query terms broadcast, sorted-fold score summation
+    for cross-engine float determinism, TakeOrderedAndProject top-k."""
+    from open_vector_tile_spark.operators.retrieval import bm25_topk
+
+    docs = _load(spark, sf, "documents")
+    return bm25_topk(
+        docs, ["spark", "vector", "window", "customer"], k=15
+    ).orderBy("rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -1402,6 +1429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "corpus_pipeline": _q_corpus_pipeline,
         "mix_sample": _q_mix_sample,
+        "kmv_distinct": _q_kmv_distinct,
+        "bm25": _q_bm25,
     }
 
 
@@ -2403,6 +2432,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.comp_size AS BIGINT) AS comp_size
             FROM comp c JOIN sizes s USING (component)
             ORDER BY doc_id
+        """,
+        "kmv_distinct": r"""
+            WITH toks AS (
+              SELECT DISTINCT lang,
+                     CAST('0x' || substring(md5(tok), 1, 12) AS BIGINT) AS h
+              FROM (SELECT lang,
+                           unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                    FROM documents)
+              WHERE tok <> ''
+            ), r AS (
+              SELECT lang, h,
+                     row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+              FROM toks
+            ), keep AS (
+              SELECT lang, count(*) AS n_kept, max(h) AS kth_min
+              FROM r WHERE rn <= 64 GROUP BY lang
+            )
+            SELECT lang, CAST(n_kept AS BIGINT) AS n_kept, kth_min,
+                   CAST(CASE WHEN n_kept < 64 THEN n_kept
+                             ELSE (63 * 281474976710656) // greatest(kth_min, 1)
+                        END AS BIGINT) AS est_distinct
+            FROM keep ORDER BY lang
+        """,
+        "bm25": r"""
+            WITH tok AS (
+              SELECT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+                FROM documents
+              ) WHERE term <> ''
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+            ), dl AS (
+              SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+            ), q AS (
+              SELECT unnest(['spark', 'vector', 'window', 'customer']) AS term
+            ), m AS (
+              SELECT tf.* FROM tf JOIN q USING (term)
+            ), dft AS (
+              SELECT term, count(*) AS df_t FROM m GROUP BY 1
+            ), st AS (
+              SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+            ), s AS (
+              SELECT m.doc_id,
+                     ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                     * (tf * (1.2 + 1.0))
+                     / (tf + 1.2 * ((1.0 - 0.75)
+                                    + 0.75 * dl / (sum_dl / n_docs))) AS s
+              FROM m JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+            ), agg AS (
+              SELECT doc_id, round(sum(s ORDER BY s), 6) AS score
+              FROM s GROUP BY doc_id
+            ), top AS (
+              SELECT doc_id, score,
+                     CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                       AS rank
+              FROM agg ORDER BY score DESC, doc_id LIMIT 15
+            )
+            SELECT doc_id, score, rank FROM top ORDER BY rank
         """,
         # pq_topk: non-SQL-expressible (lossy product quantization) ->
         # rows-only driver check; correctness oracles in

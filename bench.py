@@ -145,6 +145,12 @@ def build_queries(spark, sf_dir):
         def q_pack_sequences():
             return entry._q_pack_sequences(spark, sf_dir).agg(F.max("seq_id"))
 
+        def q_kmv_distinct():
+            return entry._q_kmv_distinct(spark, sf_dir).agg(F.sum("est_distinct"))
+
+        def q_bm25():
+            return entry._q_bm25(spark, sf_dir).agg(F.sum("score"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -166,6 +172,8 @@ def build_queries(spark, sf_dir):
             mix_sample=q_mix_sample,
             dedup_apply=q_dedup_apply,
             pack_sequences=q_pack_sequences,
+            kmv_distinct=q_kmv_distinct,
+            bm25=q_bm25,
         )
     return out
 

@@ -1,1 +1,1 @@
-from . import geo, sampling, text  # noqa: F401
+from . import geo, sampling, sketch, text  # noqa: F401

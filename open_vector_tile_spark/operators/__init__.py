@@ -7,6 +7,7 @@ from .merge import extract_layers, merge_tilesets  # noqa: F401
 from .packing import distributed_cumsum, pack_sequences  # noqa: F401
 from .pipeline import run_pipeline  # noqa: F401
 from .resume import TileStore  # noqa: F401
+from .retrieval import bm25_topk, build_postings  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_topk_bruteforce,
     cosine_topk_lsh,

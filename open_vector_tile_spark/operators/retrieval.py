@@ -1,0 +1,147 @@
+"""BM25 full-text retrieval over a document corpus as DataFrame ops.
+
+The classic inverted-index query — "top-k documents for a bag of query
+terms" — expressed Spark-first: the postings list is a (doc, term, tf)
+aggregate, the query side is a broadcast of a handful of terms, and the
+score is a pure-JVM column expression.  No index structure is materialized
+on the driver; at 100 TB the postings build is one partial-agg shuffle and
+everything downstream operates on the (tiny) slice of postings matching the
+query terms.
+
+Plan shape:
+  tokens   = explode(split(text))            narrow, no shuffle
+  tf       = groupBy(doc, term).count()      shuffle 1 (map-side combine)
+  dl       = groupBy(doc).count()            reuses the token stream
+  df_t     = semi-filtered postings          broadcast join on query terms,
+                                             THEN groupBy(term) — document
+                                             frequency only for query terms
+  score    = idf(df_t) * tf-saturation       column arithmetic, codegen'd
+  top-k    = orderBy(score, id).limit(k)     TakeOrderedAndProject: per-
+                                             partition heaps + driver merge
+                                             of k rows, never a global sort
+
+Determinism note (oracle parity): per-document scores are summed in sorted
+order via ``aggregate(sort_array(collect_list(s)), ...)`` — double addition
+is non-associative, so an unordered SUM can differ between engines in the
+last ulp; the sorted fold makes Spark and DuckDB (``sum(s ORDER BY s)``)
+produce bit-identical doubles from bit-identical per-term scores.
+
+BM25 (Robertson/Sparck Jones, Okapi; the Lucene-default idf form):
+  idf(t)     = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+  score(d,q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term) token stream; lowercased whitespace tokens, empties
+    dropped (empty text would otherwise yield one phantom '' token)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT)).alias(
+                "term"
+            ),
+        )
+        .where(F.col("term") != "")
+    )
+
+
+def build_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    """-> (postings, doclen): ``postings`` = (id, term, tf), ``doclen`` =
+    (id, dl).  Both are single partial-agg shuffles over the token stream;
+    at scale these are the materialize-once artifacts an index build would
+    persist (bucketed by term / by id respectively)."""
+    tokens = tokenize(df, id_col, text_col)
+    postings = tokens.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    doclen = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    return postings, doclen
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs for ``query_terms`` by BM25, ``(id, score, rank)``.
+
+    ``score`` is rounded to 6 places and the rank window orders by the
+    ROUNDED value (ties broken by id) so ranking is insensitive to
+    sub-1e-6 float divergence between engines."""
+    spark = docs.sparkSession
+    postings, doclen = build_postings(docs, id_col, text_col)
+
+    qterms = spark.createDataFrame(
+        [(t.lower(),) for t in dict.fromkeys(query_terms)], ["term"]
+    )
+    # slice the postings down to query terms FIRST; df_t / joins then touch
+    # only that slice (query terms are always broadcast-small)
+    matched = postings.join(F.broadcast(qterms), "term")
+    df_t = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+
+    # corpus scalars (N, avgdl) ride along as a broadcast 1-row cross join —
+    # keeps the whole computation one lazy plan (no driver collect)
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    scored = (
+        matched.join(F.broadcast(df_t), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * F.col("dl")
+                    / (F.col("sum_dl") / F.col("n_docs"))
+                )
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("_s")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_score")
+    )
+    topk = (
+        per_doc.select(id_col, F.round("_score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(int(k))
+    )
+    # rank over the k surviving rows only (trivial window, driver-side size)
+    from pyspark.sql import Window
+
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), F.col(id_col))
+        ).cast("int"),
+    )

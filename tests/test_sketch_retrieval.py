@@ -1,0 +1,135 @@
+"""KMV sketch + BM25 retrieval: decomposition equalities and a pure-Python
+reference oracle (the driver's DuckDB twin covers the SQL parity axis)."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_vector_tile_spark.functions.sketch import (
+    KMV_SPACE,
+    kmv_distinct,
+    kmv_merge,
+    kmv_min_hashes,
+)
+from open_vector_tile_spark.operators.retrieval import bm25_topk, build_postings
+
+
+def _py_kmv_hash(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+@pytest.fixture(scope="module")
+def items(spark):
+    # two groups with very different cardinalities; duplicates on purpose
+    rows = [("a", f"tok{i % 400}") for i in range(3000)] + [
+        ("b", f"tok{i % 23}") for i in range(500)
+    ]
+    return spark.createDataFrame(rows, ["g", "item"])
+
+
+def test_two_level_equals_single_level(spark, items):
+    lo = kmv_min_hashes(items, ["g"], "item", k=32, fanout=1).toPandas()
+    hi = kmv_min_hashes(items, ["g"], "item", k=32, fanout=16).toPandas()
+    key = lambda p: sorted(map(tuple, p[["g", "_h", "_rn"]].values))  # noqa: E731
+    assert key(lo) == key(hi)
+
+
+def test_kmv_matches_python_reference(spark, items):
+    got = {
+        r["g"]: (r["n_kept"], r["kth_min"], r["est_distinct"])
+        for r in kmv_distinct(items, ["g"], "item", k=32).collect()
+    }
+    for g, n in [("a", 400), ("b", 23)]:
+        hashes = sorted({_py_kmv_hash(f"tok{i}") for i in range(n)})
+        keep = hashes[:32]
+        est = len(keep) if len(keep) < 32 else (31 * KMV_SPACE) // keep[-1]
+        assert got[g] == (len(keep), keep[-1], est)
+
+
+def test_kmv_exact_below_k_and_estimate_accuracy(spark):
+    rows = [("g", f"x{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    exact = kmv_distinct(df, ["g"], "item", k=8192).collect()[0]
+    assert exact["est_distinct"] == 5000  # m < k -> exact count
+    est = kmv_distinct(df, ["g"], "item", k=256).collect()[0]["est_distinct"]
+    assert abs(est - 5000) / 5000 < 3 / math.sqrt(256)  # ~3 sigma
+
+
+def test_kmv_merge_equals_union_sketch(spark):
+    a = spark.createDataFrame([("g", f"a{i}") for i in range(300)], ["g", "item"])
+    b = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(150, 450)], ["g", "item"]
+    )
+    merged = kmv_merge(
+        kmv_min_hashes(a, ["g"], "item", k=24),
+        kmv_min_hashes(b, ["g"], "item", k=24),
+        ["g"],
+        k=24,
+    )
+    direct = kmv_min_hashes(a.unionByName(b), ["g"], "item", k=24)
+    assert sorted(r["_h"] for r in merged.collect()) == sorted(
+        r["_h"] for r in direct.collect()
+    )
+
+
+CORPUS = [
+    (0, "spark shuffle join spark spark"),
+    (1, "window window aggregate filter"),
+    (2, "spark window customer order"),
+    (3, "vector tile encode decode vector"),
+    (4, "customer customer customer spark"),
+    (5, "totally unrelated words here okay"),
+]
+
+
+def _py_bm25(query, k1=1.2, b=0.75):
+    toks = {d: t.split() for d, t in CORPUS}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for term in query:
+        df_t = sum(term in v for v in toks.values())
+        if df_t == 0:
+            continue
+        idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+        for d, v in toks.items():
+            tf = v.count(term)
+            if tf:
+                dl = len(v)
+                out[d] = out.get(d, 0.0) + idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dl / avgdl)
+                )
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    got = bm25_topk(docs, ["spark", "customer"], k=10).collect()
+    want = _py_bm25(["spark", "customer"])
+    assert {r["doc_id"] for r in got} == set(want)
+    for r in got:
+        assert r["score"] == pytest.approx(round(want[r["doc_id"]], 6), abs=2e-6)
+    ranks = sorted(got, key=lambda r: r["rank"])
+    scores = [r["score"] for r in ranks]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_ignores_unknown_terms_and_dedups_query(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    one = bm25_topk(docs, ["vector"], k=10).collect()
+    dup = bm25_topk(docs, ["vector", "vector", "zzz_absent"], k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in one] == [
+        (r["doc_id"], r["score"]) for r in dup
+    ]
+    assert {r["doc_id"] for r in one} == {3}
+
+
+def test_postings_shapes(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    postings, doclen = build_postings(docs)
+    p = {(r["doc_id"], r["term"]): r["tf"] for r in postings.collect()}
+    assert p[(0, "spark")] == 3 and p[(4, "customer")] == 3
+    dl = {r["doc_id"]: r["dl"] for r in doclen.collect()}
+    assert dl == {d: len(t.split()) for d, t in CORPUS}
