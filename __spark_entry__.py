@@ -1370,6 +1370,24 @@ def _q_bm25(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def _q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order layout key (operators/layout.py): the Morton interleave as a
+    pure JVM bit-expression chain (whole-stage codegen), the clustering key
+    behind zorder_cluster's range-partitioned writes.  Integer inputs so
+    the SQL twin reproduces the key bit-for-bit."""
+    from open_vector_tile_spark.operators.layout import zorder_key
+
+    docs = _load(spark, sf, "documents")
+    zx = (F.col("doc_id") * 37 % 3600).cast("long")
+    zy = (F.col("doc_id") * 53 % 1600).cast("long")
+    return docs.select(
+        "doc_id",
+        zx.alias("zx"),
+        zy.alias("zy"),
+        zorder_key(zx, zy).alias("zkey"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -1431,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": _q_mix_sample,
         "kmv_distinct": _q_kmv_distinct,
         "bm25": _q_bm25,
+        "zorder_layout": _q_zorder_layout,
     }
 
 
@@ -2491,6 +2510,37 @@ def oracle_sql() -> dict[str, str]:
               FROM agg ORDER BY score DESC, doc_id LIMIT 15
             )
             SELECT doc_id, score, rank FROM top ORDER BY rank
+        """,
+        "zorder_layout": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     (doc_id * 37) % 3600 AS zx,
+                     (doc_id * 53) % 1600 AS zy
+              FROM documents
+            ), a1 AS (
+              SELECT doc_id, zx, zy,
+                     ((zx & 65535) | ((zx & 65535) << 8)) & 16711935 AS sx,
+                     ((zy & 65535) | ((zy & 65535) << 8)) & 16711935 AS sy
+              FROM base
+            ), a2 AS (
+              SELECT doc_id, zx, zy,
+                     (sx | (sx << 4)) & 252645135 AS sx,
+                     (sy | (sy << 4)) & 252645135 AS sy
+              FROM a1
+            ), a3 AS (
+              SELECT doc_id, zx, zy,
+                     (sx | (sx << 2)) & 858993459 AS sx,
+                     (sy | (sy << 2)) & 858993459 AS sy
+              FROM a2
+            ), a4 AS (
+              SELECT doc_id, zx, zy,
+                     (sx | (sx << 1)) & 1431655765 AS sx,
+                     (sy | (sy << 1)) & 1431655765 AS sy
+              FROM a3
+            )
+            SELECT doc_id, CAST(zx AS BIGINT) AS zx, CAST(zy AS BIGINT) AS zy,
+                   CAST(sx | (sy << 1) AS BIGINT) AS zkey
+            FROM a4 ORDER BY doc_id
         """,
         # pq_topk: non-SQL-expressible (lossy product quantization) ->
         # rows-only driver check; correctness oracles in

@@ -151,6 +151,9 @@ def build_queries(spark, sf_dir):
         def q_bm25():
             return entry._q_bm25(spark, sf_dir).agg(F.sum("score"))
 
+        def q_zorder_layout():
+            return entry._q_zorder_layout(spark, sf_dir).agg(F.sum("zkey"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -174,6 +177,7 @@ def build_queries(spark, sf_dir):
             pack_sequences=q_pack_sequences,
             kmv_distinct=q_kmv_distinct,
             bm25=q_bm25,
+            zorder_layout=q_zorder_layout,
         )
     return out
 
