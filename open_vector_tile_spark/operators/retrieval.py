@@ -62,7 +62,16 @@ def build_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     postings = tokens.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    doclen = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # the postings aggregate feeds several plan branches (matched slice,
+    # doclen rollup, corpus stats); Catalyst does not CSE across join
+    # branches, so without a cut the corpus would be re-scanned and
+    # re-tokenized once per branch.  A LAZY localCheckpoint computes the
+    # postings once on first use and serves every branch from the
+    # materialized RDD — the same one-scan behavior a persisted postings
+    # index gives at scale (same pattern as operators/pipeline.py).
+    postings = postings.localCheckpoint(eager=False)
+    # dl as a rollup OF postings, not a second pass over the token stream
+    doclen = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     return postings, doclen
 
 
