@@ -1370,6 +1370,24 @@ def _q_bm25(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def _q_chunk_emit(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk emission (operators/packing.py:emit_chunks): the per-(doc,
+    training-sequence) slice table downstream of pack_sequences — which
+    token range of each doc lands where in each 512-token window.  One
+    explode over sequence(); slice arithmetic is pure integer column math,
+    verified exactly by a generate-series SQL twin over the same prefix
+    sum."""
+    from open_vector_tile_spark.operators.packing import emit_chunks, pack_sequences
+
+    docs = _load(spark, sf, "documents")
+    withtok = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(withtok, "n_tokens", seq_len=512, bucket_width=64)
+    return emit_chunks(packed, "n_tokens", seq_len=512).orderBy("doc_id", "seq_id")
+
+
 def _q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order layout key (operators/layout.py): the Morton interleave as a
     pure JVM bit-expression chain (whole-stage codegen), the clustering key
@@ -1450,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "bm25": _q_bm25,
         "zorder_layout": _q_zorder_layout,
+        "chunk_emit": _q_chunk_emit,
     }
 
 
@@ -2510,6 +2529,38 @@ def oracle_sql() -> dict[str, str]:
               FROM agg ORDER BY score DESC, doc_id LIMIT 15
             )
             SELECT doc_id, score, rank FROM top ORDER BY rank
+        """,
+        "chunk_emit": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS start
+              FROM t
+            ), p AS (
+              SELECT doc_id, n_tokens, CAST(start AS BIGINT) AS start,
+                     CAST(start // 512 AS BIGINT) AS first_seq,
+                     CAST(CASE WHEN n_tokens > 0
+                          THEN (start + n_tokens - 1) // 512 - start // 512 + 1
+                          ELSE 0 END AS BIGINT) AS n_seqs
+              FROM c
+            ), e AS (
+              SELECT doc_id, n_tokens, start,
+                     unnest(range(first_seq, first_seq + n_seqs)) AS seq_id
+              FROM p WHERE n_seqs > 0
+            )
+            SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+                   CAST(greatest(start, seq_id * 512) - start AS BIGINT) AS doc_off,
+                   CAST(greatest(start, seq_id * 512) - seq_id * 512 AS BIGINT)
+                     AS seq_off,
+                   CAST(least(start + n_tokens, (seq_id + 1) * 512)
+                        - greatest(start, seq_id * 512) AS BIGINT) AS n_tok
+            FROM e ORDER BY doc_id, seq_id
         """,
         "zorder_layout": r"""
             WITH base AS (

@@ -154,6 +154,9 @@ def build_queries(spark, sf_dir):
         def q_zorder_layout():
             return entry._q_zorder_layout(spark, sf_dir).agg(F.sum("zkey"))
 
+        def q_chunk_emit():
+            return entry._q_chunk_emit(spark, sf_dir).agg(F.sum("n_tok"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -178,6 +181,7 @@ def build_queries(spark, sf_dir):
             kmv_distinct=q_kmv_distinct,
             bm25=q_bm25,
             zorder_layout=q_zorder_layout,
+            chunk_emit=q_chunk_emit,
         )
     return out
 

@@ -66,6 +66,41 @@ def distributed_cumsum(
     )
 
 
+def emit_chunks(
+    packed: DataFrame,
+    tokens_col: str,
+    seq_len: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``pack_sequences`` output -> one row per (doc, training sequence) the
+    doc overlaps: the slice table a concat-and-chunk dataloader consumes.
+
+    Columns added: ``seq_id`` (exploded), ``doc_off`` (tokens of the doc
+    already consumed by earlier sequences), ``seq_off`` (position inside
+    this sequence), ``n_tok`` (tokens this doc contributes here).  Empty
+    docs (n_seqs = 0) emit nothing.  Pure column math over an exploded
+    ``sequence()`` — the explode is the only row expansion and its fan-out
+    per doc is ceil(tokens/seq_len)+1, so no skew beyond document length
+    itself.
+    """
+    n = int(seq_len)
+    first = F.col("seq_id")
+    out = (
+        packed.where(F.col("n_seqs") > 0)
+        .withColumn("_s", F.explode(F.sequence(first, first + F.col("n_seqs") - 1)))
+    )
+    seq_start = F.col("_s") * n  # absolute token address where sequence _s begins
+    lo = F.greatest(F.col("start"), seq_start)
+    hi = F.least(F.col("start") + F.col(tokens_col), seq_start + n)
+    return out.select(
+        id_col,
+        F.col("_s").alias("seq_id"),
+        (lo - F.col("start")).cast("long").alias("doc_off"),
+        (lo - seq_start).cast("long").alias("seq_off"),
+        (hi - lo).cast("long").alias("n_tok"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     tokens_col: str,

@@ -83,3 +83,43 @@ def test_pack_plan_shape(spark):
     # exactly one single-partition exchange (the n_buckets-row offsets table)
     assert plan.count("SinglePartition") == 1
     assert "hashpartitioning(_bkt" in plan
+
+
+def test_emit_chunks_invariants(spark):
+    """Chunk slices tile every document exactly and fill every sequence to
+    seq_len (except the final partial one), with offsets consistent with
+    pack_sequences' addresses."""
+    from open_vector_tile_spark.operators.packing import emit_chunks
+
+    rng = np.random.default_rng(11)
+    toks = rng.integers(0, 300, size=200)
+    toks[::13] = 0
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(200, dtype="int64"), "n": toks.astype("int64")}
+    )
+    L = 128
+    packed = pack_sequences(
+        spark.createDataFrame(pdf).repartition(6), "n", seq_len=L, bucket_width=32
+    )
+    chunks = emit_chunks(packed, "n", seq_len=L).toPandas()
+    packed_pd = packed.toPandas().set_index("doc_id")
+
+    # per-doc: slices are contiguous, start at doc_off 0, sum to n_tokens
+    for doc, grp in chunks.groupby("doc_id"):
+        grp = grp.sort_values("seq_id")
+        assert grp["doc_off"].iloc[0] == 0
+        assert (grp["doc_off"] + grp["n_tok"]).iloc[:-1].tolist() == grp[
+            "doc_off"
+        ].iloc[1:].tolist()
+        assert grp["n_tok"].sum() == packed_pd.loc[doc, "n"]
+        assert grp["seq_id"].iloc[0] == packed_pd.loc[doc, "seq_id"]
+        assert grp["seq_off"].iloc[0] == packed_pd.loc[doc, "seq_offset"]
+        assert (grp["n_tok"] > 0).all()
+
+    # empty docs emit nothing; non-empty all appear
+    assert set(chunks["doc_id"]) == set(pdf[pdf["n"] > 0]["doc_id"])
+
+    # per-sequence: full except the last
+    per_seq = chunks.groupby("seq_id")["n_tok"].sum().sort_index()
+    assert (per_seq.iloc[:-1] == L).all()
+    assert 0 < per_seq.iloc[-1] <= L
