@@ -60,9 +60,12 @@ def kmv_min_hashes(
     """The sketch itself: per group, the k smallest distinct ``kmv_hash``
     values of ``item_col`` as rows ``(*group_cols, _h, _rn)`` with ``_rn``
     the 1-based rank.  Two-level plan per the module docstring."""
+    if not 1 <= k <= 32768:
+        # (k-1) * 2^48 must stay inside int64 for the estimator literal
+        raise ValueError(f"k must be in [1, 32768], got {k}")
     hashes = (
-        df.select(*group_cols, kmv_hash(F.col(item_col)).alias("_h"))
-        .where(F.col(item_col).isNotNull())
+        df.where(F.col(item_col).isNotNull())
+        .select(*group_cols, kmv_hash(F.col(item_col)).alias("_h"))
         .distinct()
     )
     lvl1 = (
@@ -91,7 +94,8 @@ def kmv_distinct(
     """-> one row per group: ``n_kept`` (min(k, m) hashes retained),
     ``kth_min`` (the largest retained hash) and ``est_distinct``.
 
-    Exact below k distincts, ~1/sqrt(k) relative error above."""
+    Exact below k distincts, ~1/sqrt(k) relative error above.  ``k`` is
+    capped at 32768 so the (k-1)*2^48 estimator literal stays in int64."""
     mins = kmv_min_hashes(df, group_cols, item_col, k=k, fanout=fanout)
     agg = mins.groupBy(*group_cols).agg(
         F.count("_h").alias("n_kept"), F.max("_h").alias("kth_min")

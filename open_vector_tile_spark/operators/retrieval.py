@@ -83,18 +83,32 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Top-k docs for ``query_terms`` by BM25, ``(id, score, rank)``.
 
     ``score`` is rounded to 6 places and the rank window orders by the
     ROUNDED value (ties broken by id) so ranking is insensitive to
-    sub-1e-6 float divergence between engines."""
-    spark = docs.sparkSession
-    postings, doclen = build_postings(docs, id_col, text_col)
+    sub-1e-6 float divergence between engines.
 
-    qterms = spark.createDataFrame(
-        [(t.lower(),) for t in dict.fromkeys(query_terms)], ["term"]
+    Each call without ``index`` builds (and pins, via localCheckpoint) its
+    own postings; a session issuing many queries should call
+    ``build_postings`` once and pass the pair in — that is also the
+    persisted-index usage at scale."""
+    spark = docs.sparkSession
+    postings, doclen = index if index is not None else build_postings(
+        docs, id_col, text_col
     )
+
+    # lowercase BEFORE dedup: case-variant duplicates must collapse to one
+    # term row, or the join would double-count df_t and the doc's score
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    schema = "term string"
+    if not terms:
+        return spark.createDataFrame(
+            [], f"{id_col} long, score double, rank int"
+        )
+    qterms = spark.createDataFrame([(t,) for t in terms], schema)
     # slice the postings down to query terms FIRST; df_t / joins then touch
     # only that slice (query terms are always broadcast-small)
     matched = postings.join(F.broadcast(qterms), "term")

@@ -119,11 +119,25 @@ def test_bm25_matches_python_reference(spark):
 def test_bm25_ignores_unknown_terms_and_dedups_query(spark):
     docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
     one = bm25_topk(docs, ["vector"], k=10).collect()
-    dup = bm25_topk(docs, ["vector", "vector", "zzz_absent"], k=10).collect()
+    # exact, case-variant, and absent duplicates must all collapse
+    dup = bm25_topk(docs, ["vector", "Vector", "VECTOR", "zzz_absent"], k=10).collect()
     assert [(r["doc_id"], r["score"]) for r in one] == [
         (r["doc_id"], r["score"]) for r in dup
     ]
     assert {r["doc_id"] for r in one} == {3}
+
+
+def test_bm25_empty_query_and_prebuilt_index(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    assert bm25_topk(docs, [], k=10).collect() == []
+    idx = build_postings(docs)
+    got = bm25_topk(docs, ["spark"], k=10, index=idx).collect()
+    assert got == bm25_topk(docs, ["spark"], k=10).collect()
+
+
+def test_kmv_k_bound(spark, items):
+    with pytest.raises(ValueError):
+        kmv_distinct(items, ["g"], "item", k=32769)
 
 
 def test_postings_shapes(spark):
