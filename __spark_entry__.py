@@ -1388,6 +1388,22 @@ def _q_chunk_emit(spark: SparkSession, sf: str) -> DataFrame:
     return emit_chunks(packed, "n_tokens", seq_len=512).orderBy("doc_id", "seq_id")
 
 
+def _q_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Seeded deterministic epoch shuffle (functions/sampling.py): global
+    0-based order by md5(seed:doc_id), ranked with the two-level
+    global_rank (operators/packing.py) — the serial window sees only the
+    4096-bucket count table, never the data.  Oracle = one global
+    row_number in SQL."""
+    from open_vector_tile_spark.functions.sampling import epoch_shuffle
+
+    docs = _load(spark, sf, "documents")
+    return (
+        epoch_shuffle(docs.select("doc_id"), F.col("doc_id"), seed=7)
+        .select("doc_id", "epoch_rank")
+        .orderBy("doc_id")
+    )
+
+
 def _q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order layout key (operators/layout.py): the Morton interleave as a
     pure JVM bit-expression chain (whole-stage codegen), the clustering key
@@ -1469,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": _q_bm25,
         "zorder_layout": _q_zorder_layout,
         "chunk_emit": _q_chunk_emit,
+        "epoch_shuffle": _q_epoch_shuffle,
     }
 
 
@@ -2529,6 +2546,15 @@ def oracle_sql() -> dict[str, str]:
               FROM agg ORDER BY score DESC, doc_id LIMIT 15
             )
             SELECT doc_id, score, rank FROM top ORDER BY rank
+        """,
+        "epoch_shuffle": r"""
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY CAST('0x' || substring(
+                                md5('7:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                              AS BIGINT),
+                              doc_id) - 1 AS BIGINT) AS epoch_rank
+            FROM documents ORDER BY doc_id
         """,
         "chunk_emit": r"""
             WITH t AS (

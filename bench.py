@@ -157,6 +157,9 @@ def build_queries(spark, sf_dir):
         def q_chunk_emit():
             return entry._q_chunk_emit(spark, sf_dir).agg(F.sum("n_tok"))
 
+        def q_epoch_shuffle():
+            return entry._q_epoch_shuffle(spark, sf_dir).agg(F.sum("epoch_rank"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -182,6 +185,7 @@ def build_queries(spark, sf_dir):
             bm25=q_bm25,
             zorder_layout=q_zorder_layout,
             chunk_emit=q_chunk_emit,
+            epoch_shuffle=q_epoch_shuffle,
         )
     return out
 

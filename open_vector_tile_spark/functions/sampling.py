@@ -160,3 +160,35 @@ def weighted_sample_per_group(
         .drop("_rn")
         .withColumn("sample_score", F.round("sample_score", 6))
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key: Column,
+    seed: int,
+    out_col: str = "epoch_rank",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle order: every row gets a
+    0-based position drawn by hashing (seed, key) — the dataloader
+    primitive "same data, different reproducible order each epoch".
+
+    The order is a pure function of (seed, key): independent of
+    partitioning, cluster size, and engine (md5, like every sampler here).
+    The rank is computed with :func:`~open_vector_tile_spark.operators.
+    packing.global_rank` — a two-level decomposition whose only serial
+    window sees one row per hash bucket (4096 total), so there is no
+    global single-task sort at any scale.  Ties (48-bit hash collisions)
+    break on the key itself, keeping the order total and reproducible."""
+    from open_vector_tile_spark.operators.packing import global_rank
+
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(int(seed)), key)), 1, 12), 16, 10
+    ).cast("long")
+    keyed = (
+        df.withColumn("_eh", h)
+        .withColumn("_ekey", key)
+        .withColumn("_ebkt", F.expr(f"CAST(_eh DIV {1 << 36} AS LONG)"))
+    )
+    return global_rank(keyed, ["_eh", "_ekey"], "_ebkt", out_col=out_col).drop(
+        "_eh", "_ebkt", "_ekey"
+    )

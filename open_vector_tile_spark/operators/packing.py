@@ -66,6 +66,40 @@ def distributed_cumsum(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    bucket_col: str,
+    out_col: str = "rank",
+) -> DataFrame:
+    """0-based dense global rank in ``order_cols`` order without a global
+    single-task sort — the two-level decomposition of ``ROW_NUMBER() OVER
+    (ORDER BY ...)``.
+
+    ``bucket_col`` must be a coarse MONOTONE function of the leading order
+    column (e.g. ``hash DIV 2^36`` for a uniform 48-bit hash): rows then
+    rank as (exclusive count of earlier buckets) + (row_number within the
+    bucket).  The only unpartitioned window runs over the bucket-count
+    table (~n_buckets rows); the in-bucket window is hash-partitioned.
+    Same shape as :func:`distributed_cumsum` with a count-1 payload.
+    """
+    totals = df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_n"))
+    wb = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        bucket_col,
+        F.coalesce(F.sum("_n").over(wb), F.lit(0)).cast("long").alias("_off"),
+    )
+    wi = Window.partitionBy(bucket_col).orderBy(*order_cols)
+    return (
+        df.join(F.broadcast(offsets), bucket_col)
+        .withColumn(
+            out_col,
+            (F.col("_off") + F.row_number().over(wi) - 1).cast("long"),
+        )
+        .drop("_off")
+    )
+
+
 def emit_chunks(
     packed: DataFrame,
     tokens_col: str,

@@ -143,3 +143,30 @@ def test_weighted_sample_underfull_excludes_nonpositive(spark):
     assert len(out) == 4 and all(r["w"] > 0 for r in out)
     outg = weighted_sample_per_group(df, 9, F.col("w"), F.col("id"), "g").collect()
     assert len(outg) == 4 and all(r["w"] > 0 for r in outg)
+
+
+def test_epoch_shuffle_is_deterministic_permutation(spark):
+    from open_vector_tile_spark.functions.sampling import epoch_shuffle
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = epoch_shuffle(df.repartition(7), F.col("doc_id"), seed=3).toPandas()
+    # bijection onto 0..n-1
+    assert sorted(a["epoch_rank"]) == list(range(1000))
+    # partitioning-invariant
+    b = epoch_shuffle(df.repartition(2), F.col("doc_id"), seed=3).toPandas()
+    assert a.set_index("doc_id")["epoch_rank"].to_dict() == b.set_index("doc_id")[
+        "epoch_rank"
+    ].to_dict()
+    # a different seed gives a different order (overwhelmingly)
+    c = epoch_shuffle(df, F.col("doc_id"), seed=4).toPandas()
+    assert a.set_index("doc_id")["epoch_rank"].to_dict() != c.set_index("doc_id")[
+        "epoch_rank"
+    ].to_dict()
+    # matches the single-window reference order
+    import hashlib
+
+    def h(seed, k):
+        return int(hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:12], 16)
+
+    want = {k: r for r, k in enumerate(sorted(range(1000), key=lambda k: (h(3, k), k)))}
+    assert a.set_index("doc_id")["epoch_rank"].to_dict() == want
