@@ -129,6 +129,44 @@ def run_level(cores: int, n_rows: int) -> dict:
             ),
         )
         bench("line_dedup", lambda: dedup_lines(synth3).agg(F.sum("n_removed")).collect())
+
+        # round-3 session-2 ops
+        from open_vector_tile_spark.functions.sampling import epoch_shuffle
+        from open_vector_tile_spark.functions.sketch import kmv_distinct
+        from open_vector_tile_spark.operators.packing import (
+            emit_chunks,
+            pack_sequences,
+        )
+        from open_vector_tile_spark.operators.retrieval import bm25_topk
+
+        tokens = docs.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        bench(
+            "kmv_distinct",
+            lambda: kmv_distinct(tokens, ["lang"], "tok", k=256).count(),
+        )
+        bench(
+            "bm25",
+            lambda: bm25_topk(docs, ["spark", "shuffle", "codec"], k=20).count(),
+        )
+        bench(
+            "epoch_shuffle",
+            lambda: epoch_shuffle(docs.select("doc_id"), F.col("doc_id"), seed=1)
+            .agg(F.sum("epoch_rank"))
+            .collect(),
+        )
+        withtok = docs.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n")
+        )
+        bench(
+            "pack_chunks",
+            lambda: emit_chunks(
+                pack_sequences(withtok, "n", seq_len=2048), "n", seq_len=2048
+            )
+            .agg(F.sum("n_tok"))
+            .collect(),
+        )
         return out
     finally:
         spark.stop()
