@@ -134,3 +134,39 @@ def test_decontaminate_broadcasts_benchmark(spark):
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     p = plan_of(decontaminate(docs, bench, n=4))
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+
+
+def test_epoch_shuffle_serial_window_is_bucket_table_only(spark):
+    """global_rank's decomposition: exactly ONE SinglePartition exchange (the
+    ~4096-row bucket-count table) feeds the serial window; the data-side
+    rank window is hash-partitioned on the bucket and offsets broadcast."""
+    from open_vector_tile_spark.functions.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    p = plan_of(epoch_shuffle(docs, F.col("doc_id"), seed=7))
+    assert p.count("SinglePartition") == 1, p
+    assert "hashpartitioning(_ebkt" in p, p
+    assert "BroadcastExchange" in p, p
+
+
+def test_bm25_takeordered_and_broadcast_terms(spark):
+    """bm25_topk: top-k must be TakeOrderedAndProject (no global sort of the
+    scored table) and the query-term join side must broadcast."""
+    from open_vector_tile_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(bm25_topk(docs, ["spark", "vector"], k=5))
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastExchange" in p, p
+
+
+def test_kmv_windows_are_partitioned(spark):
+    """kmv_distinct must never move the hash table to one partition: both
+    min-k windows are partitioned (group[,sub]); no SinglePartition
+    exchange anywhere in the plan."""
+    from open_vector_tile_spark.functions.sketch import kmv_distinct
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.select("lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+    p = plan_of(kmv_distinct(toks, ["lang"], "t", k=32))
+    assert "SinglePartition" not in p, p
