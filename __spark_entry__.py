@@ -1358,6 +1358,32 @@ def _q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_distinct(tokens, ["lang"], "tok", k=64, fanout=8).orderBy("lang")
 
 
+def _q_kmv_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV sketch MERGE property as a driver value check: sketch two
+    disjoint doc shards independently, union with kmv_merge, estimate.
+    The oracle is the SHARD-FREE whole-corpus twin (same SQL as
+    kmv_distinct) — a hash match proves merge(sketch(A), sketch(B)) ==
+    sketch(A ∪ B), the property that makes the sketch a partial
+    aggregate across jobs/micro-batches."""
+    from open_vector_tile_spark.functions.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_min_hashes,
+    )
+
+    docs = _load(spark, sf, "documents")
+    tokens = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    a = kmv_min_hashes(tokens.where(F.col("doc_id") % 2 == 0), ["lang"], "tok", k=64)
+    b = kmv_min_hashes(tokens.where(F.col("doc_id") % 2 == 1), ["lang"], "tok", k=64)
+    return kmv_estimate(kmv_merge(a, b, ["lang"], k=64), ["lang"], k=64).orderBy(
+        "lang"
+    )
+
+
 def _q_bm25(spark: SparkSession, sf: str) -> DataFrame:
     """BM25 top-k retrieval (operators/retrieval.py): postings build as a
     partial-agg shuffle, query terms broadcast, sorted-fold score summation
@@ -1482,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": _q_corpus_pipeline,
         "mix_sample": _q_mix_sample,
         "kmv_distinct": _q_kmv_distinct,
+        "kmv_merge": _q_kmv_merge,
         "bm25": _q_bm25,
         "zorder_layout": _q_zorder_layout,
         "chunk_emit": _q_chunk_emit,
@@ -2489,6 +2516,28 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "kmv_distinct": r"""
+            WITH toks AS (
+              SELECT DISTINCT lang,
+                     CAST('0x' || substring(md5(tok), 1, 12) AS BIGINT) AS h
+              FROM (SELECT lang,
+                           unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                    FROM documents)
+              WHERE tok <> ''
+            ), r AS (
+              SELECT lang, h,
+                     row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+              FROM toks
+            ), keep AS (
+              SELECT lang, count(*) AS n_kept, max(h) AS kth_min
+              FROM r WHERE rn <= 64 GROUP BY lang
+            )
+            SELECT lang, CAST(n_kept AS BIGINT) AS n_kept, kth_min,
+                   CAST(CASE WHEN n_kept < 64 THEN n_kept
+                             ELSE (63 * 281474976710656) // greatest(kth_min, 1)
+                        END AS BIGINT) AS est_distinct
+            FROM keep ORDER BY lang
+        """,
+"kmv_merge": r"""
             WITH toks AS (
               SELECT DISTINCT lang,
                      CAST('0x' || substring(md5(tok), 1, 12) AS BIGINT) AS h

@@ -97,6 +97,12 @@ def kmv_distinct(
     Exact below k distincts, ~1/sqrt(k) relative error above.  ``k`` is
     capped at 32768 so the (k-1)*2^48 estimator literal stays in int64."""
     mins = kmv_min_hashes(df, group_cols, item_col, k=k, fanout=fanout)
+    return kmv_estimate(mins, group_cols, k=k)
+
+
+def kmv_estimate(mins: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Estimator over a sketch table (``kmv_min_hashes`` / ``kmv_merge``
+    output): -> (*group_cols, n_kept, kth_min, est_distinct)."""
     agg = mins.groupBy(*group_cols).agg(
         F.count("_h").alias("n_kept"), F.max("_h").alias("kth_min")
     )
