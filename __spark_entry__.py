@@ -1160,6 +1160,23 @@ def _q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_lines(synth, use_hash=False).orderBy("doc_id")
 
 
+def _q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal (operators/dedup.py
+    span_dedup — Lee et al. 2022 at word-8-gram granularity): any 8-word
+    window occurring in >= 2 distinct documents is cut from every document
+    containing it; documents are rebuilt from surviving words in order.
+    The synthetic corpus's small vocabulary yields ~1k naturally duplicated
+    cross-document 8-grams at sf0.01, so the edit set is non-trivial.  The
+    DuckDB twin rebuilds the windows with list comprehensions and the same
+    16-hex-char md5 gram key — the hash match pins window extraction,
+    duplicate detection, covered-index expansion, and byte-exact
+    reassembly."""
+    from open_vector_tile_spark.operators.dedup import span_dedup
+
+    docs = _load(spark, sf, "documents")
+    return span_dedup(docs, n=8, min_docs=2).orderBy("doc_id")
+
+
 def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed connected components (operators/graph.py): the transitive
     closure of a near-dup pair list -> one canonical id per duplicate
@@ -1500,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": _q_dedup_apply,
         "pack_sequences": _q_pack_sequences,
         "line_dedup": _q_line_dedup,
+        "span_dedup": _q_span_dedup,
         "pii_redact": _q_pii_redact,
         "gopher_filter": _q_gopher_filter,
         "url_dedup": _q_url_dedup,
@@ -2423,6 +2441,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.n_lines - coalesce(r.n_kept, 0) AS INT) AS n_removed
             FROM base b LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY b.doc_id
+        """,
+        "span_dedup": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS words
+              FROM documents
+            ), g AS (
+              SELECT doc_id, i AS strt,
+                     substring(md5(array_to_string(words[i:i+7], ' ')), 1, 16) AS gh
+              FROM w, UNNEST(CASE WHEN len(words) >= 8
+                                  THEN range(1, len(words) - 6)
+                                  ELSE [] END) AS u(i)
+            ), dup AS (
+              SELECT gh FROM g GROUP BY gh
+              HAVING count(DISTINCT doc_id) >= 2
+            ), cov AS (
+              SELECT g.doc_id,
+                     list_distinct(flatten(list(range(g.strt, g.strt + 8)))) AS cv
+              FROM g JOIN dup USING (gh) GROUP BY g.doc_id
+            )
+            SELECT w.doc_id,
+                   coalesce(array_to_string(
+                       [words[i] FOR i IN range(1, len(words) + 1)
+                        IF NOT list_contains(coalesce(cv, []), i)], ' '),
+                     '') AS clean_text,
+                   CAST(len(words) AS INT) AS n_words,
+                   CAST(len([i FOR i IN range(1, len(words) + 1)
+                             IF list_contains(coalesce(cv, []), i)]) AS INT)
+                     AS n_removed
+            FROM w LEFT JOIN cov USING (doc_id)
+            ORDER BY w.doc_id
         """,
         "dedup_apply": r"""
             WITH RECURSIVE sh AS (

@@ -195,6 +195,101 @@ def dedup_lines(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-SPAN removal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" rule,
+    approximated at fixed word-n-gram granularity): any n-word window whose
+    exact text occurs in >= ``min_docs`` DISTINCT documents is boilerplate;
+    every word covered by at least one such window is cut, and the document
+    is reassembled from the surviving words in original order.  Unlike
+    :func:`dedup_lines` (whole-line granularity) this catches templated
+    sentences spliced into otherwise-unique text, and unlike
+    :func:`minhash_dedup` it edits documents instead of dropping them.
+
+    -> (id_col, clean_text, n_words int, n_removed int).  Documents shorter
+    than n words have no windows and pass through unchanged.
+
+    Shape at 100 TB: each doc explodes into one row PER WINDOW START, but
+    only (id, pos, 16-hex-char gram hash) ships — never gram text.  Then:
+    one partial-aggregated groupBy on the gram hash (count-distinct docs),
+    one semi join back (AQE broadcasts the duplicated-gram side when small
+    — boilerplate is the repeated minority), one groupBy(id) collecting the
+    bounded per-doc start set, one join to the base table.  All per-doc
+    array work (windowing, covered-index expansion, rebuild) is let-bound
+    column expressions — computed once per row, no per-element re-eval, no
+    Python.
+    """
+    empty_i = F.array().cast("array<int>")
+    words_of = lambda: F.filter(  # noqa: E731 — built fresh per use site
+        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
+
+    def gram_arr(words: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+        return F.when(
+            F.size(words) >= n,
+            F.transform(
+                idx,
+                lambda i: F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(words, i, n))), 1, 16
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(_let(words_of(), gram_arr)).alias("_p0", "_gh"),
+    )
+    dup = (
+        grams.groupBy("_gh")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_gh")
+    )
+    starts = (
+        grams.join(dup, on="_gh", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set((F.col("_p0") + 1).cast("int")).alias("_starts"))
+    )
+
+    def rebuild(words: Column) -> Column:
+        def with_cov(cov: Column) -> Column:
+            kept = F.filter(
+                words, lambda w, i: ~F.array_contains(cov, (i + 1).cast("int"))
+            )
+            return F.struct(
+                F.array_join(kept, " ").alias("clean_text"),
+                F.size(words).alias("n_words"),
+                (F.size(words) - F.size(kept)).alias("n_removed"),
+            )
+
+        cov = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.coalesce(F.col("_starts"), empty_i),
+                    lambda s: F.sequence(s, s + (n - 1)).cast("array<int>"),
+                )
+            )
+        )
+        return _let(cov, with_cov)
+
+    joined = df.select(id_col, text_col).join(starts, on=id_col, how="left")
+    return joined.select(
+        id_col, _let(words_of(), rebuild).alias("_r")
+    ).select(
+        id_col,
+        F.col("_r.clean_text").alias("clean_text"),
+        F.col("_r.n_words").alias("n_words"),
+        F.col("_r.n_removed").alias("n_removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles + minhash + LSH
 # ---------------------------------------------------------------------------

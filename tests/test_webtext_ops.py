@@ -670,3 +670,51 @@ def test_decontaminate_bruteforce(spark):
     # text gram 'alpha beta gamma' is NOT a bench 4-gram; doc4 normalizes to
     # the single gram 'alpha beta gamma delta' == abgd
     assert got == {0: (2, 1), 1: (1, 1), 2: (0, 0), 3: (0, 0), 4: (1, 1)}
+
+
+def test_span_dedup_brute_force(spark):
+    """span_dedup vs a pure-Python ExactSubstr oracle on crafted docs:
+    shared 8-word spans are cut wherever they occur (including mid-doc and
+    overlapping windows), sub-8-word docs and unique docs pass through
+    byte-identically, and a fully-boilerplate doc empties out."""
+    from open_vector_tile_spark.operators.dedup import span_dedup
+
+    boiler = "the quick brown fox jumps over lazy dogs"  # 8 words
+    docs = [
+        (0, f"alpha beta {boiler} gamma delta"),          # span mid-doc
+        (1, f"{boiler} zeta eta theta iota kappa"),       # span at start
+        (2, boiler),                                      # fully boilerplate
+        (3, "unique words only here nothing repeats at all ever once"),
+        (4, "short doc"),                                 # < n words: no windows
+        (5, f"one two three four five six seven {boiler} eight"),
+    ]
+    n = 8
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        int(r.doc_id): (r.clean_text, r.n_words, r.n_removed)
+        for r in span_dedup(df, n=n).collect()
+    }
+
+    # brute-force oracle
+    texts = {i: t.split() for i, t in docs}
+    from collections import defaultdict
+
+    grams = defaultdict(set)
+    for i, ws in texts.items():
+        for p in range(len(ws) - n + 1):
+            grams[" ".join(ws[p : p + n])].add(i)
+    dup = {g for g, ids in grams.items() if len(ids) >= 2}
+    for i, ws in texts.items():
+        cov = set()
+        for p in range(len(ws) - n + 1):
+            if " ".join(ws[p : p + n]) in dup:
+                cov.update(range(p, p + n))
+        kept = [w for j, w in enumerate(ws) if j not in cov]
+        assert got[i] == (" ".join(kept), len(ws), len(ws) - len(kept)), i
+
+    # the shared span must actually be cut from every carrier
+    assert got[2][0] == ""
+    assert got[3][0] == docs[3][1]
+    assert got[4][0] == "short doc"
+    for i in (0, 1, 5):
+        assert boiler not in got[i][0]
