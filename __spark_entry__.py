@@ -1160,6 +1160,58 @@ def _q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_lines(synth, use_hash=False).orderBy("doc_id")
 
 
+def _q_blocklist(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style bad-word gate (functions/text.py blocklist_filter): distinct
+    whole-word blocklist hits per doc + keep flag at max_hits=1.  The terms
+    are chosen from the synthetic vocabulary so the corpus splits
+    non-trivially (~17% kept at sf0.01).  Pure codegen filter — the DuckDB
+    twin replays the same lowercase-split + list-intersect."""
+    from open_vector_tile_spark.functions.text import blocklist_filter
+
+    docs = _load(spark, sf, "documents")
+    out = blocklist_filter(docs, ["spark", "vector", "stream"], max_hits=1)
+    return out.select("doc_id", "n_hits", "kept").orderBy("doc_id")
+
+
+def _q_latest_crawl(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest-wins recrawl snapshot (functions/url.py latest_snapshot) over a
+    crawl table of the north-rule shape (url, warc_ts, text, lang): ~2.5
+    deterministic recrawls per url are synthesized from documents (url keyed
+    by doc_id % 200, warc_ts spaced hourly by doc_id), and each url's most
+    recent row survives INTACT with crawl-history annotations.  The winner's
+    text column is proven byte-identical to the winning source row by
+    joining it back against documents on the surviving doc_id.  One hash
+    shuffle on url feeds both window frames."""
+    from open_vector_tile_spark.functions.url import latest_snapshot
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    crawl = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://crawl.example.org/site/"), (d % 200).cast("string")
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + d * 3600).alias("warc_ts"),
+        "text",
+        "lang",
+    )
+    latest = latest_snapshot(crawl, key="url", ts_col="warc_ts")
+    src = docs.select(F.col("doc_id").alias("_sid"), F.col("text").alias("_stext"))
+    return (
+        latest.join(src, latest.doc_id == src._sid)
+        .select(
+            "url",
+            "doc_id",
+            F.unix_timestamp("warc_ts").alias("ts_s"),
+            F.unix_timestamp("first_ts").alias("first_ts_s"),
+            F.col("n_crawls").cast("int").alias("n_crawls"),
+            (F.col("text") == F.col("_stext")).cast("int").alias("text_exact"),
+            "lang",
+        )
+        .orderBy("url")
+    )
+
+
 def _q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """ExactSubstr-style duplicated-span removal (operators/dedup.py
     span_dedup — Lee et al. 2022 at word-8-gram granularity): any 8-word
@@ -1518,6 +1570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "line_dedup": _q_line_dedup,
         "span_dedup": _q_span_dedup,
+        "latest_crawl": _q_latest_crawl,
+        "blocklist": _q_blocklist,
         "pii_redact": _q_pii_redact,
         "gopher_filter": _q_gopher_filter,
         "url_dedup": _q_url_dedup,
@@ -2441,6 +2495,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.n_lines - coalesce(r.n_kept, 0) AS INT) AS n_removed
             FROM base b LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY b.doc_id
+        """,
+        "blocklist": r"""
+            SELECT doc_id,
+                   CAST(len(list_intersect(
+                       list_distinct(string_split_regex(lower(text), '\s+')),
+                       ['spark', 'vector', 'stream'])) AS INT) AS n_hits,
+                   CAST(len(list_intersect(
+                       list_distinct(string_split_regex(lower(text), '\s+')),
+                       ['spark', 'vector', 'stream'])) <= 1 AS INT) AS kept
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "latest_crawl": r"""
+            WITH crawl AS (
+              SELECT doc_id,
+                     'https://crawl.example.org/site/' ||
+                       CAST(doc_id % 200 AS VARCHAR) AS url,
+                     1700000000 + doc_id * 3600 AS ts_s,
+                     text, lang
+              FROM documents
+            ), hist AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY url ORDER BY ts_s DESC) AS rn,
+                     count(*) OVER (PARTITION BY url) AS n_crawls,
+                     min(ts_s) OVER (PARTITION BY url) AS first_ts_s
+              FROM crawl
+            )
+            SELECT h.url, h.doc_id, h.ts_s, h.first_ts_s,
+                   CAST(h.n_crawls AS INT) AS n_crawls,
+                   CAST(h.text = d.text AS INT) AS text_exact, h.lang
+            FROM hist h JOIN documents d USING (doc_id)
+            WHERE rn = 1
+            ORDER BY h.url
         """,
         "span_dedup": r"""
             WITH w AS (

@@ -12,6 +12,8 @@ All column-expression based (no UDFs) so Catalyst can push/prune/codegen.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -246,6 +248,34 @@ def gopher_metrics(
         "stop_hits": stop_hits,
         "passes": passes,
     }
+
+
+def blocklist_hits(text: Column, terms: "Sequence[str]") -> Column:
+    """Number of DISTINCT blocklist terms appearing as whole lowercase
+    whitespace-delimited words.  Pure JVM array intersection over a
+    constant-folded literal term array — for word lists up to a few
+    thousand entries (the C4 badwords list is ~400) the terms live in the
+    plan itself; a larger lexicon should go through
+    ``decontaminate``-style broadcast-join machinery instead."""
+    words = F.array_distinct(F.split(F.lower(text), r"\s+"))
+    return F.size(F.array_intersect(words, F.array(*[F.lit(t) for t in terms])))
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: "Sequence[str]",
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """C4-style bad-word document gate: annotate every row with its distinct
+    blocklist hit count and a ``kept`` flag (C4 drops a page on ONE hit;
+    ``max_hits`` relaxes that).  Filter-only column expressions — predicate
+    is codegen'd and pushes to the scan when ``text_col`` is a stored
+    column; no shuffle, no Python."""
+    hits = blocklist_hits(F.col(text_col), terms)
+    return df.withColumn("n_hits", hits.cast("int")).withColumn(
+        "kept", (F.col("n_hits") <= max_hits).cast("int")
+    )
 
 
 def quality_score(text: Column) -> Column:

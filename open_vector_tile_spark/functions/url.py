@@ -9,7 +9,7 @@ identical chain byte-for-byte.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _TRACK_NAMES = r"(utm_[a-z]+|fbclid|gclid|ref)"
@@ -48,6 +48,40 @@ def normalize_url(url: Column) -> Column:
     rest = F.regexp_replace(rest, r"[?&]+$", "")
     rest = F.regexp_replace(rest, r"/+$", "")
     return F.concat(scheme, F.lit("://"), host, rest)
+
+
+def latest_snapshot(
+    df: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    tie: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Recrawl snapshot semantics over the crawl table (url, warc_ts, ...):
+    keep each URL's most recent crawl row INTACT (every column of the
+    winning row — payload bytes included — survives untouched), and
+    annotate it with the URL's crawl history (``n_crawls``, ``first_ts``).
+    This is the latest-wins snapshot read a crawl store needs before any
+    content-level dedup: CCNet/C4 process one row per page, not one per
+    fetch.
+
+    Determinism: ties on ``ts_col`` break on the ``tie`` columns
+    descending; pass the crawl's unique record id there if timestamps can
+    collide.
+
+    Shape at 100 TB: ONE hash shuffle on ``key`` feeding both window
+    frames (the history aggregates need no sort; row_number sorts within
+    partitions only).  Skew is bounded by per-URL recrawl count, not
+    corpus size."""
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tie]
+    w = Window.partitionBy(key).orderBy(*order)
+    hist = Window.partitionBy(key)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_crawls", F.count("*").over(hist))
+        .withColumn("first_ts", F.min(ts_col).over(hist))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def url_dedup(

@@ -718,3 +718,51 @@ def test_span_dedup_brute_force(spark):
     assert got[4][0] == "short doc"
     for i in (0, 1, 5):
         assert boiler not in got[i][0]
+
+
+def test_latest_snapshot_semantics(spark):
+    """latest_snapshot keeps exactly the max-ts row per url INTACT (payload
+    untouched), annotates crawl history, and breaks ts ties on the tie
+    columns descending."""
+    from datetime import datetime
+
+    from open_vector_tile_spark.functions.url import latest_snapshot
+
+    rows = [
+        ("a", datetime(2024, 1, 1), 10, "old-a"),
+        ("a", datetime(2024, 3, 1), 11, "new-a"),
+        ("a", datetime(2024, 2, 1), 12, "mid-a"),
+        ("b", datetime(2024, 1, 1), 20, "only-b"),
+        ("c", datetime(2024, 1, 1), 30, "tie-lo"),
+        ("c", datetime(2024, 1, 1), 31, "tie-hi"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "rec_id", "text"])
+    got = {
+        r.url: r.asDict()
+        for r in latest_snapshot(df, key="url", ts_col="warc_ts", tie=("rec_id",)).collect()
+    }
+    assert len(got) == 3
+    assert (got["a"]["rec_id"], got["a"]["text"], got["a"]["n_crawls"]) == (11, "new-a", 3)
+    assert got["a"]["first_ts"] == datetime(2024, 1, 1)
+    assert got["b"]["n_crawls"] == 1
+    assert (got["c"]["rec_id"], got["c"]["text"]) == (31, "tie-hi")  # tie -> max rec_id
+
+
+def test_blocklist_filter(spark):
+    """Whole-word matching only (substrings don't hit), distinct counting,
+    and the max_hits gate."""
+    from open_vector_tile_spark.functions.text import blocklist_filter
+
+    rows = [
+        (0, "clean text with nothing listed"),
+        (1, "BAD word here"),                    # case-insensitive hit
+        (2, "bad bad bad"),                      # repeated term counts once
+        (3, "badge embedded badly"),             # substrings are NOT hits
+        (4, "bad and worse together"),           # two distinct hits
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_hits, r.kept)
+        for r in blocklist_filter(df, ["bad", "worse"], max_hits=1).collect()
+    }
+    assert got == {0: (0, 1), 1: (1, 1), 2: (1, 1), 3: (0, 1), 4: (2, 0)}
