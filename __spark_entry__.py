@@ -1517,6 +1517,124 @@ def _q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_clip_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Tile clipping (operators/clip.py segment_clip_cols): Liang–Barsky
+    segment clipping to tile+buffer windows as PURE column expressions —
+    enter/exit params are greatest/least over per-axis ratios with a d=0
+    CASE, so the whole clip stays in whole-stage codegen and is verbatim
+    SQL (the DuckDB twin hash-matches every clipped coordinate).  Each
+    doc-derived segment is exploded into its covered z3 tile range first;
+    the clip prunes bbox-covered tiles the segment misses."""
+    from open_vector_tile_spark.operators.clip import segment_clip_cols
+
+    n = 8  # zoom 3
+    bu = 16.0 / 4096.0  # buffer in tile units (exact binary)
+    docs = _load(spark, sf, "documents").select("doc_id")
+    lon1 = ((F.col("doc_id") * 37) % 3600) / 10.0 - 180.0
+    lat1 = ((F.col("doc_id") * 53) % 1600) / 10.0 - 80.0
+    lon2 = ((F.col("doc_id") * 91) % 3600) / 10.0 - 180.0
+    lat2 = ((F.col("doc_id") * 29) % 1600) / 10.0 - 80.0
+    seg = docs.select(
+        "doc_id",
+        (_merc_x(lon1) * n).alias("x1"),
+        (_merc_y(lat1) * n).alias("y1"),
+        (_merc_x(lon2) * n).alias("x2"),
+        (_merc_y(lat2) * n).alias("y2"),
+    )
+    clamp = lambda c: F.greatest(F.lit(0), F.least(F.lit(n - 1), c.cast("long")))  # noqa: E731
+    rng = seg.select(
+        "*",
+        clamp(F.floor(F.least("x1", "x2"))).alias("tx0"),
+        clamp(F.floor(F.greatest("x1", "x2"))).alias("tx1"),
+        clamp(F.floor(F.least("y1", "y2"))).alias("ty0"),
+        clamp(F.floor(F.greatest("y1", "y2"))).alias("ty1"),
+    )
+    ex = rng.withColumn("tile_x", F.explode(F.sequence("tx0", "tx1"))).withColumn(
+        "tile_y", F.explode(F.sequence("ty0", "ty1"))
+    )
+    c = segment_clip_cols(
+        F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"),
+        F.col("tile_x") - bu, F.col("tile_y") - bu,
+        F.col("tile_x") + 1 + bu, F.col("tile_y") + 1 + bu,
+    )
+    return (
+        ex.select(
+            "doc_id", "tile_x", "tile_y",
+            c["kept"].alias("kept"),
+            F.round(c["cx1"], 6).alias("cx1"),
+            F.round(c["cy1"], 6).alias("cy1"),
+            F.round(c["cx2"], 6).alias("cx2"),
+            F.round(c["cy2"], 6).alias("cy2"),
+        )
+        .filter("kept")
+        .drop("kept")
+        .orderBy("doc_id", "tile_x", "tile_y")
+    )
+
+
+def _q_clip_polygon_rect(spark: SparkSession, sf: str) -> DataFrame:
+    """Sutherland–Hodgman polygon clipping (operators/clip.py clip_ring_np,
+    the vectorized kernel the clip_buffer featurizer path runs per tile),
+    oracled on the axis-aligned-rectangle input class where the clipped
+    ring is analytically the intersection rectangle: the DuckDB twin
+    computes greatest/least bounds directly, and the Spark side runs the
+    REAL generic kernel and reduces its output ring to (nv, bbox, area)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _load(spark, sf, "documents")
+    src = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * 13 % 50) / 10.0).alias("x_lo"),
+        ((F.col("doc_id") * 17 % 50) / 10.0).alias("y_lo"),
+        ((F.col("doc_id") * 13 % 50) / 10.0 + (F.col("doc_id") % 37 + 5) / 10.0).alias("x_hi"),
+        ((F.col("doc_id") * 17 % 50) / 10.0 + (F.col("doc_id") % 23 + 5) / 10.0).alias("y_hi"),
+    )
+
+    def run(batches):
+        from open_vector_tile_spark.operators.clip import clip_ring_np
+
+        for pdf in batches:
+            rows = {"doc_id": [], "nv": [], "cxmin": [], "cymin": [],
+                    "cxmax": [], "cymax": [], "area": []}
+            for did, xl, yl, xh, yh in zip(
+                pdf["doc_id"], pdf["x_lo"], pdf["y_lo"], pdf["x_hi"], pdf["y_hi"]
+            ):
+                ring = np.array(
+                    [[xl, yl], [xh, yl], [xh, yh], [xl, yh]], dtype=np.float64
+                )
+                c = clip_ring_np(ring, 1.0, 1.0, 4.0, 4.0)
+                if len(c) < 3:
+                    continue
+                x, y = c[:, 0], c[:, 1]
+                area = abs(
+                    float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) / 2.0
+                )
+                if round(area, 6) <= 0:
+                    continue
+                rows["doc_id"].append(int(did))
+                rows["nv"].append(len(c))
+                rows["cxmin"].append(float(x.min()))
+                rows["cymin"].append(float(y.min()))
+                rows["cxmax"].append(float(x.max()))
+                rows["cymax"].append(float(y.max()))
+                rows["area"].append(area)
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    out = src.mapInPandas(
+        run,
+        "doc_id long, nv int, cxmin double, cymin double, "
+        "cxmax double, cymax double, area double",
+    )
+    return out.select(
+        "doc_id", "nv",
+        F.round("cxmin", 6).alias("cxmin"), F.round("cymin", 6).alias("cymin"),
+        F.round("cxmax", 6).alias("cxmax"), F.round("cymax", 6).alias("cymax"),
+        F.round("area", 6).alias("area"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -1583,6 +1701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_merge": _q_kmv_merge,
         "bm25": _q_bm25,
         "zorder_layout": _q_zorder_layout,
+        "clip_lines": _q_clip_lines,
+        "clip_polygon_rect": _q_clip_polygon_rect,
         "chunk_emit": _q_chunk_emit,
         "epoch_shuffle": _q_epoch_shuffle,
     }
@@ -2804,6 +2924,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(zx AS BIGINT) AS zx, CAST(zy AS BIGINT) AS zy,
                    CAST(sx | (sy << 1) AS BIGINT) AS zkey
             FROM a4 ORDER BY doc_id
+        """,
+        "clip_lines": f"""
+            WITH seg AS (
+              SELECT doc_id,
+                     ({_SQL_LON_DOC}+180.0)/360.0*8 AS x1,
+                     {_sql_merc_y(_SQL_LAT_DOC)}*8 AS y1,
+                     (((CAST(doc_id*91 AS DOUBLE) % 3600)/10.0 - 180.0)+180.0)/360.0*8 AS x2,
+                     {_sql_merc_y("((CAST(doc_id*29 AS DOUBLE) % 1600)/10.0 - 80.0)")}*8 AS y2
+              FROM documents
+            ), rng AS (
+              SELECT *,
+                GREATEST(0, LEAST(7, CAST(floor(LEAST(x1,x2)) AS BIGINT))) AS tx0,
+                GREATEST(0, LEAST(7, CAST(floor(GREATEST(x1,x2)) AS BIGINT))) AS tx1,
+                GREATEST(0, LEAST(7, CAST(floor(LEAST(y1,y2)) AS BIGINT))) AS ty0,
+                GREATEST(0, LEAST(7, CAST(floor(GREATEST(y1,y2)) AS BIGINT))) AS ty1
+              FROM seg
+            ), ex AS (
+              SELECT *, unnest(generate_series(tx0, tx1)) AS tile_x FROM rng
+            ), ey AS (
+              SELECT *, unnest(generate_series(ty0, ty1)) AS tile_y FROM ex
+            ), b AS (
+              SELECT doc_id, tile_x, tile_y, x1, y1, x2-x1 AS dx, y2-y1 AS dy,
+                     tile_x - 0.00390625 AS xmn, tile_y - 0.00390625 AS ymn,
+                     tile_x + 1 + 0.00390625 AS xmx, tile_y + 1 + 0.00390625 AS ymx
+              FROM ey
+            ), t AS (
+              SELECT *,
+                CASE WHEN dx=0 THEN CASE WHEN x1 >= xmn AND x1 <= xmx
+                                         THEN -1e300 ELSE 1e300 END
+                     ELSE LEAST((xmn-x1)/dx, (xmx-x1)/dx) END AS ent_x,
+                CASE WHEN dx=0 THEN CASE WHEN x1 >= xmn AND x1 <= xmx
+                                         THEN 1e300 ELSE -1e300 END
+                     ELSE GREATEST((xmn-x1)/dx, (xmx-x1)/dx) END AS ext_x,
+                CASE WHEN dy=0 THEN CASE WHEN y1 >= ymn AND y1 <= ymx
+                                         THEN -1e300 ELSE 1e300 END
+                     ELSE LEAST((ymn-y1)/dy, (ymx-y1)/dy) END AS ent_y,
+                CASE WHEN dy=0 THEN CASE WHEN y1 >= ymn AND y1 <= ymx
+                                         THEN 1e300 ELSE -1e300 END
+                     ELSE GREATEST((ymn-y1)/dy, (ymx-y1)/dy) END AS ext_y
+              FROM b
+            ), tt AS (
+              SELECT *, GREATEST(0.0, ent_x, ent_y) AS t0,
+                        LEAST(1.0, ext_x, ext_y) AS t1
+              FROM t
+            )
+            SELECT doc_id, tile_x, tile_y,
+                   round(x1 + t0*dx, 6) AS cx1, round(y1 + t0*dy, 6) AS cy1,
+                   round(x1 + t1*dx, 6) AS cx2, round(y1 + t1*dy, 6) AS cy2
+            FROM tt WHERE t0 <= t1
+            ORDER BY doc_id, tile_x, tile_y
+        """,
+        "clip_polygon_rect": """
+            WITH r AS (
+              SELECT doc_id,
+                     (doc_id*13 % 50)/10.0 AS x_lo,
+                     (doc_id*17 % 50)/10.0 AS y_lo,
+                     (doc_id*13 % 50)/10.0 + (doc_id % 37 + 5)/10.0 AS x_hi,
+                     (doc_id*17 % 50)/10.0 + (doc_id % 23 + 5)/10.0 AS y_hi
+              FROM documents
+            ), i AS (
+              SELECT doc_id,
+                     GREATEST(x_lo, 1.0) AS ix0, GREATEST(y_lo, 1.0) AS iy0,
+                     LEAST(x_hi, 4.0) AS ix1, LEAST(y_hi, 4.0) AS iy1
+              FROM r
+            )
+            SELECT doc_id, CAST(4 AS INT) AS nv,
+                   round(ix0, 6) AS cxmin, round(iy0, 6) AS cymin,
+                   round(ix1, 6) AS cxmax, round(iy1, 6) AS cymax,
+                   round((ix1-ix0)*(iy1-iy0), 6) AS area
+            FROM i WHERE ix0 < ix1 AND iy0 < iy1
+            ORDER BY doc_id
         """,
         # pq_topk: non-SQL-expressible (lossy product quantization) ->
         # rows-only driver check; correctness oracles in

@@ -1,3 +1,9 @@
+from .clip import (  # noqa: F401
+    clip_polyline_np,
+    clip_ring_np,
+    clip_rings_np,
+    segment_clip_cols,
+)
 from .decode import decode_grids, decode_images, decode_tiles, read_tileset  # noqa: F401
 from .events import asof_join, sessionize  # noqa: F401
 from .graph import connected_components, dedup_components  # noqa: F401

@@ -956,6 +956,7 @@ def lines_to_features_dist(
     props_cols: Optional[Iterable[str]] = None,
     dims: int = 2,
     z_scale: float = 1.0,
+    clip_buffer: Optional[int] = None,
 ) -> DataFrame:
     """Distributed twin of :func:`lines_to_features` (dims=2 → type 2) /
     :func:`lines3d_to_features` (dims=3 → type 5).
@@ -963,12 +964,26 @@ def lines_to_features_dist(
     ``lines``: Spark DataFrame with ``id_col long``, ``xy_col array<double>``
     (flat interleaved lon,lat[,z]), optional ``offset_col double``, optional
     ``mvals_json_col string`` (pre-serialized per-vertex M-values), plus any
-    property columns.  Each line lands in every tile its bbox covers (spec
-    buffer semantics — no clipping, vector-tile-spec README.md:411-413);
-    vertex quantization is P13 JS half-up, z by ``z_scale``.
-    """
+    property columns.  Each line lands in every tile its bbox covers; vertex
+    quantization is P13 JS half-up, z by ``z_scale``.
+
+    ``clip_buffer`` (extent pixels, e.g. 64): when set, each tile's copy is
+    CLIPPED to the tile + buffer with vectorized Liang–Barsky
+    (:func:`~open_vector_tile_spark.operators.clip.clip_polyline_np`) —
+    a line that exits and re-enters becomes a multi-line, and every part
+    carries offset = caller offset + arc length from the original line
+    start (in extent px), the reference's VectorLineWithOffset semantics so
+    dashes/labels survive clipping.  Without it the whole geometry lands in
+    every covered tile (spec buffer semantics, vector-tile-spec
+    README.md:411-413) — correct, but O(tiles × vertices) bytes for long
+    geometries; clipping makes per-tile bytes O(vertices-in-tile), the
+    shape that matters at planet scale.  Per-vertex M-values cannot be
+    carried through a clip (vertices change), so combining
+    ``mvals_json_col`` with ``clip_buffer`` raises."""
     if dims not in (2, 3):
         raise ValueError(f"dims must be 2|3, got {dims}")
+    if clip_buffer is not None and mvals_json_col:
+        raise ValueError("per-vertex M-values cannot be clipped; drop mvals_json_col")
     ftype = 2 if dims == 2 else 5
     n = float(1 << zoom)
     has_off = offset_col in lines.columns
@@ -1011,24 +1026,63 @@ def lines_to_features_dist(
             offs = pdf["_off"].to_numpy()
             mvs = pdf["_mv"].tolist()
             pjs = pdf["_pj"].tolist()
+            bu = None if clip_buffer is None else clip_buffer / float(extent)
             for i in range(len(arrs)):
                 s, ln = int(starts[i]), int(lens[i])
                 if ln == 0:
                     continue
                 mx, my = mxn[s : s + ln], myn[s : s + ln]
                 off = float(offs[i])
-                _emit_quantized(
-                    out, mx, my,
-                    qzf[s : s + ln] if dims == 3 else None,
-                    dims, extent, _tile_range(mx, my, zoom),
-                    {
-                        "id": int(ids[i]),
-                        "ring_lens": [ln],
-                        "offsets": [off] if off > 0 else None,
-                        "props_json": pjs[i],
-                        "mvals_json": mvs[i],
-                    },
-                )
+                if bu is None:
+                    _emit_quantized(
+                        out, mx, my,
+                        qzf[s : s + ln] if dims == 3 else None,
+                        dims, extent, _tile_range(mx, my, zoom),
+                        {
+                            "id": int(ids[i]),
+                            "ring_lens": [ln],
+                            "offsets": [off] if off > 0 else None,
+                            "props_json": pjs[i],
+                            "mvals_json": mvs[i],
+                        },
+                    )
+                    continue
+                from .clip import clip_polyline_np
+
+                cols = [mx, my] if dims == 2 else [mx, my, flat[s : s + ln, 2]]
+                geom = np.column_stack(cols)
+                tx0, tx1, ty0, ty1 = _tile_range(mx, my, zoom)
+                for ty in range(ty0, ty1 + 1):
+                    for tx in range(tx0, tx1 + 1):
+                        parts, poffs = clip_polyline_np(
+                            geom, tx - bu, ty - bu, tx + 1 + bu, ty + 1 + bu,
+                            return_offsets=True,
+                        )
+                        parts = [p for p in parts if len(p) >= 2]
+                        if not parts:
+                            continue
+                        cat = np.concatenate(parts)
+                        qx = np.floor((cat[:, 0] - tx) * extent + 0.5).astype(np.int64)
+                        qy = np.floor((cat[:, 1] - ty) * extent + 0.5).astype(np.int64)
+                        nv = len(cat)
+                        if dims == 2:
+                            g = np.empty(2 * nv, dtype=np.int64)
+                            g[0::2], g[1::2] = qx, qy
+                        else:
+                            g = np.empty(3 * nv, dtype=np.int64)
+                            g[0::3], g[1::3] = qx, qy
+                            g[2::3] = np.floor(cat[:, 2] * z_scale + 0.5).astype(np.int64)
+                        part_offs = [off + po * extent for po in poffs]
+                        out["tile_x"].append(tx)
+                        out["tile_y"].append(ty)
+                        out["geom_xy"].append(g.tolist())
+                        out["id"].append(int(ids[i]))
+                        out["ring_lens"].append([len(p) for p in parts])
+                        out["offsets"].append(
+                            part_offs if any(o > 0 for o in part_offs) else None
+                        )
+                        out["props_json"].append(pjs[i])
+                        out["mvals_json"].append(mvs[i])
             if out["id"]:
                 m = len(out["id"])
                 yield pd.DataFrame(
@@ -1056,6 +1110,7 @@ def polygons_to_features_dist(
     props_cols: Optional[Iterable[str]] = None,
     dims: int = 2,
     z_scale: float = 1.0,
+    clip_buffer: Optional[int] = None,
 ) -> DataFrame:
     """Distributed twin of :func:`polygons_to_features` (dims=2 → type 3) /
     :func:`polygons3d_to_features` (dims=3 → type 6).
@@ -1066,9 +1121,20 @@ def polygons_to_features_dist(
     zero-area rings are dropped like classifyRings
     (src/mapbox/vectorFeature.ts:357-381) when ``drop_degenerate`` (2D only,
     matching the driver twin).
-    """
+
+    ``clip_buffer`` (extent pixels): when set, each tile's copy of every
+    ring is clipped to the tile + buffer with vectorized Sutherland–Hodgman
+    (:func:`~open_vector_tile_spark.operators.clip.clip_rings_np`).  A
+    polygon whose outer ring clips away vanishes from that tile; holes clip
+    independently (exact against a convex window).  Without it the whole
+    polygon lands in every covered tile — correct per spec buffer
+    semantics but O(tiles × vertices) bytes for continent-sized rings.
+    Combining ``mvals_json_col`` with ``clip_buffer`` raises (per-vertex
+    M-values don't survive a vertex-changing clip)."""
     if dims not in (2, 3):
         raise ValueError(f"dims must be 2|3, got {dims}")
+    if clip_buffer is not None and mvals_json_col:
+        raise ValueError("per-vertex M-values cannot be clipped; drop mvals_json_col")
     ftype = 3 if dims == 2 else 6
     n = float(1 << zoom)
     pj = _props_json_col(polygons, props_cols, (id_col, rings_col, mvals_json_col or ""))
@@ -1134,18 +1200,64 @@ def polygons_to_features_dist(
                 s_all, e_all = int(starts[r]), int(starts[r_end - 1] + lens[r_end - 1])
                 mx, my = mxn[s_all:e_all], myn[s_all:e_all]
                 rlens = [int(lens[j]) for j in range(r, r_end)]
-                _emit_quantized(
-                    out, mx, my,
-                    qzf[s_all:e_all] if dims == 3 else None,
-                    dims, extent, (tx0, tx1, ty0, ty1),
-                    {
-                        "id": int(ids[i]),
-                        "ring_lens": rlens,
-                        "poly_lens": [len(rlens)],
-                        "props_json": pjs[i],
-                        "mvals_json": mvs[i],
-                    },
-                )
+                if clip_buffer is None:
+                    _emit_quantized(
+                        out, mx, my,
+                        qzf[s_all:e_all] if dims == 3 else None,
+                        dims, extent, (tx0, tx1, ty0, ty1),
+                        {
+                            "id": int(ids[i]),
+                            "ring_lens": rlens,
+                            "poly_lens": [len(rlens)],
+                            "props_json": pjs[i],
+                            "mvals_json": mvs[i],
+                        },
+                    )
+                    r = r_end
+                    continue
+                from .clip import clip_rings_np
+
+                bu = clip_buffer / float(extent)
+                rings = []
+                for j in range(r, r_end):
+                    sj, lj = int(starts[j]), int(lens[j])
+                    cols = [mxn[sj : sj + lj], myn[sj : sj + lj]]
+                    if dims == 3:
+                        cols.append(flat[sj : sj + lj, 2])
+                    rings.append(np.column_stack(cols))
+                for ty in range(ty0, ty1 + 1):
+                    for tx in range(tx0, tx1 + 1):
+                        clipped = clip_rings_np(
+                            rings, tx - bu, ty - bu, tx + 1 + bu, ty + 1 + bu
+                        )
+                        if dims == 2 and drop_degenerate and clipped:
+                            if signed_area([tuple(p[:2]) for p in clipped[0]]) == 0.0:
+                                continue  # degenerate outer: polygon gone here
+                            clipped = [clipped[0]] + [
+                                c for c in clipped[1:]
+                                if signed_area([tuple(p[:2]) for p in c]) != 0.0
+                            ]
+                        if not clipped:
+                            continue
+                        cat = np.concatenate(clipped)
+                        qx = np.floor((cat[:, 0] - tx) * extent + 0.5).astype(np.int64)
+                        qy = np.floor((cat[:, 1] - ty) * extent + 0.5).astype(np.int64)
+                        nv = len(cat)
+                        if dims == 2:
+                            g = np.empty(2 * nv, dtype=np.int64)
+                            g[0::2], g[1::2] = qx, qy
+                        else:
+                            g = np.empty(3 * nv, dtype=np.int64)
+                            g[0::3], g[1::3] = qx, qy
+                            g[2::3] = np.floor(cat[:, 2] * z_scale + 0.5).astype(np.int64)
+                        out["tile_x"].append(tx)
+                        out["tile_y"].append(ty)
+                        out["geom_xy"].append(g.tolist())
+                        out["id"].append(int(ids[i]))
+                        out["ring_lens"].append([len(c) for c in clipped])
+                        out["poly_lens"].append([len(clipped)])
+                        out["props_json"].append(pjs[i])
+                        out["mvals_json"].append(mvs[i])
                 r = r_end
             if out["id"]:
                 m = len(out["id"])

@@ -13,7 +13,7 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry  # noqa: E402
 
-SF = "/root/testdata/sf0.01"
+SF = __import__("os").environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
