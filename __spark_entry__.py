@@ -1635,6 +1635,26 @@ def _q_clip_polygon_rect(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_simplify_collapse(spark: SparkSession, sf: str) -> DataFrame:
+    """Pixel-collapse simplification (operators/simplify.py
+    collapse_quantized): every doc becomes an 8-vertex polyline whose
+    integer-derived pixels repeat; consecutive duplicates are removed with
+    one lag window (one shuffle on the geometry key).  The DuckDB twin is
+    the same lag predicate verbatim — full hash oracle."""
+    from open_vector_tile_spark.operators.simplify import collapse_quantized
+
+    docs = _load(spark, sf, "documents").select("doc_id")
+    v = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k")
+    ).select(
+        "doc_id",
+        "k",
+        F.expr("((doc_id*3 + k) DIV 2) % 50").alias("px"),
+        F.expr("((doc_id*5 + k) DIV 3) % 50").alias("py"),
+    )
+    return collapse_quantized(v, ["doc_id"], "k").orderBy("doc_id", "k")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -1703,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "clip_lines": _q_clip_lines,
         "clip_polygon_rect": _q_clip_polygon_rect,
+        "simplify_collapse": _q_simplify_collapse,
         "chunk_emit": _q_chunk_emit,
         "epoch_shuffle": _q_epoch_shuffle,
     }
@@ -2995,6 +3016,20 @@ def oracle_sql() -> dict[str, str]:
                    round((ix1-ix0)*(iy1-iy0), 6) AS area
             FROM i WHERE ix0 < ix1 AND iy0 < iy1
             ORDER BY doc_id
+        """,
+        "simplify_collapse": """
+            WITH v AS (
+              SELECT doc_id, k,
+                     ((doc_id*3 + k) // 2) % 50 AS px,
+                     ((doc_id*5 + k) // 3) % 50 AS py
+              FROM documents, unnest(generate_series(0, 7)) AS t(k)
+            ), lagged AS (
+              SELECT *, lag(px) OVER w AS ppx, lag(py) OVER w AS ppy
+              FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY k)
+            )
+            SELECT doc_id, CAST(k AS INT) AS k, px, py FROM lagged
+            WHERE ppx IS NULL OR px != ppx OR py != ppy
+            ORDER BY doc_id, k
         """,
         # pq_topk: non-SQL-expressible (lossy product quantization) ->
         # rows-only driver check; correctness oracles in

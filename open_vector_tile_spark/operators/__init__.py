@@ -5,6 +5,11 @@ from .clip import (  # noqa: F401
     segment_clip_cols,
 )
 from .decode import decode_grids, decode_images, decode_tiles, read_tileset  # noqa: F401
+from .simplify import (  # noqa: F401
+    collapse_quantized,
+    simplify_dp_np,
+    simplify_ring_np,
+)
 from .events import asof_join, sessionize  # noqa: F401
 from .graph import connected_components, dedup_components  # noqa: F401
 from .gridding import grid_aggregate, grid_tiles  # noqa: F401

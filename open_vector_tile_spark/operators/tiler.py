@@ -957,9 +957,16 @@ def lines_to_features_dist(
     dims: int = 2,
     z_scale: float = 1.0,
     clip_buffer: Optional[int] = None,
+    simplify_px: Optional[float] = None,
 ) -> DataFrame:
     """Distributed twin of :func:`lines_to_features` (dims=2 → type 2) /
     :func:`lines3d_to_features` (dims=3 → type 5).
+
+    ``simplify_px``: Douglas–Peucker tolerance in extent pixels
+    (:func:`~open_vector_tile_spark.operators.simplify.simplify_dp_np`),
+    applied AFTER clipping, before quantization — the per-zoom vertex
+    thinning a pyramid producer runs so low-zoom tiles stay
+    O(visible pixels) instead of O(source vertices).
 
     ``lines``: Spark DataFrame with ``id_col long``, ``xy_col array<double>``
     (flat interleaved lon,lat[,z]), optional ``offset_col double``, optional
@@ -1027,13 +1034,14 @@ def lines_to_features_dist(
             mvs = pdf["_mv"].tolist()
             pjs = pdf["_pj"].tolist()
             bu = None if clip_buffer is None else clip_buffer / float(extent)
+            tol = None if simplify_px is None else simplify_px / float(extent)
             for i in range(len(arrs)):
                 s, ln = int(starts[i]), int(lens[i])
                 if ln == 0:
                     continue
                 mx, my = mxn[s : s + ln], myn[s : s + ln]
                 off = float(offs[i])
-                if bu is None:
+                if bu is None and tol is None:
                     _emit_quantized(
                         out, mx, my,
                         qzf[s : s + ln] if dims == 3 else None,
@@ -1048,19 +1056,34 @@ def lines_to_features_dist(
                     )
                     continue
                 from .clip import clip_polyline_np
+                from .simplify import simplify_dp_np
 
                 cols = [mx, my] if dims == 2 else [mx, my, flat[s : s + ln, 2]]
                 geom = np.column_stack(cols)
+                if bu is None and tol is not None:
+                    # no clip: simplify once, shared by every covered tile
+                    geom = simplify_dp_np(geom, tol)
+                    if len(geom) < 2:
+                        continue
                 tx0, tx1, ty0, ty1 = _tile_range(mx, my, zoom)
                 for ty in range(ty0, ty1 + 1):
                     for tx in range(tx0, tx1 + 1):
-                        parts, poffs = clip_polyline_np(
-                            geom, tx - bu, ty - bu, tx + 1 + bu, ty + 1 + bu,
-                            return_offsets=True,
-                        )
-                        parts = [p for p in parts if len(p) >= 2]
-                        if not parts:
+                        if bu is not None:
+                            parts, poffs = clip_polyline_np(
+                                geom, tx - bu, ty - bu, tx + 1 + bu, ty + 1 + bu,
+                                return_offsets=True,
+                            )
+                            if tol is not None:
+                                parts = [simplify_dp_np(p, tol) for p in parts]
+                        else:
+                            parts, poffs = [geom], [0.0]
+                        parts_offs = [
+                            (p, o) for p, o in zip(parts, poffs) if len(p) >= 2
+                        ]
+                        if not parts_offs:
                             continue
+                        parts = [p for p, _ in parts_offs]
+                        poffs = [o for _, o in parts_offs]
                         cat = np.concatenate(parts)
                         qx = np.floor((cat[:, 0] - tx) * extent + 0.5).astype(np.int64)
                         qy = np.floor((cat[:, 1] - ty) * extent + 0.5).astype(np.int64)
@@ -1111,9 +1134,16 @@ def polygons_to_features_dist(
     dims: int = 2,
     z_scale: float = 1.0,
     clip_buffer: Optional[int] = None,
+    simplify_px: Optional[float] = None,
 ) -> DataFrame:
     """Distributed twin of :func:`polygons_to_features` (dims=2 → type 3) /
     :func:`polygons3d_to_features` (dims=3 → type 6).
+
+    ``simplify_px``: Douglas–Peucker ring tolerance in extent pixels
+    (:func:`~open_vector_tile_spark.operators.simplify.simplify_ring_np`),
+    applied BEFORE the per-tile clip (rings shrink once, then clip per
+    tile); a ring collapsing below 3 vertices is dropped, and a collapsed
+    OUTER ring deletes its polygon.
 
     ``polygons``: Spark DataFrame with ``id_col long``, ``rings_col
     array<array<double>>`` (each ring a flat interleaved vertex list), plus
@@ -1200,7 +1230,7 @@ def polygons_to_features_dist(
                 s_all, e_all = int(starts[r]), int(starts[r_end - 1] + lens[r_end - 1])
                 mx, my = mxn[s_all:e_all], myn[s_all:e_all]
                 rlens = [int(lens[j]) for j in range(r, r_end)]
-                if clip_buffer is None:
+                if clip_buffer is None and simplify_px is None:
                     _emit_quantized(
                         out, mx, my,
                         qzf[s_all:e_all] if dims == 3 else None,
@@ -1216,8 +1246,8 @@ def polygons_to_features_dist(
                     r = r_end
                     continue
                 from .clip import clip_rings_np
+                from .simplify import simplify_ring_np
 
-                bu = clip_buffer / float(extent)
                 rings = []
                 for j in range(r, r_end):
                     sj, lj = int(starts[j]), int(lens[j])
@@ -1225,11 +1255,25 @@ def polygons_to_features_dist(
                     if dims == 3:
                         cols.append(flat[sj : sj + lj, 2])
                     rings.append(np.column_stack(cols))
+                if simplify_px is not None:
+                    tol = simplify_px / float(extent)
+                    outer0 = simplify_ring_np(rings[0], tol)
+                    if len(outer0) < 3:
+                        r = r_end
+                        continue
+                    rings = [outer0] + [
+                        c for c in (simplify_ring_np(h, tol) for h in rings[1:])
+                        if len(c) >= 3
+                    ]
+                bu = None if clip_buffer is None else clip_buffer / float(extent)
                 for ty in range(ty0, ty1 + 1):
                     for tx in range(tx0, tx1 + 1):
-                        clipped = clip_rings_np(
-                            rings, tx - bu, ty - bu, tx + 1 + bu, ty + 1 + bu
-                        )
+                        if bu is not None:
+                            clipped = clip_rings_np(
+                                rings, tx - bu, ty - bu, tx + 1 + bu, ty + 1 + bu
+                            )
+                        else:
+                            clipped = rings
                         if dims == 2 and drop_degenerate and clipped:
                             if signed_area([tuple(p[:2]) for p in clipped[0]]) == 0.0:
                                 continue  # degenerate outer: polygon gone here
