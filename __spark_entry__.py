@@ -1655,6 +1655,41 @@ def _q_simplify_collapse(spark: SparkSession, sf: str) -> DataFrame:
     return collapse_quantized(v, ["doc_id"], "k").orderBy("doc_id", "k")
 
 
+def _hex_assign_oracle_sql() -> str:
+    """DuckDB twin of _q_hex_assign, generated from the same hex_cell_sql
+    source of truth as the column expressions."""
+    from open_vector_tile_spark.functions.hex import hex_cell_sql
+
+    mx = f"(({_SQL_LON_DOC}+180.0)/360.0)"
+    my = _sql_merc_y(_SQL_LAT_DOC)
+    h = hex_cell_sql(mx, my, 5)
+    return f"""
+        WITH a AS (
+          SELECT doc_id, {h['hq']} AS hq, {h['hr']} AS hr FROM documents
+        )
+        SELECT doc_id, hq, hr,
+               count(*) OVER (PARTITION BY hq, hr) AS hex_n
+        FROM a ORDER BY doc_id
+    """
+
+
+def _q_hex_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Hex cell index (functions/hex.py): the H3-style half of the
+    north-star's "H3/S2 cells" — axial hex assignment via cube rounding,
+    all column expressions (sqrt/floor/CASE, codegen).  Returns per-doc
+    axial coords plus the per-hex density, both hash-oracled (the DuckDB
+    twin is generated by hex_cell_sql from the SAME source of truth)."""
+    from open_vector_tile_spark.functions.hex import hex_cell_cols
+
+    docs = _doc_points(_load(spark, sf, "documents"))
+    c = hex_cell_cols(_merc_x(F.col("lon")), _merc_y(F.col("lat")), 5)
+    assigned = docs.select(
+        "doc_id", c["hq"].alias("hq"), c["hr"].alias("hr")
+    )
+    w = Window.partitionBy("hq", "hr")
+    return assigned.withColumn("hex_n", F.count("*").over(w)).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -1724,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_lines": _q_clip_lines,
         "clip_polygon_rect": _q_clip_polygon_rect,
         "simplify_collapse": _q_simplify_collapse,
+        "hex_assign": _q_hex_assign,
         "chunk_emit": _q_chunk_emit,
         "epoch_shuffle": _q_epoch_shuffle,
     }
@@ -3031,6 +3067,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE ppx IS NULL OR px != ppx OR py != ppy
             ORDER BY doc_id, k
         """,
+        "hex_assign": _hex_assign_oracle_sql(),
         # pq_topk: non-SQL-expressible (lossy product quantization) ->
         # rows-only driver check; correctness oracles in
         # tests/test_webtext_ops.py (codebook determinism, ADC

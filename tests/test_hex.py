@@ -1,0 +1,99 @@
+"""Hex cell index (functions/hex.py): nearest-center property, twin parity,
+ring walk."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from open_vector_tile_spark.functions.hex import (
+    hex_cell_cols,
+    hex_cell_np,
+    hex_cell_sql,
+    hex_center_np,
+    hex_disk_np,
+    hex_ring_np,
+    hex_size,
+)
+
+
+def test_cube_round_is_nearest_center():
+    """Cube rounding must pick the hex whose center is nearest (that's the
+    definition of the hex Voronoi cell)."""
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(0.05, 0.95, size=(2000, 2))
+    res = 4
+    hq, hr = hex_cell_np(pts[:, 0], pts[:, 1], res)
+    cx, cy = hex_center_np(hq, hr, res)
+    d_own = np.hypot(pts[:, 0] - cx, pts[:, 1] - cy)
+    # compare against all neighbors
+    for dq, dr in [(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)]:
+        nx, ny = hex_center_np(hq + dq, hr + dr, res)
+        d_n = np.hypot(pts[:, 0] - nx, pts[:, 1] - ny)
+        assert np.all(d_own <= d_n + 1e-12)
+
+
+def test_centers_round_trip():
+    qs, rs = np.meshgrid(np.arange(-10, 11), np.arange(-10, 11))
+    qs, rs = qs.ravel(), rs.ravel()
+    cx, cy = hex_center_np(qs, rs, 5)
+    hq, hr = hex_cell_np(cx, cy, 5)
+    assert np.array_equal(hq, qs) and np.array_equal(hr, rs)
+
+
+def test_ring_sizes_and_distance():
+    for k in range(0, 5):
+        ring = hex_ring_np(3, -2, k)
+        assert len(ring) == (1 if k == 0 else 6 * k)
+        # axial hex distance == k for every ring cell
+        for q, r in ring:
+            dq, dr = q - 3, r - (-2)
+            dist = (abs(dq) + abs(dr) + abs(dq + dr)) // 2
+            assert dist == k
+    disk = hex_disk_np(3, -2, 3)
+    assert len(disk) == 1 + 3 * 3 * 4
+    assert len({(q, r) for q, r in disk}) == len(disk)
+
+
+def test_spark_numpy_parity(spark):
+    import pyspark.sql.functions as F
+
+    n = 500
+    pdf = pd.DataFrame({"i": range(n)})
+    pdf["mx"] = (pdf.i * 37 % 1000) / 1000.0
+    pdf["my"] = (pdf.i * 53 % 1000) / 1000.0
+    sdf = spark.createDataFrame(pdf)
+    c = hex_cell_cols(F.col("mx"), F.col("my"), 6)
+    got = (
+        sdf.select("i", c["hq"].alias("hq"), c["hr"].alias("hr"))
+        .orderBy("i")
+        .toPandas()
+    )
+    hq, hr = hex_cell_np(pdf.mx.to_numpy(), pdf.my.to_numpy(), 6)
+    assert np.array_equal(got.hq.to_numpy(), hq)
+    assert np.array_equal(got.hr.to_numpy(), hr)
+
+
+def test_sql_twin_matches_numpy():
+    import duckdb
+
+    con = duckdb.connect()
+    sql = hex_cell_sql("mx", "my", 6)
+    got = con.execute(
+        f"""
+        WITH t AS (
+          SELECT i, (i*37 % 1000)/1000.0 AS mx, (i*53 % 1000)/1000.0 AS my
+          FROM unnest(generate_series(0, 499)) AS s(i)
+        )
+        SELECT i, {sql['hq']} AS hq, {sql['hr']} AS hr FROM t ORDER BY i
+        """
+    ).df()
+    mx = (np.arange(500) * 37 % 1000) / 1000.0
+    my = (np.arange(500) * 53 % 1000) / 1000.0
+    hq, hr = hex_cell_np(mx, my, 6)
+    assert np.array_equal(got.hq.to_numpy(), hq)
+    assert np.array_equal(got.hr.to_numpy(), hr)
+
+
+def test_size_halves_per_res():
+    assert hex_size(5) == hex_size(4) / 2
