@@ -1690,6 +1690,63 @@ def _q_hex_assign(spark: SparkSession, sf: str) -> DataFrame:
     return assigned.withColumn("hex_n", F.count("*").over(w)).orderBy("doc_id")
 
 
+def _hll_oracle_sql() -> str:
+    """DuckDB twin of _q_hll_distinct (p=12, wbits=36)."""
+    from open_vector_tile_spark.functions.sketch import _hll_alpha
+
+    p, wbits = 12, 36
+    m = 1 << p
+    k_shift = wbits + 1
+    alpha_num = _hll_alpha(m) * m * m * float(1 << k_shift)
+    return f"""
+        WITH h AS (
+          SELECT lang,
+                 CAST('0x' || substring(md5(CAST(doc_id % 997 AS VARCHAR)), 1, 12)
+                      AS BIGINT) AS hv
+          FROM documents
+        ), b AS (
+          SELECT lang, hv >> {wbits} AS j, hv % {1 << wbits} AS w FROM h
+        ), r AS (
+          SELECT lang, j,
+                 MAX(CASE WHEN w = 0 THEN {wbits + 1}
+                          ELSE {wbits + 1} - length(bin(w)) END) AS reg
+          FROM b GROUP BY lang, j
+        ), e AS (
+          SELECT lang, count(*) AS n_buckets,
+                 SUM(CAST(pow(2.0, {k_shift} - reg) AS BIGINT)) AS s_present
+          FROM r GROUP BY lang
+        ), s AS (
+          SELECT lang, n_buckets,
+                 CAST(({m} - n_buckets) * {1 << k_shift} + s_present
+                      AS BIGINT) AS harmonic_sum
+          FROM e
+        )
+        SELECT lang, n_buckets, harmonic_sum,
+               round(CASE WHEN ({m} - n_buckets) > 0
+                           AND {alpha_num!r} / CAST(harmonic_sum AS DOUBLE)
+                               <= {2.5 * m}
+                          THEN {float(m)!r} * ln({float(m)!r} /
+                               CAST({m} - n_buckets AS DOUBLE))
+                          ELSE {alpha_num!r} / CAST(harmonic_sum AS DOUBLE)
+                     END, 4) AS est_distinct
+        FROM s ORDER BY lang
+    """
+
+
+def _q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable HyperLogLog (functions/sketch.py): registers from the
+    md5-prefix hash (bucket = top bits, rho via length(bin(w)) — no libm),
+    integer harmonic sum (the exact oracle anchor), one float division at
+    the end.  Per-lang distinct estimate of doc_id%997 values; the DuckDB
+    twin reproduces every register and the sum bit-for-bit."""
+    from open_vector_tile_spark.functions.sketch import hll_distinct
+
+    docs = _load(spark, sf, "documents").select(
+        "lang", (F.col("doc_id") % 997).cast("string").alias("item")
+    )
+    return hll_distinct(docs, ["lang"], "item", p=12).orderBy("lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -1760,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_polygon_rect": _q_clip_polygon_rect,
         "simplify_collapse": _q_simplify_collapse,
         "hex_assign": _q_hex_assign,
+        "hll_distinct": _q_hll_distinct,
         "chunk_emit": _q_chunk_emit,
         "epoch_shuffle": _q_epoch_shuffle,
     }
@@ -3068,6 +3126,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id, k
         """,
         "hex_assign": _hex_assign_oracle_sql(),
+        "hll_distinct": _hll_oracle_sql(),
         # pq_topk: non-SQL-expressible (lossy product quantization) ->
         # rows-only driver check; correctness oracles in
         # tests/test_webtext_ops.py (codebook determinism, ADC

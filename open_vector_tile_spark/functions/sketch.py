@@ -115,6 +115,115 @@ def kmv_estimate(mins: DataFrame, group_cols: list[str], k: int) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog (portable registers, integer harmonic sum)
+# ---------------------------------------------------------------------------
+#
+# Same portability rule as KMV: Spark's approx_count_distinct HLL++ is
+# engine-private, so this is an HLL whose REGISTERS are reproducible in any
+# engine with md5():
+#
+#   h      = 48-bit md5-prefix hash            (kmv_hash)
+#   bucket = top p bits        = h DIV 2^(48-p)
+#   w      = low 48-p bits     = h  %  2^(48-p)
+#   rho    = leading zeros of w within 48-p bits, + 1
+#          = (48-p) - (length(bin(w)) - 1)     for w > 0   [bin: no libm!]
+#          = 48-p+1                            for w = 0
+#   register[bucket] = max(rho)
+#
+# The harmonic mean is kept in INTEGERS: with K = 49-p >= max rho,
+#   S = sum_j 2^(K - r_j)   (absent buckets contribute r_j = 0, i.e. 2^K)
+# fits int64 (m * 2^K <= 2^49), so S is bit-identical across engines; the
+# single float step is the final alpha*m^2*2^K / S division (IEEE-exact) and
+# the ln() in the standard small-range linear-counting correction (rounded
+# to 4 decimals in both engines).  Flajolet et al. 2007 + the bias rules of
+# Heule et al. 2013 (small-range only; 48-bit hashes make the large-range
+# correction unnecessary below ~10^13 distincts).
+
+HLL_BITS = KMV_BITS  # registers derive from the same 48-bit portable hash
+
+
+def _hll_alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], item_col: str, p: int = 12
+) -> DataFrame:
+    """Per-group HLL register table ``(*group_cols, _j, _r)`` — at most
+    2^p rows per group (bounded state), one partial-agg shuffle.  Mergeable
+    with :func:`hll_merge` (register-wise max)."""
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be in [4, 14], got {p}")
+    wbits = HLL_BITS - p
+    h = kmv_hash(F.col(item_col))
+    src = df.where(F.col(item_col).isNotNull()).select(
+        *group_cols,
+        F.shiftright(h, wbits).alias("_j"),
+        (h % F.lit(1 << wbits)).alias("_w"),
+    )
+    rho = F.when(
+        F.col("_w") == 0, F.lit(wbits + 1)
+    ).otherwise(F.lit(wbits + 1) - F.length(F.bin(F.col("_w"))))
+    return (
+        src.withColumn("_r", rho.cast("int"))
+        .groupBy(*group_cols, "_j")
+        .agg(F.max("_r").alias("_r"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: list[str], p: int = 12
+) -> DataFrame:
+    """Estimator over a register table: -> ``(*group_cols, n_buckets,
+    harmonic_sum, est_distinct)``.  ``harmonic_sum`` is the exact int64
+    S above — the oracle anchor; ``est_distinct`` rounds to 4 decimals."""
+    m = 1 << p
+    k_shift = HLL_BITS - p + 1  # K = 49-p >= max rho
+    alpha_num = _hll_alpha(m) * m * m * float(1 << k_shift)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count("_j").alias("n_buckets"),
+        F.sum(F.expr(f"CAST(pow(2.0, {k_shift} - _r) AS LONG)")).alias("_s_present"),
+    )
+    s = (
+        (F.lit(m).cast("long") - F.col("n_buckets")) * F.lit(1 << k_shift)
+        + F.col("_s_present")
+    ).alias("harmonic_sum")
+    est_raw = F.lit(alpha_num) / F.col("harmonic_sum").cast("double")
+    v = F.lit(m) - F.col("n_buckets")  # zero registers
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.when((v > 0) & (est_raw <= F.lit(2.5 * m)), lc).otherwise(est_raw)
+    return agg.select(*group_cols, "n_buckets", s).select(
+        *group_cols,
+        "n_buckets",
+        "harmonic_sum",
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], item_col: str, p: int = 12
+) -> DataFrame:
+    """Per-group portable-HLL distinct estimate (~1.04/sqrt(2^p) relative
+    error).  Register build + estimate; both halves reproducible verbatim
+    in DuckDB (driver oracle `hll_distinct`)."""
+    return hll_estimate(hll_registers(df, group_cols, item_col, p=p), group_cols, p=p)
+
+
+def hll_merge(
+    regs_a: DataFrame, regs_b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Union two register tables by register-wise max — HLL's lossless
+    merge (the property that makes shard-level sketches a partial
+    aggregate).  Output is again a register table."""
+    both = regs_a.select(*group_cols, "_j", "_r").unionByName(
+        regs_b.select(*group_cols, "_j", "_r")
+    )
+    return both.groupBy(*group_cols, "_j").agg(F.max("_r").alias("_r"))
+
+
 def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
     """Merge two ``kmv_min_hashes`` sketch tables (union of hash sets,
     re-take the k smallest) — the multiset-union property that makes the

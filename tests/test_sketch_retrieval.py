@@ -147,3 +147,80 @@ def test_postings_shapes(spark):
     assert p[(0, "spark")] == 3 and p[(4, "customer")] == 3
     dl = {r["doc_id"]: r["dl"] for r in doclen.collect()}
     assert dl == {d: len(t.split()) for d, t in CORPUS}
+
+
+# ---------------------------------------------------------------------------
+# HLL (portable registers)
+# ---------------------------------------------------------------------------
+
+from open_vector_tile_spark.functions.sketch import (  # noqa: E402
+    HLL_BITS,
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _hll_ref_registers(values, p):
+    """Scalar reference: md5-prefix hash -> (bucket, rho) register max."""
+    wbits = HLL_BITS - p
+    regs = {}
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16)
+        j, w = h >> wbits, h % (1 << wbits)
+        rho = wbits + 1 if w == 0 else wbits + 1 - (len(bin(w)) - 2)
+        regs[j] = max(regs.get(j, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python_reference(spark):
+    vals = [f"item-{i*7919 % 3001}" for i in range(9000)]
+    sdf = spark.createDataFrame([(v,) for v in vals], "item string").withColumn(
+        "g", F.lit(1)
+    )
+    got = {
+        (r["_j"]): r["_r"]
+        for r in hll_registers(sdf, ["g"], "item", p=10).collect()
+    }
+    want = _hll_ref_registers(set(vals), 10)
+    assert got == want
+
+
+def test_hll_estimate_accuracy(spark):
+    n_true = 20000
+    sdf = (
+        spark.range(0, 3 * n_true)
+        .selectExpr(f"concat('v', id % {n_true}) AS item")
+        .withColumn("g", F.lit(1))
+    )
+    est = hll_distinct(sdf, ["g"], "item", p=12).collect()[0]["est_distinct"]
+    assert abs(est - n_true) / n_true < 0.05  # 1.04/sqrt(4096) ~ 1.6% std
+
+
+def test_hll_small_range_linear_counting(spark):
+    sdf = spark.range(0, 50).selectExpr("concat('x', id) AS item").withColumn(
+        "g", F.lit(1)
+    )
+    row = hll_distinct(sdf, ["g"], "item", p=12).collect()[0]
+    # far below 2.5m -> linear counting; with 50 distinct buckets ~ all hit
+    assert abs(row["est_distinct"] - 50) < 3
+
+
+def test_hll_merge_equals_whole(spark):
+    df = spark.range(0, 12000).selectExpr(
+        "concat('k', id % 5000) AS item", "CAST(id % 2 AS INT) AS shard"
+    ).withColumn("g", F.lit(1))
+    whole = hll_distinct(df, ["g"], "item", p=11).collect()[0]
+    ra = hll_registers(df.filter("shard = 0"), ["g"], "item", p=11)
+    rb = hll_registers(df.filter("shard = 1"), ["g"], "item", p=11)
+    merged = hll_estimate(hll_merge(ra, rb, ["g"]), ["g"], p=11).collect()[0]
+    assert merged["harmonic_sum"] == whole["harmonic_sum"]
+    assert merged["est_distinct"] == whole["est_distinct"]
+    assert merged["n_buckets"] == whole["n_buckets"]
+
+
+def test_hll_p_bound(spark):
+    df = spark.range(3).selectExpr("CAST(id AS STRING) AS item")
+    with pytest.raises(ValueError):
+        hll_registers(df, [], "item", p=15)
