@@ -1747,6 +1747,35 @@ def _q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return hll_distinct(docs, ["lang"], "item", p=12).orderBy("lang")
 
 
+def _q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval overlap join (operators/events.py interval_join): chunked
+    co-location — both sides explode into fixed-width chunks and equi-join
+    on chunk id (one hash shuffle per side, no nested loop), each pair
+    emitted once from the chunk holding greatest(starts).  The DuckDB twin
+    is a plain range-predicate join, independently validating the chunk
+    dedup."""
+    from open_vector_tile_spark.operators.events import interval_join
+
+    ev = _load(spark, sf, "events").select(
+        "event_id",
+        ((F.col("event_id") * 10) % 5000).alias("start"),
+        ((F.col("event_id") * 10) % 5000 + F.col("event_id") % 50).alias("end"),
+    )
+    nat = _load(spark, sf, "nation").select(
+        "n_nationkey",
+        ((F.col("n_nationkey") * 97) % 5000).alias("start"),
+        (
+            (F.col("n_nationkey") * 97) % 5000
+            + F.col("n_nationkey") % 97
+            + 20
+        ).alias("end"),
+    )
+    out = interval_join(ev, nat, chunk=64)
+    return out.select(
+        "event_id", "n_nationkey_r", "start", "end", "start_r", "end_r"
+    ).orderBy("event_id", "n_nationkey_r")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -1818,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_collapse": _q_simplify_collapse,
         "hex_assign": _q_hex_assign,
         "hll_distinct": _q_hll_distinct,
+        "interval_join": _q_interval_join,
         "chunk_emit": _q_chunk_emit,
         "epoch_shuffle": _q_epoch_shuffle,
     }
@@ -3127,6 +3157,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hex_assign": _hex_assign_oracle_sql(),
         "hll_distinct": _hll_oracle_sql(),
+        "interval_join": """
+            WITH ev AS (
+              SELECT event_id,
+                     (event_id * 10) % 5000 AS s,
+                     (event_id * 10) % 5000 + event_id % 50 AS e
+              FROM events
+            ), nat AS (
+              SELECT n_nationkey,
+                     (n_nationkey * 97) % 5000 AS s,
+                     (n_nationkey * 97) % 5000 + n_nationkey % 97 + 20 AS e
+              FROM nation
+            )
+            SELECT ev.event_id,
+                   CAST(nat.n_nationkey AS BIGINT) AS n_nationkey_r,
+                   ev.s AS start, ev.e AS "end",
+                   CAST(nat.s AS BIGINT) AS start_r,
+                   CAST(nat.e AS BIGINT) AS end_r
+            FROM ev JOIN nat ON ev.s <= nat.e AND nat.s <= ev.e
+            ORDER BY event_id, n_nationkey_r
+        """,
         # pq_topk: non-SQL-expressible (lossy product quantization) ->
         # rows-only driver check; correctness oracles in
         # tests/test_webtext_ops.py (codebook determinism, ADC

@@ -124,6 +124,66 @@ def asof_join(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    chunk: int,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    suffix: str = "_r",
+) -> DataFrame:
+    """All (left, right) pairs whose CLOSED intervals overlap
+    (``l.start <= r.end AND r.start <= l.end``) — the temporal/range join
+    Spark has no native operator for (a bare inequality join degenerates to
+    a broadcast-nested-loop or cartesian plan).
+
+    Scale shape: both sides explode into fixed-width time chunks
+    (``floor(bound/chunk)``) and equi-join on the chunk id — ONE hash
+    shuffle per side, partition-parallel, no nested loop.  A pair that
+    shares several chunks is emitted exactly once: only the chunk
+    containing ``greatest(l.start, r.start)`` keeps it (the standard
+    dedup-by-canonical-chunk trick, cheaper than a distinct).  Pick
+    ``chunk`` near the median interval length: the per-row expansion is
+    ``len/chunk + 1`` rows, and the chunk-id key spreads uniformly, so
+    skew stays bounded even when intervals cluster.  Right columns come
+    back ``suffix``-renamed.  Bounds are numeric (cast timestamps to epoch
+    units first)."""
+    lcols = left.columns
+    r_renamed = right.select(
+        *[F.col(c).alias(f"{c}{suffix}") for c in right.columns]
+    )
+    rs, re = f"{right_start}{suffix}", f"{right_end}{suffix}"
+    l_ex = left.withColumn(
+        "_chunk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_start) / chunk).cast("long"),
+                F.floor(F.col(left_end) / chunk).cast("long"),
+            )
+        ),
+    )
+    r_ex = r_renamed.withColumn(
+        "_chunk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(rs) / chunk).cast("long"),
+                F.floor(F.col(re) / chunk).cast("long"),
+            )
+        ),
+    )
+    joined = l_ex.join(r_ex, on="_chunk", how="inner").where(
+        (F.col(left_start) <= F.col(re))
+        & (F.col(rs) <= F.col(left_end))
+        & (
+            F.floor(F.greatest(F.col(left_start), F.col(rs)) / chunk).cast("long")
+            == F.col("_chunk")
+        )
+    )
+    return joined.select(*lcols, *[f"{c}{suffix}" for c in right.columns])
+
+
 def sessionize(
     events: DataFrame,
     key: Sequence[str] = ("user_id",),

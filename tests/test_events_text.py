@@ -241,3 +241,62 @@ def test_asof_join_all_null_right_payload_still_matches(spark):
     out = asof_join(left, right, on=["k"], right_cols=["a", "b"]).collect()
     assert len(out) == 1
     assert out[0]["ts_r"] == 20 and out[0]["a_r"] is None and out[0]["b_r"] is None
+
+
+# ---------------------------------------------------------------------------
+# interval_join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_matches_bruteforce(spark):
+    import numpy as np
+    import pandas as pd
+    from open_vector_tile_spark.operators.events import interval_join
+
+    rng = np.random.default_rng(17)
+    lo = rng.integers(-500, 500, size=200)
+    l_pdf = pd.DataFrame({"lid": range(200), "start": lo, "end": lo + rng.integers(0, 120, size=200)})
+    ro = rng.integers(-500, 500, size=150)
+    r_pdf = pd.DataFrame({"rid": range(150), "start": ro, "end": ro + rng.integers(0, 90, size=150)})
+    out = interval_join(
+        spark.createDataFrame(l_pdf), spark.createDataFrame(r_pdf), chunk=64
+    ).toPandas()
+    got = set(zip(out.lid, out.rid_r))
+    want = {
+        (lrow.lid, rrow.rid)
+        for lrow in l_pdf.itertuples()
+        for rrow in r_pdf.itertuples()
+        if lrow.start <= rrow.end and rrow.start <= lrow.end
+    }
+    assert got == want
+    assert len(out) == len(want)  # each pair exactly once (chunk dedup)
+
+
+def test_interval_join_closed_boundary(spark):
+    import pandas as pd
+    from open_vector_tile_spark.operators.events import interval_join
+
+    l_pdf = pd.DataFrame({"lid": [1], "start": [0], "end": [10]})
+    r_pdf = pd.DataFrame(
+        {"rid": [1, 2, 3], "start": [10, 11, -5], "end": [20, 20, 0]}
+    )
+    out = interval_join(
+        spark.createDataFrame(l_pdf), spark.createDataFrame(r_pdf), chunk=8
+    ).toPandas()
+    # touching endpoints included (closed), rid=2 excluded
+    assert sorted(out.rid_r) == [1, 3]
+
+
+def test_interval_join_single_shuffle_per_side(spark):
+    import pandas as pd
+    from open_vector_tile_spark.operators.events import interval_join
+
+    l_pdf = pd.DataFrame({"lid": range(50), "start": range(50), "end": [s + 5 for s in range(50)]})
+    out = interval_join(
+        spark.createDataFrame(l_pdf),
+        spark.createDataFrame(l_pdf.rename(columns={"lid": "rid"})),
+        chunk=16,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(_chunk") <= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
