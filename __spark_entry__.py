@@ -1776,6 +1776,28 @@ def _q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_id", "n_nationkey_r")
 
 
+def _q_marching_squares(spark: SparkSession, sf: str) -> DataFrame:
+    """Raster→vector (operators/vectorize.py): per-tile marching-squares
+    class histogram — each above-threshold pixel contributes its bit to
+    the 4 touching cells (one explode + one partial-agg shuffle, no UDF),
+    n_segments per class from the fixed lookup.  The geometry half
+    (contours_np ring chaining) is pytest-pinned to this histogram by the
+    exact Green's-theorem area invariant; the DuckDB twin reproduces the
+    histogram relationally."""
+    from open_vector_tile_spark.operators.vectorize import class_histogram
+
+    docs = _load(spark, sf, "documents").where(F.col("doc_id") % 3 == 0)
+    cells = docs.select(
+        F.lit(3).alias("zoom"),
+        (F.col("doc_id") % 4).cast("long").alias("tile_x"),
+        F.lit(0).cast("long").alias("tile_y"),
+        ((F.col("doc_id") * 7) % 8).cast("int").alias("px"),
+        ((F.col("doc_id") * 11) % 8).cast("int").alias("py"),
+        F.lit(1.0).alias("mean_value"),
+    ).distinct()
+    return class_histogram(cells, 8, 0.5).orderBy("tile_x", "cls")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -1848,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_assign": _q_hex_assign,
         "hll_distinct": _q_hll_distinct,
         "interval_join": _q_interval_join,
+        "marching_squares": _q_marching_squares,
         "chunk_emit": _q_chunk_emit,
         "epoch_shuffle": _q_epoch_shuffle,
     }
@@ -3157,6 +3180,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hex_assign": _hex_assign_oracle_sql(),
         "hll_distinct": _hll_oracle_sql(),
+        "marching_squares": """
+            WITH on_px AS (
+              SELECT DISTINCT doc_id % 4 AS tile_x,
+                     (doc_id * 7) % 8 AS px, (doc_id * 11) % 8 AS py
+              FROM documents WHERE doc_id % 3 = 0
+            ), contrib AS (
+              SELECT tile_x, px + 1 AS cx, py + 1 AS cy, 1 AS bit FROM on_px
+              UNION ALL SELECT tile_x, px, py + 1, 2 FROM on_px
+              UNION ALL SELECT tile_x, px, py, 4 FROM on_px
+              UNION ALL SELECT tile_x, px + 1, py, 8 FROM on_px
+            ), cls AS (
+              SELECT tile_x, cx, cy, CAST(SUM(bit) AS BIGINT) AS cls
+              FROM contrib GROUP BY 1, 2, 3
+            ), hist AS (
+              SELECT tile_x, cls, count(*) AS n_cells FROM cls GROUP BY 1, 2
+            )
+            SELECT CAST(3 AS INT) AS zoom, tile_x, CAST(0 AS BIGINT) AS tile_y,
+                   cls, n_cells,
+                   CAST(CASE WHEN cls IN (5, 10) THEN 2
+                             WHEN cls = 15 THEN 0
+                             ELSE 1 END * n_cells AS BIGINT) AS n_segments
+            FROM hist ORDER BY tile_x, cls
+        """,
         "interval_join": """
             WITH ev AS (
               SELECT event_id,
