@@ -1798,6 +1798,17 @@ def _q_marching_squares(spark: SparkSession, sf: str) -> DataFrame:
     return class_histogram(cells, 8, 0.5).orderBy("tile_x", "cls")
 
 
+def _q_tfidf_vectors(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick TF-IDF (operators/retrieval.py tfidf_hashed): the
+    deterministic text→vector bridge into the ANN stack.  md5-prefix
+    bucketing + smooth idf + sorted-fold L2 norm — every weight
+    reproduces bit-for-bit in the DuckDB twin (rounded to 6)."""
+    from open_vector_tile_spark.operators.retrieval import tfidf_hashed
+
+    docs = _load(spark, sf, "documents")
+    return tfidf_hashed(docs, dim=64).orderBy("doc_id", "bucket")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -1871,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "interval_join": _q_interval_join,
         "marching_squares": _q_marching_squares,
+        "tfidf_vectors": _q_tfidf_vectors,
         "chunk_emit": _q_chunk_emit,
         "epoch_shuffle": _q_epoch_shuffle,
     }
@@ -3180,6 +3192,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hex_assign": _hex_assign_oracle_sql(),
         "hll_distinct": _hll_oracle_sql(),
+        "tfidf_vectors": r"""
+            WITH tok AS (
+              SELECT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+                FROM documents
+              ) WHERE term <> ''
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+            ), tfb AS (
+              SELECT doc_id,
+                     CAST('0x' || substring(md5(term), 1, 12) AS BIGINT) % 64
+                       AS bucket,
+                     CAST(SUM(tf) AS BIGINT) AS tf
+              FROM tf GROUP BY 1, 2
+            ), dfb AS (
+              SELECT bucket, count(*) AS df_b FROM tfb GROUP BY 1
+            ), st AS (
+              SELECT count(DISTINCT doc_id) AS n_docs FROM tfb
+            ), w AS (
+              SELECT doc_id, bucket,
+                     tf * (ln((n_docs + 1.0) / (df_b + 1.0)) + 1.0) AS w
+              FROM tfb JOIN dfb USING (bucket) CROSS JOIN st
+            ), norms AS (
+              SELECT doc_id, sqrt(sum(w * w ORDER BY w * w)) AS nrm
+              FROM w GROUP BY 1
+            )
+            SELECT doc_id, bucket, round(w / nrm, 6) AS weight
+            FROM w JOIN norms USING (doc_id)
+            ORDER BY doc_id, bucket
+        """,
         "marching_squares": """
             WITH on_px AS (
               SELECT DISTINCT doc_id % 4 AS tile_x,

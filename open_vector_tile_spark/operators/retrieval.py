@@ -75,6 +75,74 @@ def build_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return postings, doclen
 
 
+def tfidf_hashed(
+    docs: DataFrame,
+    dim: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Hashing-trick TF-IDF document vectors as SPARSE rows
+    ``(id, bucket, weight)`` — the deterministic text→vector bridge between
+    the corpus ops and the ANN stack (feed the L2-normalized buckets to
+    cosine_topk / LSH / IVF and dot product == cosine).
+
+    Tokens hash into ``dim`` buckets via the portable md5-prefix hash (same
+    48-bit family as the sketches — any engine reproduces the bucketing
+    bit-for-bit, which is what lets the driver oracle `tfidf_vectors`
+    hash-match DuckDB).  Weight = tf · (ln((N+1)/(df+1)) + 1) (smooth idf,
+    the scikit-learn formulation), L2-normalized per doc with the sorted
+    fold for cross-engine float determinism (see module docstring).
+
+    Plan shape: postings partial-agg shuffle (shared with BM25 via
+    ``index=build_postings(...)``), bucket rollup, ≤dim-row document
+    frequencies broadcast back, one groupBy(id) for the norm — nothing
+    scales with vocabulary size downstream of the hash."""
+    postings, doclen = index if index is not None else build_postings(
+        docs, id_col, text_col
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("term")), 1, 12), 16, 10).cast("long"),
+        F.lit(int(dim)),
+    )
+    tfb = (
+        postings.withColumn("bucket", bucket)
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    tfb = tfb.localCheckpoint(eager=False)  # feeds dfb + weights + norms
+    dfb = tfb.groupBy("bucket").agg(F.count(F.lit(1)).alias("df_b"))
+    stats = doclen.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tfb.join(F.broadcast(dfb), "bucket")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_w",
+            F.col("tf")
+            * (
+                F.log(
+                    (F.col("n_docs") + F.lit(1.0)) / (F.col("df_b") + F.lit(1.0))
+                )
+                + F.lit(1.0)
+            ),
+        )
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.col("_w") * F.col("_w"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("_nrm")
+    )
+    return w.join(norms, id_col).select(
+        id_col,
+        "bucket",
+        F.round(F.col("_w") / F.col("_nrm"), 6).alias("weight"),
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

@@ -224,3 +224,86 @@ def test_hll_p_bound(spark):
     df = spark.range(3).selectExpr("CAST(id AS STRING) AS item")
     with pytest.raises(ValueError):
         hll_registers(df, [], "item", p=15)
+
+
+# ---------------------------------------------------------------------------
+# hashed TF-IDF
+# ---------------------------------------------------------------------------
+
+from open_vector_tile_spark.operators.retrieval import tfidf_hashed  # noqa: E402
+
+
+def _tfidf_ref(texts, dim):
+    """Scalar reference: md5-bucket hashing trick, smooth idf, L2 norm."""
+    tok = {i: [t for t in txt.lower().strip().split() if t] for i, txt in texts.items()}
+    tok = {i: ts for i, ts in tok.items() if ts}
+    n = len(tok)
+    tfb = {}
+    for i, ts in tok.items():
+        for t in ts:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % dim
+            tfb[(i, b)] = tfb.get((i, b), 0) + 1
+    dfb = {}
+    for (_i, b) in tfb:
+        dfb[b] = dfb.get(b, 0) + 1
+    w = {k: tf * (math.log((n + 1) / (dfb[k[1]] + 1)) + 1) for k, tf in tfb.items()}
+    out = {}
+    for i in tok:
+        nrm = math.sqrt(sum(v * v for k, v in w.items() if k[0] == i))
+        for (di, b), v in w.items():
+            if di == i:
+                out[(i, b)] = round(v / nrm, 6)
+    return out
+
+
+def test_tfidf_matches_python_reference(spark):
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the log",
+        3: "vectors are hashed into buckets buckets buckets",
+        4: "   ",
+        5: "cat dog",
+    }
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in tfidf_hashed(sdf, dim=32).collect()
+    }
+    want = _tfidf_ref(texts, 32)
+    assert got == pytest.approx(want)
+    assert not any(d == 4 for d, _ in got)  # blank doc yields no vector
+
+
+def test_tfidf_unit_norm(spark):
+    sdf = spark.range(0, 40).selectExpr(
+        "id AS doc_id",
+        "concat('alpha beta w', CAST(id % 7 AS STRING), ' gamma w', CAST(id % 11 AS STRING)) AS text",
+    )
+    out = tfidf_hashed(sdf, dim=64).toPandas()
+    norms = out.groupby("doc_id").weight.apply(lambda s: (s**2).sum())
+    assert ((norms - 1.0).abs() < 1e-4).all()
+
+
+def test_tfidf_feeds_cosine_topk(spark):
+    """The sparse output densifies into the ANN stack: most-similar doc by
+    TF-IDF cosine is the one sharing rarer tokens."""
+    sdf = spark.createDataFrame(
+        [
+            (1, "spark streaming shuffle"),
+            (2, "spark streaming shuffle"),
+            (3, "completely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    sparse = tfidf_hashed(sdf, dim=64).toPandas()
+    import numpy as np
+
+    dense = {}
+    for d, grp in sparse.groupby("doc_id"):
+        v = np.zeros(64)
+        v[grp.bucket.to_numpy()] = grp.weight.to_numpy()
+        dense[d] = v
+    assert dense[1] @ dense[2] > 0.999
+    assert dense[1] @ dense[3] < 0.1
