@@ -1809,6 +1809,27 @@ def _q_tfidf_vectors(spark: SparkSession, sf: str) -> DataFrame:
     return tfidf_hashed(docs, dim=64).orderBy("doc_id", "bucket")
 
 
+def _q_bloom_prune_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-pruned join (functions/bloom.py): the fact side is prefiltered
+    by a broadcast m-bit filter of the dimension keys (portable md5-slice
+    probes, built as one bit_or aggregation, probed with pure bit
+    arithmetic) before the exact join.  False positives die in the join,
+    false negatives are impossible — so the DuckDB twin is simply the
+    PLAIN join, which is exactly the correctness contract."""
+    from open_vector_tile_spark.functions.bloom import bloom_prune_join
+
+    docs = _load(spark, sf, "documents").select(
+        "doc_id", F.concat(F.lit("h"), (F.col("doc_id") % 577).cast("string")).alias("key")
+    )
+    sup = _load(spark, sf, "supplier").select(
+        "s_suppkey",
+        F.concat(F.lit("h"), ((F.col("s_suppkey") * 3) % 997).cast("string")).alias("key"),
+    )
+    return bloom_prune_join(docs, sup, "key", m_bits=1 << 14, k=3).select(
+        "key", "doc_id", "s_suppkey"
+    ).orderBy("doc_id", "s_suppkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -1883,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _q_interval_join,
         "marching_squares": _q_marching_squares,
         "tfidf_vectors": _q_tfidf_vectors,
+        "bloom_prune_join": _q_bloom_prune_join,
         "chunk_emit": _q_chunk_emit,
         "epoch_shuffle": _q_epoch_shuffle,
     }
@@ -3192,6 +3214,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hex_assign": _hex_assign_oracle_sql(),
         "hll_distinct": _hll_oracle_sql(),
+        "bloom_prune_join": """
+            SELECT 'h' || CAST(d.doc_id % 577 AS VARCHAR) AS key,
+                   d.doc_id, s.s_suppkey
+            FROM documents d
+            JOIN supplier s
+              ON 'h' || CAST(d.doc_id % 577 AS VARCHAR)
+               = 'h' || CAST((s.s_suppkey * 3) % 997 AS VARCHAR)
+            ORDER BY d.doc_id, s.s_suppkey
+        """,
         "tfidf_vectors": r"""
             WITH tok AS (
               SELECT doc_id, term FROM (
