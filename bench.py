@@ -160,6 +160,32 @@ def build_queries(spark, sf_dir):
         def q_epoch_shuffle():
             return entry._q_epoch_shuffle(spark, sf_dir).agg(F.sum("epoch_rank"))
 
+        # round-3 session-3 additions: clipping, hex index, HLL, interval
+        # join, TF-IDF, bloom pruning, collapse, marching squares
+        def q_clip_lines():
+            return entry._q_clip_lines(spark, sf_dir).agg(F.sum("cx1"))
+
+        def q_hex_assign():
+            return entry._q_hex_assign(spark, sf_dir).agg(F.sum("hq"))
+
+        def q_hll_distinct():
+            return entry._q_hll_distinct(spark, sf_dir).agg(F.sum("harmonic_sum"))
+
+        def q_interval_join():
+            return entry._q_interval_join(spark, sf_dir).agg(F.count("*"))
+
+        def q_tfidf_vectors():
+            return entry._q_tfidf_vectors(spark, sf_dir).agg(F.sum("weight"))
+
+        def q_bloom_prune_join():
+            return entry._q_bloom_prune_join(spark, sf_dir).agg(F.count("*"))
+
+        def q_simplify_collapse():
+            return entry._q_simplify_collapse(spark, sf_dir).agg(F.count("*"))
+
+        def q_marching_squares():
+            return entry._q_marching_squares(spark, sf_dir).agg(F.sum("n_segments"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -186,6 +212,14 @@ def build_queries(spark, sf_dir):
             zorder_layout=q_zorder_layout,
             chunk_emit=q_chunk_emit,
             epoch_shuffle=q_epoch_shuffle,
+            clip_lines=q_clip_lines,
+            hex_assign=q_hex_assign,
+            hll_distinct=q_hll_distinct,
+            interval_join=q_interval_join,
+            tfidf_vectors=q_tfidf_vectors,
+            bloom_prune_join=q_bloom_prune_join,
+            simplify_collapse=q_simplify_collapse,
+            marching_squares=q_marching_squares,
         )
     return out
 
