@@ -1830,6 +1830,106 @@ def _q_bloom_prune_join(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id", "s_suppkey")
 
 
+def _clip_pyramid_oracle_sql() -> str:
+    """DuckDB twin of _q_clip_pyramid: the Liang–Barsky closed form +
+    featurizer quantization, one block per zoom level, UNION ALL."""
+    bu = "0.00390625"  # 16 / 4096, exact binary
+
+    def block(zoom: int) -> str:
+        n = 1 << zoom
+        return f"""
+            SELECT doc_id, {zoom} AS zoom, tile_x, tile_y,
+                   CAST(floor((x1 + t0*dx - tile_x)*4096.0 + 0.5) AS INT) AS x1q,
+                   CAST(floor((y1 + t0*dy - tile_y)*4096.0 + 0.5) AS INT) AS y1q,
+                   CAST(floor((x1 + t1*dx - tile_x)*4096.0 + 0.5) AS INT) AS x2q,
+                   CAST(floor((y1 + t1*dy - tile_y)*4096.0 + 0.5) AS INT) AS y2q
+            FROM (
+              SELECT *, GREATEST(0.0, ent_x, ent_y) AS t0,
+                        LEAST(1.0, ext_x, ext_y) AS t1
+              FROM (
+                SELECT *,
+                  CASE WHEN dx=0 THEN CASE WHEN x1 >= xmn AND x1 <= xmx
+                                           THEN -1e300 ELSE 1e300 END
+                       ELSE LEAST((xmn-x1)/dx, (xmx-x1)/dx) END AS ent_x,
+                  CASE WHEN dx=0 THEN CASE WHEN x1 >= xmn AND x1 <= xmx
+                                           THEN 1e300 ELSE -1e300 END
+                       ELSE GREATEST((xmn-x1)/dx, (xmx-x1)/dx) END AS ext_x,
+                  CASE WHEN dy=0 THEN CASE WHEN y1 >= ymn AND y1 <= ymx
+                                           THEN -1e300 ELSE 1e300 END
+                       ELSE LEAST((ymn-y1)/dy, (ymx-y1)/dy) END AS ent_y,
+                  CASE WHEN dy=0 THEN CASE WHEN y1 >= ymn AND y1 <= ymx
+                                           THEN 1e300 ELSE -1e300 END
+                       ELSE GREATEST((ymn-y1)/dy, (ymx-y1)/dy) END AS ext_y
+                FROM (
+                  SELECT doc_id, tile_x, tile_y, x1, y1, x2-x1 AS dx, y2-y1 AS dy,
+                         tile_x - {bu} AS xmn, tile_y - {bu} AS ymn,
+                         tile_x + 1 + {bu} AS xmx, tile_y + 1 + {bu} AS ymx
+                  FROM (
+                    SELECT *, unnest(generate_series(ty0, ty1)) AS tile_y
+                    FROM (
+                      SELECT *, unnest(generate_series(tx0, tx1)) AS tile_x
+                      FROM (
+                        SELECT *,
+                          GREATEST(0, LEAST({n - 1}, CAST(floor(LEAST(x1,x2)) AS BIGINT))) AS tx0,
+                          GREATEST(0, LEAST({n - 1}, CAST(floor(GREATEST(x1,x2)) AS BIGINT))) AS tx1,
+                          GREATEST(0, LEAST({n - 1}, CAST(floor(LEAST(y1,y2)) AS BIGINT))) AS ty0,
+                          GREATEST(0, LEAST({n - 1}, CAST(floor(GREATEST(y1,y2)) AS BIGINT))) AS ty1
+                        FROM (
+                          SELECT doc_id,
+                                 (({_SQL_LON_DOC}+180.0)/360.0)*{n} AS x1,
+                                 {_sql_merc_y(_SQL_LAT_DOC)}*{n} AS y1,
+                                 ((((CAST(doc_id*91 AS DOUBLE) % 3600)/10.0 - 180.0)+180.0)/360.0)*{n} AS x2,
+                                 {_sql_merc_y("((CAST(doc_id*29 AS DOUBLE) % 1600)/10.0 - 80.0)")}*{n} AS y2
+                          FROM documents
+                        )
+                      )
+                    )
+                  )
+                )
+              )
+            ) WHERE t0 <= t1
+        """
+
+    return (
+        block(2) + " UNION ALL " + block(3)
+        + " ORDER BY doc_id, zoom, tile_x, tile_y"
+    )
+
+
+def _q_clip_pyramid(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-zoom clipped line ingest through the REAL pyramid featurizer
+    (tiler.lines_to_features_pyramid_dist: one scan, mercator projected
+    once, per-zoom Liang–Barsky clip inside the Arrow kernel).  Every
+    quantized endpoint at both zooms is recomputed closed-form by the
+    DuckDB twin — numpy kernel vs SQL arithmetic, bit-for-bit."""
+    from open_vector_tile_spark.operators.tiler import (
+        lines_to_features_pyramid_dist,
+    )
+
+    docs = _load(spark, sf, "documents")
+    lon1 = ((F.col("doc_id") * 37) % 3600) / 10.0 - 180.0
+    lat1 = ((F.col("doc_id") * 53) % 1600) / 10.0 - 80.0
+    lon2 = ((F.col("doc_id") * 91) % 3600) / 10.0 - 180.0
+    lat2 = ((F.col("doc_id") * 29) % 1600) / 10.0 - 80.0
+    lines = docs.select(
+        F.col("doc_id").alias("line_id"),
+        F.array(lon1, lat1, lon2, lat2).alias("xy"),
+    )
+    feats = lines_to_features_pyramid_dist(
+        lines, [2, 3], layer="seg", extent=4096, props_cols=[], clip_buffer=16
+    )
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        "zoom",
+        "tile_x",
+        "tile_y",
+        F.element_at("geom_xy", 1).alias("x1q"),
+        F.element_at("geom_xy", 2).alias("y1q"),
+        F.element_at("geom_xy", 3).alias("x2q"),
+        F.element_at("geom_xy", 4).alias("y2q"),
+    ).orderBy("doc_id", "zoom", "tile_x", "tile_y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -1905,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "marching_squares": _q_marching_squares,
         "tfidf_vectors": _q_tfidf_vectors,
         "bloom_prune_join": _q_bloom_prune_join,
+        "clip_pyramid": _q_clip_pyramid,
         "chunk_emit": _q_chunk_emit,
         "epoch_shuffle": _q_epoch_shuffle,
     }
@@ -3214,6 +3315,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hex_assign": _hex_assign_oracle_sql(),
         "hll_distinct": _hll_oracle_sql(),
+        "clip_pyramid": _clip_pyramid_oracle_sql(),
         "bloom_prune_join": """
             SELECT 'h' || CAST(d.doc_id % 577 AS VARCHAR) AS key,
                    d.doc_id, s.s_suppkey

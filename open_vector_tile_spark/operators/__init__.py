@@ -48,6 +48,7 @@ from .tiler import (  # noqa: F401
     lines3d_to_features,
     lines_to_features,
     lines_to_features_dist,
+    lines_to_features_pyramid_dist,
     points3d_to_features,
     points_to_features,
     points_to_features_pyramid,
@@ -55,5 +56,6 @@ from .tiler import (  # noqa: F401
     points_to_features_columnar,
     polygons_to_features,
     polygons_to_features_dist,
+    polygons_to_features_pyramid_dist,
     s2json_tiles_to_ovt,
 )

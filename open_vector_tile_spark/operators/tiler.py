@@ -987,12 +987,64 @@ def lines_to_features_dist(
     shape that matters at planet scale.  Per-vertex M-values cannot be
     carried through a clip (vertices change), so combining
     ``mvals_json_col`` with ``clip_buffer`` raises."""
+    return _lines_dist_impl(
+        lines, [zoom], layer, extent, id_col, xy_col, offset_col,
+        mvals_json_col, props_cols, dims, z_scale, clip_buffer, simplify_px,
+    )
+
+
+def lines_to_features_pyramid_dist(
+    lines: DataFrame,
+    zooms: Iterable[int],
+    layer: str,
+    extent: int = 4096,
+    id_col: str = "line_id",
+    xy_col: str = "xy",
+    offset_col: str = "offset",
+    mvals_json_col: Optional[str] = None,
+    props_cols: Optional[Iterable[str]] = None,
+    dims: int = 2,
+    z_scale: float = 1.0,
+    clip_buffer: Optional[int] = None,
+    simplify_px: Optional[float] = None,
+) -> DataFrame:
+    """Whole zoom pyramid of :func:`lines_to_features_dist` in ONE source
+    scan: the Arrow kernel loops the zoom levels over each batch's already-
+    parsed geometry (mercator projection computed once, scaled per zoom),
+    so N levels cost one scan + one downstream shuffle instead of N of
+    each — the same single-pass shape as ``points_to_features_pyramid``.
+    ``clip_buffer``/``simplify_px`` apply per (zoom, tile): the clip window
+    and the Douglas–Peucker tolerance both scale with the zoom's tile
+    size, which is exactly the per-zoom thinning a pyramid needs.  Row-for-
+    row identical to unioning per-zoom ``lines_to_features_dist`` calls
+    (test-pinned)."""
+    return _lines_dist_impl(
+        lines, list(zooms), layer, extent, id_col, xy_col, offset_col,
+        mvals_json_col, props_cols, dims, z_scale, clip_buffer, simplify_px,
+    )
+
+
+def _lines_dist_impl(
+    lines: DataFrame,
+    zooms: list,
+    layer: str,
+    extent: int,
+    id_col: str,
+    xy_col: str,
+    offset_col: str,
+    mvals_json_col: Optional[str],
+    props_cols: Optional[Iterable[str]],
+    dims: int,
+    z_scale: float,
+    clip_buffer: Optional[int],
+    simplify_px: Optional[float],
+) -> DataFrame:
     if dims not in (2, 3):
         raise ValueError(f"dims must be 2|3, got {dims}")
     if clip_buffer is not None and mvals_json_col:
         raise ValueError("per-vertex M-values cannot be clipped; drop mvals_json_col")
     ftype = 2 if dims == 2 else 5
-    n = float(1 << zoom)
+    zooms = [int(z) for z in zooms]
     has_off = offset_col in lines.columns
     pj = _props_json_col(
         lines, props_cols, (id_col, xy_col, offset_col, mvals_json_col or "")
@@ -1016,8 +1068,9 @@ def lines_to_features_dist(
             flat = np.concatenate(arrs) if arrs else np.zeros((0, dims))
             from ..functions.geo import merc_x_np, merc_y_np
 
-            mxn = merc_x_np(flat[:, 0]) * n
-            myn = merc_y_np(flat[:, 1]) * n
+            # project ONCE; per-zoom coordinates are a scalar multiple
+            mx1 = merc_x_np(flat[:, 0])
+            my1 = merc_y_np(flat[:, 1])
             qzf = (
                 np.floor(flat[:, 2] * z_scale + 0.5).astype(np.int64)
                 if dims == 3
@@ -1026,8 +1079,8 @@ def lines_to_features_dist(
             starts = np.zeros(len(arrs), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
             out: dict = {k: [] for k in (
-                "tile_x", "tile_y", "id", "geom_xy", "ring_lens", "offsets",
-                "props_json", "mvals_json",
+                "zoom", "tile_x", "tile_y", "id", "geom_xy", "ring_lens",
+                "offsets", "props_json", "mvals_json",
             )}
             ids = pdf["_id"].to_numpy()
             offs = pdf["_off"].to_numpy()
@@ -1035,82 +1088,88 @@ def lines_to_features_dist(
             pjs = pdf["_pj"].tolist()
             bu = None if clip_buffer is None else clip_buffer / float(extent)
             tol = None if simplify_px is None else simplify_px / float(extent)
-            for i in range(len(arrs)):
-                s, ln = int(starts[i]), int(lens[i])
-                if ln == 0:
-                    continue
-                mx, my = mxn[s : s + ln], myn[s : s + ln]
-                off = float(offs[i])
-                if bu is None and tol is None:
-                    _emit_quantized(
-                        out, mx, my,
-                        qzf[s : s + ln] if dims == 3 else None,
-                        dims, extent, _tile_range(mx, my, zoom),
-                        {
-                            "id": int(ids[i]),
-                            "ring_lens": [ln],
-                            "offsets": [off] if off > 0 else None,
-                            "props_json": pjs[i],
-                            "mvals_json": mvs[i],
-                        },
-                    )
-                    continue
-                from .clip import clip_polyline_np
-                from .simplify import simplify_dp_np
-
-                cols = [mx, my] if dims == 2 else [mx, my, flat[s : s + ln, 2]]
-                geom = np.column_stack(cols)
-                if bu is None and tol is not None:
-                    # no clip: simplify once, shared by every covered tile
-                    geom = simplify_dp_np(geom, tol)
-                    if len(geom) < 2:
+            for zoom in zooms:
+                n = float(1 << zoom)
+                mxn = mx1 * n
+                myn = my1 * n
+                for i in range(len(arrs)):
+                    s, ln = int(starts[i]), int(lens[i])
+                    if ln == 0:
                         continue
-                tx0, tx1, ty0, ty1 = _tile_range(mx, my, zoom)
-                for ty in range(ty0, ty1 + 1):
-                    for tx in range(tx0, tx1 + 1):
-                        if bu is not None:
-                            parts, poffs = clip_polyline_np(
-                                geom, tx - bu, ty - bu, tx + 1 + bu, ty + 1 + bu,
-                                return_offsets=True,
-                            )
-                            if tol is not None:
-                                parts = [simplify_dp_np(p, tol) for p in parts]
-                        else:
-                            parts, poffs = [geom], [0.0]
-                        parts_offs = [
-                            (p, o) for p, o in zip(parts, poffs) if len(p) >= 2
-                        ]
-                        if not parts_offs:
-                            continue
-                        parts = [p for p, _ in parts_offs]
-                        poffs = [o for _, o in parts_offs]
-                        cat = np.concatenate(parts)
-                        qx = np.floor((cat[:, 0] - tx) * extent + 0.5).astype(np.int64)
-                        qy = np.floor((cat[:, 1] - ty) * extent + 0.5).astype(np.int64)
-                        nv = len(cat)
-                        if dims == 2:
-                            g = np.empty(2 * nv, dtype=np.int64)
-                            g[0::2], g[1::2] = qx, qy
-                        else:
-                            g = np.empty(3 * nv, dtype=np.int64)
-                            g[0::3], g[1::3] = qx, qy
-                            g[2::3] = np.floor(cat[:, 2] * z_scale + 0.5).astype(np.int64)
-                        part_offs = [off + po * extent for po in poffs]
-                        out["tile_x"].append(tx)
-                        out["tile_y"].append(ty)
-                        out["geom_xy"].append(g.tolist())
-                        out["id"].append(int(ids[i]))
-                        out["ring_lens"].append([len(p) for p in parts])
-                        out["offsets"].append(
-                            part_offs if any(o > 0 for o in part_offs) else None
+                    mx, my = mxn[s : s + ln], myn[s : s + ln]
+                    off = float(offs[i])
+                    if bu is None and tol is None:
+                        before = len(out["id"])
+                        _emit_quantized(
+                            out, mx, my,
+                            qzf[s : s + ln] if dims == 3 else None,
+                            dims, extent, _tile_range(mx, my, zoom),
+                            {
+                                "id": int(ids[i]),
+                                "ring_lens": [ln],
+                                "offsets": [off] if off > 0 else None,
+                                "props_json": pjs[i],
+                                "mvals_json": mvs[i],
+                            },
                         )
-                        out["props_json"].append(pjs[i])
-                        out["mvals_json"].append(mvs[i])
+                        out["zoom"].extend([zoom] * (len(out["id"]) - before))
+                        continue
+                    from .clip import clip_polyline_np
+                    from .simplify import simplify_dp_np
+
+                    cols = [mx, my] if dims == 2 else [mx, my, flat[s : s + ln, 2]]
+                    geom = np.column_stack(cols)
+                    if bu is None and tol is not None:
+                        # no clip: simplify once, shared by every covered tile
+                        geom = simplify_dp_np(geom, tol)
+                        if len(geom) < 2:
+                            continue
+                    tx0, tx1, ty0, ty1 = _tile_range(mx, my, zoom)
+                    for ty in range(ty0, ty1 + 1):
+                        for tx in range(tx0, tx1 + 1):
+                            if bu is not None:
+                                parts, poffs = clip_polyline_np(
+                                    geom, tx - bu, ty - bu, tx + 1 + bu, ty + 1 + bu,
+                                    return_offsets=True,
+                                )
+                                if tol is not None:
+                                    parts = [simplify_dp_np(p, tol) for p in parts]
+                            else:
+                                parts, poffs = [geom], [0.0]
+                            parts_offs = [
+                                (p, o) for p, o in zip(parts, poffs) if len(p) >= 2
+                            ]
+                            if not parts_offs:
+                                continue
+                            parts = [p for p, _ in parts_offs]
+                            poffs = [o for _, o in parts_offs]
+                            cat = np.concatenate(parts)
+                            qx = np.floor((cat[:, 0] - tx) * extent + 0.5).astype(np.int64)
+                            qy = np.floor((cat[:, 1] - ty) * extent + 0.5).astype(np.int64)
+                            nv = len(cat)
+                            if dims == 2:
+                                g = np.empty(2 * nv, dtype=np.int64)
+                                g[0::2], g[1::2] = qx, qy
+                            else:
+                                g = np.empty(3 * nv, dtype=np.int64)
+                                g[0::3], g[1::3] = qx, qy
+                                g[2::3] = np.floor(cat[:, 2] * z_scale + 0.5).astype(np.int64)
+                            part_offs = [off + po * extent for po in poffs]
+                            out["zoom"].append(zoom)
+                            out["tile_x"].append(tx)
+                            out["tile_y"].append(ty)
+                            out["geom_xy"].append(g.tolist())
+                            out["id"].append(int(ids[i]))
+                            out["ring_lens"].append([len(p) for p in parts])
+                            out["offsets"].append(
+                                part_offs if any(o > 0 for o in part_offs) else None
+                            )
+                            out["props_json"].append(pjs[i])
+                            out["mvals_json"].append(mvs[i])
             if out["id"]:
                 m = len(out["id"])
                 yield pd.DataFrame(
                     {
-                        "zoom": [zoom] * m,
                         **out,
                         "layer": [layer] * m,
                         "extent": [extent] * m,
@@ -1161,12 +1220,61 @@ def polygons_to_features_dist(
     semantics but O(tiles × vertices) bytes for continent-sized rings.
     Combining ``mvals_json_col`` with ``clip_buffer`` raises (per-vertex
     M-values don't survive a vertex-changing clip)."""
+    return _polygons_dist_impl(
+        polygons, [zoom], layer, extent, drop_degenerate, id_col, rings_col,
+        mvals_json_col, props_cols, dims, z_scale, clip_buffer, simplify_px,
+    )
+
+
+def polygons_to_features_pyramid_dist(
+    polygons: DataFrame,
+    zooms: Iterable[int],
+    layer: str,
+    extent: int = 4096,
+    drop_degenerate: bool = True,
+    id_col: str = "poly_id",
+    rings_col: str = "ring_xy",
+    mvals_json_col: Optional[str] = None,
+    props_cols: Optional[Iterable[str]] = None,
+    dims: int = 2,
+    z_scale: float = 1.0,
+    clip_buffer: Optional[int] = None,
+    simplify_px: Optional[float] = None,
+) -> DataFrame:
+    """Whole zoom pyramid of :func:`polygons_to_features_dist` in ONE
+    source scan (projection computed once, scaled per zoom inside the
+    Arrow kernel) — the polygon counterpart of
+    :func:`lines_to_features_pyramid_dist`.  Per-zoom ``clip_buffer`` /
+    ``simplify_px`` give each level its own thinning; row-for-row equal to
+    unioning per-zoom calls (test-pinned)."""
+    return _polygons_dist_impl(
+        polygons, list(zooms), layer, extent, drop_degenerate, id_col,
+        rings_col, mvals_json_col, props_cols, dims, z_scale, clip_buffer,
+        simplify_px,
+    )
+
+
+def _polygons_dist_impl(
+    polygons: DataFrame,
+    zooms: list,
+    layer: str,
+    extent: int,
+    drop_degenerate: bool,
+    id_col: str,
+    rings_col: str,
+    mvals_json_col: Optional[str],
+    props_cols: Optional[Iterable[str]],
+    dims: int,
+    z_scale: float,
+    clip_buffer: Optional[int],
+    simplify_px: Optional[float],
+) -> DataFrame:
     if dims not in (2, 3):
         raise ValueError(f"dims must be 2|3, got {dims}")
     if clip_buffer is not None and mvals_json_col:
         raise ValueError("per-vertex M-values cannot be clipped; drop mvals_json_col")
     ftype = 3 if dims == 2 else 6
-    n = float(1 << zoom)
+    zooms = [int(z) for z in zooms]
     pj = _props_json_col(polygons, props_cols, (id_col, rings_col, mvals_json_col or ""))
     src = polygons.select(
         F.col(id_col).cast("long").alias("_id"),
@@ -1200,8 +1308,9 @@ def polygons_to_features_dist(
                 continue
             lens = np.array([len(a) for a in ring_arrs], dtype=np.int64)
             flat = np.concatenate(ring_arrs)
-            mxn = merc_x_np(flat[:, 0]) * n
-            myn = merc_y_np(flat[:, 1]) * n
+            # project ONCE; per-zoom coordinates are a scalar multiple
+            mx1 = merc_x_np(flat[:, 0])
+            my1 = merc_y_np(flat[:, 1])
             qzf = (
                 np.floor(flat[:, 2] * z_scale + 0.5).astype(np.int64)
                 if dims == 3
@@ -1210,104 +1319,110 @@ def polygons_to_features_dist(
             starts = np.zeros(len(ring_arrs), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
             out: dict = {k: [] for k in (
-                "tile_x", "tile_y", "id", "geom_xy", "ring_lens", "poly_lens",
-                "props_json", "mvals_json",
+                "zoom", "tile_x", "tile_y", "id", "geom_xy", "ring_lens",
+                "poly_lens", "props_json", "mvals_json",
             )}
             ids = pdf["_id"].to_numpy()
             mvs = pdf["_mv"].tolist()
             pjs = pdf["_pj"].tolist()
-            r = 0
-            while r < len(ring_arrs):
-                i = ring_poly[r]
-                r_end = r
-                while r_end < len(ring_arrs) and ring_poly[r_end] == i:
-                    r_end += 1
-                # outer ring (first surviving ring) drives the tile cover
-                s0, l0 = int(starts[r]), int(lens[r])
-                tx0, tx1, ty0, ty1 = _tile_range(
-                    mxn[s0 : s0 + l0], myn[s0 : s0 + l0], zoom
-                )
-                s_all, e_all = int(starts[r]), int(starts[r_end - 1] + lens[r_end - 1])
-                mx, my = mxn[s_all:e_all], myn[s_all:e_all]
-                rlens = [int(lens[j]) for j in range(r, r_end)]
-                if clip_buffer is None and simplify_px is None:
-                    _emit_quantized(
-                        out, mx, my,
-                        qzf[s_all:e_all] if dims == 3 else None,
-                        dims, extent, (tx0, tx1, ty0, ty1),
-                        {
-                            "id": int(ids[i]),
-                            "ring_lens": rlens,
-                            "poly_lens": [len(rlens)],
-                            "props_json": pjs[i],
-                            "mvals_json": mvs[i],
-                        },
+            for zoom in zooms:
+                n = float(1 << zoom)
+                mxn = mx1 * n
+                myn = my1 * n
+                r = 0
+                while r < len(ring_arrs):
+                    i = ring_poly[r]
+                    r_end = r
+                    while r_end < len(ring_arrs) and ring_poly[r_end] == i:
+                        r_end += 1
+                    # outer ring (first surviving ring) drives the tile cover
+                    s0, l0 = int(starts[r]), int(lens[r])
+                    tx0, tx1, ty0, ty1 = _tile_range(
+                        mxn[s0 : s0 + l0], myn[s0 : s0 + l0], zoom
                     )
-                    r = r_end
-                    continue
-                from .clip import clip_rings_np
-                from .simplify import simplify_ring_np
-
-                rings = []
-                for j in range(r, r_end):
-                    sj, lj = int(starts[j]), int(lens[j])
-                    cols = [mxn[sj : sj + lj], myn[sj : sj + lj]]
-                    if dims == 3:
-                        cols.append(flat[sj : sj + lj, 2])
-                    rings.append(np.column_stack(cols))
-                if simplify_px is not None:
-                    tol = simplify_px / float(extent)
-                    outer0 = simplify_ring_np(rings[0], tol)
-                    if len(outer0) < 3:
+                    s_all, e_all = int(starts[r]), int(starts[r_end - 1] + lens[r_end - 1])
+                    mx, my = mxn[s_all:e_all], myn[s_all:e_all]
+                    rlens = [int(lens[j]) for j in range(r, r_end)]
+                    if clip_buffer is None and simplify_px is None:
+                        before = len(out["id"])
+                        _emit_quantized(
+                            out, mx, my,
+                            qzf[s_all:e_all] if dims == 3 else None,
+                            dims, extent, (tx0, tx1, ty0, ty1),
+                            {
+                                "id": int(ids[i]),
+                                "ring_lens": rlens,
+                                "poly_lens": [len(rlens)],
+                                "props_json": pjs[i],
+                                "mvals_json": mvs[i],
+                            },
+                        )
+                        out["zoom"].extend([zoom] * (len(out["id"]) - before))
                         r = r_end
                         continue
-                    rings = [outer0] + [
-                        c for c in (simplify_ring_np(h, tol) for h in rings[1:])
-                        if len(c) >= 3
-                    ]
-                bu = None if clip_buffer is None else clip_buffer / float(extent)
-                for ty in range(ty0, ty1 + 1):
-                    for tx in range(tx0, tx1 + 1):
-                        if bu is not None:
-                            clipped = clip_rings_np(
-                                rings, tx - bu, ty - bu, tx + 1 + bu, ty + 1 + bu
-                            )
-                        else:
-                            clipped = rings
-                        if dims == 2 and drop_degenerate and clipped:
-                            if signed_area([tuple(p[:2]) for p in clipped[0]]) == 0.0:
-                                continue  # degenerate outer: polygon gone here
-                            clipped = [clipped[0]] + [
-                                c for c in clipped[1:]
-                                if signed_area([tuple(p[:2]) for p in c]) != 0.0
-                            ]
-                        if not clipped:
+                    from .clip import clip_rings_np
+                    from .simplify import simplify_ring_np
+
+                    rings = []
+                    for j in range(r, r_end):
+                        sj, lj = int(starts[j]), int(lens[j])
+                        cols = [mxn[sj : sj + lj], myn[sj : sj + lj]]
+                        if dims == 3:
+                            cols.append(flat[sj : sj + lj, 2])
+                        rings.append(np.column_stack(cols))
+                    if simplify_px is not None:
+                        tol = simplify_px / float(extent)
+                        outer0 = simplify_ring_np(rings[0], tol)
+                        if len(outer0) < 3:
+                            r = r_end
                             continue
-                        cat = np.concatenate(clipped)
-                        qx = np.floor((cat[:, 0] - tx) * extent + 0.5).astype(np.int64)
-                        qy = np.floor((cat[:, 1] - ty) * extent + 0.5).astype(np.int64)
-                        nv = len(cat)
-                        if dims == 2:
-                            g = np.empty(2 * nv, dtype=np.int64)
-                            g[0::2], g[1::2] = qx, qy
-                        else:
-                            g = np.empty(3 * nv, dtype=np.int64)
-                            g[0::3], g[1::3] = qx, qy
-                            g[2::3] = np.floor(cat[:, 2] * z_scale + 0.5).astype(np.int64)
-                        out["tile_x"].append(tx)
-                        out["tile_y"].append(ty)
-                        out["geom_xy"].append(g.tolist())
-                        out["id"].append(int(ids[i]))
-                        out["ring_lens"].append([len(c) for c in clipped])
-                        out["poly_lens"].append([len(clipped)])
-                        out["props_json"].append(pjs[i])
-                        out["mvals_json"].append(mvs[i])
-                r = r_end
+                        rings = [outer0] + [
+                            c for c in (simplify_ring_np(h, tol) for h in rings[1:])
+                            if len(c) >= 3
+                        ]
+                    bu = None if clip_buffer is None else clip_buffer / float(extent)
+                    for ty in range(ty0, ty1 + 1):
+                        for tx in range(tx0, tx1 + 1):
+                            if bu is not None:
+                                clipped = clip_rings_np(
+                                    rings, tx - bu, ty - bu, tx + 1 + bu, ty + 1 + bu
+                                )
+                            else:
+                                clipped = rings
+                            if dims == 2 and drop_degenerate and clipped:
+                                if signed_area([tuple(p[:2]) for p in clipped[0]]) == 0.0:
+                                    continue  # degenerate outer: polygon gone here
+                                clipped = [clipped[0]] + [
+                                    c for c in clipped[1:]
+                                    if signed_area([tuple(p[:2]) for p in c]) != 0.0
+                                ]
+                            if not clipped:
+                                continue
+                            cat = np.concatenate(clipped)
+                            qx = np.floor((cat[:, 0] - tx) * extent + 0.5).astype(np.int64)
+                            qy = np.floor((cat[:, 1] - ty) * extent + 0.5).astype(np.int64)
+                            nv = len(cat)
+                            if dims == 2:
+                                g = np.empty(2 * nv, dtype=np.int64)
+                                g[0::2], g[1::2] = qx, qy
+                            else:
+                                g = np.empty(3 * nv, dtype=np.int64)
+                                g[0::3], g[1::3] = qx, qy
+                                g[2::3] = np.floor(cat[:, 2] * z_scale + 0.5).astype(np.int64)
+                            out["zoom"].append(zoom)
+                            out["tile_x"].append(tx)
+                            out["tile_y"].append(ty)
+                            out["geom_xy"].append(g.tolist())
+                            out["id"].append(int(ids[i]))
+                            out["ring_lens"].append([len(c) for c in clipped])
+                            out["poly_lens"].append([len(clipped)])
+                            out["props_json"].append(pjs[i])
+                            out["mvals_json"].append(mvs[i])
+                    r = r_end
             if out["id"]:
                 m = len(out["id"])
                 yield pd.DataFrame(
                     {
-                        "zoom": [zoom] * m,
                         **out,
                         "layer": [layer] * m,
                         "extent": [extent] * m,

@@ -198,3 +198,75 @@ def test_null_props_parity_driver_vs_dist(spark):
     # and the null key is genuinely absent, not "null"
     some = json.loads(dist.limit(50).collect()[0]["props_json"])
     assert "null" not in json.dumps(some)
+
+
+def test_lines_pyramid_dist_equals_per_zoom_union(spark):
+    """One-scan pyramid == union of single-zoom calls, row for row,
+    with clip+simplify active (the per-zoom thinning path)."""
+    from open_vector_tile_spark.operators.tiler import (
+        lines_to_features_pyramid_dist,
+    )
+
+    lines = pd.DataFrame(
+        [
+            {"line_id": 1, "xy": [-120.0, -40.0, -60.0, -39.9, 0.0, -40.0,
+                                  60.0, 0.0, 100.0, 55.0], "road": "a"},
+            {"line_id": 2, "xy": [10.0, 10.0, 12.0, 11.0, 14.0, 10.5], "road": "b"},
+        ]
+    )
+    sdf = spark.createDataFrame(lines)
+    zooms = [1, 3, 5]
+    pyr = lines_to_features_pyramid_dist(
+        sdf, zooms, layer="r", props_cols=["road"], clip_buffer=64, simplify_px=4.0
+    )
+    per_zoom = None
+    for z in zooms:
+        part = lines_to_features_dist(
+            sdf, zoom=z, layer="r", props_cols=["road"],
+            clip_buffer=64, simplify_px=4.0,
+        )
+        per_zoom = part if per_zoom is None else per_zoom.unionByName(part)
+    assert _norm_rows(pyr) == _norm_rows(per_zoom)
+    assert _tile_bytes(pyr) == _tile_bytes(per_zoom)
+
+
+def test_polygons_pyramid_dist_equals_per_zoom_union(spark):
+    from open_vector_tile_spark.operators.tiler import (
+        polygons_to_features_pyramid_dist,
+    )
+
+    polys = polygons_pdf()
+    sdf = spark.createDataFrame(polys).repartition(3)
+    zooms = [2, 4]
+    pyr = polygons_to_features_pyramid_dist(
+        sdf, zooms, layer="admin", props_cols=["name", "kind", "rank"],
+        clip_buffer=0, simplify_px=2.0,
+    )
+    per_zoom = None
+    for z in zooms:
+        part = polygons_to_features_dist(
+            sdf, zoom=z, layer="admin", props_cols=["name", "kind", "rank"],
+            clip_buffer=0, simplify_px=2.0,
+        )
+        per_zoom = part if per_zoom is None else per_zoom.unionByName(part)
+    assert _norm_rows(pyr) == _norm_rows(per_zoom)
+    assert _tile_bytes(pyr) == _tile_bytes(per_zoom)
+
+
+def test_pyramid_dist_one_scan(spark):
+    """The pyramid plan reads the source once — a single mapInPandas over
+    one scan, no per-zoom re-read (vs N scans for the union)."""
+    from open_vector_tile_spark.operators.tiler import (
+        lines_to_features_pyramid_dist,
+    )
+
+    sdf = spark.range(0, 50, 1, 4).selectExpr(
+        "id AS line_id",
+        "array(double(id % 30), double(id % 20), double(id % 30 + 8), "
+        "double(id % 20 + 4)) AS xy",
+    )
+    pyr = lines_to_features_pyramid_dist(sdf, [2, 3, 4], layer="x", props_cols=[])
+    plan = pyr._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    zs = {r["zoom"] for r in pyr.select("zoom").distinct().collect()}
+    assert zs == {2, 3, 4}
