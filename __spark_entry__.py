@@ -1930,6 +1930,106 @@ def _q_clip_pyramid(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id", "zoom", "tile_x", "tile_y")
 
 
+def _quadkey_oracle_sql() -> str:
+    digits = " || ".join(
+        f"CAST(((tile_x >> {i}) & 1) + (((tile_y >> {i}) & 1) * 2) AS VARCHAR)"
+        for i in range(5, -1, -1)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 GREATEST(0, LEAST(63, CAST(floor((({_SQL_LON_DOC}+180.0)/360.0)*64.0) AS BIGINT))) AS tile_x,
+                 GREATEST(0, LEAST(63, CAST(floor({_sql_merc_y(_SQL_LAT_DOC)}*64.0) AS BIGINT))) AS tile_y
+          FROM documents
+        )
+        SELECT doc_id, tile_x, tile_y, {digits} AS qk
+        FROM t ORDER BY doc_id
+    """
+
+
+def _geodesic_area_oracle_sql() -> str:
+    r2_half = repr(6_371_008.8 * 6_371_008.8 / 2.0)
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 (CAST(doc_id*7 AS DOUBLE) % 3000)/10.0 - 150.0 AS lon1,
+                 (CAST(doc_id*11 AS DOUBLE) % 1200)/10.0 - 60.0 AS lat1
+          FROM documents
+        ), b2 AS (
+          SELECT doc_id, lon1, lat1,
+                 lon1 + (CAST(doc_id % 40 + 5 AS DOUBLE))/10.0 AS lon2,
+                 lat1 + (CAST(doc_id % 30 + 5 AS DOUBLE))/10.0 AS lat2
+          FROM base
+        ), v AS (
+          SELECT doc_id, k,
+                 CASE WHEN k IN (0, 3) THEN lon1 ELSE lon2 END AS lon,
+                 CASE WHEN k IN (0, 1) THEN lat1 ELSE lat2 END AS lat
+          FROM b2, unnest(generate_series(0, 3)) AS t(k)
+        ), e AS (
+          SELECT doc_id,
+                 radians(coalesce(lead(lon) OVER w, first_value(lon) OVER w2) - lon)
+                 * (2.0 + sin(radians(lat))
+                    + sin(radians(coalesce(lead(lat) OVER w, first_value(lat) OVER w2))))
+                 AS term
+          FROM v
+          WINDOW w AS (PARTITION BY doc_id ORDER BY k),
+                 w2 AS (PARTITION BY doc_id ORDER BY k
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        )
+        SELECT doc_id,
+               round(abs(sum(term ORDER BY term)) * {r2_half}, 2) AS area_m2
+        FROM e GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def _q_quadkey(spark: SparkSession, sf: str) -> DataFrame:
+    """Bing quadkey (functions/geo.py quadkey_col): base-4 tile key, one
+    shift/mask digit per level, MSB first — prefix-nesting makes it a
+    range-scan key for tileset layouts.  Pure string/bit column exprs;
+    DuckDB twin builds the same digits."""
+    from open_vector_tile_spark.functions.geo import (
+        quadkey_col,
+        tile_x_col,
+        tile_y_col,
+    )
+
+    docs = _doc_points(_load(spark, sf, "documents"))
+    tx = tile_x_col(F.col("lon"), 6)
+    ty = tile_y_col(F.col("lat"), 6)
+    return docs.select(
+        "doc_id",
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
+        quadkey_col(tx, ty, 6).alias("qk"),
+    ).orderBy("doc_id")
+
+
+def _q_geodesic_area(spark: SparkSession, sf: str) -> DataFrame:
+    """Spherical ring area (functions/geo.py geodesic_ring_area_m2):
+    Chamberlain–Duquette spherical excess over an exploded vertex table —
+    lead window for edges, first_value for the wrap edge, sorted-fold sum
+    (bit-stable), one shuffle on the ring key.  DuckDB twin mirrors the
+    window + ordered sum verbatim."""
+    from open_vector_tile_spark.functions.geo import geodesic_ring_area_m2
+
+    docs = _load(spark, sf, "documents")
+    lon1 = ((F.col("doc_id") * 7) % 3000) / 10.0 - 150.0
+    lat1 = ((F.col("doc_id") * 11) % 1200) / 10.0 - 60.0
+    lon2 = lon1 + (F.col("doc_id") % 40 + 5) / 10.0
+    lat2 = lat1 + (F.col("doc_id") % 30 + 5) / 10.0
+    base = docs.select("doc_id", lon1.alias("lon1"), lat1.alias("lat1"),
+                       lon2.alias("lon2"), lat2.alias("lat2"))
+    k = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k")
+    v = base.select("doc_id", "lon1", "lat1", "lon2", "lat2", k).select(
+        "doc_id",
+        F.col("k").alias("seq"),
+        F.when(F.col("k").isin(0, 3), F.col("lon1")).otherwise(F.col("lon2")).alias("lon"),
+        F.when(F.col("k").isin(0, 1), F.col("lat1")).otherwise(F.col("lat2")).alias("lat"),
+    )
+    out = geodesic_ring_area_m2(v, ["doc_id"])
+    return out.select("doc_id", F.round("area_m2", 2).alias("area_m2")).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -2006,6 +2106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_vectors": _q_tfidf_vectors,
         "bloom_prune_join": _q_bloom_prune_join,
         "clip_pyramid": _q_clip_pyramid,
+        "quadkey": _q_quadkey,
+        "geodesic_area": _q_geodesic_area,
         "chunk_emit": _q_chunk_emit,
         "epoch_shuffle": _q_epoch_shuffle,
     }
@@ -3316,6 +3418,8 @@ def oracle_sql() -> dict[str, str]:
         "hex_assign": _hex_assign_oracle_sql(),
         "hll_distinct": _hll_oracle_sql(),
         "clip_pyramid": _clip_pyramid_oracle_sql(),
+        "quadkey": _quadkey_oracle_sql(),
+        "geodesic_area": _geodesic_area_oracle_sql(),
         "bloom_prune_join": """
             SELECT 'h' || CAST(d.doc_id % 577 AS VARCHAR) AS key,
                    d.doc_id, s.s_suppkey

@@ -219,6 +219,67 @@ if _HAS_SPARK:
         """P13 extent quantization (src/base/vectorFeature.ts:584-602)."""
         return F.floor(p * F.lit(float(extent)) + F.lit(0.5)).cast("long")
 
+    def quadkey_col(tx: Column, ty: Column, zoom: int) -> Column:
+        """Bing-maps quadkey of tile (tx, ty) at ``zoom`` — one base-4
+        digit per level, MSB first (the key scheme behind the reference's
+        `bing` benchmark fixture; Microsoft Bing tile system).  Pure
+        shift/mask/concat column expression; quadkeys prefix-nest (a
+        child's key starts with its parent's), which is what makes them a
+        directory layout / range-scan key for tilesets."""
+        digits = [
+            (
+                F.shiftright(tx.cast("long"), i).bitwiseAND(F.lit(1))
+                + F.shiftright(ty.cast("long"), i).bitwiseAND(F.lit(1)) * 2
+            ).cast("string")
+            for i in range(zoom - 1, -1, -1)
+        ]
+        return F.concat(*digits)
+
+    def geodesic_ring_area_m2(
+        vertices: "DataFrame",  # noqa: F821
+        id_cols: list,
+        seq_col: str = "seq",
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+    ):
+        """Spherical ring area (m²) from an exploded OPEN-ring vertex table
+        — the geodesic counterpart of planar shoelace, per Chamberlain &
+        Duquette (JPL 2007; the turf.js/PostGIS spherical-excess
+        approximation):
+
+            area = |Σ_edges rad(λ2−λ1)·(2 + sin φ1 + sin φ2)| · R²/2
+
+        The wrap edge (last→first) comes from a first_value window, the
+        per-edge terms sum with the repo's sorted-fold so the double is
+        bit-stable across engines, and the whole thing is one shuffle on
+        the ring key (driver oracle `geodesic_area`)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*id_cols).orderBy(seq_col)
+        wall = (
+            Window.partitionBy(*id_cols)
+            .orderBy(seq_col)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        lon2 = F.coalesce(F.lead(lon_col).over(w), F.first(lon_col).over(wall))
+        lat2 = F.coalesce(F.lead(lat_col).over(w), F.first(lat_col).over(wall))
+        term = F.radians(lon2 - F.col(lon_col)) * (
+            F.lit(2.0) + F.sin(F.radians(F.col(lat_col))) + F.sin(F.radians(lat2))
+        )
+        per_edge = vertices.withColumn("_term", term)
+        return per_edge.groupBy(*id_cols).agg(
+            (
+                F.abs(
+                    F.aggregate(
+                        F.sort_array(F.collect_list("_term")),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+                * F.lit(EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0)
+            ).alias("area_m2")
+        )
+
 
 # ---------------------------------------------------------------------------
 # distance + point-in-polygon (numpy, used inside Arrow UDFs)

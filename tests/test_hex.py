@@ -97,3 +97,97 @@ def test_sql_twin_matches_numpy():
 
 def test_size_halves_per_res():
     assert hex_size(5) == hex_size(4) / 2
+
+
+# ---------------------------------------------------------------------------
+# quadkey + geodesic area (functions/geo.py)
+# ---------------------------------------------------------------------------
+
+import math
+
+import pandas as pd
+import pytest
+
+
+def _quadkey_ref(tx, ty, zoom):
+    """Microsoft Bing tile-system reference (scalar)."""
+    key = ""
+    for i in range(zoom, 0, -1):
+        digit = 0
+        mask = 1 << (i - 1)
+        if tx & mask:
+            digit += 1
+        if ty & mask:
+            digit += 2
+        key += str(digit)
+    return key
+
+
+def test_quadkey_matches_bing_reference(spark):
+    import pyspark.sql.functions as F
+    from open_vector_tile_spark.functions.geo import quadkey_col
+
+    rows = [(tx, ty) for tx in range(8) for ty in range(8)]
+    sdf = spark.createDataFrame(rows, "tx long, ty long")
+    got = {
+        (r["tx"], r["ty"]): r["qk"]
+        for r in sdf.select(
+            "tx", "ty", quadkey_col(F.col("tx"), F.col("ty"), 3).alias("qk")
+        ).collect()
+    }
+    for tx, ty in rows:
+        assert got[(tx, ty)] == _quadkey_ref(tx, ty, 3)
+    # prefix nesting: child (2x, 2y) at z4 starts with parent's z3 key
+    sdf4 = spark.createDataFrame([(6, 4)], "tx long, ty long")
+    child = sdf4.select(
+        quadkey_col(F.col("tx") * 2, F.col("ty") * 2, 4).alias("qk")
+    ).collect()[0]["qk"]
+    assert child.startswith(_quadkey_ref(6, 4, 3))
+
+
+def test_geodesic_area_exact_for_latlon_rect(spark):
+    from open_vector_tile_spark.functions.geo import (
+        EARTH_RADIUS_M,
+        geodesic_ring_area_m2,
+    )
+
+    rects = {
+        1: (-45.0, -10.0, 45.0, 10.0),   # equatorial belt
+        2: (10.0, 40.0, 20.0, 60.0),     # mid-latitude
+        3: (0.0, 0.0, 0.01, 0.01),       # tiny (planar limit)
+    }
+    rows = []
+    for rid, (lo1, la1, lo2, la2) in rects.items():
+        ring = [(lo1, la1), (lo2, la1), (lo2, la2), (lo1, la2)]
+        for k, (lo, la) in enumerate(ring):
+            rows.append({"rid": rid, "seq": k, "lon": lo, "lat": la})
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    got = {
+        r["rid"]: r["area_m2"]
+        for r in geodesic_ring_area_m2(sdf, ["rid"]).collect()
+    }
+    for rid, (lo1, la1, lo2, la2) in rects.items():
+        # exact spherical area of a lat-lon quad: R^2 * dlam * (sin2 - sin1)
+        want = (
+            EARTH_RADIUS_M**2
+            * math.radians(lo2 - lo1)
+            * (math.sin(math.radians(la2)) - math.sin(math.radians(la1)))
+        )
+        assert got[rid] == pytest.approx(want, rel=1e-12)
+    # tiny rect ~ planar product
+    planar = (math.radians(0.01) * EARTH_RADIUS_M) ** 2
+    assert got[3] == pytest.approx(planar, rel=1e-3)
+
+
+def test_geodesic_area_orientation_invariant(spark):
+    from open_vector_tile_spark.functions.geo import geodesic_ring_area_m2
+
+    ring = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    rows = []
+    for k, (lo, la) in enumerate(ring):
+        rows.append({"rid": 1, "seq": k, "lon": lo, "lat": la})
+    for k, (lo, la) in enumerate(reversed(ring)):
+        rows.append({"rid": 2, "seq": k, "lon": lo, "lat": la})
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    got = {r["rid"]: r["area_m2"] for r in geodesic_ring_area_m2(sdf, ["rid"]).collect()}
+    assert got[1] == got[2]
