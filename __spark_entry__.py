@@ -2030,6 +2030,30 @@ def _q_geodesic_area(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", F.round("area_m2", 2).alias("area_m2")).orderBy("doc_id")
 
 
+def _q_cms_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch (functions/sketch.py cms_counters/cms_estimate):
+    depth×width counters from the portable md5-slice probes (one explode +
+    one partial-agg shuffle, bounded state), point estimate = min over
+    rows with the counter table broadcast.  Skewed corpus (5 heavy keys,
+    ~1000 tail keys); the DuckDB twin reproduces every counter and min."""
+    from open_vector_tile_spark.functions.sketch import cms_counters, cms_estimate
+
+    docs = _load(spark, sf, "documents")
+    items = docs.select(
+        F.when(
+            F.col("doc_id") % 10 < 7,
+            F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("t"), (F.col("doc_id") % 997).cast("string")))
+        .alias("item")
+    )
+    counters = cms_counters(items, "item", width=4096, depth=4)
+    qs = spark.range(0, 5).selectExpr("concat('h', CAST(id AS STRING)) AS item").unionByName(
+        spark.range(0, 10).selectExpr("concat('t', CAST(id*131 % 997 AS STRING)) AS item")
+    )
+    return cms_estimate(counters, qs, "item", width=4096, depth=4).orderBy("item")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -2107,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_join": _q_bloom_prune_join,
         "clip_pyramid": _q_clip_pyramid,
         "quadkey": _q_quadkey,
+        "cms_topk": _q_cms_topk,
         "geodesic_area": _q_geodesic_area,
         "chunk_emit": _q_chunk_emit,
         "epoch_shuffle": _q_epoch_shuffle,
@@ -3419,6 +3444,38 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle_sql(),
         "clip_pyramid": _clip_pyramid_oracle_sql(),
         "quadkey": _quadkey_oracle_sql(),
+        "cms_topk": """
+            WITH items AS (
+              SELECT CASE WHEN doc_id % 10 < 7
+                          THEN 'h' || CAST(doc_id % 5 AS VARCHAR)
+                          ELSE 't' || CAST(doc_id % 997 AS VARCHAR) END AS item
+              FROM documents
+            ), probes AS (
+              SELECT item, i,
+                     CAST('0x' || substring(md5(item), 1 + 8*i, 8) AS BIGINT)
+                       % 4096 AS bucket
+              FROM items, unnest(generate_series(0, 3)) AS t(i)
+            ), counters AS (
+              SELECT i, bucket, count(*) AS cnt FROM probes GROUP BY 1, 2
+            ), q AS (
+              SELECT 'h' || CAST(x AS VARCHAR) AS item
+              FROM unnest(generate_series(0, 4)) s(x)
+              UNION ALL
+              SELECT 't' || CAST(x*131 % 997 AS VARCHAR)
+              FROM unnest(generate_series(0, 9)) s2(x)
+            ), qp AS (
+              SELECT item, i,
+                     CAST('0x' || substring(md5(item), 1 + 8*i, 8) AS BIGINT)
+                       % 4096 AS bucket
+              FROM q, unnest(generate_series(0, 3)) AS t(i)
+            ), j AS (
+              SELECT qp.item, coalesce(c.cnt, 0) AS cnt
+              FROM qp LEFT JOIN counters c
+                ON qp.i = c.i AND qp.bucket = c.bucket
+            )
+            SELECT item, CAST(min(cnt) AS BIGINT) AS est_count
+            FROM j GROUP BY item ORDER BY item
+        """,
         "geodesic_area": _geodesic_area_oracle_sql(),
         "bloom_prune_join": """
             SELECT 'h' || CAST(d.doc_id % 577 AS VARCHAR) AS key,

@@ -224,6 +224,113 @@ def hll_merge(
     return both.groupBy(*group_cols, "_j").agg(F.max("_r").alias("_r"))
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch (portable md5-slice rows)
+# ---------------------------------------------------------------------------
+#
+# Frequency estimation in bounded space (Cormode & Muthukrishnan 2005):
+# depth d rows × width w counters; item increments counter[h_i(item) % w]
+# in every row; a point estimate is the MIN over rows — always >= the true
+# count, over by at most ~2N/w with prob 1-2^-d.  Hashes are the same
+# non-overlapping md5 slices as functions/bloom.py, so any engine
+# reproduces every counter (driver oracle `cms_topk`).  Counters are a
+# partial aggregate: shard sketches merge by counter-wise SUM.
+
+_CMS_MAX_DEPTH = 4  # md5 = 32 hex chars -> four 8-char slices
+
+
+def _cms_pos(item, width: int, i: int):
+    h = F.md5(item.cast("string"))
+    return F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % width
+
+
+def cms_counters(
+    df: DataFrame,
+    item_col: str,
+    width: int = 1 << 12,
+    depth: int = 4,
+    weight_col: str | None = None,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Counter table ``(*group_cols, _row, _bucket, _cnt)`` — ≤ depth·width
+    rows per group (bounded state), built with one explode + one
+    partial-agg shuffle."""
+    if not 1 <= depth <= _CMS_MAX_DEPTH:
+        raise ValueError(f"depth must be in [1, {_CMS_MAX_DEPTH}], got {depth}")
+    group_cols = list(group_cols or [])
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("_row"),
+                    _cms_pos(F.col(item_col), width, i).alias("_bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("_p")
+    return (
+        df.where(F.col(item_col).isNotNull())
+        .select(*group_cols, probes, w.alias("_w"))
+        .select(
+            *group_cols,
+            F.col("_p._row").alias("_row"),
+            F.col("_p._bucket").alias("_bucket"),
+            F.col("_w"),
+        )
+        .groupBy(*group_cols, "_row", "_bucket")
+        .agg(F.sum("_w").alias("_cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    width: int = 1 << 12,
+    depth: int = 4,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point estimates for ``queries``'s items: min over the d probed
+    counters (absent counter = 0).  The counter table is depth·width rows —
+    broadcast it; the probe side stays shuffle-free."""
+    group_cols = list(group_cols or [])
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("_row"),
+                    _cms_pos(F.col(item_col), width, i).alias("_bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("_p")
+    q = queries.select(*group_cols, item_col, probes).select(
+        *group_cols,
+        item_col,
+        F.col("_p._row").alias("_row"),
+        F.col("_p._bucket").alias("_bucket"),
+    )
+    joined = q.join(F.broadcast(counters), group_cols + ["_row", "_bucket"], "left")
+    return (
+        joined.withColumn("_c", F.coalesce(F.col("_cnt"), F.lit(0).cast("long")))
+        .groupBy(*group_cols, item_col)
+        .agg(F.min("_c").alias("est_count"))
+    )
+
+
+def cms_merge(counters_a: DataFrame, counters_b: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Counter-wise sum — CMS's lossless shard merge (a partial aggregate,
+    like kmv_merge/hll_merge)."""
+    group_cols = list(group_cols or [])
+    both = counters_a.unionByName(counters_b)
+    return both.groupBy(*group_cols, "_row", "_bucket").agg(
+        F.sum("_cnt").alias("_cnt")
+    )
+
+
 def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
     """Merge two ``kmv_min_hashes`` sketch tables (union of hash sets,
     re-take the k smallest) — the multiset-union property that makes the

@@ -307,3 +307,76 @@ def test_tfidf_feeds_cosine_topk(spark):
         dense[d] = v
     assert dense[1] @ dense[2] > 0.999
     assert dense[1] @ dense[3] < 0.1
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+from open_vector_tile_spark.functions.sketch import (  # noqa: E402
+    cms_counters,
+    cms_estimate,
+    cms_merge,
+)
+
+
+def _cms_ref(values, width, depth):
+    counters = {}
+    for v, w in values:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        for i in range(depth):
+            b = int(h[8 * i : 8 * i + 8], 16) % width
+            counters[(i, b)] = counters.get((i, b), 0) + w
+    return counters
+
+
+def test_cms_counters_match_python_reference(spark):
+    rows = [(f"k{i % 50}", 1) for i in range(2000)]
+    sdf = spark.createDataFrame(rows, "item string, w int")
+    got = {
+        (r["_row"], r["_bucket"]): r["_cnt"]
+        for r in cms_counters(sdf, "item", width=256, depth=3, weight_col="w").collect()
+    }
+    assert got == _cms_ref(rows, 256, 3)
+
+
+def test_cms_estimate_overcounts_never_under(spark):
+    import collections
+
+    rows = [(f"h{i % 5}",) for i in range(5000)] + [
+        (f"t{i}",) for i in range(3000)
+    ]
+    true = collections.Counter(v for (v,) in rows)
+    sdf = spark.createDataFrame(rows, "item string")
+    counters = cms_counters(sdf, "item", width=1 << 12, depth=4)
+    qs = spark.createDataFrame(
+        [(k,) for k in ["h0", "h1", "h4", "t7", "t2999", "absent"]], "item string"
+    )
+    est = {
+        r["item"]: r["est_count"]
+        for r in cms_estimate(counters, qs, "item", width=1 << 12, depth=4).collect()
+    }
+    for k, e in est.items():
+        assert e >= true.get(k, 0)
+    # heavy hitters near-exact at this width/load
+    for k in ["h0", "h1", "h4"]:
+        assert est[k] - true[k] <= 5
+
+
+def test_cms_merge_equals_whole(spark):
+    rows = [(f"x{i % 97}", i % 2) for i in range(4000)]
+    sdf = spark.createDataFrame(rows, "item string, shard int")
+    whole = cms_counters(sdf, "item", width=512, depth=2)
+    a = cms_counters(sdf.filter("shard = 0"), "item", width=512, depth=2)
+    b = cms_counters(sdf.filter("shard = 1"), "item", width=512, depth=2)
+    merged = cms_merge(a, b)
+    key = lambda df: sorted(  # noqa: E731
+        (r["_row"], r["_bucket"], r["_cnt"]) for r in df.collect()
+    )
+    assert key(merged) == key(whole)
+
+
+def test_cms_depth_bound(spark):
+    df = spark.range(3).selectExpr("CAST(id AS STRING) AS item")
+    with pytest.raises(ValueError):
+        cms_counters(df, "item", depth=5)
