@@ -2054,6 +2054,27 @@ def _q_cms_topk(spark: SparkSession, sf: str) -> DataFrame:
     return cms_estimate(counters, qs, "item", width=4096, depth=4).orderBy("item")
 
 
+def _q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed co-located join (operators/layout.py write_bucketed /
+    bucketed_join): both sides persisted pre-hashed into 8 buckets on the
+    join key, so the sort-merge join runs with ZERO Exchange (plan-pinned
+    in test_layout) — the shuffle-elimination layout lever next to
+    Z-order's scan skipping.  Oracle: the plain join in DuckDB; the rows
+    must be identical whatever the layout."""
+    from open_vector_tile_spark.operators.layout import bucketed_join, write_bucketed
+
+    docs = _load(spark, sf, "documents").select(
+        (F.col("doc_id") % 97).alias("k"), "doc_id"
+    )
+    sup = _load(spark, sf, "supplier").select(
+        (F.col("s_suppkey") % 97).alias("k"), "s_suppkey"
+    )
+    write_bucketed(docs, "q_bkt_docs", ["k"], 8, sort_cols=["k"])
+    write_bucketed(sup, "q_bkt_sup", ["k"], 8, sort_cols=["k"])
+    j = bucketed_join(spark, "q_bkt_docs", "q_bkt_sup", ["k"])
+    return j.select("k", "doc_id", "s_suppkey").orderBy("k", "doc_id", "s_suppkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -2132,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_pyramid": _q_clip_pyramid,
         "quadkey": _q_quadkey,
         "cms_topk": _q_cms_topk,
+        "bucketed_join": _q_bucketed_join,
         "geodesic_area": _q_geodesic_area,
         "chunk_emit": _q_chunk_emit,
         "epoch_shuffle": _q_epoch_shuffle,
@@ -3444,6 +3466,12 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle_sql(),
         "clip_pyramid": _clip_pyramid_oracle_sql(),
         "quadkey": _quadkey_oracle_sql(),
+        "bucketed_join": """
+            SELECT d.doc_id % 97 AS k, d.doc_id, s.s_suppkey
+            FROM documents d
+            JOIN supplier s ON d.doc_id % 97 = s.s_suppkey % 97
+            ORDER BY k, doc_id, s_suppkey
+        """,
         "cms_topk": """
             WITH items AS (
               SELECT CASE WHEN doc_id % 10 < 7

@@ -83,3 +83,45 @@ def zorder_cluster(
     return keyed.repartitionByRange(int(num_partitions), key_col).sortWithinPartitions(
         key_col
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed tables: shuffle-free co-located joins
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list,
+    num_buckets: int,
+    sort_cols: list | None = None,
+) -> None:
+    """Persist ``df`` as a Hive-bucketed parquet table: rows are hash-
+    partitioned into ``num_buckets`` files on ``bucket_cols`` at WRITE
+    time, optionally sorted inside each bucket.
+
+    This is the other half of the layout story next to Z-order: Z-order
+    buys scan-time data SKIPPING, bucketing buys join-time shuffle
+    ELIMINATION.  Two tables bucketed the same way on the join key
+    sort-merge-join with ZERO Exchange — at 100 TB that's the difference
+    between re-shuffling a petabyte per join and reading co-located
+    buckets; the one-time bucketed write amortizes across every
+    subsequent join/aggregation on the key (the classic fact/dim
+    pre-bucketing pattern).  Plan-pinned by test_layout's zero-Exchange
+    assertion and driver-oracled end-to-end by `bucketed_join`."""
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(int(num_buckets), *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark, table_a: str, table_b: str, on: list) -> DataFrame:
+    """Inner join of two same-bucketed tables on the bucket key.  With
+    broadcast disabled this compiles to a SortMergeJoin whose BOTH sides
+    read bucketed scans — no Exchange anywhere in the plan."""
+    return spark.table(table_a).join(spark.table(table_b), on=on, how="inner")

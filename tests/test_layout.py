@@ -108,3 +108,45 @@ def test_zorder_sorted_and_range_partitioned(spark):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo  # repartitionByRange: disjoint global key ranges
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    from open_vector_tile_spark.operators.layout import bucketed_join, write_bucketed
+
+    a = spark.range(0, 5000).selectExpr("id % 400 AS k", "id AS a_val")
+    b = spark.range(0, 1000).selectExpr("id % 400 AS k", "id * 7 AS b_val")
+    write_bucketed(a, "t_bkt_a", ["k"], 8, sort_cols=["k"])
+    write_bucketed(b, "t_bkt_b", ["k"], 8, sort_cols=["k"])
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bucketed_join(spark, "t_bkt_a", "t_bkt_b", ["k"])
+            n = j.count()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan  # co-located: zero shuffles
+            assert "SortMergeJoin" in plan
+            # correctness vs plain join of the source frames
+            want = a.join(b, "k").count()
+            assert n == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def test_bucketed_agg_has_no_exchange(spark):
+    """groupBy on the bucket key also skips its shuffle — the layout pays
+    for aggregations, not just joins."""
+    from open_vector_tile_spark.operators.layout import write_bucketed
+
+    a = spark.range(0, 3000).selectExpr("id % 97 AS k", "id AS v")
+    write_bucketed(a, "t_bkt_g", ["k"], 8)
+    try:
+        agg = spark.table("t_bkt_g").groupBy("k").sum("v")
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert agg.count() == 97
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_g")
