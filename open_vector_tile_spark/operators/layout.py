@@ -110,6 +110,17 @@ def write_bucketed(
     subsequent join/aggregation on the key (the classic fact/dim
     pre-bucketing pattern).  Plan-pinned by test_layout's zero-Exchange
     assertion and driver-oracled end-to-end by `bucketed_join`."""
+    spark = df.sparkSession
+    # mode('overwrite') only replaces tables the CURRENT catalog knows; a
+    # previous session's managed-table directory survives the in-memory
+    # catalog and fails the CREATE with LOCATION_ALREADY_EXISTS — drop the
+    # entry and clear the orphaned location explicitly
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = wh[5:] if wh.startswith("file:") else wh
+    import shutil
+
+    shutil.rmtree(f"{loc.rstrip('/')}/{table.lower()}", ignore_errors=True)
     writer = (
         df.write.format("parquet")
         .mode("overwrite")
