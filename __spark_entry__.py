@@ -2075,6 +2075,27 @@ def _q_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     return j.select("k", "doc_id", "s_suppkey").orderBy("k", "doc_id", "s_suppkey")
 
 
+def _q_kmv_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV set algebra (functions/sketch.py kmv_set_ops): union estimate,
+    Jaccard, and distinct-intersection estimate from two mergeable min-k
+    sketches (Beyer et al. SIGMOD'07) — joins + integer math after the
+    min-k windows, reproduced verbatim by the DuckDB twin."""
+    from open_vector_tile_spark.functions.sketch import kmv_min_hashes, kmv_set_ops
+
+    docs = _load(spark, sf, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.lit("all").alias("g"),
+        F.concat(F.lit("v"), (F.col("doc_id") % 400).cast("string")).alias("item"),
+    )
+    b = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.lit("all").alias("g"),
+        F.concat(F.lit("v"), (F.col("doc_id") % 400 + 200).cast("string")).alias("item"),
+    )
+    sa = kmv_min_hashes(a, ["g"], "item", k=64)
+    sb = kmv_min_hashes(b, ["g"], "item", k=64)
+    return kmv_set_ops(sa, sb, ["g"], k=64).orderBy("g")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -2154,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey": _q_quadkey,
         "cms_topk": _q_cms_topk,
         "bucketed_join": _q_bucketed_join,
+        "kmv_jaccard": _q_kmv_jaccard,
         "geodesic_area": _q_geodesic_area,
         "chunk_emit": _q_chunk_emit,
         "epoch_shuffle": _q_epoch_shuffle,
@@ -3466,6 +3488,41 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle_sql(),
         "clip_pyramid": _clip_pyramid_oracle_sql(),
         "quadkey": _quadkey_oracle_sql(),
+        "kmv_jaccard": """
+            WITH a_items AS (
+              SELECT DISTINCT CAST('0x' || substring(
+                md5('v' || CAST(doc_id % 400 AS VARCHAR)), 1, 12) AS BIGINT) AS h
+              FROM documents WHERE doc_id % 2 = 0
+            ), b_items AS (
+              SELECT DISTINCT CAST('0x' || substring(
+                md5('v' || CAST(doc_id % 400 + 200 AS VARCHAR)), 1, 12) AS BIGINT) AS h
+              FROM documents WHERE doc_id % 2 = 1
+            ), a_mins AS (
+              SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                             FROM a_items) WHERE rn <= 64
+            ), b_mins AS (
+              SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                             FROM b_items) WHERE rn <= 64
+            ), u AS (
+              SELECT h FROM (
+                SELECT h, row_number() OVER (ORDER BY h) AS rn
+                FROM (SELECT h FROM a_mins UNION SELECT h FROM b_mins)
+              ) WHERE rn <= 64
+            ), est AS (
+              SELECT count(*) AS n_kept, max(h) AS kth FROM u
+            ), m AS (
+              SELECT count(*) AS match_k FROM u
+              WHERE h IN (SELECT h FROM a_mins) AND h IN (SELECT h FROM b_mins)
+            )
+            SELECT 'all' AS g, n_kept, match_k,
+                   CASE WHEN n_kept < 64 THEN n_kept
+                        ELSE 17732923532771328 // GREATEST(kth, 1) END AS est_union,
+                   round(match_k / n_kept, 6) AS jaccard_est,
+                   CAST((match_k * (CASE WHEN n_kept < 64 THEN n_kept
+                        ELSE 17732923532771328 // GREATEST(kth, 1) END)) // n_kept AS BIGINT)
+                     AS est_intersection
+            FROM est CROSS JOIN m
+        """,
         "bucketed_join": """
             SELECT d.doc_id % 97 AS k, d.doc_id, s.s_suppkey
             FROM documents d

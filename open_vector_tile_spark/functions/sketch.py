@@ -224,6 +224,46 @@ def hll_merge(
     return both.groupBy(*group_cols, "_j").agg(F.max("_r").alias("_r"))
 
 
+def kmv_set_ops(
+    mins_a: DataFrame,
+    mins_b: DataFrame,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-set algebra from two KMV sketches (Beyer et al. SIGMOD'07
+    multiset operations): per group —
+
+    * ``est_union``     — estimator over the merged min-k sketch;
+    * ``match_k``       — of the union's min-k hashes, how many appear in
+      BOTH input sketches (each is a uniform sample of its set, and the
+      union min-k is a uniform sample of A∪B, so match_k/n_kept is an
+      unbiased Jaccard estimator);
+    * ``jaccard_est``   — match_k / n_kept (rounded 6);
+    * ``est_intersection`` — integer ``(match_k * est_union) DIV n_kept``.
+
+    Everything after the min-k windows is joins + integer math — the
+    driver oracle `kmv_jaccard` reproduces it verbatim in SQL."""
+    union = kmv_merge(mins_a, mins_b, group_cols, k=k)
+    est_u = kmv_estimate(union, group_cols, k=k)
+    both = (
+        union.join(mins_a.select(*group_cols, "_h"), group_cols + ["_h"], "semi")
+        .join(mins_b.select(*group_cols, "_h"), group_cols + ["_h"], "semi")
+        .groupBy(*group_cols)
+        .agg(F.count("_h").alias("match_k"))
+    )
+    j = est_u.join(both, group_cols, "left").fillna({"match_k": 0})
+    return j.select(
+        *group_cols,
+        "n_kept",
+        "match_k",
+        F.col("est_distinct").alias("est_union"),
+        F.round(F.col("match_k") / F.col("n_kept"), 6).alias("jaccard_est"),
+        F.expr("CAST((match_k * est_distinct) DIV n_kept AS LONG)").alias(
+            "est_intersection"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch (portable md5-slice rows)
 # ---------------------------------------------------------------------------

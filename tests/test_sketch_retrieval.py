@@ -380,3 +380,49 @@ def test_cms_depth_bound(spark):
     df = spark.range(3).selectExpr("CAST(id AS STRING) AS item")
     with pytest.raises(ValueError):
         cms_counters(df, "item", depth=5)
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations
+# ---------------------------------------------------------------------------
+
+from open_vector_tile_spark.functions.sketch import kmv_set_ops  # noqa: E402
+
+
+def test_kmv_set_ops_accuracy(spark):
+    # |A|=600, |B|=600, |A∩B|=300 -> J = 1/3, |A∪B| = 900
+    a = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(600)], ["g", "item"]
+    )
+    b = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(300, 900)], ["g", "item"]
+    )
+    sa = kmv_min_hashes(a, ["g"], "item", k=256)
+    sb = kmv_min_hashes(b, ["g"], "item", k=256)
+    row = kmv_set_ops(sa, sb, ["g"], k=256).collect()[0]
+    assert abs(row["jaccard_est"] - 1 / 3) < 0.12
+    assert abs(row["est_union"] - 900) / 900 < 0.2
+    assert abs(row["est_intersection"] - 300) / 300 < 0.35
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    # everything fits in the sketch -> union/intersection are EXACT
+    a = spark.createDataFrame([("g", f"x{i}") for i in range(40)], ["g", "item"])
+    b = spark.createDataFrame([("g", f"x{i}") for i in range(20, 60)], ["g", "item"])
+    sa = kmv_min_hashes(a, ["g"], "item", k=256)
+    sb = kmv_min_hashes(b, ["g"], "item", k=256)
+    row = kmv_set_ops(sa, sb, ["g"], k=256).collect()[0]
+    assert row["est_union"] == 60
+    assert row["match_k"] == 20
+    assert row["est_intersection"] == 20
+    assert row["jaccard_est"] == pytest.approx(round(20 / 60, 6))
+
+
+def test_kmv_set_ops_disjoint(spark):
+    a = spark.createDataFrame([("g", f"a{i}") for i in range(50)], ["g", "item"])
+    b = spark.createDataFrame([("g", f"b{i}") for i in range(50)], ["g", "item"])
+    sa = kmv_min_hashes(a, ["g"], "item", k=64)
+    sb = kmv_min_hashes(b, ["g"], "item", k=64)
+    row = kmv_set_ops(sa, sb, ["g"], k=64).collect()[0]
+    assert row["match_k"] == 0 and row["est_intersection"] == 0
+    assert row["jaccard_est"] == 0.0
