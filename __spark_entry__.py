@@ -2083,13 +2083,14 @@ def _q_kmv_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from open_vector_tile_spark.functions.sketch import kmv_min_hashes, kmv_set_ops
 
     docs = _load(spark, sf, "documents")
+    half = F.expr("doc_id DIV 2")
     a = docs.where(F.col("doc_id") % 2 == 0).select(
         F.lit("all").alias("g"),
-        F.concat(F.lit("v"), (F.col("doc_id") % 400).cast("string")).alias("item"),
+        F.concat(F.lit("v"), (half % 400).cast("string")).alias("item"),
     )
     b = docs.where(F.col("doc_id") % 2 == 1).select(
         F.lit("all").alias("g"),
-        F.concat(F.lit("v"), (F.col("doc_id") % 400 + 200).cast("string")).alias("item"),
+        F.concat(F.lit("v"), (half % 400 + 200).cast("string")).alias("item"),
     )
     sa = kmv_min_hashes(a, ["g"], "item", k=64)
     sb = kmv_min_hashes(b, ["g"], "item", k=64)
@@ -3491,11 +3492,11 @@ def oracle_sql() -> dict[str, str]:
         "kmv_jaccard": """
             WITH a_items AS (
               SELECT DISTINCT CAST('0x' || substring(
-                md5('v' || CAST(doc_id % 400 AS VARCHAR)), 1, 12) AS BIGINT) AS h
+                md5('v' || CAST((doc_id // 2) % 400 AS VARCHAR)), 1, 12) AS BIGINT) AS h
               FROM documents WHERE doc_id % 2 = 0
             ), b_items AS (
               SELECT DISTINCT CAST('0x' || substring(
-                md5('v' || CAST(doc_id % 400 + 200 AS VARCHAR)), 1, 12) AS BIGINT) AS h
+                md5('v' || CAST((doc_id // 2) % 400 + 200 AS VARCHAR)), 1, 12) AS BIGINT) AS h
               FROM documents WHERE doc_id % 2 = 1
             ), a_mins AS (
               SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
