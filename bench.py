@@ -243,6 +243,18 @@ def run_session(cores: int, sf_dir: str) -> dict[str, float]:
                 fn().collect()
                 dt = round(time.perf_counter() - t0, 3)
                 timings[name] = min(timings.get(name, dt), dt)
+            # several queries localCheckpoint (bm25/tfidf postings,
+            # pipeline gates); each pass rebuilds them, and the JVM only
+            # frees the old checkpointed RDD blocks after a GC notices the
+            # dropped references — nudge both sides so pass N+1 doesn't
+            # measure pass N's storage pressure (BENCH.md bm25 forensics)
+            import gc
+
+            gc.collect()
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass
         return timings
     finally:
         spark.stop()
