@@ -78,6 +78,46 @@ class HllStore:
         return hll_estimate(regs, self.group_cols, p=self.p)
 
 
+class CmsStore:
+    """Persisted count-min counter table with the same snapshot-per-batch
+    discipline as :class:`HllStore` (counter-wise SUM is the lossless
+    merge; replay of batch N rewrites snapshot N from snapshots < N)."""
+
+    def __init__(self, path: str, group_cols: list, width: int = 1 << 12, depth: int = 4):
+        self.path = path
+        self.group_cols = list(group_cols)
+        self.width = width
+        self.depth = depth
+
+    _snapshots = HllStore._snapshots
+    read_counters = HllStore.read_registers
+
+    def update(self, batch: DataFrame, item_col: str, batch_id: int) -> None:
+        from ..functions.sketch import cms_counters, cms_merge
+
+        spark = batch.sparkSession
+        fresh = cms_counters(
+            batch, item_col, width=self.width, depth=self.depth,
+            group_cols=self.group_cols,
+        )
+        prior_snaps = [s for s in self._snapshots() if s < batch_id]
+        if prior_snaps:
+            prior = spark.read.parquet(f"{self.path}/snapshot={prior_snaps[-1]}")
+            fresh = cms_merge(prior, fresh, self.group_cols)
+        fresh.write.mode("overwrite").parquet(f"{self.path}/snapshot={batch_id}")
+
+    def estimate(self, queries: DataFrame, item_col: str) -> DataFrame | None:
+        from ..functions.sketch import cms_estimate
+
+        counters = self.read_counters(queries.sparkSession)
+        if counters is None:
+            return None
+        return cms_estimate(
+            counters, queries, item_col, width=self.width, depth=self.depth,
+            group_cols=self.group_cols,
+        )
+
+
 def streaming_hll_distinct(
     stream: DataFrame,
     store: HllStore,

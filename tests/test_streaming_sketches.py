@@ -83,3 +83,35 @@ def test_replayed_batch_is_idempotent(spark, batched_corpus, tmp_path):
 def test_empty_store_estimate_none(spark, tmp_path):
     store = HllStore(str(tmp_path / "none"), ["g"], p=8)
     assert store.estimate(spark) is None
+
+
+def test_cms_store_streamed_equals_whole(spark, batched_corpus, tmp_path):
+    from open_vector_tile_spark.functions.sketch import cms_counters
+    from open_vector_tile_spark.streaming.sketches import CmsStore
+
+    src, rows = batched_corpus
+    store = CmsStore(str(tmp_path / "cms"), ["g"], width=512, depth=3)
+    b = [rows[:1334], rows[1334:2668], rows[2668:]]
+    for i, chunk in enumerate(b):
+        store.update(spark.createDataFrame(pd.DataFrame(chunk)), "item", i)
+    # replay of the middle batch must not double-count
+    store.update(spark.createDataFrame(pd.DataFrame(b[1])), "item", 1)
+    whole = spark.createDataFrame(pd.DataFrame(rows))
+    want = sorted(
+        (r["g"], r["_row"], r["_bucket"], r["_cnt"])
+        for r in cms_counters(whole, "item", width=512, depth=3, group_cols=["g"]).collect()
+    )
+    got = sorted(
+        (r["g"], r["_row"], r["_bucket"], r["_cnt"])
+        for r in store.read_counters(spark).collect()
+    )
+    assert got == want
+    qs = spark.createDataFrame(
+        pd.DataFrame({"g": ["g0", "g1"], "item": ["it3", "it3"]})
+    )
+    est = {r["g"]: r["est_count"] for r in store.estimate(qs, "item").collect()}
+    import collections
+
+    true = collections.Counter((r["g"], r["item"]) for r in rows)
+    assert est["g0"] >= true[("g0", "it3")]
+    assert est["g1"] >= true[("g1", "it3")]
