@@ -127,19 +127,26 @@ def tfidf_hashed(
             ),
         )
     )
-    norms = w.groupBy(id_col).agg(
-        F.sqrt(
-            F.aggregate(
-                F.sort_array(F.collect_list(F.col("_w") * F.col("_w"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("_nrm")
+    # L2 norm as a whole-partition window over the doc key: one shuffle on
+    # id instead of a groupBy + join-back (two), same sorted fold
+    from pyspark.sql import Window
+
+    wnorm = (
+        Window.partitionBy(id_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    return w.join(norms, id_col).select(
+    nrm = F.sqrt(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.col("_w") * F.col("_w")).over(wnorm)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return w.select(
         id_col,
         "bucket",
-        F.round(F.col("_w") / F.col("_nrm"), 6).alias("weight"),
+        F.round(F.col("_w") / nrm, 6).alias("weight"),
     )
 
 
