@@ -226,6 +226,8 @@ if _HAS_SPARK:
         shift/mask/concat column expression; quadkeys prefix-nest (a
         child's key starts with its parent's), which is what makes them a
         directory layout / range-scan key for tilesets."""
+        if zoom < 1:
+            raise ValueError(f"quadkey needs zoom >= 1, got {zoom}")
         digits = [
             (
                 F.shiftright(tx.cast("long"), i).bitwiseAND(F.lit(1))

@@ -149,7 +149,8 @@ def interval_join(
     ``len/chunk + 1`` rows, and the chunk-id key spreads uniformly, so
     skew stays bounded even when intervals cluster.  Right columns come
     back ``suffix``-renamed.  Bounds are numeric (cast timestamps to epoch
-    units first)."""
+    units first); chunk ids go through a double-precision floor, exact for
+    |bound| < 2^53 — epoch micros until year ~2255."""
     lcols = left.columns
     r_renamed = right.select(
         *[F.col(c).alias(f"{c}{suffix}") for c in right.columns]
