@@ -1982,6 +1982,51 @@ def _geodesic_area_oracle_sql() -> str:
     """
 
 
+def _geohash_oracle_sql() -> str:
+    chars = " || ".join(
+        "substring('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST(((mort >> {25 - 5 * k}) & 31) + 1 AS INT), 1)"
+        for k in range(6)
+    )
+
+    def spread(col: str) -> str:
+        x = f"({col} & 65535)"
+        x = f"(({x} | ({x} << 8)) & 16711935)"
+        x = f"(({x} | ({x} << 4)) & 252645135)"
+        x = f"(({x} | ({x} << 2)) & 858993459)"
+        x = f"(({x} | ({x} << 1)) & 1431655765)"
+        return x
+
+    return f"""
+        WITH q AS (
+          SELECT doc_id,
+                 GREATEST(0, LEAST(32767, CAST(floor(
+                   ({_SQL_LON_DOC}+180.0)/360.0*32768.0) AS BIGINT))) AS lonq,
+                 GREATEST(0, LEAST(32767, CAST(floor(
+                   ({_SQL_LAT_DOC}+90.0)/180.0*32768.0) AS BIGINT))) AS latq
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 ({spread('lonq')} << 1) | {spread('latq')} AS mort
+          FROM q
+        )
+        SELECT doc_id, {chars} AS gh FROM m ORDER BY doc_id
+    """
+
+
+def _q_geohash(spark: SparkSession, sf: str) -> DataFrame:
+    """Geohash cell key (functions/geo.py geohash_col): the third public
+    cell system beside ZXY/quadkey and the hex grid — quantize → Morton
+    spread (the zorder mask chain) → base-32 chars, all codegen column
+    exprs; the DuckDB twin replays the same masks and alphabet."""
+    from open_vector_tile_spark.functions.geo import geohash_col
+
+    docs = _doc_points(_load(spark, sf, "documents"))
+    return docs.select(
+        "doc_id", geohash_col(F.col("lon"), F.col("lat"), 6).alias("gh")
+    ).orderBy("doc_id")
+
+
 def _q_quadkey(spark: SparkSession, sf: str) -> DataFrame:
     """Bing quadkey (functions/geo.py quadkey_col): base-4 tile key, one
     shift/mask digit per level, MSB first — prefix-nesting makes it a
@@ -2174,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_join": _q_bloom_prune_join,
         "clip_pyramid": _q_clip_pyramid,
         "quadkey": _q_quadkey,
+        "geohash": _q_geohash,
         "cms_topk": _q_cms_topk,
         "bucketed_join": _q_bucketed_join,
         "kmv_jaccard": _q_kmv_jaccard,
@@ -3489,6 +3535,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_oracle_sql(),
         "clip_pyramid": _clip_pyramid_oracle_sql(),
         "quadkey": _quadkey_oracle_sql(),
+        "geohash": _geohash_oracle_sql(),
         "kmv_jaccard": """
             WITH a_items AS (
               SELECT DISTINCT CAST('0x' || substring(

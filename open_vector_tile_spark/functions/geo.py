@@ -237,6 +237,49 @@ if _HAS_SPARK:
         ]
         return F.concat(*digits)
 
+    GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def geohash_col(lon: Column, lat: Column, precision: int = 6) -> Column:
+        """Standard geohash (Niemeyer; the Elasticsearch/Lucene cell key):
+        lon/lat bisection bits interleaved lon-first, 5 bits per base-32
+        character.  Implemented as quantize → Morton spread (the same
+        mask chain as the Z-order layout key, layout.py:spread_bits16) →
+        per-character shift/mask + substring into the base-32 alphabet —
+        all codegen column exprs, SQL-twin-able verbatim.  ``precision``
+        in characters, even values ≤ 12 keep the bit split symmetric
+        (this implementation supports 1..6: 15+15 interleaved bits)."""
+        if not 1 <= precision <= 6:
+            raise ValueError(f"precision must be in [1, 6], got {precision}")
+        from ..operators.layout import spread_bits16
+
+        nbits = 15
+        lonq = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit((1 << nbits) - 1),
+                F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << nbits))),
+            ),
+        ).cast("long")
+        latq = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit((1 << nbits) - 1),
+                F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << nbits))),
+            ),
+        ).cast("long")
+        # 30-bit Morton code, lon bits in the odd (higher) positions: the
+        # MSB is lon's top bisection bit, exactly geohash's lon-first order
+        mort = F.shiftleft(spread_bits16(lonq), 1).bitwiseOR(spread_bits16(latq))
+        chars = [
+            F.substring(
+                F.lit(GEOHASH_B32),
+                (F.shiftright(mort, 25 - 5 * k).bitwiseAND(F.lit(31)) + 1).cast("int"),
+                1,
+            )
+            for k in range(precision)
+        ]
+        return F.concat(*chars)
+
     def geodesic_ring_area_m2(
         vertices: "DataFrame",  # noqa: F821
         id_cols: list,

@@ -191,3 +191,65 @@ def test_geodesic_area_orientation_invariant(spark):
     sdf = spark.createDataFrame(pd.DataFrame(rows))
     got = {r["rid"]: r["area_m2"] for r in geodesic_ring_area_m2(sdf, ["rid"]).collect()}
     assert got[1] == got[2]
+
+
+def _geohash_ref(lon, lat, precision):
+    """Textbook bisection geohash encoder (scalar)."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lo = [-180.0, 180.0]
+    la = [-90.0, 90.0]
+    bits, out, even = 0, "", True
+    ch = 0
+    while len(out) < precision:
+        if even:
+            mid = (lo[0] + lo[1]) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lo[0] = mid
+            else:
+                ch <<= 1
+                lo[1] = mid
+        else:
+            mid = (la[0] + la[1]) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                la[0] = mid
+            else:
+                ch <<= 1
+                la[1] = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out += b32[ch]
+            bits, ch = 0, 0
+    return out
+
+
+def test_geohash_matches_reference(spark):
+    import numpy as np
+    import pyspark.sql.functions as F
+    from open_vector_tile_spark.functions.geo import geohash_col
+
+    rng = np.random.default_rng(41)
+    pts = [(float(lo), float(la)) for lo, la in
+           zip(rng.uniform(-180, 180, 300), rng.uniform(-90, 90, 300))]
+    # classic known vector
+    pts.append((-5.6, 42.6))  # geohash 'ezs42' at precision 5
+    sdf = spark.createDataFrame(pts, "lon double, lat double")
+    got5 = [r["gh"] for r in sdf.select(
+        geohash_col(F.col("lon"), F.col("lat"), 5).alias("gh")).collect()]
+    got6 = [r["gh"] for r in sdf.select(
+        geohash_col(F.col("lon"), F.col("lat"), 6).alias("gh")).collect()]
+    for (lon, lat), g5, g6 in zip(pts, got5, got6):
+        assert g5 == _geohash_ref(lon, lat, 5)
+        assert g6 == _geohash_ref(lon, lat, 6)
+        assert g6.startswith(g5)  # prefix property
+    assert got5[-1] == "ezs42"
+
+
+def test_geohash_precision_bound(spark):
+    import pyspark.sql.functions as F
+    from open_vector_tile_spark.functions.geo import geohash_col
+
+    with pytest.raises(ValueError):
+        geohash_col(F.lit(0.0), F.lit(0.0), 7)
