@@ -132,7 +132,6 @@ def clip_ring_np(
         # intersection (if the edge crosses the plane)
         emit_cur = cur_in
         emit_int = cur_in != nxt_in
-        out_rows = []
         # interleave via a (2n, ncols) scratch + mask — no Python loop
         scratch = np.empty((2 * n, pts.shape[1]), dtype=np.float64)
         scratch[0::2] = pts
@@ -140,8 +139,7 @@ def clip_ring_np(
         mask = np.empty(2 * n, dtype=bool)
         mask[0::2] = emit_cur
         mask[1::2] = emit_int
-        out_rows = scratch[mask]
-        pts = out_rows
+        pts = scratch[mask]
     # drop consecutive duplicates the plane intersections can introduce
     if len(pts) > 1:
         keep = np.ones(len(pts), dtype=bool)
