@@ -2027,6 +2027,54 @@ def _q_geohash(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _hex_smooth_oracle_sql() -> str:
+    """DuckDB twin of _q_hex_smooth: hex cells from hex_cell_sql, density
+    groupBy, then the 7-way shifted-union neighborhood mean."""
+    from open_vector_tile_spark.functions.hex import hex_cell_sql
+
+    mx = f"(({_SQL_LON_DOC}+180.0)/360.0)"
+    my = _sql_merc_y(_SQL_LAT_DOC)
+    h = hex_cell_sql(mx, my, 5)
+    dirs = [(0, 0), (1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)]
+    shifted = " UNION ALL ".join(
+        f"SELECT hq + {dq} AS tq, hr + {dr} AS tr, n FROM density"
+        for dq, dr in dirs
+    )
+    return f"""
+        WITH cells AS (
+          SELECT doc_id, {h['hq']} AS hq, {h['hr']} AS hr FROM documents
+        ), density AS (
+          SELECT hq, hr, CAST(count(*) AS DOUBLE) AS n
+          FROM cells GROUP BY hq, hr
+        ), contrib AS ({shifted}),
+        sums AS (
+          SELECT tq, tr, sum(n) AS s, count(*) AS c
+          FROM contrib GROUP BY tq, tr
+        )
+        SELECT d.hq, d.hr, d.n, round(s / c, 6) AS smoothed
+        FROM density d JOIN sums ON d.hq = sums.tq AND d.hr = sums.tr
+        ORDER BY d.hq, d.hr
+    """
+
+
+def _q_hex_smooth(spark: SparkSession, sf: str) -> DataFrame:
+    """Hex neighborhood smoothing (functions/hex.py hex_smooth): per-cell
+    density averaged over the cell + 6 equidistant axial neighbors
+    (isotropic kernel — the hex grid's advantage over squares).  One
+    explode + one partial-agg shuffle + semi-join back; the DuckDB twin
+    replays the 7-way shifted union."""
+    from open_vector_tile_spark.functions.hex import hex_cell_cols, hex_smooth
+
+    docs = _doc_points(_load(spark, sf, "documents"))
+    c = hex_cell_cols(_merc_x(F.col("lon")), _merc_y(F.col("lat")), 5)
+    density = (
+        docs.select(c["hq"].alias("hq"), c["hr"].alias("hr"))
+        .groupBy("hq", "hr")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    return hex_smooth(density, "n").orderBy("hq", "hr")
+
+
 def _q_quadkey(spark: SparkSession, sf: str) -> DataFrame:
     """Bing quadkey (functions/geo.py quadkey_col): base-4 tile key, one
     shift/mask digit per level, MSB first — prefix-nesting makes it a
@@ -2212,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_polygon_rect": _q_clip_polygon_rect,
         "simplify_collapse": _q_simplify_collapse,
         "hex_assign": _q_hex_assign,
+        "hex_smooth": _q_hex_smooth,
         "hll_distinct": _q_hll_distinct,
         "interval_join": _q_interval_join,
         "marching_squares": _q_marching_squares,
@@ -3532,6 +3581,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id, k
         """,
         "hex_assign": _hex_assign_oracle_sql(),
+        "hex_smooth": _hex_smooth_oracle_sql(),
         "hll_distinct": _hll_oracle_sql(),
         "clip_pyramid": _clip_pyramid_oracle_sql(),
         "quadkey": _quadkey_oracle_sql(),

@@ -143,3 +143,57 @@ def hex_ring_np(hq: int, hr: int, k: int) -> np.ndarray:
 def hex_disk_np(hq: int, hr: int, k: int) -> np.ndarray:
     """All cells within axial distance k (1 + 3k(k+1) cells)."""
     return np.concatenate([hex_ring_np(hq, hr, i) for i in range(k + 1)])
+
+
+def hex_smooth(
+    df,
+    value_col: str,
+    q_col: str = "hq",
+    r_col: str = "hr",
+    out_col: str = "smoothed",
+):
+    """Neighborhood smoothing on the hex grid: for every cell PRESENT in
+    ``df``, the mean of ``value_col`` over the cell and its 6 axial
+    neighbors (absent neighbors contribute nothing — the mean is over
+    present cells, so edges don't bleed zeros).
+
+    This is where hexes beat squares: all 6 neighbors are equidistant, so
+    one unweighted ring IS an isotropic kernel (a square grid needs
+    diagonal weights).  Relational shape: each cell broadcasts its value
+    to itself + 6 shifted targets (one explode, 7× fan-out), one
+    partial-agg shuffle on the target cell, then a semi join back onto the
+    original cells — no UDF, verbatim SQL (driver oracle `hex_smooth`)."""
+    from pyspark.sql import functions as F
+
+    dirs = [(0, 0)] + [tuple(d) for d in _HEX_DIRS.tolist()]
+    contrib = df.select(
+        F.col(q_col), F.col(r_col), F.col(value_col).alias("_v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+                    for dq, dr in dirs
+                ]
+            )
+        ).alias("_d"),
+    ).select(
+        (F.col(q_col) + F.col("_d.dq")).alias("_tq"),
+        (F.col(r_col) + F.col("_d.dr")).alias("_tr"),
+        "_v",
+    )
+    sums = contrib.groupBy("_tq", "_tr").agg(
+        F.sum("_v").alias("_sum"), F.count("_v").alias("_n")
+    )
+    cells = df.select(q_col, r_col, value_col)
+    return (
+        cells.join(
+            sums,
+            (F.col(q_col) == F.col("_tq")) & (F.col(r_col) == F.col("_tr")),
+        )
+        .select(
+            q_col,
+            r_col,
+            value_col,
+            F.round(F.col("_sum") / F.col("_n"), 6).alias(out_col),
+        )
+    )

@@ -253,3 +253,34 @@ def test_geohash_precision_bound(spark):
 
     with pytest.raises(ValueError):
         geohash_col(F.lit(0.0), F.lit(0.0), 7)
+
+
+def test_hex_smooth_matches_bruteforce(spark):
+    import pyspark.sql.functions as F
+    from open_vector_tile_spark.functions.hex import hex_smooth
+
+    rng = np.random.default_rng(13)
+    cells = {}
+    for _ in range(120):
+        q, r = int(rng.integers(-6, 7)), int(rng.integers(-6, 7))
+        cells[(q, r)] = float(rng.integers(1, 100))
+    pdf = pd.DataFrame(
+        [{"hq": q, "hr": r, "v": v} for (q, r), v in cells.items()]
+    )
+    got = {
+        (r["hq"], r["hr"]): r["smoothed"]
+        for r in hex_smooth(spark.createDataFrame(pdf), "v").collect()
+    }
+    dirs = [(0, 0), (1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)]
+    assert set(got) == set(cells)
+    for (q, r), v in cells.items():
+        vals = [cells[(q + dq, r + dr)] for dq, dr in dirs if (q + dq, r + dr) in cells]
+        assert got[(q, r)] == round(sum(vals) / len(vals), 6)
+
+
+def test_hex_smooth_isolated_cell_is_identity(spark):
+    from open_vector_tile_spark.functions.hex import hex_smooth
+
+    pdf = pd.DataFrame([{"hq": 100, "hr": 100, "v": 7.0}])
+    out = hex_smooth(spark.createDataFrame(pdf), "v").collect()
+    assert out[0]["smoothed"] == 7.0
