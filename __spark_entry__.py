@@ -2027,6 +2027,45 @@ def _q_geohash(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _hex_knn_oracle_sql() -> str:
+    from open_vector_tile_spark.functions.hex import hex_cell_sql
+
+    hd = hex_cell_sql(f"(({_SQL_LON_DOC}+180.0)/360.0)", _sql_merc_y(_SQL_LAT_DOC), 5)
+    plon = "((CAST(s_suppkey*91 AS DOUBLE) % 3600)/10.0 - 180.0)"
+    plat = "((CAST(s_suppkey*57 AS DOUBLE) % 1600)/10.0 - 80.0)"
+    ha = hex_cell_sql(f"(({plon}+180.0)/360.0)", _sql_merc_y(plat), 5)
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {_SQL_LON_DOC} AS lon, {_SQL_LAT_DOC} AS lat,
+                 {hd['hq']} AS hq, {hd['hr']} AS hr
+          FROM documents
+        ), a AS (
+          SELECT s_suppkey AS poi_id, {plon} AS plon, {plat} AS plat,
+                 {ha['hq']} AS hq, {ha['hr']} AS hr
+          FROM supplier
+        ), cand AS (
+          SELECT d.doc_id, d.lon, d.lat, a.poi_id, a.plon, a.plat
+          FROM d JOIN a
+            ON (abs(d.hq - a.hq) + abs(d.hr - a.hr)
+                + abs((d.hq - a.hq) + (d.hr - a.hr))) // 2 <= 2
+        ), scored AS (
+          SELECT doc_id, poi_id,
+                 2.0*6371008.8*asin(least(1.0, sqrt(
+                   pow(sin(radians(plat - lat)/2), 2)
+                   + cos(radians(lat))*cos(radians(plat))
+                     *pow(sin(radians(plon - lon)/2), 2)))) AS dist_m
+          FROM cand
+        ), ranked AS (
+          SELECT doc_id, poi_id, dist_m,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY dist_m ASC, poi_id ASC) AS INT) AS rank
+          FROM scored
+        )
+        SELECT doc_id, poi_id, round(dist_m, 3) AS dist_m, rank
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """
+
+
 def _hex_smooth_oracle_sql() -> str:
     """DuckDB twin of _q_hex_smooth: hex cells from hex_cell_sql, density
     groupBy, then the 7-way shifted-union neighborhood mean."""
@@ -2073,6 +2112,51 @@ def _q_hex_smooth(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").cast("double").alias("n"))
     )
     return hex_smooth(density, "n").orderBy("hq", "hr")
+
+
+def _q_hex_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Hex-index kNN (functions/hex.py hex_disk_join): candidates come
+    from the static 19-offset disk-2 equi-join on axial cells (the hex
+    analogue of the square cell-ring prefilter), then exact haversine +
+    rank window keep the 3 nearest disk candidates per doc.  The DuckDB
+    twin selects candidates by axial distance <= 2 directly — proving the
+    offset explode IS the disk predicate — and replays the ranking."""
+    from open_vector_tile_spark.functions.hex import hex_cell_cols, hex_disk_join
+
+    docs = _doc_points(_load(spark, sf, "documents"))
+    cd = hex_cell_cols(_merc_x(F.col("lon")), _merc_y(F.col("lat")), 5)
+    q = docs.select("doc_id", "lon", "lat", cd["hq"].alias("hq"), cd["hr"].alias("hr"))
+    sup = _load(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("poi_id"),
+        (((F.col("s_suppkey") * 91) % 3600) / 10.0 - 180.0).alias("plon"),
+        (((F.col("s_suppkey") * 57) % 1600) / 10.0 - 80.0).alias("plat"),
+    )
+    ca = hex_cell_cols(_merc_x(F.col("plon")), _merc_y(F.col("plat")), 5)
+    a = sup.select("poi_id", "plon", "plat", ca["hq"].alias("hq"), ca["hr"].alias("hr"))
+    cand = hex_disk_join(q, a, k_disk=2)
+    r = 6371008.8
+    dlat = F.radians(F.col("plat_r") - F.col("lat"))
+    dlon = F.radians(F.col("plon_r") - F.col("lon"))
+    h = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(F.radians(F.col("lat")))
+        * F.cos(F.radians(F.col("plat_r")))
+        * F.sin(dlon / 2) ** 2
+    )
+    dist = F.lit(2.0 * r) * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("dist_m"), F.asc("poi_id_r"))
+    return (
+        cand.select("doc_id", F.col("poi_id_r").alias("poi_id_r"), dist.alias("dist_m"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("poi_id_r").alias("poi_id"),
+            F.round("dist_m", 3).alias("dist_m"),
+            "rank",
+        )
+        .orderBy("doc_id", "rank")
+    )
 
 
 def _q_quadkey(spark: SparkSession, sf: str) -> DataFrame:
@@ -2261,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_collapse": _q_simplify_collapse,
         "hex_assign": _q_hex_assign,
         "hex_smooth": _q_hex_smooth,
+        "hex_knn": _q_hex_knn,
         "hll_distinct": _q_hll_distinct,
         "interval_join": _q_interval_join,
         "marching_squares": _q_marching_squares,
@@ -3582,6 +3667,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hex_assign": _hex_assign_oracle_sql(),
         "hex_smooth": _hex_smooth_oracle_sql(),
+        "hex_knn": _hex_knn_oracle_sql(),
         "hll_distinct": _hll_oracle_sql(),
         "clip_pyramid": _clip_pyramid_oracle_sql(),
         "quadkey": _quadkey_oracle_sql(),

@@ -145,6 +145,51 @@ def hex_disk_np(hq: int, hr: int, k: int) -> np.ndarray:
     return np.concatenate([hex_ring_np(hq, hr, i) for i in range(k + 1)])
 
 
+def hex_disk_join(
+    left,
+    right,
+    k_disk: int,
+    q_col: str = "hq",
+    r_col: str = "hr",
+    suffix: str = "_r",
+):
+    """Candidate join through the hex index: pair every left row with
+    every right row whose cell lies within axial distance ``k_disk`` of
+    the left row's cell.
+
+    The disk offsets around the origin are STATIC (1 + 3k(k+1) of them —
+    19 at k=2), so the expansion is one literal-array explode on the left
+    side followed by an equi-join on the shifted cell — the hex analogue
+    of the square cell-ring prefilter in operators/knn.py, as pure
+    relational algebra.  Downstream re-ranks candidates exactly (driver
+    query `hex_knn`: haversine + rank window, twin-oracled)."""
+    from pyspark.sql import functions as F
+
+    offsets = [tuple(x) for x in hex_disk_np(0, 0, k_disk).tolist()]
+    r_renamed = right.select(
+        *[F.col(c).alias(f"{c}{suffix}") for c in right.columns]
+    )
+    ex = left.withColumn(
+        "_o",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+                    for dq, dr in offsets
+                ]
+            )
+        ),
+    ).withColumn("_cq", F.col(q_col) + F.col("_o.dq")).withColumn(
+        "_cr", F.col(r_col) + F.col("_o.dr")
+    )
+    joined = ex.join(
+        r_renamed,
+        (F.col("_cq") == F.col(f"{q_col}{suffix}"))
+        & (F.col("_cr") == F.col(f"{r_col}{suffix}")),
+    )
+    return joined.drop("_o", "_cq", "_cr")
+
+
 def hex_smooth(
     df,
     value_col: str,

@@ -284,3 +284,32 @@ def test_hex_smooth_isolated_cell_is_identity(spark):
     pdf = pd.DataFrame([{"hq": 100, "hr": 100, "v": 7.0}])
     out = hex_smooth(spark.createDataFrame(pdf), "v").collect()
     assert out[0]["smoothed"] == 7.0
+
+
+def test_hex_disk_join_matches_bruteforce(spark):
+    import pyspark.sql.functions as F  # noqa: F401
+    from open_vector_tile_spark.functions.hex import hex_disk_join
+
+    rng = np.random.default_rng(29)
+    lrows = [{"lid": i, "hq": int(rng.integers(-5, 6)), "hr": int(rng.integers(-5, 6))}
+             for i in range(60)]
+    rrows = [{"rid": i, "hq": int(rng.integers(-5, 6)), "hr": int(rng.integers(-5, 6))}
+             for i in range(40)]
+    out = hex_disk_join(
+        spark.createDataFrame(pd.DataFrame(lrows)),
+        spark.createDataFrame(pd.DataFrame(rrows)),
+        k_disk=2,
+    ).toPandas()
+    got = set(zip(out.lid, out.rid_r))
+
+    def dist(a, b):
+        dq, dr = a[0] - b[0], a[1] - b[1]
+        return (abs(dq) + abs(dr) + abs(dq + dr)) // 2
+
+    want = {
+        (lr["lid"], rr["rid"])
+        for lr in lrows
+        for rr in rrows
+        if dist((lr["hq"], lr["hr"]), (rr["hq"], rr["hr"])) <= 2
+    }
+    assert got == want
