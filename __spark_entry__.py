@@ -2274,6 +2274,29 @@ def _q_kmv_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_set_ops(sa, sb, ["g"], k=64).orderBy("g")
 
 
+def _q_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join, FORWARD direction (operators/events.py asof_join
+    direction='forward'): each view matched to the user's NEXT click at or
+    after it — same union + single-shuffle window plan with the order
+    reversed.  DuckDB has no forward ASOF, so the twin is the explicit
+    min-over-future formulation (row_number over ts ascending among
+    future clicks) — an independent oracle, not a mirror."""
+    from open_vector_tile_spark.operators.events import asof_join
+
+    ev = _load(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    j = asof_join(views, clicks, on=["user_id"], right_cols=["click_id"],
+                  direction="forward")
+    return j.select(
+        "event_id",
+        F.col("click_id_r").alias("click_id"),
+        F.timestamp_diff("MICROSECOND", F.col("ts"), F.col("ts_r")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -2310,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": _q_corpus_filter,
         "extract_text": _q_extract_text,
         "asof_join": _q_asof_join,
+        "asof_forward": _q_asof_forward,
         "sessionize": _q_sessionize,
         "det_sample": _q_det_sample,
         "dataset_split": _q_dataset_split,
@@ -2781,6 +2805,22 @@ def oracle_sql() -> dict[str, str]:
                        || '</p></body></html>' AS html
                 FROM documents))
             ORDER BY doc_id
+        """,
+        "asof_forward": """
+            WITH v AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+            ), c AS (
+              SELECT event_id AS click_id, user_id, ts
+              FROM events WHERE event_type = 'click'
+            ), m AS (
+              SELECT v.event_id, c.click_id,
+                     date_diff('microsecond', v.ts, c.ts) AS gap_us,
+                     row_number() OVER (PARTITION BY v.event_id
+                                        ORDER BY c.ts, c.click_id) AS rn
+              FROM v JOIN c ON v.user_id = c.user_id AND c.ts >= v.ts
+            )
+            SELECT event_id, click_id, gap_us FROM m WHERE rn = 1
+            ORDER BY event_id
         """,
         "asof_join": """
             SELECT c.event_id AS event_id, v.event_id AS view_id,
