@@ -382,3 +382,100 @@ def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame, group_cols: list[str], k
     return both.withColumn(
         "_rn", F.row_number().over(Window.partitionBy(*group_cols).orderBy("_h"))
     ).where(F.col("_rn") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram quantiles (mergeable, engine-portable)
+# ---------------------------------------------------------------------------
+#
+# Why not approx_percentile: Spark's GK/KLL variant is engine-private (same
+# reason the sketches above avoid HLL++) — its estimate can't be reproduced
+# by another engine, so it can't be oracle-checked and its state can't be
+# handed off.  A fixed [lo, hi) grid of n_bins equal-width bins IS portable:
+# the bin id is one floor() both engines compute identically, the per-bin
+# counts are exact integers, and the quantile readout (cumulative counts +
+# linear interpolation inside the crossing bin) is deterministic IEEE math.
+# Error bound: an estimate is off by at most one bin width (hi-lo)/n_bins —
+# chosen a priori, unlike GK's rank-relative bound, but mergeable across
+# shards/micro-batches by plain counter addition (hist_merge) and exactly
+# reproducible anywhere.
+
+
+def hist_bin_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Per-group bin-count table ``(*group_cols, _bin, _cnt)`` — ≤ n_bins
+    rows per group (bounded state), one partial-agg shuffle.  Values are
+    clamped into [lo, hi): out-of-range rows land in the edge bins, so no
+    data is dropped (the estimate degrades only at the clamped tails)."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    v = F.col(val_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) * F.lit(float(n_bins)) / F.lit(float(hi - lo)))
+    b = F.greatest(F.lit(0), F.least(F.lit(int(n_bins) - 1), raw)).cast("int")
+    return (
+        df.where(v.isNotNull())
+        .select(*group_cols, b.alias("_bin"))
+        .groupBy(*group_cols, "_bin")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+
+
+def hist_merge(counts_a: DataFrame, counts_b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Counter-wise sum — the lossless shard merge (partial aggregate)."""
+    both = counts_a.unionByName(counts_b)
+    return both.groupBy(*group_cols, "_bin").agg(F.sum("_cnt").alias("_cnt"))
+
+
+def hist_quantiles(
+    counts: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Quantile readout over a bin-count table: -> ``(*group_cols, q,
+    est)``, one row per group per requested quantile.
+
+    Rank rule: target = max(1, ceil(q*N)); the estimate interpolates
+    linearly inside the first bin whose cumulative count reaches the
+    target.  The cumulative window runs PER GROUP over ≤ n_bins rows — no
+    global sort anywhere."""
+    width = (float(hi) - float(lo)) / int(n_bins)
+    wg = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = counts.withColumn("_cum", F.sum("_cnt").over(wg)).withColumn(
+        "_tot",
+        F.sum("_cnt").over(
+            Window.partitionBy(*group_cols).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    qlit = F.explode(
+        F.array(*[F.lit(float(q)).alias("q") for q in qs])
+    ).alias("q")
+    cq = c.select(*group_cols, "_bin", "_cnt", "_cum", "_tot", qlit)
+    target = F.greatest(F.lit(1).cast("long"), F.ceil(F.col("q") * F.col("_tot")))
+    hit = cq.where(
+        (F.col("_cum") >= target) & ((F.col("_cum") - F.col("_cnt")) < target)
+    )
+    est = (
+        F.lit(float(lo))
+        + (
+            F.col("_bin").cast("double")
+            + (target - (F.col("_cum") - F.col("_cnt"))).cast("double")
+            / F.col("_cnt").cast("double")
+        )
+        * F.lit(width)
+    )
+    return hit.select(*group_cols, "q", F.round(est, 6).alias("est"))

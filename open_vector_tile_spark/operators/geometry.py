@@ -1,0 +1,122 @@
+"""Per-feature geometry metrics over vertex-array columns: shoelace area,
+centroid, perimeter, vertex count.
+
+The reference keeps per-feature geometry as vertex runs and computes signed
+ring area for winding-order decisions (src/mapbox/vectorLayer.ts signedArea,
+mirrored in codec/mvt.py:20); this module lifts the same arithmetic to
+table scale as a relational aggregate: explode the ring once, compute the
+shoelace / centroid cross terms against the cyclic successor vertex, and
+reduce with one partial-agg shuffle — no UDF, verbatim SQL (driver oracle
+`polygon_metrics`).
+
+Cross-engine determinism contract: polygon coordinates are QUANTIZED
+integers (the tile grid — extent-quantized exactly like the codec), so
+every shoelace / centroid cross term is an integer-valued double and their
+sums are EXACT in any accumulation order — no sorted fold needed.  The one
+irrational quantity, the perimeter's per-edge sqrt, is reduced with the
+repo's sorted-fold pattern (sort_array + aggregate; DuckDB twin:
+list_sum(list_sort(...))) so Spark and DuckDB produce bit-identical
+doubles.
+
+Conventions: rings may be passed open (first vertex not repeated) — the
+cyclic successor closes them implicitly; a closed ring (duplicate last
+vertex) yields identical sums because its wrap edge is degenerate.  Signed
+area is positive for counter-clockwise rings in y-up coordinates (the
+shoelace sign; tile-grid y-down flips the visual interpretation, same as
+the reference's signedArea).  Centroid is the area centroid; degenerate
+(zero-area) rings fall back to the vertex mean, flagged in ``degenerate``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def polygon_metrics(
+    df: DataFrame,
+    id_cols: list[str],
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+) -> DataFrame:
+    """-> ``(*id_cols, n_vertices, area, perimeter, cx, cy, degenerate)``.
+
+    ``xs_col``/``ys_col`` are equal-length numeric arrays (one ring per
+    row).  area = signed shoelace / 2; (cx, cy) = area centroid (vertex
+    mean when |area| = 0); perimeter = sum of edge lengths including the
+    closing edge.  One explode + one partial-agg shuffle; all sums except
+    the perimeter fold are exact integer arithmetic in doubles."""
+    n = F.size(F.col(xs_col))
+    ex = (
+        df.withColumn("_n", n)
+        .where(F.col("_n") >= 3)
+        .select(
+            *id_cols,
+            "_n",
+            F.posexplode(F.arrays_zip(F.col(xs_col), F.col(ys_col))).alias(
+                "_i", "_v"
+            ),
+        )
+        .select(
+            *id_cols,
+            "_n",
+            "_i",
+            F.col(f"_v.{xs_col}").cast("double").alias("_x"),
+            F.col(f"_v.{ys_col}").cast("double").alias("_y"),
+        )
+    )
+    w = Window.partitionBy(*id_cols).orderBy("_i")
+    nxt_x = F.lead("_x").over(w)
+    nxt_y = F.lead("_y").over(w)
+    first_x = F.first("_x").over(
+        Window.partitionBy(*id_cols).orderBy("_i").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    first_y = F.first("_y").over(
+        Window.partitionBy(*id_cols).orderBy("_i").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    edges = ex.select(
+        *id_cols,
+        "_n",
+        "_x",
+        "_y",
+        F.coalesce(nxt_x, first_x).alias("_xn"),
+        F.coalesce(nxt_y, first_y).alias("_yn"),
+    ).withColumn("_cross", F.col("_x") * F.col("_yn") - F.col("_xn") * F.col("_y"))
+    agg = edges.groupBy(*id_cols).agg(
+        F.first("_n").alias("n_vertices"),
+        (F.sum("_cross") / F.lit(2.0)).alias("area"),
+        F.sum((F.col("_x") + F.col("_xn")) * F.col("_cross")).alias("_cxs"),
+        F.sum((F.col("_y") + F.col("_yn")) * F.col("_cross")).alias("_cys"),
+        F.avg("_x").alias("_mx"),
+        F.avg("_y").alias("_my"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.sqrt(
+                        (F.col("_xn") - F.col("_x")) * (F.col("_xn") - F.col("_x"))
+                        + (F.col("_yn") - F.col("_y")) * (F.col("_yn") - F.col("_y"))
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("perimeter"),
+    )
+    deg = F.col("area") == 0.0
+    return agg.select(
+        *id_cols,
+        F.col("n_vertices").cast("int").alias("n_vertices"),
+        "area",
+        "perimeter",
+        F.when(deg, F.col("_mx"))
+        .otherwise(F.col("_cxs") / (F.lit(6.0) * F.col("area")))
+        .alias("cx"),
+        F.when(deg, F.col("_my"))
+        .otherwise(F.col("_cys") / (F.lit(6.0) * F.col("area")))
+        .alias("cy"),
+        deg.cast("int").alias("degenerate"),
+    )

@@ -248,3 +248,103 @@ def _haversine_col(lon1, lat1, lon2, lat2):
     dlon = F.radians(lon2 - lon1)
     a = F.sin(dlat / 2) ** 2 + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2
     return F.lit(2.0 * r) * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+
+
+# ---------------------------------------------------------------------------
+# distance-band join (all pairs within R meters)
+# ---------------------------------------------------------------------------
+
+_R_EARTH_M = 6_371_008.8
+
+
+def _disk_cover_cells(lon0: float, lat0: float, radius_m: float, zoom: int) -> np.ndarray:
+    """Packed cells covering the great-circle disk of ``radius_m`` around
+    (lon0, lat0): the exact spherical-cap bounding box (dlat = angular
+    radius; dlon = asin(sin r / cos lat), full wrap when the cap crosses a
+    pole), then every mercator tile intersecting it.  X wraps modulo 2^z
+    across the antimeridian; Y rows come from the clamped mercator
+    transform, matching the (clamped) cell assignment of the points side —
+    a strict superset of the true disk, so the exact haversine refinement
+    never misses a pair."""
+    import math as _m
+
+    n = 1 << zoom
+    r_ang = radius_m / _R_EARTH_M  # angular radius, radians
+    lat_r = _m.radians(lat0)
+    lat_lo = _m.degrees(lat_r - r_ang)
+    lat_hi = _m.degrees(lat_r + r_ang)
+    # y rows from clamped latitudes (merc_y_np clamps internally)
+    _, ty_hi = tile_xy_np([lon0], [max(lat_lo, -90.0)], zoom)  # south -> bigger ty
+    _, ty_lo = tile_xy_np([lon0], [min(lat_hi, 90.0)], zoom)
+    tys = np.arange(int(ty_lo[0]), int(ty_hi[0]) + 1, dtype=np.int64)
+    if abs(lat_r) + r_ang >= _m.pi / 2:
+        txs = np.arange(n, dtype=np.int64)  # cap crosses a pole: full ring
+    else:
+        sin_dlon = _m.sin(r_ang) / _m.cos(lat_r)
+        dlon = _m.degrees(_m.asin(min(1.0, sin_dlon)))
+        # unclamped fractional x (linear in lon) -> wrap modulo n
+        tx_lo = _m.floor((lon0 - dlon + 180.0) / 360.0 * n)
+        tx_hi = _m.floor((lon0 + dlon + 180.0) / 360.0 * n)
+        txs = np.unique(np.arange(int(tx_lo), int(tx_hi) + 1, dtype=np.int64) % n)
+    gx, gy = np.meshgrid(txs, tys)
+    return pack_cell_np(zoom, gx.ravel(), gy.ravel())
+
+
+def distance_join(
+    points: DataFrame,
+    anchors: DataFrame,
+    radius_m: float,
+    zoom: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    alon: str = "lon",
+    alat: str = "lat",
+    suffix: str = "_a",
+) -> DataFrame:
+    """All (point, anchor) pairs within ``radius_m`` great-circle meters —
+    the spatial range join (threshold cousin of kNN; SURVEY §2.4 J3/J6).
+
+    Plan shape: the anchor side explodes into the packed cells covering its
+    radius disk (bounded fan-out: pick ``zoom`` so a disk spans a handful of
+    cells); the points side computes its single cell as a column expr; ONE
+    equi-join on the cell key + the exact haversine refinement.  Each point
+    owns exactly one cell and an anchor's covering cells are distinct, so a
+    surviving pair appears exactly once — no dedup pass.  Hot cells (urban
+    anchors) are ordinary skewed join keys: AQE skew-join splits them.
+
+    Output: all point columns + anchor columns (``suffix``-renamed) +
+    ``dist_m``.  The covering is a strict superset of the disk (spherical-
+    cap bbox, antimeridian-wrapped), so results equal the brute-force
+    cross-join filter — the driver oracle `distance_join` checks exactly
+    that against DuckDB."""
+    from pyspark.sql.functions import pandas_udf
+
+    zm, rm = int(zoom), float(radius_m)
+
+    @pandas_udf("array<long>")
+    def disk_cells(lons: pd.Series, lats: pd.Series) -> pd.Series:
+        # per-ANCHOR loop (dim-table side, documented); each iteration is
+        # numpy over the covering grid
+        return pd.Series(
+            [
+                _disk_cover_cells(float(lo), float(la), rm, zm).tolist()
+                for lo, la in zip(lons, lats)
+            ]
+        )
+
+    a_renamed = anchors.select(
+        *[F.col(c).alias(f"{c}{suffix}") for c in anchors.columns]
+    )
+    a_cells = a_renamed.withColumn(
+        "_cell", F.explode(disk_cells(F.col(f"{alon}{suffix}"), F.col(f"{alat}{suffix}")))
+    )
+    pts = points.withColumn("_cell", cell_col(F.col(lon), F.col(lat), zm))
+    dist = _haversine_col(
+        F.col(lon), F.col(lat), F.col(f"{alon}{suffix}"), F.col(f"{alat}{suffix}")
+    )
+    return (
+        pts.join(a_cells, "_cell")
+        .withColumn("dist_m", dist)
+        .where(F.col("dist_m") <= rm)
+        .drop("_cell")
+    )

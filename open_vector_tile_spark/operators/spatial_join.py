@@ -262,3 +262,72 @@ def bbox_prejoin(points: DataFrame, polygons_pdf: pd.DataFrame, lon: str = "lon"
     return points.join(F.broadcast(boxes), on=cond, how="inner").drop(
         "lon_min", "lat_min", "lon_max", "lat_max"
     )
+
+
+def bbox_join(
+    left: DataFrame,
+    right: DataFrame,
+    chunk: float,
+    xmin: str = "xmin",
+    ymin: str = "ymin",
+    xmax: str = "xmax",
+    ymax: str = "ymax",
+    suffix: str = "_r",
+) -> DataFrame:
+    """All (left, right) pairs whose CLOSED axis-aligned boxes overlap
+    (``l.xmin <= r.xmax AND r.xmin <= l.xmax`` on both axes) — the 2D
+    spatial range join, i.e. events.interval_join lifted to rectangles
+    (SURVEY §2.4 J6 generalized from the bbox prejoin).
+
+    Plan shape, mirroring the 1D operator: both sides explode into the
+    fixed ``chunk``-sized grid cells their box covers and equi-join on the
+    (cell_x, cell_y) pair — ONE hash shuffle per side, no nested loop.  A
+    pair sharing several cells is emitted exactly once: only the cell
+    containing ``(greatest(l.xmin, r.xmin), greatest(l.ymin, r.ymin))``
+    keeps it (canonical-chunk dedup, no distinct).  Pick ``chunk`` near the
+    median box edge: per-row fan-out is ~(w/chunk+1)*(h/chunk+1).  Right
+    columns return ``suffix``-renamed.  Chunk ids floor through doubles —
+    exact for |coord/chunk| < 2^53."""
+    lcols = left.columns
+    r_renamed = right.select(
+        *[F.col(c).alias(f"{c}{suffix}") for c in right.columns]
+    )
+    rx0, ry0 = f"{xmin}{suffix}", f"{ymin}{suffix}"
+    rx1, ry1 = f"{xmax}{suffix}", f"{ymax}{suffix}"
+
+    def grid(df, x0, y0, x1, y1):
+        return df.withColumn(
+            "_gx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(x0) / chunk).cast("long"),
+                    F.floor(F.col(x1) / chunk).cast("long"),
+                )
+            ),
+        ).withColumn(
+            "_gy",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(y0) / chunk).cast("long"),
+                    F.floor(F.col(y1) / chunk).cast("long"),
+                )
+            ),
+        )
+
+    l_ex = grid(left, xmin, ymin, xmax, ymax)
+    r_ex = grid(r_renamed, rx0, ry0, rx1, ry1)
+    joined = l_ex.join(r_ex, on=["_gx", "_gy"], how="inner").where(
+        (F.col(xmin) <= F.col(rx1))
+        & (F.col(rx0) <= F.col(xmax))
+        & (F.col(ymin) <= F.col(ry1))
+        & (F.col(ry0) <= F.col(ymax))
+        & (
+            F.floor(F.greatest(F.col(xmin), F.col(rx0)) / chunk).cast("long")
+            == F.col("_gx")
+        )
+        & (
+            F.floor(F.greatest(F.col(ymin), F.col(ry0)) / chunk).cast("long")
+            == F.col("_gy")
+        )
+    )
+    return joined.select(*lcols, *[f"{c}{suffix}" for c in right.columns])
