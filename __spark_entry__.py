@@ -2297,6 +2297,161 @@ def _q_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# ---------------------------------------------------------------------------
+# session-4 ops: semantic dedup, distance/bbox joins, geometry metrics,
+# histogram quantiles, incremental tile diff
+# ---------------------------------------------------------------------------
+
+
+def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup, exact single-cluster mode: the
+    cluster knob collapsed (n_centroids=1) makes the cluster-local "exists
+    earlier similar vector" rule global, so the DuckDB all-pairs twin
+    verifies the whole prune kernel (same oracle trick as
+    near_dup_embeddings / lsh_topk).  Production uses n_centroids ~ N/1000
+    (clustered recall pinned in pytest)."""
+    from open_vector_tile_spark.operators.semdedup import semantic_dedup
+
+    emb = _load(spark, sf, "embeddings")
+    out = semantic_dedup(emb, threshold=0.4, n_centroids=1)
+    return out.select("vec_id", "dup_of", "keep").orderBy("vec_id")
+
+
+def _q_distance_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Spatial range join (all doc/POI pairs within 500 km): spherical-cap
+    cell covering on the anchor side + one equi-join + exact haversine
+    refinement.  The covering is a strict superset of the disk, so the
+    result equals the brute-force cross-join filter — which is exactly the
+    DuckDB twin."""
+    from open_vector_tile_spark.operators.knn import distance_join
+
+    docs = _doc_points(_load(spark, sf, "documents")).select("doc_id", "lon", "lat")
+    sup = _load(spark, sf, "supplier")
+    anchors = sup.select(
+        F.col("s_suppkey").alias("poi_id"),
+        (((F.col("s_suppkey") * 91) % 3600) / 10.0 - 180.0).alias("lon"),
+        (((F.col("s_suppkey") * 57) % 1600) / 10.0 - 80.0).alias("lat"),
+    )
+    out = distance_join(docs, anchors, radius_m=500_000.0, zoom=ZOOM, suffix="_a")
+    return out.select(
+        "doc_id",
+        F.col("poi_id_a").alias("poi_id"),
+        F.round("dist_m", 3).alias("dist_m"),
+    ).orderBy("doc_id", "poi_id")
+
+
+def _q_bbox_join(spark: SparkSession, sf: str) -> DataFrame:
+    """2D range join over synthesized rectangles: canonical-chunk grid
+    equi-join (one shuffle per side, no nested loop), overlap area as the
+    value check.  DuckDB twin is the all-pairs overlap predicate."""
+    from open_vector_tile_spark.operators.spatial_join import bbox_join
+
+    docs = _load(spark, sf, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 13 % 1000) / 10.0).alias("xmin"),
+        ((F.col("doc_id") * 29 % 1000) / 10.0).alias("ymin"),
+    )
+    left = docs.select(
+        "doc_id",
+        "xmin",
+        "ymin",
+        (F.col("xmin") + (F.col("doc_id") % 7 + 1) * 0.7).alias("xmax"),
+        (F.col("ymin") + (F.col("doc_id") % 5 + 1) * 0.9).alias("ymax"),
+    )
+    sup = _load(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("rid"),
+        ((F.col("s_suppkey") * 17 % 1000) / 10.0).alias("xmin"),
+        ((F.col("s_suppkey") * 31 % 1000) / 10.0).alias("ymin"),
+    )
+    right = sup.select(
+        "rid",
+        "xmin",
+        "ymin",
+        (F.col("xmin") + (F.col("rid") % 6 + 1) * 1.1).alias("xmax"),
+        (F.col("ymin") + (F.col("rid") % 4 + 1) * 1.3).alias("ymax"),
+    )
+    j = bbox_join(left, right, chunk=5.0)
+    area = (
+        F.least(F.col("xmax"), F.col("xmax_r")) - F.greatest(F.col("xmin"), F.col("xmin_r"))
+    ) * (
+        F.least(F.col("ymax"), F.col("ymax_r")) - F.greatest(F.col("ymin"), F.col("ymin_r"))
+    )
+    return j.select(
+        "doc_id",
+        F.col("rid_r").alias("rid"),
+        F.round(area, 6).alias("overlap_area"),
+    ).orderBy("doc_id", "rid")
+
+
+def _q_polygon_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Shoelace area / centroid / perimeter over per-doc synthetic rings
+    (3-7 integer-grid vertices).  Integer cross terms make every sum exact
+    in any order; the perimeter's irrational edge lengths go through the
+    repo's sorted-fold so DuckDB (list_sum(list_sort(...))) bit-matches."""
+    from open_vector_tile_spark.operators.geometry import polygon_metrics
+
+    docs = _load(spark, sf, "documents").select("doc_id")
+    k = (F.col("doc_id") % 5 + 3).cast("int")
+    idx = F.sequence(F.lit(0), k - 1)
+    d = F.col("doc_id")
+    polys = docs.select(
+        "doc_id",
+        F.transform(idx, lambda i: ((d * 7 + i * i * 13) % 4096).cast("double")).alias("xs"),
+        F.transform(idx, lambda i: ((d * 11 + i * 17 * (i + 2)) % 4096).cast("double")).alias("ys"),
+    )
+    out = polygon_metrics(polys, ["doc_id"])
+    return out.select(
+        "doc_id",
+        "n_vertices",
+        "area",
+        F.round("perimeter", 6).alias("perimeter"),
+        F.round("cx", 6).alias("cx"),
+        F.round("cy", 6).alias("cy"),
+        "degenerate",
+    ).orderBy("doc_id")
+
+
+def _q_hist_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable fixed-grid histogram quantiles (mergeable sketch, bounded
+    state): bin counts partial-agg + per-group cumulative window readout.
+    Both halves reproduce verbatim in DuckDB."""
+    from open_vector_tile_spark.functions.sketch import hist_bin_counts, hist_quantiles
+
+    docs = _load(spark, sf, "documents").select(
+        (F.col("doc_id") % 3).alias("g"),
+        ((F.col("doc_id") * 37) % 1000).cast("double").alias("v"),
+    )
+    counts = hist_bin_counts(docs, ["g"], "v", lo=0.0, hi=1000.0, n_bins=50)
+    out = hist_quantiles(counts, ["g"], [0.25, 0.5, 0.9], lo=0.0, hi=1000.0, n_bins=50)
+    return out.orderBy("g", "q")
+
+
+def _q_tile_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-tiling dirty-set: full-outer snapshot diff (deletes %23,
+    moves %17 three degrees east, inserts %29 re-keyed +10^6) -> per-tile
+    insert/delete/move counts.  The companion retile_incremental is pinned
+    byte-identical to a full retile in pytest; this oracle checks the diff
+    relation itself."""
+    from open_vector_tile_spark.operators.incremental import changed_tiles
+
+    base = _doc_points(_load(spark, sf, "documents")).select("doc_id", "lon", "lat")
+    survivors = base.where(F.col("doc_id") % 23 != 0)
+    moved = survivors.withColumn(
+        "lon",
+        F.when(
+            F.col("doc_id") % 17 == 0, ((F.col("lon") + 183.0) % 360.0) - 180.0
+        ).otherwise(F.col("lon")),
+    )
+    inserted = _load(spark, sf, "documents").where(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (((F.col("doc_id") * 41) % 3600) / 10.0 - 180.0).alias("lon"),
+        (((F.col("doc_id") * 59) % 1600) / 10.0 - 80.0).alias("lat"),
+    )
+    new = moved.unionByName(inserted)
+    out = changed_tiles(base, new, zoom=ZOOM)
+    return out.orderBy("tile_x", "tile_y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -2384,6 +2539,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_area": _q_geodesic_area,
         "chunk_emit": _q_chunk_emit,
         "epoch_shuffle": _q_epoch_shuffle,
+        "semantic_dedup": _q_semantic_dedup,
+        "distance_join": _q_distance_join,
+        "bbox_join": _q_bbox_join,
+        "polygon_metrics": _q_polygon_metrics,
+        "hist_quantile": _q_hist_quantile,
+        "tile_diff": _q_tile_diff,
     }
 
 
@@ -3873,4 +4034,152 @@ def oracle_sql() -> dict[str, str]:
         # rows-only driver check; correctness oracles in
         # tests/test_webtext_ops.py (codebook determinism, ADC
         # cluster-retrieval vs brute force).
+        "semantic_dedup": """
+            WITH sims AS (
+              SELECT b.vec_id AS id, a.vec_id AS earlier
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+                    >= 0.4
+            )
+            SELECT e.vec_id,
+                   COALESCE(min(s.earlier), -1) AS dup_of,
+                   CAST(CASE WHEN min(s.earlier) IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+            FROM embeddings e LEFT JOIN sims s ON s.id = e.vec_id
+            GROUP BY e.vec_id ORDER BY vec_id
+        """,
+        "distance_join": f"""
+            SELECT doc_id, poi_id, round(dist_m, 3) AS dist_m FROM (
+              SELECT d.doc_id, s.poi_id,
+                     2.0*6371008.8*asin(least(1.0, sqrt(
+                        pow(sin(radians(s.plat - d.lat)/2),2)
+                        + cos(radians(d.lat))*cos(radians(s.plat))*pow(sin(radians(s.plon - d.lon)/2),2)
+                     ))) AS dist_m
+              FROM (SELECT doc_id, {_SQL_LON_DOC} AS lon, {_SQL_LAT_DOC} AS lat FROM documents) d,
+                   (SELECT s_suppkey AS poi_id,
+                           ((CAST(s_suppkey*91 AS DOUBLE) % 3600)/10.0 - 180.0) AS plon,
+                           ((CAST(s_suppkey*57 AS DOUBLE) % 1600)/10.0 - 80.0) AS plat
+                    FROM supplier) s)
+            WHERE dist_m <= 500000.0 ORDER BY doc_id, poi_id
+        """,
+        "bbox_join": """
+            WITH l AS (
+              SELECT doc_id,
+                     (CAST(doc_id*13 % 1000 AS DOUBLE)/10.0) AS xmin,
+                     (CAST(doc_id*29 % 1000 AS DOUBLE)/10.0) AS ymin,
+                     (CAST(doc_id*13 % 1000 AS DOUBLE)/10.0) + (doc_id % 7 + 1) * 0.7 AS xmax,
+                     (CAST(doc_id*29 % 1000 AS DOUBLE)/10.0) + (doc_id % 5 + 1) * 0.9 AS ymax
+              FROM documents
+            ), r AS (
+              SELECT s_suppkey AS rid,
+                     (CAST(s_suppkey*17 % 1000 AS DOUBLE)/10.0) AS xmin,
+                     (CAST(s_suppkey*31 % 1000 AS DOUBLE)/10.0) AS ymin,
+                     (CAST(s_suppkey*17 % 1000 AS DOUBLE)/10.0) + (s_suppkey % 6 + 1) * 1.1 AS xmax,
+                     (CAST(s_suppkey*31 % 1000 AS DOUBLE)/10.0) + (s_suppkey % 4 + 1) * 1.3 AS ymax
+              FROM supplier
+            )
+            SELECT l.doc_id, r.rid,
+                   round((least(l.xmax, r.xmax) - greatest(l.xmin, r.xmin))
+                         * (least(l.ymax, r.ymax) - greatest(l.ymin, r.ymin)), 6) AS overlap_area
+            FROM l JOIN r ON l.xmin <= r.xmax AND r.xmin <= l.xmax
+                         AND l.ymin <= r.ymax AND r.ymin <= l.ymax
+            ORDER BY doc_id, rid
+        """,
+        "polygon_metrics": """
+            WITH v AS (
+              SELECT doc_id, i, (3 + doc_id % 5) AS k,
+                     CAST((doc_id*7 + i*i*13) % 4096 AS DOUBLE) AS x,
+                     CAST((doc_id*11 + i*17*(i+2)) % 4096 AS DOUBLE) AS y
+              FROM documents, unnest(range(0, 8)) AS t(i)
+              WHERE i < 3 + doc_id % 5
+            ), e AS (
+              SELECT a.doc_id, a.k, a.x, a.y, b.x AS xn, b.y AS yn
+              FROM v a JOIN v b ON b.doc_id = a.doc_id AND b.i = (a.i + 1) % a.k
+            ), agg AS (
+              SELECT doc_id,
+                     CAST(max(k) AS INT) AS n_vertices,
+                     sum(x*yn - xn*y)/2.0 AS area,
+                     sum((x + xn)*(x*yn - xn*y)) AS cxs,
+                     sum((y + yn)*(x*yn - xn*y)) AS cys,
+                     avg(x) AS mx, avg(y) AS my,
+                     round(list_sum(list_sort(list(
+                        sqrt((xn-x)*(xn-x) + (yn-y)*(yn-y))))), 6) AS perimeter
+              FROM e GROUP BY doc_id
+            )
+            SELECT doc_id, n_vertices, area, perimeter,
+                   round(CASE WHEN area = 0 THEN mx ELSE cxs/(6.0*area) END, 6) AS cx,
+                   round(CASE WHEN area = 0 THEN my ELSE cys/(6.0*area) END, 6) AS cy,
+                   CAST(CASE WHEN area = 0 THEN 1 ELSE 0 END AS INT) AS degenerate
+            FROM agg ORDER BY doc_id
+        """,
+        "hist_quantile": """
+            WITH c AS (
+              SELECT g, _bin, CAST(count(*) AS BIGINT) AS _cnt FROM (
+                SELECT doc_id % 3 AS g,
+                       GREATEST(0, LEAST(49, CAST(floor(
+                          (CAST(doc_id*37 % 1000 AS DOUBLE) - 0.0) * 50.0 / 1000.0
+                       ) AS INT))) AS _bin
+                FROM documents)
+              GROUP BY g, _bin
+            ), w AS (
+              SELECT g, _bin, _cnt,
+                     sum(_cnt) OVER (PARTITION BY g ORDER BY _bin) AS _cum,
+                     sum(_cnt) OVER (PARTITION BY g) AS _tot
+              FROM c
+            ), q AS (
+              SELECT w.*, unnest([0.25, 0.5, 0.9]) AS q FROM w
+            ), t AS (
+              SELECT *, GREATEST(CAST(1 AS BIGINT), CAST(ceil(q * _tot) AS BIGINT)) AS target
+              FROM q
+            )
+            SELECT g, q,
+                   round(0.0 + (CAST(_bin AS DOUBLE)
+                         + CAST(target - (_cum - _cnt) AS DOUBLE) / CAST(_cnt AS DOUBLE))
+                         * 20.0, 6) AS est
+            FROM t
+            WHERE _cum >= target AND (_cum - _cnt) < target
+            ORDER BY g, q
+        """,
+        "tile_diff": f"""
+            WITH base AS (
+              SELECT doc_id, {_SQL_LON_DOC} AS lon, {_SQL_LAT_DOC} AS lat FROM documents
+            ), nw AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 17 = 0 THEN ((lon + 183.0) % 360.0) - 180.0
+                          ELSE lon END AS lon,
+                     lat
+              FROM base WHERE doc_id % 23 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     ((CAST(doc_id*41 AS DOUBLE) % 3600)/10.0 - 180.0) AS lon,
+                     ((CAST(doc_id*59 AS DOUBLE) % 1600)/10.0 - 80.0) AS lat
+              FROM documents WHERE doc_id % 29 = 0
+            ), b AS (
+              SELECT doc_id, lon, lat, {_sql_tx("lon")} AS tx, {_sql_ty("lat")} AS ty FROM base
+            ), n AS (
+              SELECT doc_id, lon, lat, {_sql_tx("lon")} AS tx, {_sql_ty("lat")} AS ty FROM nw
+            ), j AS (
+              SELECT b.doc_id AS bk, n.doc_id AS nk,
+                     b.lon AS blon, b.lat AS blat, b.tx AS bx, b.ty AS by_,
+                     n.lon AS nlon, n.lat AS nlat, n.tx AS nx, n.ty AS ny
+              FROM b FULL OUTER JOIN n ON b.doc_id = n.doc_id
+            ), ev AS (
+              SELECT nx AS tile_x, ny AS tile_y, 'ins' AS e FROM j WHERE bk IS NULL
+              UNION ALL
+              SELECT bx, by_, 'del' FROM j WHERE nk IS NULL
+              UNION ALL
+              SELECT nx, ny, 'min' FROM j
+              WHERE bk IS NOT NULL AND nk IS NOT NULL AND (blon <> nlon OR blat <> nlat)
+              UNION ALL
+              SELECT bx, by_, 'mout' FROM j
+              WHERE bk IS NOT NULL AND nk IS NOT NULL AND (blon <> nlon OR blat <> nlat)
+            )
+            SELECT tile_x, tile_y,
+                   CAST(sum(CASE WHEN e = 'ins'  THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+                   CAST(sum(CASE WHEN e = 'del'  THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+                   CAST(sum(CASE WHEN e = 'min'  THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in,
+                   CAST(sum(CASE WHEN e = 'mout' THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_out
+            FROM ev GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
+        """,
     }
