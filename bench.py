@@ -186,6 +186,26 @@ def build_queries(spark, sf_dir):
         def q_marching_squares():
             return entry._q_marching_squares(spark, sf_dir).agg(F.sum("n_segments"))
 
+        # round-3 session-4 additions: semantic dedup, distance/bbox range
+        # joins, polygon metrics, histogram quantiles, incremental tile diff
+        def q_semantic_dedup():
+            return entry._q_semantic_dedup(spark, sf_dir).agg(F.sum("keep"))
+
+        def q_distance_join():
+            return entry._q_distance_join(spark, sf_dir).agg(F.count("*"))
+
+        def q_bbox_join():
+            return entry._q_bbox_join(spark, sf_dir).agg(F.count("*"))
+
+        def q_polygon_metrics():
+            return entry._q_polygon_metrics(spark, sf_dir).agg(F.sum("area"))
+
+        def q_hist_quantile():
+            return entry._q_hist_quantile(spark, sf_dir).agg(F.sum("est"))
+
+        def q_tile_diff():
+            return entry._q_tile_diff(spark, sf_dir).agg(F.sum("n_inserted"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -220,6 +240,12 @@ def build_queries(spark, sf_dir):
             bloom_prune_join=q_bloom_prune_join,
             simplify_collapse=q_simplify_collapse,
             marching_squares=q_marching_squares,
+            semantic_dedup=q_semantic_dedup,
+            distance_join=q_distance_join,
+            bbox_join=q_bbox_join,
+            polygon_metrics=q_polygon_metrics,
+            hist_quantile=q_hist_quantile,
+            tile_diff=q_tile_diff,
         )
     return out
 
