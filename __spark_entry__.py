@@ -2452,6 +2452,40 @@ def _q_tile_diff(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("tile_x", "tile_y")
 
 
+def _q_zonal_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Raster zonal statistics: the gridding query's per-tile cells lifted
+    to global grid coordinates (gx = tile_x*32+px), then aggregated per
+    broadcast zone rectangle.  The measure is the integer cell COUNT (n),
+    so zone sums/means are exact in any accumulation order — the DuckDB
+    twin reproduces the grid, the containment join, and the stats."""
+    from open_vector_tile_spark.operators.gridding import grid_aggregate, zonal_stats
+
+    ev = _event_points(_load(spark, sf, "events"))
+    cells = grid_aggregate(ev, zoom=ZOOM, size=32, value="value").select(
+        (F.col("tile_x") * 32 + F.col("px")).alias("gx"),
+        (F.col("tile_y") * 32 + F.col("py")).alias("gy"),
+        F.col("n").alias("v"),
+    )
+    g = 16 * 32  # global grid width at ZOOM with 32 px tiles
+    sup = _load(spark, sf, "supplier")
+    zones = sup.select(
+        F.col("s_suppkey").alias("zone_id"),
+        ((F.col("s_suppkey") * 37) % (g - 60)).alias("gx_min"),
+        (((F.col("s_suppkey") * 37) % (g - 60)) + (F.col("s_suppkey") % 5 + 1) * 12).alias("gx_max"),
+        ((F.col("s_suppkey") * 53) % (g - 60)).alias("gy_min"),
+        (((F.col("s_suppkey") * 53) % (g - 60)) + (F.col("s_suppkey") % 7 + 1) * 8).alias("gy_max"),
+    )
+    out = zonal_stats(cells, zones)
+    return out.select(
+        "zone_id",
+        "n_cells",
+        "total",
+        F.round("mean", 6).alias("mean"),
+        "vmin",
+        "vmax",
+    ).orderBy("zone_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -2545,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_metrics": _q_polygon_metrics,
         "hist_quantile": _q_hist_quantile,
         "tile_diff": _q_tile_diff,
+        "zonal_stats": _q_zonal_stats,
     }
 
 
@@ -4181,5 +4216,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN e = 'min'  THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in,
                    CAST(sum(CASE WHEN e = 'mout' THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_out
             FROM ev GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y
+        """,
+        "zonal_stats": f"""
+            WITH cells AS (
+              SELECT tile_x*32 + px AS gx, tile_y*32 + py AS gy,
+                     CAST(count(*) AS BIGINT) AS v
+              FROM (
+                SELECT {tx_ev} AS tile_x, {ty_ev} AS tile_y,
+                       CAST(least(31, floor(({merc_x_ev} - {tx_ev})*32)) AS INT) AS px,
+                       CAST(least(31, floor(({merc_y_ev} - {ty_ev})*32)) AS INT) AS py
+                FROM events)
+              GROUP BY 1, 2
+            ), zones AS (
+              SELECT s_suppkey AS zone_id,
+                     (s_suppkey*37) % {16*32 - 60} AS gx_min,
+                     (s_suppkey*37) % {16*32 - 60} + (s_suppkey % 5 + 1) * 12 AS gx_max,
+                     (s_suppkey*53) % {16*32 - 60} AS gy_min,
+                     (s_suppkey*53) % {16*32 - 60} + (s_suppkey % 7 + 1) * 8 AS gy_max
+              FROM supplier
+            )
+            SELECT zone_id,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(sum(v) AS BIGINT) AS total,
+                   round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean,
+                   CAST(min(v) AS BIGINT) AS vmin,
+                   CAST(max(v) AS BIGINT) AS vmax
+            FROM cells JOIN zones
+              ON gx >= gx_min AND gx <= gx_max AND gy >= gy_min AND gy <= gy_max
+            GROUP BY zone_id ORDER BY zone_id
         """,
     }

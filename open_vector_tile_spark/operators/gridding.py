@@ -87,3 +87,41 @@ def _wrap_grid_tile(grid_message: bytes) -> bytes:
     pbf = PbfWriter()
     pbf.write_bytes_field(6, grid_message)
     return pbf.commit()
+
+
+def zonal_stats(
+    cells: DataFrame,
+    zones: DataFrame,
+    x: str = "gx",
+    y: str = "gy",
+    value: str = "v",
+    zone_id: str = "zone_id",
+) -> DataFrame:
+    """Raster zonal statistics: per zone rectangle, aggregate the grid
+    cells whose center coordinate falls inside it (closed bounds) —
+    count / sum / mean / min / max of ``value``.
+
+    ``zones`` is dim-table sized ``(zone_id, gx_min, gx_max, gy_min,
+    gy_max)`` in the same grid coordinates as ``cells`` — it broadcasts, so
+    the big raster side never shuffles for the join (the only Exchange is
+    the final per-zone partial agg, ≤ n_zones rows after map-side
+    combine).  Overlapping zones are fine: a cell contributes to every
+    zone containing it.  The range predicate makes this a broadcast
+    nested-loop join with a bounded build side — the same deliberate
+    pattern as spatial_join.bbox_prejoin; at larger zone counts switch to
+    the chunked ``bbox_join`` (degenerate left boxes) which trades the BNL
+    for one grid-keyed shuffle per side."""
+    cond = (
+        (F.col(x) >= F.col("gx_min"))
+        & (F.col(x) <= F.col("gx_max"))
+        & (F.col(y) >= F.col("gy_min"))
+        & (F.col(y) <= F.col("gy_max"))
+    )
+    j = cells.join(F.broadcast(zones), on=cond, how="inner")
+    return j.groupBy(zone_id).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(value).alias("total"),
+        (F.sum(value) / F.count(F.lit(1))).alias("mean"),
+        F.min(value).alias("vmin"),
+        F.max(value).alias("vmax"),
+    )

@@ -351,3 +351,65 @@ def test_retile_incremental_byte_parity(spark):
     assert len(gi) == len(gf)
     assert (gi["tile_x"] == gf["tile_x"]).all() and (gi["tile_y"] == gf["tile_y"]).all()
     assert all(bytes(a) == bytes(b) for a, b in zip(gi["tile"], gf["tile"]))
+
+
+# ---------------------------------------------------------------------------
+# zonal statistics
+# ---------------------------------------------------------------------------
+
+def test_zonal_stats_matches_pandas(spark):
+    from open_vector_tile_spark.operators.gridding import zonal_stats
+
+    rng = np.random.default_rng(5)
+    cells = pd.DataFrame(
+        {
+            "gx": rng.integers(0, 100, 2000),
+            "gy": rng.integers(0, 100, 2000),
+            "v": rng.integers(0, 50, 2000).astype("int64"),
+        }
+    )
+    zones = pd.DataFrame(
+        {
+            "zone_id": [1, 2, 3],
+            "gx_min": [0, 40, 90],
+            "gx_max": [30, 70, 99],
+            "gy_min": [0, 40, 0],
+            "gy_max": [30, 70, 99],
+        }
+    )
+    out = (
+        zonal_stats(spark.createDataFrame(cells), spark.createDataFrame(zones))
+        .toPandas()
+        .set_index("zone_id")
+    )
+    for z in zones.itertuples():
+        sub = cells[
+            (cells.gx >= z.gx_min) & (cells.gx <= z.gx_max)
+            & (cells.gy >= z.gy_min) & (cells.gy <= z.gy_max)
+        ]
+        assert out.loc[z.zone_id, "n_cells"] == len(sub)
+        assert out.loc[z.zone_id, "total"] == sub["v"].sum()
+        assert out.loc[z.zone_id, "vmin"] == sub["v"].min()
+        assert out.loc[z.zone_id, "vmax"] == sub["v"].max()
+        assert abs(out.loc[z.zone_id, "mean"] - sub["v"].mean()) < 1e-9
+
+
+def test_zonal_stats_overlapping_zones_count_twice(spark):
+    from open_vector_tile_spark.operators.gridding import zonal_stats
+
+    cells = spark.createDataFrame(
+        pd.DataFrame({"gx": [5], "gy": [5], "v": [7]})
+    )
+    zones = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "zone_id": [1, 2],
+                "gx_min": [0, 0],
+                "gx_max": [10, 10],
+                "gy_min": [0, 0],
+                "gy_max": [10, 10],
+            }
+        )
+    )
+    out = zonal_stats(cells, zones).toPandas()
+    assert len(out) == 2 and (out["total"] == 7).all()
