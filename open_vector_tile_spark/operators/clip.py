@@ -202,13 +202,21 @@ def clip_polyline_np(
     t0 = np.where(kept, t0, 0.0)
     t1 = np.where(kept, t1, 0.0)
     c1 = a + t0[:, None] * d
-    c2 = a + t1[:, None] * d
+    # an unclipped exit (t1 == 1) is the segment's own endpoint — take b
+    # verbatim rather than a + 1.0*d, which is NOT bitwise b in floats
+    # (fl(a + (b-a)) != b), both for exact output coords and so the
+    # contiguity test below can be parametric instead of coordinate-based
+    c2 = np.where((t1 == 1.0)[:, None], b, a + t1[:, None] * d)
     idx = np.flatnonzero(kept)
-    # a part break: previous segment missing, or chain broken (clipped)
+    # a part break: previous segment missing, or chain broken (clipped).
+    # Contiguity is parametric — previous segment ran to its end (t1 == 1)
+    # and this one starts at its beginning (t0 == 0), i.e. both touch the
+    # shared original vertex.  Comparing clipped COORDS for equality would
+    # spuriously split fully-inside polylines on float rounding.
     prev_contig = np.zeros(len(idx), dtype=bool)
     if len(idx) > 1:
         adjacent = idx[1:] == idx[:-1] + 1
-        joined = np.all(c2[idx[:-1], :2] == c1[idx[1:], :2], axis=1)
+        joined = (t1[idx[:-1]] == 1.0) & (t0[idx[1:]] == 0.0)
         prev_contig[1:] = adjacent & joined
     seg_len = np.hypot(d[:, 0], d[:, 1])
     cum_before = np.concatenate([[0.0], np.cumsum(seg_len)[:-1]])

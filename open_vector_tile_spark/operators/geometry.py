@@ -45,11 +45,18 @@ def polygon_metrics(
     row).  area = signed shoelace / 2; (cx, cy) = area centroid (vertex
     mean when |area| = 0); perimeter = sum of edge lengths including the
     closing edge.  One explode + one partial-agg shuffle; all sums except
-    the perimeter fold are exact integer arithmetic in doubles."""
+    the perimeter fold are exact integer arithmetic in doubles.
+
+    Degenerate 1- and 2-vertex rings (common after aggressive clipping /
+    simplification upstream) are NOT dropped: they come back with area 0,
+    ``degenerate`` = 1, centroid = vertex mean, and the cyclic perimeter
+    (2·|ab| for a 2-vertex ring, 0 for a single vertex) — every input row
+    keeps exactly one output row, so join-backs never lose features.
+    Empty rings (0 vertices) are the only rows filtered."""
     n = F.size(F.col(xs_col))
     ex = (
         df.withColumn("_n", n)
-        .where(F.col("_n") >= 3)
+        .where(F.col("_n") >= 1)
         .select(
             *id_cols,
             "_n",

@@ -76,24 +76,24 @@ def changed_tiles(
         & ~dele
         & ((F.col("_blon") != F.col("_nlon")) | (F.col("_blat") != F.col("_nlat")))
     )
-    events = (
-        j.where(ins)
-        .select(F.col("_nx").alias("tile_x"), F.col("_ny").alias("tile_y"), F.lit("ins").alias("_e"))
-        .unionByName(
-            j.where(dele).select(
-                F.col("_bx").alias("tile_x"), F.col("_by").alias("tile_y"), F.lit("del").alias("_e")
-            )
-        )
-        .unionByName(
-            j.where(moved).select(
-                F.col("_nx").alias("tile_x"), F.col("_ny").alias("tile_y"), F.lit("min").alias("_e")
-            )
-        )
-        .unionByName(
-            j.where(moved).select(
-                F.col("_bx").alias("tile_x"), F.col("_by").alias("tile_y"), F.lit("mout").alias("_e")
-            )
-        )
+    # emit each row's 0-2 dirty-tile events as ONE array + explode: four
+    # union branches each re-referencing j would re-execute the full-outer
+    # join shuffle four times (Catalyst does not CSE across union branches)
+    ev_struct = lambda x, y, e: F.struct(  # noqa: E731
+        x.alias("tile_x"), y.alias("tile_y"), F.lit(e).alias("_e")
+    )
+    nxy = (F.col("_nx"), F.col("_ny"))
+    bxy = (F.col("_bx"), F.col("_by"))
+    events_arr = (
+        F.when(ins, F.array(ev_struct(*nxy, "ins")))
+        .when(dele, F.array(ev_struct(*bxy, "del")))
+        .when(moved, F.array(ev_struct(*nxy, "min"), ev_struct(*bxy, "mout")))
+        .otherwise(F.array().cast("array<struct<tile_x:long,tile_y:long,_e:string>>"))
+    )
+    events = j.select(F.explode(events_arr).alias("_ev")).select(
+        F.col("_ev.tile_x").alias("tile_x"),
+        F.col("_ev.tile_y").alias("tile_y"),
+        F.col("_ev._e").alias("_e"),
     )
     return events.groupBy("tile_x", "tile_y").agg(
         F.sum(F.when(F.col("_e") == "ins", 1).otherwise(0)).alias("n_inserted"),
@@ -121,7 +121,9 @@ def retile_incremental(
 
     ``dirty`` is a (tile_x, tile_y) table (``changed_tiles`` output or any
     superset).  Byte parity with a full retile is pinned in pytest — the
-    encoder's output depends only on the tile's own sorted features."""
+    encoder's output depends only on the tile's own sorted features.
+    ``old_tiles`` rows at OTHER zoom levels (a pyramid tileset) pass
+    through untouched; the diff applies to the ``zoom`` slice only."""
     from .tiler import encode_tiles, points_to_features
 
     d = dirty.select("tile_x", "tile_y").distinct()
@@ -130,7 +132,10 @@ def retile_incremental(
     )
     dirty_feats = feats.join(F.broadcast(d), ["tile_x", "tile_y"], "semi")
     fresh = encode_tiles(dirty_feats, specs=specs)
-    kept = old_tiles.join(F.broadcast(d), ["tile_x", "tile_y"], "anti").where(
-        F.col("zoom") == zoom
+    other_zooms = old_tiles.where(F.col("zoom") != zoom)
+    kept = (
+        old_tiles.where(F.col("zoom") == zoom)
+        .join(F.broadcast(d), ["tile_x", "tile_y"], "anti")
+        .unionByName(other_zooms)
     )
     return kept.unionByName(fresh)

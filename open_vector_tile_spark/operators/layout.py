@@ -114,13 +114,25 @@ def write_bucketed(
     # mode('overwrite') only replaces tables the CURRENT catalog knows; a
     # previous session's managed-table directory survives the in-memory
     # catalog and fails the CREATE with LOCATION_ALREADY_EXISTS — drop the
-    # entry and clear the orphaned location explicitly
-    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    # entry and clear the orphaned location explicitly.  Quote each name
+    # PART separately (backticking the whole of "db.tbl" would make it one
+    # identifier and miss the real table); resolve the orphan directory
+    # with the warehouse's db-suffix layout, and only sweep local paths
+    # (an object-store warehouse has no local directory to clear).
+    parts = table.split(".")
+    quoted = ".".join(f"`{p}`" for p in parts)
+    spark.sql(f"DROP TABLE IF EXISTS {quoted}")
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = wh[5:] if wh.startswith("file:") else wh
-    import shutil
+    if wh.startswith("file:") or "://" not in wh:
+        loc = wh[5:] if wh.startswith("file:") else wh
+        rel = (
+            f"{parts[0].lower()}.db/{parts[1].lower()}"
+            if len(parts) == 2
+            else table.lower()
+        )
+        import shutil
 
-    shutil.rmtree(f"{loc.rstrip('/')}/{table.lower()}", ignore_errors=True)
+        shutil.rmtree(f"{loc.rstrip('/')}/{rel}", ignore_errors=True)
     writer = (
         df.write.format("parquet")
         .mode("overwrite")

@@ -72,9 +72,15 @@ def global_rank(
     bucket_col: str,
     out_col: str = "rank",
 ) -> DataFrame:
-    """0-based dense global rank in ``order_cols`` order without a global
+    """0-based global ROW_NUMBER in ``order_cols`` order without a global
     single-task sort — the two-level decomposition of ``ROW_NUMBER() OVER
     (ORDER BY ...)``.
+
+    ``order_cols`` must be a TOTAL order (append a unique id as the last
+    column if the leading keys can tie): like any row_number, ties would
+    otherwise receive arbitrary partition-order-dependent ranks, breaking
+    this repo's cross-run determinism contract.  Every caller here orders
+    by a unique md5-derived key.
 
     ``bucket_col`` must be a coarse MONOTONE function of the leading order
     column (e.g. ``hash DIV 2^36`` for a uniform 48-bit hash): rows then

@@ -180,8 +180,11 @@ def bm25_topk(
     terms = list(dict.fromkeys(t.lower() for t in query_terms))
     schema = "term string"
     if not terms:
+        # preserve the docs frame's actual id type (a hardcoded long would
+        # break unions/joins with the non-empty path for string ids)
+        id_t = docs.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
-            [], f"{id_col} long, score double, rank int"
+            [], f"{id_col} {id_t}, score double, rank int"
         )
     qterms = spark.createDataFrame([(t,) for t in terms], schema)
     # slice the postings down to query terms FIRST; df_t / joins then touch

@@ -42,8 +42,6 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -52,23 +50,32 @@ from pyspark.sql import functions as F
 from .similarity import _seq_dot, _seq_norm, _to_matrix, ivf_assign, ivf_train_centroids
 
 
-def _earliest_dup(ids: np.ndarray, V: np.ndarray, threshold: float) -> np.ndarray:
+def _earliest_dup(
+    ids: np.ndarray, V: np.ndarray, threshold: float, block: int = 1024
+) -> np.ndarray:
     """For each row: the smallest id among SMALLER-id rows with
-    cosine >= threshold, else -1.  ids must be sorted ascending."""
+    cosine >= threshold, else -1.  ids must be sorted ascending.
+
+    Pairwise similarities are computed in COLUMN BLOCKS of ``block`` so
+    peak memory is n*block*8 bytes (≈ 64 MB at the max_cluster cap), not a
+    dense n² matrix (a 100k-row cluster would otherwise need an 80 GB
+    sims array)."""
     n = len(ids)
+    out = np.full(n, -1, dtype=np.int64)
     if n <= 1:
-        return np.full(n, -1, dtype=np.int64)
-    sims = _seq_dot(V, V)  # (n, n), sequential-dim accumulation
+        return out
     nrm = _seq_norm(V)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        sims = sims / (nrm[:, None] * nrm[None, :])
-    # strictly-earlier mask: column j may only match rows i < j
-    earlier = np.tril(np.ones((n, n), dtype=bool), k=-1)  # [i, j] with i > j — wrong side
-    earlier = earlier.T  # [i, j] True iff i < j
-    hit = (sims >= threshold) & earlier
-    any_hit = hit.any(axis=0)
-    first_idx = np.argmax(hit, axis=0)  # first True per column (ids sorted -> min id)
-    out = np.where(any_hit, ids[first_idx], -1).astype(np.int64)
+    rows = np.arange(n)[:, None]
+    for j0 in range(1, n, block):  # column 0 has no earlier row
+        j1 = min(j0 + block, n)
+        sims = _seq_dot(V, V[j0:j1])  # (n, chunk), sequential-dim accumulation
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = sims / (nrm[:, None] * nrm[None, j0:j1])
+        # column j may only match strictly-earlier rows i < j
+        hit = (sims >= threshold) & (rows < np.arange(j0, j1)[None, :])
+        any_hit = hit.any(axis=0)
+        first_idx = np.argmax(hit, axis=0)  # first True = min id (ids sorted)
+        out[j0:j1] = np.where(any_hit, ids[first_idx], -1)
     return out
 
 
@@ -79,7 +86,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
-    max_cluster: int | None = 100_000,
+    max_cluster: int | None = 8192,
 ) -> DataFrame:
     """-> ``(id_col, cluster int, dup_of long, keep int)``.
 
@@ -89,7 +96,9 @@ def semantic_dedup(
     ``n_centroids=1`` skips training and runs the exact all-pairs mode
     (single cluster 0).  ``max_cluster`` sub-salts clusters larger than the
     cap (id-hash slices), bounding task cost at the cost of cross-slice
-    misses — exactness requires the cluster to fit the cap."""
+    misses — exactness requires the cluster to fit the cap.  Per-task cost
+    at the cap: O(cap^2) similarity ops in cap*1024*8-byte blocks (~64 MB
+    peak at the 8192 default — see _earliest_dup)."""
     if n_centroids <= 1:
         assigned = vectors.withColumn("cluster", F.lit(0))
     else:

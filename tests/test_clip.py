@@ -99,7 +99,10 @@ def test_clip_rings_hole_clipped_independently():
 
 
 def _polyline_reference(line, xmin, ymin, xmax, ymax):
-    """Scalar Liang–Barsky per segment + part stitching."""
+    """Scalar Liang–Barsky per segment + part stitching.  Stitching is
+    PARAMETRIC (prev t1 == 1 and this t0 == 0 means both segments touch the
+    shared original vertex), matching the kernel — clipped-coordinate
+    equality would spuriously split on fl(p + (q-p)) != q rounding."""
     def clip_seg(p, q):
         t0, t1 = 0.0, 1.0
         for axis, lo, hi in ((0, xmin, xmax), (1, ymin, ymax)):
@@ -112,25 +115,29 @@ def _polyline_reference(line, xmin, ymin, xmax, ymax):
                 t0, t1 = max(t0, min(ta, tb)), min(t1, max(ta, tb))
         if t0 > t1:
             return None
-        c1 = tuple(p[k] + t0 * (q[k] - p[k]) for k in range(len(p)))
-        c2 = tuple(p[k] + t1 * (q[k] - p[k]) for k in range(len(p)))
-        return c1, c2
+        c1 = tuple(p) if t0 == 0.0 else tuple(
+            p[k] + t0 * (q[k] - p[k]) for k in range(len(p))
+        )
+        c2 = tuple(q) if t1 == 1.0 else tuple(
+            p[k] + t1 * (q[k] - p[k]) for k in range(len(p))
+        )
+        return c1, c2, t0, t1
 
     parts, cur = [], []
-    prev_kept = False
+    prev_t1 = None
     for i in range(len(line) - 1):
         r = clip_seg(tuple(line[i]), tuple(line[i + 1]))
         if r is None:
-            prev_kept = False
+            prev_t1 = None
             continue
-        c1, c2 = r
-        if prev_kept and cur and cur[-1][:2] == c1[:2]:
+        c1, c2, t0, t1 = r
+        if prev_t1 == 1.0 and t0 == 0.0 and cur:
             cur.append(c2)
         else:
             if len(cur) >= 2:
                 parts.append(cur)
             cur = [c1, c2]
-        prev_kept = True
+        prev_t1 = t1
     if len(cur) >= 2:
         parts.append(cur)
     return parts

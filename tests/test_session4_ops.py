@@ -413,3 +413,50 @@ def test_zonal_stats_overlapping_zones_count_twice(spark):
     )
     out = zonal_stats(cells, zones).toPandas()
     assert len(out) == 2 and (out["total"] == 7).all()
+
+
+def test_polygon_metrics_degenerate_small_rings(spark):
+    """1- and 2-vertex rings keep their row (area 0, degenerate, cyclic
+    perimeter) instead of vanishing from the output."""
+    from open_vector_tile_spark.operators.geometry import polygon_metrics
+
+    rows = [
+        (1, [5.0], [7.0]),
+        (2, [0.0, 3.0], [0.0, 4.0]),
+        (3, [0.0, 1.0, 1.0], [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "pid int, xs array<double>, ys array<double>")
+    out = polygon_metrics(df, ["pid"]).toPandas().set_index("pid")
+    assert len(out) == 3
+    assert out.loc[1, "degenerate"] == 1 and out.loc[1, "perimeter"] == 0.0
+    assert out.loc[1, "cx"] == 5.0 and out.loc[1, "cy"] == 7.0
+    assert out.loc[2, "degenerate"] == 1 and abs(out.loc[2, "perimeter"] - 10.0) < 1e-12
+    assert out.loc[3, "degenerate"] == 0
+
+
+def test_retile_incremental_passes_through_other_zooms(spark):
+    from open_vector_tile_spark.operators.incremental import (
+        changed_tiles,
+        retile_incremental,
+    )
+    from open_vector_tile_spark.operators.tiler import encode_tiles, points_to_features
+
+    base, new = _snapshots(spark)
+    z = 4
+    pyramid = encode_tiles(points_to_features(base, z, "pages", id_col="doc_id")).unionByName(
+        encode_tiles(points_to_features(base, 2, "pages", id_col="doc_id"))
+    )
+    dirty = changed_tiles(base, new, zoom=z)
+    inc = retile_incremental(pyramid, new, dirty, z, "pages").toPandas()
+    # zoom-2 tiles must pass through byte-identical
+    z2_in = encode_tiles(points_to_features(base, 2, "pages", id_col="doc_id")).toPandas()
+    z2_out = inc[inc["zoom"] == 2].sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+    z2_in = z2_in.sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+    assert len(z2_out) == len(z2_in) > 0
+    assert all(bytes(a) == bytes(b) for a, b in zip(z2_out["tile"], z2_in["tile"]))
+    # zoom-4 slice still byte-matches the full retile
+    z4_full = encode_tiles(points_to_features(new, z, "pages", id_col="doc_id")).toPandas()
+    z4_out = inc[inc["zoom"] == z].sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+    z4_full = z4_full.sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+    assert len(z4_out) == len(z4_full)
+    assert all(bytes(a) == bytes(b) for a, b in zip(z4_out["tile"], z4_full["tile"]))
