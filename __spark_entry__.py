@@ -219,8 +219,8 @@ def _q_gridding(spark: SparkSession, sf: str) -> DataFrame:
     pts = _tile_cols(_event_points(_load(spark, sf, "events")))
     mx = _merc_x(F.col("lon")) * N_TILES
     my = _merc_y(F.col("lat")) * N_TILES
-    px = F.least(F.lit(size - 1), F.floor((mx - F.col("tile_x")) * size)).cast("int")
-    py = F.least(F.lit(size - 1), F.floor((my - F.col("tile_y")) * size)).cast("int")
+    px = F.greatest(F.lit(0), F.least(F.lit(size - 1), F.floor((mx - F.col("tile_x")) * size))).cast("int")
+    py = F.greatest(F.lit(0), F.least(F.lit(size - 1), F.floor((my - F.col("tile_y")) * size))).cast("int")
     return (
         pts.select("tile_x", "tile_y", px.alias("px"), py.alias("py"), F.col("value").alias("v"))
         .groupBy("tile_x", "tile_y", "px", "py")
@@ -2717,8 +2717,8 @@ def oracle_sql() -> dict[str, str]:
         "gridding": f"""
             SELECT tile_x, tile_y, px, py, avg(v) AS mean_value, count(*) AS n FROM (
               SELECT {tx_ev} AS tile_x, {ty_ev} AS tile_y,
-                     CAST(least(31, floor(({merc_x_ev} - {tx_ev})*32)) AS INT) AS px,
-                     CAST(least(31, floor(({merc_y_ev} - {ty_ev})*32)) AS INT) AS py,
+                     CAST(greatest(0, least(31, floor(({merc_x_ev} - {tx_ev})*32))) AS INT) AS px,
+                     CAST(greatest(0, least(31, floor(({merc_y_ev} - {ty_ev})*32))) AS INT) AS py,
                      value AS v
               FROM events)
             GROUP BY tile_x, tile_y, px, py ORDER BY tile_x, tile_y, px, py
@@ -3369,6 +3369,13 @@ def oracle_sql() -> dict[str, str]:
                 lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
                 regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest
               FROM n1
+            ), n2b AS (
+              -- split path from query before stripping params: '&' is a
+              -- legal PATH character (mirror of functions/url.py)
+              SELECT doc_id, scheme, host,
+                regexp_extract(rest, '^([^?]*)', 1) AS path,
+                regexp_extract(rest, '^[^?]*(\?.*)$', 1) AS qs
+              FROM n2
             ), n3 AS (
               SELECT doc_id, scheme,
                 regexp_replace(
@@ -3380,15 +3387,16 @@ def oracle_sql() -> dict[str, str]:
                   '^www\.', '', 'g') AS chost,
                 regexp_replace(
                   regexp_replace(
+                    path ||
                     regexp_replace(
                       regexp_replace(
-                        regexp_replace(rest,
+                        regexp_replace(qs,
                           '&(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
                         '\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '?', 'g'),
                       '\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$', '', 'g'),
                     '[?&]+$', '', 'g'),
                   '/+$', '', 'g') AS crest
-              FROM n2
+              FROM n2b
             )
             SELECT scheme || '://' || chost || crest AS canonical_url,
                    CAST(count(*) AS INT) AS n_docs,
@@ -4223,8 +4231,8 @@ def oracle_sql() -> dict[str, str]:
                      CAST(count(*) AS BIGINT) AS v
               FROM (
                 SELECT {tx_ev} AS tile_x, {ty_ev} AS tile_y,
-                       CAST(least(31, floor(({merc_x_ev} - {tx_ev})*32)) AS INT) AS px,
-                       CAST(least(31, floor(({merc_y_ev} - {ty_ev})*32)) AS INT) AS py
+                       CAST(greatest(0, least(31, floor(({merc_x_ev} - {tx_ev})*32))) AS INT) AS px,
+                       CAST(greatest(0, least(31, floor(({merc_y_ev} - {ty_ev})*32))) AS INT) AS py
                 FROM events)
               GROUP BY 1, 2
             ), zones AS (
@@ -4238,7 +4246,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT zone_id,
                    CAST(count(*) AS BIGINT) AS n_cells,
                    CAST(sum(v) AS BIGINT) AS total,
-                   round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean,
+                   round(avg(v), 6) AS mean,
                    CAST(min(v) AS BIGINT) AS vmin,
                    CAST(max(v) AS BIGINT) AS vmax
             FROM cells JOIN zones

@@ -72,15 +72,18 @@ def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 3
     )
 
 
-def bloom_might_contain(key_col: str, m_bits: int, k: int) -> Column:
-    """Membership predicate against a ``bloom`` column in scope (attach the
-    1-row build output with a broadcast crossJoin first).  ``key_col`` is a
-    column NAME; the whole probe is bit-arithmetic SQL — codegen, no UDF."""
+def bloom_might_contain(
+    key_col: str, m_bits: int, k: int, filter_col: str = "bloom"
+) -> Column:
+    """Membership predicate against a ``filter_col`` map column in scope
+    (attach the 1-row build output with a broadcast crossJoin first).
+    ``key_col`` is a column NAME; the whole probe is bit-arithmetic SQL —
+    codegen, no UDF."""
     conds = []
     for i in range(k):
         p = _probe_pos_sql(key_col, m_bits, i)
         conds.append(
-            f"(coalesce(element_at(bloom, {p} DIV 64), CAST(0 AS BIGINT))"
+            f"(coalesce(element_at({filter_col}, {p} DIV 64), CAST(0 AS BIGINT))"
             f" & shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))) != 0"
         )
     return F.expr(" AND ".join(conds))
@@ -99,11 +102,29 @@ def bloom_prune_join(
     Identical rows to a plain inner join (false positives die in the exact
     join; false negatives cannot happen) — but the fact-side shuffle input
     shrinks to matching-ish rows only, the payoff when right is too big to
-    broadcast as rows yet its m-bit filter is a few KB."""
-    filt = bloom_build(right.select(on), on, m_bits=m_bits, k=k)
-    pruned = (
-        left.crossJoin(F.broadcast(filt))
-        .where(bloom_might_contain(on, m_bits, k))
-        .drop("bloom")
+    broadcast as rows yet its m-bit filter is a few KB.
+
+    Internals ride in underscore-prefixed columns (the filter map attaches
+    as ``_bloom_bits``), so a user column named ``bloom`` on the left side
+    survives untouched; the md5 of the key is computed ONCE per row and
+    sliced per probe rather than re-hashed 2k times inside the predicate."""
+    taken = set(left.columns)
+    for c in ("_bloom_bits", "_bloom_md5"):
+        if c in taken:
+            raise ValueError(f"left side already has internal column {c!r}")
+    filt = bloom_build(right.select(on), on, m_bits=m_bits, k=k).select(
+        F.col("bloom").alias("_bloom_bits")
+    )
+    md5 = F.md5(F.col(on).cast("string"))
+    probed = left.crossJoin(F.broadcast(filt)).withColumn("_bloom_md5", md5)
+    conds = []
+    for i in range(k):
+        p = f"(CAST(conv(substring(_bloom_md5, {1 + 8 * i}, 8), 16, 10) AS BIGINT) % {m_bits})"
+        conds.append(
+            f"(coalesce(element_at(_bloom_bits, {p} DIV 64), CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))) != 0"
+        )
+    pruned = probed.where(F.expr(" AND ".join(conds))).drop(
+        "_bloom_bits", "_bloom_md5"
     )
     return pruned.join(right, on=on, how="inner")

@@ -42,10 +42,16 @@ def normalize_url(url: Column) -> Column:
         scheme == "https", F.regexp_replace(host, r":443$", "")
     ).otherwise(host)
     host = F.regexp_replace(host, r"^www\.", "")
-    rest = F.regexp_replace(rest, r"&" + _TRACK_NAMES + r"=[^&#]*", "")
-    rest = F.regexp_replace(rest, r"\?" + _TRACK_NAMES + r"=[^&#]*&", "?")
-    rest = F.regexp_replace(rest, r"\?" + _TRACK_NAMES + r"=[^&#]*$", "")
-    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    # split path from query BEFORE stripping params: '&' is a legal PATH
+    # character, so running the &param strip over the whole rest would
+    # mangle query-less paths like "/a&ref=b" (and "&ref=nav/page" would
+    # eat the following path segment).  Only the query substring is edited.
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    qs = F.regexp_extract(rest, r"^[^?]*(\?.*)$", 1)
+    qs = F.regexp_replace(qs, r"&" + _TRACK_NAMES + r"=[^&#]*", "")
+    qs = F.regexp_replace(qs, r"\?" + _TRACK_NAMES + r"=[^&#]*&", "?")
+    qs = F.regexp_replace(qs, r"\?" + _TRACK_NAMES + r"=[^&#]*$", "")
+    rest = F.regexp_replace(F.concat(path, qs), r"[?&]+$", "")
     rest = F.regexp_replace(rest, r"/+$", "")
     return F.concat(scheme, F.lit("://"), host, rest)
 

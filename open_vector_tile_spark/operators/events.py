@@ -42,10 +42,13 @@ def asof_join(
     DuckDB ``ASOF JOIN``).  ``direction='forward'`` matches the earliest
     right row with ``right.ts >= left.ts``.
 
-    Tie rule: a right row at exactly ``left.ts`` matches (>= / <=), and among
-    right rows sharing one timestamp the one latest in (ts, side) order wins
-    — deterministic because the window sorts on (ts, side) with right rows
-    ordered before left rows.
+    Tie rule: a right row at exactly ``left.ts`` matches (>= / <=).  Among
+    RIGHT rows sharing one (key, ts), the winner is chosen by a
+    deterministic payload-hash tiebreak (xxhash64 of the packed right row):
+    stable across runs, partitionings, and cluster sizes — but it is an
+    arbitrary pick, and other engines (DuckDB ASOF) leave their own pick
+    unspecified, so cross-ENGINE parity requires unique (key, ts) on the
+    right side (the driver oracle's data satisfies this).
 
     Plan shape: union → single Exchange on ``on`` → one sort within
     partitions → running ``last(ignorenulls)`` window → filter.  No range
@@ -77,6 +80,7 @@ def asof_join(
         F.lit(1).alias("_aside"),
         *[F.col(c) for c in lpay],
         F.lit(None).cast(f"struct<{pack_ddl}>").alias("_rpack"),
+        F.lit(0).cast("long").alias("_rtie"),
     )
     r_side = right.select(
         *on,
@@ -87,20 +91,29 @@ def asof_join(
             F.col(right_ts).alias("_ar_ts"),
             *[F.col(c).alias(a) for c, a in zip(right_cols, out_right)],
         ).alias("_rpack"),
+        # deterministic tiebreak among right rows sharing (key, ts): the
+        # window sort needs a total order or tied payloads are picked by
+        # partition-internal arrival order
+        F.xxhash64(
+            F.struct(
+                F.col(right_ts),
+                *[F.col(c) for c in right_cols],
+            )
+        ).alias("_rtie"),
     )
     both = l_side.unionByName(r_side)
 
     if direction == "backward":
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col("_ats").asc(), F.col("_aside").asc())
+            .orderBy(F.col("_ats").asc(), F.col("_aside").asc(), F.col("_rtie").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         pick = F.last
     elif direction == "forward":
         w = (
             Window.partitionBy(*on)
-            .orderBy(F.col("_ats").asc(), F.col("_aside").desc())
+            .orderBy(F.col("_ats").asc(), F.col("_aside").desc(), F.col("_rtie").asc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         pick = F.first

@@ -39,8 +39,15 @@ def grid_aggregate(
     my = merc_y_col(F.col(lat)) * F.lit(n)
     tx = F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), F.floor(mx))).cast("long")
     ty = F.greatest(F.lit(0), F.least(F.lit(int(n) - 1), F.floor(my))).cast("long")
-    px = F.least(F.lit(size - 1), F.floor((mx - tx) * size)).cast("int")
-    py = F.least(F.lit(size - 1), F.floor((my - ty) * size)).cast("int")
+    # clamp BOTH ends: merc_y at the MAX_LAT clamp can come out a hair
+    # below 0 (-8e-16), making floor() = -1 — a negative index that numpy
+    # would silently wrap to the wrong grid cell downstream
+    px = F.greatest(
+        F.lit(0), F.least(F.lit(size - 1), F.floor((mx - tx) * size))
+    ).cast("int")
+    py = F.greatest(
+        F.lit(0), F.least(F.lit(size - 1), F.floor((my - ty) * size))
+    ).cast("int")
     return (
         points.select(
             F.lit(zoom).alias("zoom"),
@@ -99,7 +106,8 @@ def zonal_stats(
 ) -> DataFrame:
     """Raster zonal statistics: per zone rectangle, aggregate the grid
     cells whose center coordinate falls inside it (closed bounds) —
-    count / sum / mean / min / max of ``value``.
+    count / sum / mean / min / max of ``value`` (value stats skip
+    NULL cells; ``n_cells`` counts all joined cells).
 
     ``zones`` is dim-table sized ``(zone_id, gx_min, gx_max, gy_min,
     gy_max)`` in the same grid coordinates as ``cells`` — it broadcasts, so
@@ -118,10 +126,13 @@ def zonal_stats(
         & (F.col(y) <= F.col("gy_max"))
     )
     j = cells.join(F.broadcast(zones), on=cond, how="inner")
+    # n_cells counts every joined cell; the value stats (sum/mean/min/max)
+    # are over NON-NULL values only — F.avg skips nulls like min/max do,
+    # so mean never mixes a null-skipping numerator with an all-rows count
     return j.groupBy(zone_id).agg(
         F.count(F.lit(1)).alias("n_cells"),
         F.sum(value).alias("total"),
-        (F.sum(value) / F.count(F.lit(1))).alias("mean"),
+        F.avg(value).alias("mean"),
         F.min(value).alias("vmin"),
         F.max(value).alias("vmax"),
     )

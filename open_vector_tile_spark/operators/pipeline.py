@@ -37,11 +37,17 @@ def run_pipeline(
     snapshot and skips already-materialized tiles (resume)."""
     points = geoparse(pages)
     joined = spatial_join(points, polygons_pdf, zoom=zoom)
+    # a stable numeric feature id (url hash) gives encode_tiles a
+    # within-tile sort key — without one, tile BYTES depend on shuffle
+    # arrival order and a resumed run would mix old and fresh encodings of
+    # identical inputs that differ byte-wise
+    joined = joined.withColumn("_fid", F.xxhash64(F.col("url")))
     features = points_to_features(
         joined,
         zoom=zoom,
         layer="pages",
         extent=extent,
+        id_col="_fid",
         props_cols=["url", "lang", "poly_id"],
     )
     if pois_pdf is not None:

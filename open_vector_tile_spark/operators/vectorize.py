@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.geo import points_in_ring_np
+
 # per-class oriented segments, as (start_edge, end_edge) with edges
 # T(op)/R(ight)/B(ottom)/L(eft); bit order: 1=TL, 2=TR, 4=BR, 8=BL.
 # Orientation: walking start->end keeps the inside (set bits) on the LEFT.
@@ -107,6 +109,58 @@ def contours_np(mask: np.ndarray) -> list[np.ndarray]:
     return rings
 
 
+def _ring_area_yup(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    return float(np.sum(x * y2 - x2 * y)) / 2.0
+
+
+def group_rings(rings: list) -> tuple[list, list[int]]:
+    """Group marching-squares rings into polygons: each OUTER ring (filled
+    region boundary) followed by ITS holes, with ``poly_lens`` counting
+    rings per polygon — the multipolygon structure ``tiler._encode_rows``
+    expects.  Packing every ring into one polygon would make disjoint
+    blobs structural holes of the first blob.
+
+    Classification: inside-on-the-left walking in y-down pixel coords makes
+    outer rings NEGATIVE by the y-up shoelace and holes positive.  A hole
+    is assigned to the innermost outer containing a sample point just
+    inside the hole's empty region (edge midpoint + quarter-pixel along
+    the right normal — quarter offsets can't align with the half-integer
+    ring grid, so the ray cast is unambiguous)."""
+    if not rings:
+        return [], []
+    areas = [_ring_area_yup(r) for r in rings]
+    outers = [i for i, a in enumerate(areas) if a <= 0]
+    holes = [i for i, a in enumerate(areas) if a > 0]
+    if not outers:
+        return rings, [len(rings)]
+    hole_of: dict[int, list[int]] = {i: [] for i in outers}
+    for h in holes:
+        v0, v1 = rings[h][0], rings[h][1]
+        d = v1 - v0
+        nr = np.array([-d[1], d[0]])  # right normal in y-down coords
+        p = (v0 + v1) / 2.0 + 0.25 * nr / np.hypot(*nr)
+        cands = [
+            i
+            for i in outers
+            if points_in_ring_np([p[0]], [p[1]], rings[i])[0]
+        ]
+        if cands:
+            best = max(cands, key=lambda i: areas[i])  # least-negative = innermost
+            hole_of[best].append(h)
+        else:  # geometrically impossible for marching-squares output; keep
+            outers.append(h)  # the ring visible rather than dropping it
+            hole_of[h] = []
+    ordered: list = []
+    poly_lens: list[int] = []
+    for i in outers:
+        group = [i] + hole_of[i]
+        poly_lens.append(len(group))
+        ordered.extend(rings[j] for j in group)
+    return ordered, poly_lens
+
+
 def class_histogram(
     cells: DataFrame,
     size: int,
@@ -125,9 +179,14 @@ def class_histogram(
 
     This is the oracle-facing half of the vectorizer: SEG_COUNT per class
     ties it to the geometry the kernel emits."""
-    on = cells.where(F.col(value) >= threshold).select(
-        "zoom", "tile_x", "tile_y", "px", "py"
-    )
+    # validate against the declared grid size up front: an out-of-range
+    # pixel would contribute phantom corner bits the geometry kernel (which
+    # indexes a (size, size) mask) can never see
+    on = cells.where(
+        (F.col(value) >= threshold)
+        & F.col("px").between(0, size - 1)
+        & F.col("py").between(0, size - 1)
+    ).select("zoom", "tile_x", "tile_y", "px", "py")
     # pixel (px,py) is: TL corner of cell (px+1, py+1) [bit 1],
     # TR of cell (px, py+1) [bit 2], BR of (px, py) [bit 4],
     # BL of (px+1, py) [bit 8] — in PADDED cell coords (pixel p is corner
@@ -185,7 +244,7 @@ def vectorize_grid_tiles(
         zoom, tx, ty = int(key[0]), int(key[1]), int(key[2])
         mask = np.zeros((size, size), dtype=bool)
         mask[pdf["py"].to_numpy(), pdf["px"].to_numpy()] = True
-        rings = contours_np(mask)
+        rings, poly_lens = group_rings(contours_np(mask))
         if not rings:
             return pd.DataFrame(
                 columns=["zoom", "tile_x", "tile_y", "layer", "extent", "id",
@@ -203,7 +262,7 @@ def vectorize_grid_tiles(
                 "zoom": [zoom], "tile_x": [tx], "tile_y": [ty],
                 "layer": [layer], "extent": [extent], "id": [0],
                 "ftype": [3], "geom_xy": [geom], "ring_lens": [ring_lens],
-                "poly_lens": [[len(ring_lens)]],
+                "poly_lens": [poly_lens],
                 "props_json": ['{"threshold": %r}' % threshold],
                 "mvals_json": [None],
             }

@@ -23,10 +23,25 @@ a bounded-size shuffle — independent of history length.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.sketch import hll_estimate, hll_merge, hll_registers
+
+
+def _commit_snapshot(df: DataFrame, path: str, batch_id: int) -> None:
+    """Stage-then-rename commit (the TileStore discipline): the job writes
+    to a ``_stage_`` directory and the snapshot name appears only via an
+    atomic rename after the write completes — a reader never lists a
+    half-written snapshot.  Replays of batch N remove their own previous
+    snapshot before renaming (idempotent under at-least-once)."""
+    stage = f"{path}/_stage_{batch_id}"
+    final = f"{path}/snapshot={batch_id}"
+    shutil.rmtree(stage, ignore_errors=True)
+    df.write.mode("overwrite").parquet(stage)
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(stage, final)
 
 
 class HllStore:
@@ -67,9 +82,10 @@ class HllStore:
         if prior_snaps:
             prior = spark.read.parquet(f"{self.path}/snapshot={prior_snaps[-1]}")
             fresh = hll_merge(prior, fresh, self.group_cols)
-        # materialize BEFORE the write touches the directory tree the
-        # lazily-read prior would rescan
-        fresh.write.mode("overwrite").parquet(f"{self.path}/snapshot={batch_id}")
+        # stage + rename: the lazily-read prior directory is never touched
+        # while the merge job reads it, and the new snapshot name appears
+        # atomically only after its files are complete
+        _commit_snapshot(fresh, self.path, batch_id)
 
     def estimate(self, spark: SparkSession) -> DataFrame | None:
         regs = self.read_registers(spark)
@@ -104,7 +120,7 @@ class CmsStore:
         if prior_snaps:
             prior = spark.read.parquet(f"{self.path}/snapshot={prior_snaps[-1]}")
             fresh = cms_merge(prior, fresh, self.group_cols)
-        fresh.write.mode("overwrite").parquet(f"{self.path}/snapshot={batch_id}")
+        _commit_snapshot(fresh, self.path, batch_id)
 
     def estimate(self, queries: DataFrame, item_col: str) -> DataFrame | None:
         from ..functions.sketch import cms_estimate

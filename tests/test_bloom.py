@@ -77,3 +77,15 @@ def test_null_keys_ignored(spark):
     pdf = pd.DataFrame({"key": ["a", None, "b"]})
     filt = bloom_build(spark.createDataFrame(pdf), "key", m_bits=256, k=2)
     assert len(filt.collect()[0]["bloom"]) > 0
+
+
+def test_bloom_prune_join_user_bloom_column(spark):
+    """A user column literally named 'bloom' on the fact side must survive
+    the prune (internals ride in _bloom_* columns)."""
+    left = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "key long, bloom string"
+    )
+    right = spark.createDataFrame([(1,), (3,)], "key long")
+    out = bloom_prune_join(left, right, "key", m_bits=1 << 10, k=2)
+    rows = {r["key"]: r["bloom"] for r in out.collect()}
+    assert rows == {1: "x", 3: "z"}

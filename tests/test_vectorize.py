@@ -135,3 +135,29 @@ def test_vectorize_grid_tiles_end_to_end(spark):
 
     tiles = encode_tiles(feats).collect()
     assert len(tiles) == 1 and tiles[0]["n_features"] == 1
+
+
+def test_group_rings_structure():
+    """Disjoint blobs become separate polygons; holes attach to their own
+    outer; nested island inside a hole is its own polygon."""
+    import numpy as np
+    from open_vector_tile_spark.operators.vectorize import contours_np, group_rings
+
+    mask = np.zeros((10, 10), dtype=bool)
+    mask[1:3, 1:3] = True
+    mask[6:9, 6:9] = True
+    _, pl = group_rings(contours_np(mask))
+    assert pl == [1, 1]
+
+    holed = np.zeros((10, 10), dtype=bool)
+    holed[1:8, 1:8] = True
+    holed[3:5, 3:5] = False
+    _, pl2 = group_rings(contours_np(holed))
+    assert pl2 == [2]
+
+    nested = np.zeros((14, 14), dtype=bool)
+    nested[1:12, 1:12] = True
+    nested[3:10, 3:10] = False
+    nested[5:8, 5:8] = True
+    _, pl3 = group_rings(contours_np(nested))
+    assert sorted(pl3) == [1, 2]

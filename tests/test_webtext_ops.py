@@ -643,6 +643,11 @@ def test_normalize_url_cases(spark):
         # default-port stripping is scheme-aware
         ("http://example.com:443/x", "http://example.com:443/x"),
         ("https://example.com:80/x", "https://example.com:80/x"),
+        # '&' is a legal PATH character: tracking-param strip must only
+        # edit the query, never a query-less path
+        ("http://example.com/a&ref=b", "http://example.com/a&ref=b"),
+        ("http://example.com/search&ref=nav/page", "http://example.com/search&ref=nav/page"),
+        ("http://example.com/a&ref=b?x=1&utm_a=2", "http://example.com/a&ref=b?x=1"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, u string")
     got = {r["i"]: r["n"] for r in df.select("i", normalize_url(F.col("u")).alias("n")).collect()}
