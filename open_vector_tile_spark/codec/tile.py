@@ -199,14 +199,27 @@ def merge_tile_bytes(a: Optional[bytes], b: Optional[bytes], prefer: str = "b") 
     images: dict[str, dict] = {}
     for t in (first, second):
         for name, g in t.grids.items():
-            grids[name] = {"name": g.name, "size": g.size, "extent": g.extent, "data": g.data()}
+            grids[name] = grid_to_dict(g)
         for name, im in t.images.items():
-            images[name] = {
-                "name": im.name, "type": im.type, "width": im.width,
-                "height": im.height, "image": im.image,
-            }
+            images[name] = image_to_dict(im)
     return write_ov_tile(
         layers=list(layers.values()),
         images=list(images.values()) or None,
         grids=list(grids.values()) or None,
     )
+
+
+def grid_to_dict(g) -> dict:
+    """GridData -> the write_ov_tile grid-input dict (single definition of
+    the contract, shared by merge/extract paths)."""
+    return {"name": g.name, "size": g.size, "extent": g.extent, "data": g.data()}
+
+
+def image_to_dict(im) -> dict:
+    """ImageData -> the write_ov_tile image-input dict.  NOTE ``image()``
+    is a METHOD — storing the bound method instead of calling it crashes
+    write_image_data with a len(method) TypeError."""
+    return {
+        "name": im.name, "type": im.type, "width": im.width,
+        "height": im.height, "image": im.image(),
+    }

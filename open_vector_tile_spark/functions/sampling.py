@@ -44,8 +44,18 @@ def _threshold_hex(frac: float) -> str | None:
 
 
 def stable_frac_hex(key: Column) -> Column:
-    """First 8 hex chars of md5(key) — the row's uniform draw, as hex."""
-    return F.substring(F.md5(key.cast("string")), 1, _PREFIX_CHARS)
+    """First 8 hex chars of md5(key) — the row's uniform draw, as hex.
+
+    NULL keys hash a reserved marker instead of propagating NULL: without
+    it, null-key rows would silently vanish from every rate<1 filter (the
+    NULL comparison is never true) yet survive rate=1.0 — a discontinuity.
+    With the marker they draw ONE deterministic verdict like any other
+    constant key (all null-key rows sample together)."""
+    return F.substring(
+        F.md5(F.coalesce(key.cast("string"), F.lit("\x00<null-key>"))),
+        1,
+        _PREFIX_CHARS,
+    )
 
 
 def deterministic_sample(df: DataFrame, key: Column, rate: float) -> DataFrame:
@@ -187,8 +197,12 @@ def epoch_shuffle(
     keyed = (
         df.withColumn("_eh", h)
         .withColumn("_ekey", key)
+        # duplicate KEYS would leave (_eh, _ekey) tied and the rank
+        # partition-order dependent; a full-row hash makes the order total
+        # up to fully-identical rows (whose ranks are interchangeable)
+        .withColumn("_erow", F.xxhash64(F.struct(*[F.col(c) for c in df.columns])))
         .withColumn("_ebkt", F.expr(f"CAST(_eh DIV {1 << 36} AS LONG)"))
     )
-    return global_rank(keyed, ["_eh", "_ekey"], "_ebkt", out_col=out_col).drop(
-        "_eh", "_ebkt", "_ekey"
+    return global_rank(keyed, ["_eh", "_ekey", "_erow"], "_ebkt", out_col=out_col).drop(
+        "_eh", "_ebkt", "_ekey", "_erow"
     )

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..codec.tile import merge_tile_bytes
+from ..codec.tile import grid_to_dict, image_to_dict, merge_tile_bytes
 
 TILE_KEY = ["zoom", "tile_x", "tile_y"]
 
@@ -81,21 +81,12 @@ def extract_layers(
                 t = VectorTile(bytes(blob))
                 layers = [l for l in tile_to_base_layers(t) if l.name in want]
                 grids = (
-                    [
-                        {"name": g.name, "size": g.size, "extent": g.extent, "data": g.data()}
-                        for g in t.grids.values()
-                    ]
+                    [grid_to_dict(g) for g in t.grids.values()]
                     if keep_grids and t.grids
                     else None
                 )
                 images = (
-                    [
-                        {
-                            "name": im.name, "type": im.type, "width": im.width,
-                            "height": im.height, "image": im.image,
-                        }
-                        for im in t.images.values()
-                    ]
+                    [image_to_dict(im) for im in t.images.values()]
                     if keep_images and t.images
                     else None
                 )

@@ -34,20 +34,36 @@ class TileStore:
         self.features_dir = os.path.join(root, "features")
 
     # -- feature log (bronze layer for incremental rebuilds) -------------
-    def append_features(self, features: DataFrame) -> None:
-        features.write.mode("append").parquet(self.features_dir)
+    def append_features(self, features: DataFrame, batch_id: int | None = None) -> None:
+        """Append feature rows to the log.  With ``batch_id`` the rows land
+        in a batch-scoped subdirectory written with OVERWRITE — a replayed
+        micro-batch (foreachBatch is at-least-once) rewrites its own
+        subdirectory instead of double-appending the same features."""
+        if batch_id is None:
+            features.write.mode("append").parquet(self.features_dir)
+        else:
+            features.write.mode("overwrite").parquet(
+                f"{self.features_dir}/batch={int(batch_id)}"
+            )
 
     def read_features(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.isdir(self.features_dir):
             return None
-        return spark.read.parquet(self.features_dir)
+        df = spark.read.parquet(self.features_dir)
+        # batch-scoped appends surface the directory name as a partition
+        # column; it is log bookkeeping, not feature data
+        return df.drop("batch") if "batch" in df.columns else df
 
     # -- read ------------------------------------------------------------
     def snapshots(self) -> list[str]:
         if not os.path.isdir(self.tiles_dir):
             return []
+        # NUMERIC sort: lexicographic would order snapshot=9 after
+        # snapshot=10, so latest-wins reads would resurrect stale tiles
+        # from the 11th commit onward
         return sorted(
-            d for d in os.listdir(self.tiles_dir) if d.startswith("snapshot=")
+            (d for d in os.listdir(self.tiles_dir) if d.startswith("snapshot=")),
+            key=lambda d: int(d.split("=", 1)[1]),
         )
 
     def completed_keys(self, spark: SparkSession) -> DataFrame | None:

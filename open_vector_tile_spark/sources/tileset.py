@@ -204,6 +204,8 @@ class OvtTilesetReader(DataSourceReader):
             for t in _list_tiles(self.root)
             if all(_match(f, t[0], t[1], t[2]) for f in self.pushed)
         ]
+        if not files:
+            return [_FilesPartition([])]
         n = max(1, min(self.n_parts, len(files)))
         # contiguous chunks, not striding: the listing is sorted by (path,
         # offset) so a shard's entries stay in as few partitions as possible
@@ -355,15 +357,20 @@ class OvtTilesetWriter(DataSourceWriter):
                     renames.append((tmp, final))
                     keep.add(final)
         if self.overwrite and os.path.isdir(self.root):
-            # clear pre-existing tileset files the new job didn't (re)write
-            for fn in os.listdir(self.root):
-                if fn.startswith(_TMP_PREFIX) or fn in keep:
-                    continue
-                if fn.endswith(_SUFFIXES) or fn.endswith(_SHARD_SUFFIX):
-                    try:
-                        os.remove(os.path.join(self.root, fn))
-                    except OSError:
-                        pass
+            # clear pre-existing tileset files the new job didn't (re)write —
+            # RECURSIVELY, because the reader lists recursively (os.walk):
+            # a top-level-only sweep would leave stale nested tiles that a
+            # subsequent read unions with the new output
+            for dirpath, _dirs, fns in os.walk(self.root):
+                for fn in fns:
+                    rel = os.path.relpath(os.path.join(dirpath, fn), self.root)
+                    if fn.startswith(_TMP_PREFIX) or rel in keep or fn in keep:
+                        continue
+                    if fn.endswith(_SUFFIXES) or fn.endswith(_SHARD_SUFFIX):
+                        try:
+                            os.remove(os.path.join(dirpath, fn))
+                        except OSError:
+                            pass
         for tmp, final in renames:
             os.replace(os.path.join(self.root, tmp), os.path.join(self.root, final))
         # losing speculative/retried attempts left temps not in any message
@@ -389,7 +396,15 @@ def compact_tileset(spark, src: str, dst: str, shards: int = 16) -> int:
         .mode("append")
         .save()
     )
-    return df.count()
+    # count via a skip_blob scan: re-running the full reader would re-read
+    # every tile's BYTES a second time just to count rows
+    meta = (
+        spark.read.format("ovt_tileset")
+        .option("path", src)
+        .option("skip_blob", "true")
+        .load()
+    )
+    return meta.count()
 
 
 class OvtTilesetDataSource(DataSource):

@@ -6,8 +6,9 @@ arrival of new pages, the idiomatic Spark fit is Structured Streaming with
 ``Trigger.AvailableNow``: drain whatever landed since the last checkpoint,
 run the same deterministic tile pipeline per micro-batch via
 ``foreachBatch``, commit a snapshot, stop.  Exactly-once at tile granularity
-comes from the streaming checkpoint (source offsets) + the TileStore's
-anti-join (idempotent re-encode on replay).
+comes from the streaming checkpoint (source offsets) + batch-id-scoped
+feature-log appends (a replay OVERWRITES its own batch subdir — no
+double-append) + latest-snapshot-wins tile reads.
 """
 
 from __future__ import annotations
@@ -29,6 +30,7 @@ def incremental_tile_run(
     layer: str = "pages",
     extent: int = 4096,
     props_cols: Optional[list] = None,
+    batch_id: int | None = None,
 ) -> str | None:
     """One batch increment (S12/J5):
 
@@ -42,9 +44,12 @@ def incremental_tile_run(
     feats = points_to_features(
         geoparse(pages), zoom=zoom, layer=layer, extent=extent, props_cols=props_cols
     )
+    # materialize ONCE: isEmpty, the log append, and the affected-keys scan
+    # would otherwise each re-run the geoparse stage
+    feats = feats.localCheckpoint(eager=True)
     if feats.isEmpty():
         return None
-    store.append_features(feats)
+    store.append_features(feats, batch_id=batch_id)
     spark = pages.sparkSession
     affected = feats.select("zoom", "tile_x", "tile_y").distinct()
     all_feats = store.read_features(spark)
@@ -77,7 +82,13 @@ def stream_pages_to_tiles(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        incremental_tile_run(batch_df, store, zoom=zoom, extent=extent, props_cols=["url", "lang"])
+        # batch_id keys the feature-log append: a replayed batch rewrites
+        # its own subdir (idempotent under at-least-once) instead of
+        # double-appending its features into every future tile rebuild
+        incremental_tile_run(
+            batch_df, store, zoom=zoom, extent=extent,
+            props_cols=["url", "lang"], batch_id=batch_id,
+        )
 
     query = (
         stream.writeStream.foreachBatch(process_batch)

@@ -324,3 +324,22 @@ def test_tilestore_time_travel_and_change_feed(spark, tmp_path):
     assert changed == want_changed and len(changed) > 0
     # unchanged tiles are NOT in the feed
     assert all(v0.get(k) != latest[k] for k in changed)
+
+
+def test_snapshot_order_numeric_past_ten(spark, tmp_path):
+    """Latest-wins must hold from the 11th commit on: lexicographic dir
+    order puts snapshot=9 after snapshot=10/11 and would resurrect stale
+    tiles."""
+    store = TileStore(str(tmp_path / "many_snaps"))
+    for i in range(12):
+        df = spark.createDataFrame(
+            [(4, 1, 1, bytes([i]), 1, 1)],
+            "zoom int, tile_x long, tile_y long, tile binary, n_features long, n_bytes long",
+        )
+        store.commit(df, run_id=f"r{i}")
+    out = store.read_tiles(spark).collect()
+    assert len(out) == 1
+    assert bytes(out[0]["tile"]) == bytes([11])  # newest commit wins
+    # time travel still works across the 9/10 boundary
+    asof9 = store.read_tiles(spark, as_of=9).collect()
+    assert bytes(asof9[0]["tile"]) == bytes([9])
