@@ -260,10 +260,13 @@ def _q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_token_count(spark: SparkSession, sf: str) -> DataFrame:
-    """Text analysis: token counting (whitespace regex)."""
+    """Text analysis: token counting (whitespace regex, empty tokens
+    dropped — text bordered by \\n/\\t must not count phantom tokens)."""
+    from open_vector_tile_spark.functions.text import token_count
+
     docs = _load(spark, sf, "documents")
     return docs.select(
-        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+        "doc_id", token_count(F.col("text")).cast("int").alias("n_tokens")
     ).orderBy("doc_id")
 
 
@@ -1965,16 +1968,20 @@ def _geodesic_area_oracle_sql() -> str:
                  CASE WHEN k IN (0, 3) THEN lon1 ELSE lon2 END AS lon,
                  CASE WHEN k IN (0, 1) THEN lat1 ELSE lat2 END AS lat
           FROM b2, unnest(generate_series(0, 3)) AS t(k)
-        ), e AS (
-          SELECT doc_id,
-                 radians(coalesce(lead(lon) OVER w, first_value(lon) OVER w2) - lon)
-                 * (2.0 + sin(radians(lat))
-                    + sin(radians(coalesce(lead(lat) OVER w, first_value(lat) OVER w2))))
-                 AS term
+        ), e0 AS (
+          SELECT doc_id, lat,
+                 coalesce(lead(lon) OVER w, first_value(lon) OVER w2) - lon AS dl,
+                 coalesce(lead(lat) OVER w, first_value(lat) OVER w2) AS lat2
           FROM v
           WINDOW w AS (PARTITION BY doc_id ORDER BY k),
                  w2 AS (PARTITION BY doc_id ORDER BY k
                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ), e AS (
+          -- antimeridian wrap: floor-based, identical to the Spark expr
+          SELECT doc_id,
+                 radians(dl - 360.0 * floor((dl + 180.0) / 360.0))
+                 * (2.0 + sin(radians(lat)) + sin(radians(lat2))) AS term
+          FROM e0
         )
         SELECT doc_id,
                round(abs(sum(term ORDER BY term)) * {r2_half}, 2) AS area_m2
@@ -2737,7 +2744,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY keeper_id
         """,
         "token_count": """
-            SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                        t -> t <> '')) AS INT) AS n_tokens
             FROM documents ORDER BY doc_id
         """,
         "quality": """

@@ -308,7 +308,13 @@ if _HAS_SPARK:
         )
         lon2 = F.coalesce(F.lead(lon_col).over(w), F.first(lon_col).over(wall))
         lat2 = F.coalesce(F.lead(lat_col).over(w), F.first(lat_col).over(wall))
-        term = F.radians(lon2 - F.col(lon_col)) * (
+        # wrap the edge's longitude delta into [-180, 180): an edge from
+        # 179 to -179 is a 2-degree step, not -358 — without the wrap a
+        # ring straddling the antimeridian is off by orders of magnitude.
+        # floor-based wrap (not %) so Spark and DuckDB agree on negatives.
+        dl = lon2 - F.col(lon_col)
+        dl = dl - F.lit(360.0) * F.floor((dl + F.lit(180.0)) / F.lit(360.0))
+        term = F.radians(dl) * (
             F.lit(2.0) + F.sin(F.radians(F.col(lat_col))) + F.sin(F.radians(lat2))
         )
         per_edge = vertices.withColumn("_term", term)

@@ -88,8 +88,13 @@ def lang_id(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace tokenization count (BPE-ish regex split on non-word runs)."""
-    return F.size(F.split(F.trim(text), r"\s+"))
+    """Whitespace tokenization count (BPE-ish regex split on non-word runs).
+
+    Empty tokens are dropped: trim() strips only spaces, so text bordered
+    by \n/\t would otherwise count phantom '' tokens at each end (and ''
+    itself would count 1) — the same artifact gopher_metrics filters."""
+    toks = F.split(F.trim(text), r"\s+")
+    return F.size(F.filter(toks, lambda t: t != ""))
 
 
 def word_chars(text: Column) -> Column:
@@ -348,5 +353,8 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: 64-bit hash of whitespace-normalized lowercase
     text (rolling-hash analogue, stable across runs — xxhash64 is seeded
     deterministically)."""
-    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
-    return F.xxhash64(normalized)
+    from ..operators.dedup import normalized_text
+
+    # the SAME normalization exact_dedup keys on — if the canonical form
+    # ever changes, fingerprint identity must move with it
+    return F.xxhash64(normalized_text(text))

@@ -40,11 +40,40 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     target = sc.defaultParallelism
     threshold = max(2, target // 2)
     try:
-        n_files = len(df.inputFiles())
+        files = list(df.inputFiles())
     except Exception:
-        n_files = 0
-    if n_files < threshold and n_files > 0:
-        return df.repartition(target)
+        files = []
+    if 0 < len(files) < threshold:
+        # few files does NOT imply few partitions — FileSourceScan splits
+        # big files by maxPartitionBytes, and force-shuffling a 10 GB
+        # single-file scan would be pure waste; estimate the split count
+        # from local file sizes when possible, else fall through to the
+        # authoritative check
+        import os as _os
+        from urllib.parse import urlparse as _urlparse
+
+        try:
+            max_bytes = int(
+                df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+                .lower().removesuffix("b")
+            )
+        except ValueError:
+            max_bytes = 128 * 1024 * 1024
+        total = 0
+        local = True
+        for f in files:
+            u = _urlparse(f)
+            if u.scheme not in ("", "file"):
+                local = False
+                break
+            try:
+                total += _os.path.getsize(u.path or f)
+            except OSError:
+                local = False
+                break
+        if not local or (total + max_bytes - 1) // max_bytes < threshold:
+            return df.repartition(target)
+        return df
     if df.rdd.getNumPartitions() < threshold:
         return df.repartition(target)
     return df
@@ -601,8 +630,9 @@ def minhash_lsh_candidates(
                 }
             )
 
+    id_t = df.schema[id_col].dataType.simpleString()
     band_rows = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        emit, f"{id_col} long, band int, band_hash long"
+        emit, f"{id_col} {id_t}, band int, band_hash long"
     )
     if max_bucket:
         band_rows = _cap_buckets(band_rows, id_col, ["band", "band_hash"], max_bucket)
@@ -666,7 +696,11 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard -> pairs >= t."""
     cand = minhash_lsh_candidates(df, id_col, text_col, **kw)
-    verified = ngram_jaccard_pairs(df, cand, id_col, text_col)
+    # verify at the SAME gram size the candidates were generated with —
+    # mismatched sizes would filter unigram candidates by trigram Jaccard
+    verified = ngram_jaccard_pairs(
+        df, cand, id_col, text_col, shingle_n=kw.get("shingle_n", 3)
+    )
     return verified.filter(F.col("jaccard") >= threshold)
 
 

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.geo import cell_col, cell_ring_np, haversine_np, pack_cell_np, tile_xy_np
+from ..functions.geo import cell_col, haversine_np, pack_cell_np, tile_xy_np
 
 
 def knn_broadcast(
@@ -54,10 +54,17 @@ def knn_broadcast(
             # (n, m) distance matrix in float64; fine for dim-sized m
             d = haversine_np(lons[:, None], lats[:, None], plon[None, :], plat[None, :])
             kk = min(k, d.shape[1])
-            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            # full per-row lexsort on (dist, poi_id): deterministic tie
+            # handling including at the rank-k boundary, matching the
+            # (dist_m, poi_id) window knn_cell_ring ranks with — an
+            # argpartition would pick arbitrarily among equidistant POIs.
+            # POIs are dim-table sized by this module's contract, so the
+            # m·log m per row is noise next to the distance matrix itself.
+            order = np.lexsort(
+                (np.broadcast_to(pids, d.shape), d), axis=-1
+            )[:, :kk]
             rowi = np.arange(len(pdf))[:, None]
-            order = np.argsort(d[rowi, part], axis=1)
-            sel = part[rowi, order]  # (n, k) sorted by distance
+            sel = order  # (n, k) sorted by (distance, poi_id)
             out = pd.DataFrame(
                 {
                     key: np.repeat(pdf[key].to_numpy(), kk),

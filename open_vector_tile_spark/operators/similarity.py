@@ -474,10 +474,12 @@ def embedding_near_dups(
         "_bucket", bucket_of(F.col(vec_col))
     )
     if max_bucket:
-        w = Window.partitionBy("_bucket").orderBy(F.col(id_col).asc())
-        v = v.withColumn("_rn", F.row_number().over(w)).filter(
-            F.col("_rn") <= max_bucket
-        ).drop("_rn")
+        # two-phase cap from dedup._cap_buckets: a plain row_number window
+        # would sort EVERY bucket's rows; the shared helper sorts only the
+        # (rare) hot buckets (measured 90 s of a 155 s pipeline at 1M rows)
+        from .dedup import _cap_buckets
+
+        v = _cap_buckets(v, id_col, ["_bucket"], max_bucket)
     a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "_bucket")
     b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "_bucket")
     pairs = a.join(b, on="_bucket").filter(F.col("id_a") < F.col("id_b"))
