@@ -189,7 +189,15 @@ def build_queries(spark, sf_dir):
         # round-3 session-4 additions: semantic dedup, distance/bbox range
         # joins, polygon metrics, histogram quantiles, incremental tile diff
         def q_semantic_dedup():
-            return entry._q_semantic_dedup(spark, sf_dir).agg(F.sum("keep"))
+            # bench the PRODUCTION clustered mode (n_centroids ~ sqrt(N));
+            # the driver query's exact single-cluster mode exists for the
+            # all-pairs oracle and is quadratic by design
+            from open_vector_tile_spark.operators.semdedup import semantic_dedup
+
+            emb = entry._load(spark, sf_dir, "embeddings")
+            return semantic_dedup(emb, threshold=0.4, n_centroids=16).agg(
+                F.sum("keep")
+            )
 
         def q_distance_join():
             return entry._q_distance_join(spark, sf_dir).agg(F.count("*"))
@@ -542,6 +550,10 @@ def run_scaling(sf_dir: str) -> dict:
 
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--scale-measure":
+        # the tmpfs corpus does not survive reboots: regenerate on demand
+        # (idempotent) so a fresh-session sampler run doesn't silently
+        # fail every measurement with PATH_NOT_FOUND
+        _ensure_scaling_corpus()
         print(json.dumps(_scale_measure(int(sys.argv[2]))))
         return
     if len(sys.argv) > 3 and sys.argv[1] == "--control-measure":
