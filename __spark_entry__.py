@@ -78,6 +78,66 @@ def _sql_ty(lat_expr: str, n_tiles: int = N_TILES) -> str:
     return f"CAST(floor({_sql_merc_y(lat_expr)}*{n_tiles}) AS BIGINT)"
 
 
+# Demo gazetteer alias terms for geocode_toponyms: the corpus generator's
+# vocabulary minus the stopwords 'a'/'the' (a real deployment supplies a
+# GeoNames-style alias table; the OPERATOR is generic — this wiring only
+# pins a deterministic oracle).  Nation k claims term [k % 29]; region r
+# claims term [(r*5+2) % 29], colliding with nations 2/7/12/17/22 so the
+# population prior has real ambiguity to resolve.
+_GAZ_TERMS = [
+    "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "value", "vector", "window",
+]
+
+
+def _gazetteer(spark: SparkSession, sf: str) -> DataFrame:
+    """(term, place_id, population, lat, lon) from nation+region rows.
+
+    All coordinates are multiples of 0.25 deg and populations are integers,
+    so scores and positions are bit-exact across engines."""
+    terms = F.array(*[F.lit(t) for t in _GAZ_TERMS])
+    n = len(_GAZ_TERMS)
+    nat = _load(spark, sf, "nation").select(
+        F.element_at(terms, (F.col("n_nationkey") % n + 1).cast("int")).alias("term"),
+        F.col("n_nationkey").cast("long").alias("place_id"),
+        ((F.col("n_nationkey") + 3) * 1700).cast("long").alias("population"),
+        (F.lit(-60.0) + F.col("n_nationkey") * 5.0).alias("lat"),
+        (F.lit(-170.0) + F.col("n_nationkey") * 13.5).alias("lon"),
+    )
+    reg = _load(spark, sf, "region").select(
+        F.element_at(
+            terms, ((F.col("r_regionkey") * 5 + 2) % n + 1).cast("int")
+        ).alias("term"),
+        (F.col("r_regionkey") + 1000).cast("long").alias("place_id"),
+        ((F.col("r_regionkey") * 97 + 13) * 500).cast("long").alias("population"),
+        (F.lit(-40.0) + F.col("r_regionkey") * 17.5).alias("lat"),
+        (F.lit(-150.0) + F.col("r_regionkey") * 62.25).alias("lon"),
+    )
+    return nat.unionByName(reg)
+
+
+def _sql_gazetteer() -> str:
+    n = len(_GAZ_TERMS)
+    values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(_GAZ_TERMS))
+    return f"""
+        terms(i, term) AS (VALUES {values}),
+        gaz AS (
+          SELECT t.term, CAST(n_nationkey AS BIGINT) AS place_id,
+                 CAST((n_nationkey+3)*1700 AS BIGINT) AS population,
+                 -60.0 + n_nationkey*5.0 AS lat,
+                 -170.0 + n_nationkey*13.5 AS lon
+          FROM nation JOIN terms t ON t.i = n_nationkey % {n}
+          UNION ALL
+          SELECT t.term, CAST(r_regionkey + 1000 AS BIGINT),
+                 CAST((r_regionkey*97+13)*500 AS BIGINT),
+                 -40.0 + r_regionkey*17.5,
+                 -150.0 + r_regionkey*62.25
+          FROM region JOIN terms t ON t.i = (r_regionkey*5+2) % {n}
+        )"""
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -2493,6 +2553,37 @@ def _q_zonal_stats(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("zone_id")
 
 
+def _q_geocode(spark: SparkSession, sf: str) -> DataFrame:
+    """Gazetteer toponym geocoding (north-star 'geolocate web pages' ingest
+    stage): tokenize -> broadcast alias join -> count x population score ->
+    deterministic top-2 places per document."""
+    from open_vector_tile_spark.operators.geocode import geocode_toponyms
+
+    docs = _load(spark, sf, "documents")
+    out = geocode_toponyms(docs, _gazetteer(spark, sf), k=2)
+    return out.orderBy("doc_id", "rank")
+
+
+def _q_geocode_tile(spark: SparkSession, sf: str) -> DataFrame:
+    """Geocode winners lifted onto the zoom-4 tile grid — the literal
+    north-star sentence (pages geolocated, then assigned tile cells) as one
+    composed plan: geocode's window output feeds _tile_cols with no extra
+    scan of the corpus."""
+    from open_vector_tile_spark.operators.geocode import geocode_toponyms
+
+    docs = _load(spark, sf, "documents")
+    won = geocode_toponyms(docs, _gazetteer(spark, sf), k=1)
+    tiled = _tile_cols(won)
+    return (
+        tiled.groupBy("tile_x", "tile_y")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("place_id").alias("n_places"),
+        )
+        .orderBy("tile_x", "tile_y")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -2587,6 +2678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantile": _q_hist_quantile,
         "tile_diff": _q_tile_diff,
         "zonal_stats": _q_zonal_stats,
+        "geocode": _q_geocode,
+        "geocode_tile": _q_geocode_tile,
     }
 
 
@@ -4261,5 +4354,56 @@ def oracle_sql() -> dict[str, str]:
             FROM cells JOIN zones
               ON gx >= gx_min AND gx <= gx_max AND gy >= gy_min AND gy <= gy_max
             GROUP BY zone_id ORDER BY zone_id
+        """,
+        "geocode": f"""
+            WITH {_sql_gazetteer()},
+            toks AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents
+            ),
+            cnts AS (
+              SELECT doc_id, term, count(*) AS cnt FROM toks
+              WHERE term <> '' GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT c.doc_id, g.place_id,
+                     CAST(c.cnt * g.population AS BIGINT) AS score,
+                     g.lat, g.lon
+              FROM cnts c JOIN gaz g USING (term)
+            ),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, place_id
+                     ) AS INT) AS rank
+              FROM scored
+            )
+            SELECT doc_id, place_id, score, lat, lon, rank
+            FROM ranked WHERE rank <= 2 ORDER BY doc_id, rank
+        """,
+        "geocode_tile": f"""
+            WITH {_sql_gazetteer()},
+            toks AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents
+            ),
+            cnts AS (
+              SELECT doc_id, term, count(*) AS cnt FROM toks
+              WHERE term <> '' GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT c.doc_id, g.place_id,
+                     CAST(c.cnt * g.population AS BIGINT) AS score,
+                     g.lat, g.lon
+              FROM cnts c JOIN gaz g USING (term)
+            ),
+            won AS (
+              SELECT * FROM scored
+              QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, place_id) = 1
+            )
+            SELECT {_sql_tx("lon")} AS tile_x, {_sql_ty("lat")} AS tile_y,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(count(DISTINCT place_id) AS BIGINT) AS n_places
+            FROM won GROUP BY 1, 2 ORDER BY tile_x, tile_y
         """,
     }

@@ -214,6 +214,9 @@ def build_queries(spark, sf_dir):
         def q_tile_diff():
             return entry._q_tile_diff(spark, sf_dir).agg(F.sum("n_inserted"))
 
+        def q_geocode_tile():
+            return entry._q_geocode_tile(spark, sf_dir).agg(F.sum("n_pages"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -254,6 +257,7 @@ def build_queries(spark, sf_dir):
             polygon_metrics=q_polygon_metrics,
             hist_quantile=q_hist_quantile,
             tile_diff=q_tile_diff,
+            geocode_tile=q_geocode_tile,
         )
     return out
 
