@@ -2584,6 +2584,36 @@ def _q_geocode_tile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_label_cull(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-tile label selection: grid-bucket collision culling (best doc
+    per 256-unit bucket via map-side max_by partial agg, then a top-8 cap
+    per tile) over extent-4096 in-tile positions."""
+    from open_vector_tile_spark.operators.labels import cull_labels
+
+    extent = 4096
+    pts = _tile_cols(_doc_points(_load(spark, sf, "documents")))
+    mx = _merc_x(F.col("lon")) * N_TILES
+    my = _merc_y(F.col("lat")) * N_TILES
+    x = F.greatest(
+        F.lit(0), F.least(F.lit(extent - 1), F.floor((mx - F.col("tile_x")) * extent))
+    ).cast("long")
+    y = F.greatest(
+        F.lit(0), F.least(F.lit(extent - 1), F.floor((my - F.col("tile_y")) * extent))
+    ).cast("long")
+    cand = pts.select(
+        "tile_x",
+        "tile_y",
+        F.col("doc_id").alias("id"),
+        x.alias("x"),
+        y.alias("y"),
+        F.col("n_chars").cast("long").alias("score"),
+    )
+    out = cull_labels(cand, spacing=256, per_tile_cap=8)
+    return out.select(
+        "tile_x", "tile_y", "id", "x", "y", "score", "rank"
+    ).orderBy("tile_x", "tile_y", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -2680,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": _q_zonal_stats,
         "geocode": _q_geocode,
         "geocode_tile": _q_geocode_tile,
+        "label_cull": _q_label_cull,
     }
 
 
@@ -2742,6 +2773,8 @@ def oracle_sql() -> dict[str, str]:
     tx_doc = _sql_tx(_SQL_LON_DOC)
     merc_x_ev = f"(({_SQL_LON_EV}+180.0)/360.0*{N_TILES})"
     merc_y_ev = f"({_sql_merc_y(_SQL_LAT_EV)}*{N_TILES})"
+    merc_x_doc = f"(({_SQL_LON_DOC}+180.0)/360.0*{N_TILES})"
+    merc_y_doc = f"({_sql_merc_y(_SQL_LAT_DOC)}*{N_TILES})"
     return {
         "cell_assign": f"""
             SELECT event_id, {tx_ev} AS tile_x, {ty_ev} AS tile_y,
@@ -4405,5 +4438,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pages,
                    CAST(count(DISTINCT place_id) AS BIGINT) AS n_places
             FROM won GROUP BY 1, 2 ORDER BY tile_x, tile_y
+        """,
+        "label_cull": f"""
+            WITH cand AS (
+              SELECT {tx_doc} AS tile_x, {ty_doc} AS tile_y,
+                     doc_id AS id,
+                     CAST(greatest(0, least(4095,
+                       floor(({merc_x_doc} - {tx_doc})*4096))) AS BIGINT) AS x,
+                     CAST(greatest(0, least(4095,
+                       floor(({merc_y_doc} - {ty_doc})*4096))) AS BIGINT) AS y,
+                     CAST(n_chars AS BIGINT) AS score
+              FROM documents
+            ),
+            winners AS (
+              SELECT tile_x, tile_y, id, x, y, score FROM cand
+              QUALIFY row_number() OVER (
+                PARTITION BY tile_x, tile_y, x // 256, y // 256
+                ORDER BY score DESC, id) = 1
+            )
+            SELECT tile_x, tile_y, id, x, y, score,
+                   CAST(row_number() OVER (
+                     PARTITION BY tile_x, tile_y
+                     ORDER BY score DESC, id) AS INT) AS rank
+            FROM winners
+            QUALIFY rank <= 8
+            ORDER BY tile_x, tile_y, rank
         """,
     }

@@ -217,6 +217,9 @@ def build_queries(spark, sf_dir):
         def q_geocode_tile():
             return entry._q_geocode_tile(spark, sf_dir).agg(F.sum("n_pages"))
 
+        def q_label_cull():
+            return entry._q_label_cull(spark, sf_dir).agg(F.count("*"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -258,6 +261,7 @@ def build_queries(spark, sf_dir):
             hist_quantile=q_hist_quantile,
             tile_diff=q_tile_diff,
             geocode_tile=q_geocode_tile,
+            label_cull=q_label_cull,
         )
     return out
 
