@@ -2614,6 +2614,37 @@ def _q_label_cull(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("tile_x", "tile_y", "rank")
 
 
+def _triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic integer triangles on a 512-cell grid from supplier."""
+    s = F.col("s_suppkey")
+    return _load(spark, sf, "supplier").select(
+        s.cast("long").alias("tri_id"),
+        (s * 17 % 480).cast("long").alias("x0"),
+        (s * 29 % 480).cast("long").alias("y0"),
+        (s * 17 % 480 + s % 13 + 3).cast("long").alias("x1"),
+        (s * 29 % 480 + s * 7 % 11 + 2).cast("long").alias("y1"),
+        (s * 17 % 480 + s * 3 % 17 + 1).cast("long").alias("x2"),
+        (s * 29 % 480 + s % 19 + 5).cast("long").alias("y2"),
+    )
+
+
+def _q_rasterize(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector->raster: exact integer center-in-triangle coverage (doubled
+    coordinates, boundary-inclusive), per-triangle cell stats."""
+    from open_vector_tile_spark.operators.rasterize import rasterize_triangles
+
+    cells = rasterize_triangles(_triangles(spark, sf))
+    return (
+        cells.groupBy("tri_id")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("gx").alias("sum_gx"),
+            F.sum("gy").alias("sum_gy"),
+        )
+        .orderBy("tri_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -2711,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geocode": _q_geocode,
         "geocode_tile": _q_geocode_tile,
         "label_cull": _q_label_cull,
+        "rasterize": _q_rasterize,
     }
 
 
@@ -4463,5 +4495,39 @@ def oracle_sql() -> dict[str, str]:
             FROM winners
             QUALIFY rank <= 8
             ORDER BY tile_x, tile_y, rank
+        """,
+        "rasterize": """
+            WITH t AS (
+              SELECT CAST(s_suppkey AS BIGINT) AS tri_id,
+                     CAST(s_suppkey*17 % 480 AS BIGINT) AS x0,
+                     CAST(s_suppkey*29 % 480 AS BIGINT) AS y0,
+                     CAST(s_suppkey*17 % 480 + s_suppkey % 13 + 3 AS BIGINT) AS x1,
+                     CAST(s_suppkey*29 % 480 + s_suppkey*7 % 11 + 2 AS BIGINT) AS y1,
+                     CAST(s_suppkey*17 % 480 + s_suppkey*3 % 17 + 1 AS BIGINT) AS x2,
+                     CAST(s_suppkey*29 % 480 + s_suppkey % 19 + 5 AS BIGINT) AS y2
+              FROM supplier
+            ),
+            cells AS (
+              SELECT tri_id, x0, y0, x1, y1, x2, y2, gx.gx, gy.gy
+              FROM t,
+                   unnest(range(least(x0,x1,x2),
+                                greatest(least(x0,x1,x2), greatest(x0,x1,x2)-1) + 1)) gx(gx),
+                   unnest(range(least(y0,y1,y2),
+                                greatest(least(y0,y1,y2), greatest(y0,y1,y2)-1) + 1)) gy(gy)
+            ),
+            tested AS (
+              SELECT tri_id, gx, gy,
+                     (x1-x0)*((2*gy+1) - 2*y0) - (y1-y0)*((2*gx+1) - 2*x0) AS e01,
+                     (x2-x1)*((2*gy+1) - 2*y1) - (y2-y1)*((2*gx+1) - 2*x1) AS e12,
+                     (x0-x2)*((2*gy+1) - 2*y2) - (y0-y2)*((2*gx+1) - 2*x2) AS e20
+              FROM cells
+            )
+            SELECT tri_id, CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(sum(gx) AS BIGINT) AS sum_gx,
+                   CAST(sum(gy) AS BIGINT) AS sum_gy
+            FROM tested
+            WHERE (e01 >= 0 AND e12 >= 0 AND e20 >= 0)
+               OR (e01 <= 0 AND e12 <= 0 AND e20 <= 0)
+            GROUP BY tri_id ORDER BY tri_id
         """,
     }

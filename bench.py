@@ -220,6 +220,9 @@ def build_queries(spark, sf_dir):
         def q_label_cull():
             return entry._q_label_cull(spark, sf_dir).agg(F.count("*"))
 
+        def q_rasterize():
+            return entry._q_rasterize(spark, sf_dir).agg(F.sum("n_cells"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -262,6 +265,7 @@ def build_queries(spark, sf_dir):
             tile_diff=q_tile_diff,
             geocode_tile=q_geocode_tile,
             label_cull=q_label_cull,
+            rasterize=q_rasterize,
         )
     return out
 
