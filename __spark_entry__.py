@@ -4509,7 +4509,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             cells AS (
               SELECT tri_id, x0, y0, x1, y1, x2, y2, gx.gx, gy.gy
-              FROM t,
+              FROM (SELECT * FROM t
+                    WHERE NOT (x0 = x1 AND x1 = x2 AND y0 = y1 AND y1 = y2)) t,
                    unnest(range(least(x0,x1,x2),
                                 greatest(least(x0,x1,x2), greatest(x0,x1,x2)-1) + 1)) gx(gx),
                    unnest(range(least(y0,y1,y2),

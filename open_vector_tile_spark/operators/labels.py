@@ -53,6 +53,13 @@ def cull_labels(
     if per_tile_cap < 1:
         raise ValueError(f"per_tile_cap must be >= 1, got {per_tile_cap}")
     tx, ty = tile_cols
+    reserved = {"_bx", "_by", "rank"} & set(candidates.columns)
+    if reserved:
+        raise ValueError(
+            f"candidates must not carry reserved columns {sorted(reserved)}: "
+            "'_bx'/'_by' are internal bucket indices and 'rank' is the output "
+            "rank — rename them before calling cull_labels"
+        )
     payload = [c for c in candidates.columns]
     bucketed = candidates.withColumn(
         "_bx", F.floor(F.col(x_col) / spacing).cast("long")

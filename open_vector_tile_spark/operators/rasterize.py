@@ -49,8 +49,17 @@ def rasterize_triangles(
     only cells whose center lies exactly ON the carrier line (all three
     edge tests zero — e.g. a 45-degree segment through half-integer
     centers), which the boundary-inclusive rule keeps deterministically.
+    Point-degenerate triangles (all three vertices equal) have no carrier
+    line and cover nothing.
     """
     x0, y0, x1, y1, x2, y2 = [F.col(c).cast("long") for c in coords]
+    # a point-degenerate "triangle" (all vertices equal) zeroes every edge
+    # test identically, and the empty-range clamp would still nominate one
+    # candidate cell — drop such rows: a point contains no cell center
+    point_degenerate = (
+        (x0 == x1) & (x1 == x2) & (y0 == y1) & (y1 == y2)
+    )
+    tris = tris.where(~point_degenerate)
     gx_min = F.least(x0, x1, x2)
     gx_max = F.greatest(x0, x1, x2)
     gy_min = F.least(y0, y1, y2)

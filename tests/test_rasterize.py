@@ -16,6 +16,8 @@ def _brute(x0, y0, x1, y1, x2, y2):
     operator's candidate range (cells whose center can fall in the bbox;
     a wider scan would also pick up points on a degenerate triangle's
     INFINITE carrier line, which the edge tests alone cannot exclude)."""
+    if (x0, y0) == (x1, y1) == (x2, y2):
+        return set()  # point-degenerate: no carrier line, covers nothing
     out = set()
     xmin, xmax = min(x0, x1, x2), max(x0, x1, x2)
     ymin, ymax = min(y0, y1, y2), max(y0, y1, y2)
@@ -55,6 +57,23 @@ def test_degenerate_collinear(spark):
     # axis-aligned degenerate: centers never on an integer-x line
     out2 = rasterize_triangles(_tris(spark, [(2, 5, 0, 5, 9, 5, 4)])).collect()
     assert out2 == []
+    # point-degenerate: every edge test is identically zero, but a point
+    # contains no cell center — must cover nothing
+    out3 = rasterize_triangles(_tris(spark, [(3, 5, 5, 5, 5, 5, 5)])).collect()
+    assert out3 == []
+
+
+def test_reserved_label_columns_rejected(spark):
+    import pytest as _pytest
+
+    from open_vector_tile_spark.operators.labels import cull_labels
+
+    df = spark.createDataFrame(
+        [(0, 0, 1, 2, 3, 4, 9)],
+        "tile_x long, tile_y long, id long, x long, y long, score long, rank long",
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        cull_labels(df, spacing=16, per_tile_cap=2)
 
 
 def test_randomized_brute_force_parity(spark):
