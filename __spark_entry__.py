@@ -4423,7 +4423,8 @@ def oracle_sql() -> dict[str, str]:
         "geocode": f"""
             WITH {_sql_gazetteer()},
             toks AS (
-              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
               FROM documents
             ),
             cnts AS (
@@ -4431,10 +4432,13 @@ def oracle_sql() -> dict[str, str]:
               WHERE term <> '' GROUP BY 1, 2
             ),
             scored AS (
+              -- mention counts sum across ALL alias terms of a place
+              -- (mirrors the operator's groupBy(doc, place) aggregation)
               SELECT c.doc_id, g.place_id,
-                     CAST(c.cnt * g.population AS BIGINT) AS score,
-                     g.lat, g.lon
+                     CAST(sum(c.cnt) * any_value(g.population) AS BIGINT) AS score,
+                     any_value(g.lat) AS lat, any_value(g.lon) AS lon
               FROM cnts c JOIN gaz g USING (term)
+              GROUP BY c.doc_id, g.place_id
             ),
             ranked AS (
               SELECT *, CAST(row_number() OVER (
@@ -4448,7 +4452,8 @@ def oracle_sql() -> dict[str, str]:
         "geocode_tile": f"""
             WITH {_sql_gazetteer()},
             toks AS (
-              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
               FROM documents
             ),
             cnts AS (
@@ -4457,9 +4462,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             scored AS (
               SELECT c.doc_id, g.place_id,
-                     CAST(c.cnt * g.population AS BIGINT) AS score,
-                     g.lat, g.lon
+                     CAST(sum(c.cnt) * any_value(g.population) AS BIGINT) AS score,
+                     any_value(g.lat) AS lat, any_value(g.lon) AS lon
               FROM cnts c JOIN gaz g USING (term)
+              GROUP BY c.doc_id, g.place_id
             ),
             won AS (
               SELECT * FROM scored

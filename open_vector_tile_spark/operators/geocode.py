@@ -26,7 +26,7 @@ Scale shape (100 TB corpus, ~10M-row gazetteer):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["geocode_toponyms"]
@@ -40,7 +40,6 @@ def geocode_toponyms(
     id_col: str = "doc_id",
     k: int = 1,
     broadcast_gazetteer: bool = True,
-    extra_score: Column | None = None,
 ) -> DataFrame:
     """Resolve each document to its top-``k`` gazetteer places.
 
@@ -60,17 +59,16 @@ def geocode_toponyms(
         raise ValueError(f"k must be >= 1, got {k}")
     toks = docs.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
     ).where(F.col("term") != "")
     gaz = F.broadcast(gazetteer) if broadcast_gazetteer else gazetteer
     hits = toks.join(gaz, "term")
-    score: Column = F.count("*") * F.first("population")
-    if extra_score is not None:
-        score = score + F.first(extra_score)
+    # mention count sums across ALL alias terms of a place; population/lat/
+    # lon are functionally dependent on place_id, so first() is deterministic
     scored = (
         hits.groupBy(id_col, "place_id")
         .agg(
-            score.cast("long").alias("score"),
+            (F.count("*") * F.first("population")).cast("long").alias("score"),
             F.first("lat").alias("lat"),
             F.first("lon").alias("lon"),
         )

@@ -53,6 +53,30 @@ def test_no_hit_docs_absent_and_case_insensitive(spark, gaz):
     assert [r.doc_id for r in out] == [2]
 
 
+def test_multi_alias_counts_sum_per_place(spark):
+    # one place owning two alias terms: mentions of BOTH sum into one score
+    g = spark.createDataFrame(
+        [
+            ("rome", 3, 1000, 41.75, 12.5),
+            ("roma", 3, 1000, 41.75, 12.5),
+            ("utica", 4, 2500, 43.0, -75.25),
+        ],
+        "term string, place_id long, population long, lat double, lon double",
+    )
+    docs = _docs(spark, [(1, "rome roma rome utica")])
+    out = geocode_toponyms(docs, g, k=2).orderBy("rank").collect()
+    # place 3: 3 mentions x 1000 = 3000 > place 4: 1 x 2500; ONE row per place
+    assert [(r.place_id, r.score) for r in out] == [(3, 3000), (4, 2500)]
+
+
+def test_whitespace_tokenization(spark, gaz):
+    # tabs / newlines / runs of spaces all delimit tokens
+    docs = _docs(spark, [(1, "rome\tutica\n\nrome   rome")])
+    out = geocode_toponyms(docs, gaz, k=2).orderBy("rank").collect()
+    assert [r.place_id for r in out] == [3, 4]
+    assert out[0].score == 3 * 2_800_000
+
+
 def test_score_tie_breaks_on_place_id(spark):
     g = spark.createDataFrame(
         [("x", 7, 500, 1.0, 2.0), ("x", 5, 500, 3.0, 4.0)],
