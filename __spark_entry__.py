@@ -2645,6 +2645,16 @@ def _q_rasterize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram collocation mining: top-50 pairs by integer-exact lift
+    (monotone-equivalent to PMI), bigrams built inside the token array —
+    no per-doc window, adjacency established map-side."""
+    from open_vector_tile_spark.operators.collocations import bigram_collocations
+
+    docs = _load(spark, sf, "documents")
+    return bigram_collocations(docs, min_count=5, top_k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -2743,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geocode_tile": _q_geocode_tile,
         "label_cull": _q_label_cull,
         "rasterize": _q_rasterize,
+        "collocations": _q_collocations,
     }
 
 
@@ -4536,5 +4547,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE (e01 >= 0 AND e12 >= 0 AND e20 >= 0)
                OR (e01 <= 0 AND e12 <= 0 AND e20 <= 0)
             GROUP BY tri_id ORDER BY tri_id
+        """,
+        "collocations": """
+            WITH toks AS (
+              SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ),
+            n AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS n_tokens FROM toks),
+            uni AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS n_term
+              FROM (SELECT unnest(ts) AS term FROM toks) GROUP BY term
+            ),
+            pairs AS (
+              SELECT ts[i] AS a, ts[i+1] AS b
+              FROM toks, unnest(range(1, len(ts))) r(i)
+            ),
+            big AS (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+              FROM pairs GROUP BY a, b HAVING count(*) >= 5
+            )
+            SELECT big.a, big.b, n_ab, ua.n_term AS n_a, ub.n_term AS n_b,
+                   CAST(n_ab * n_tokens AS DOUBLE) / (ua.n_term * ub.n_term)
+                     AS lift
+            FROM big
+            JOIN uni ua ON big.a = ua.term
+            JOIN uni ub ON big.b = ub.term, n
+            ORDER BY lift DESC, big.a, big.b LIMIT 50
         """,
     }

@@ -223,6 +223,9 @@ def build_queries(spark, sf_dir):
         def q_rasterize():
             return entry._q_rasterize(spark, sf_dir).agg(F.sum("n_cells"))
 
+        def q_collocations():
+            return entry._q_collocations(spark, sf_dir).agg(F.sum("n_ab"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -266,6 +269,7 @@ def build_queries(spark, sf_dir):
             geocode_tile=q_geocode_tile,
             label_cull=q_label_cull,
             rasterize=q_rasterize,
+            collocations=q_collocations,
         )
     return out
 
