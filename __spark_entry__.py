@@ -2655,6 +2655,62 @@ def _q_collocations(spark: SparkSession, sf: str) -> DataFrame:
     return bigram_collocations(docs, min_count=5, top_k=50)
 
 
+def _q_geo_fallback(spark: SparkSession, sf: str) -> DataFrame:
+    """The full north-star geolocation ingest as ONE composed plan: pages
+    with an explicit coordinate mention are geoparse'd (P15 regexp, text
+    untouched), the rest fall back to the gazetteer toponym winner, and
+    every located page lands on the z4 tile grid with its provenance.
+    Every third doc gets a synthetic "(lat, lon)" mention so both branches
+    carry real traffic."""
+    from open_vector_tile_spark.functions.text import geoparse
+    from open_vector_tile_spark.operators.geocode import geocode_toponyms
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    mlat = ((d * 53) % 1600) / 10.0 - 80.0
+    mlon = ((d * 37) % 3600) / 10.0 - 180.0
+    synth = docs.select(
+        "doc_id",
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.format_string("(%.1f, %.1f)", mlat, mlon),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    parsed = geoparse(synth).select(
+        "doc_id", F.col("lat").alias("p_lat"), F.col("lon").alias("p_lon")
+    )
+    gaz = geocode_toponyms(docs, _gazetteer(spark, sf), k=1).select(
+        "doc_id", F.col("lat").alias("g_lat"), F.col("lon").alias("g_lon")
+    )
+    located = (
+        docs.select("doc_id")
+        .join(parsed, "doc_id", "left")
+        .join(gaz, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("p_lat", "g_lat").alias("lat"),
+            F.coalesce("p_lon", "g_lon").alias("lon"),
+            F.when(F.col("p_lat").isNotNull(), F.lit("coord"))
+            .when(F.col("g_lat").isNotNull(), F.lit("gazetteer"))
+            .otherwise(F.lit("unlocated"))
+            .alias("src"),
+        )
+        .where(F.col("lat").isNotNull())
+    )
+    return (
+        _tile_cols(located)
+        .groupBy("tile_x", "tile_y", "src")
+        .agg(F.count("*").alias("n_pages"))
+        .orderBy("tile_x", "tile_y", "src")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -2754,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_cull": _q_label_cull,
         "rasterize": _q_rasterize,
         "collocations": _q_collocations,
+        "geo_fallback": _q_geo_fallback,
     }
 
 
@@ -4574,5 +4631,61 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni ua ON big.a = ua.term
             JOIN uni ub ON big.b = ub.term, n
             ORDER BY lift DESC, big.a, big.b LIMIT 50
+        """,
+        "geo_fallback": f"""
+            WITH {_sql_gazetteer()},
+            synth AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || ' ' ||
+                               printf('(%.1f, %.1f)', {_SQL_LAT_DOC}, {_SQL_LON_DOC})
+                          ELSE text END AS text
+              FROM documents
+            ),
+            parsed AS (
+              SELECT doc_id,
+                     CAST(NULLIF(regexp_extract(text,
+                       '\\((-?\\d+\\.\\d+), (-?\\d+\\.\\d+)\\)', 1), '') AS DOUBLE) AS p_lat,
+                     CAST(NULLIF(regexp_extract(text,
+                       '\\((-?\\d+\\.\\d+), (-?\\d+\\.\\d+)\\)', 2), '') AS DOUBLE) AS p_lon
+              FROM synth
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+              FROM documents
+            ),
+            cnts AS (
+              SELECT doc_id, term, count(*) AS cnt FROM toks
+              WHERE term <> '' GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT c.doc_id, g.place_id,
+                     CAST(sum(c.cnt) * any_value(g.population) AS BIGINT) AS score,
+                     any_value(g.lat) AS g_lat, any_value(g.lon) AS g_lon
+              FROM cnts c JOIN gaz g USING (term)
+              GROUP BY c.doc_id, g.place_id
+            ),
+            won AS (
+              SELECT doc_id, g_lat, g_lon FROM scored
+              QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, place_id) = 1
+            ),
+            located AS (
+              SELECT d.doc_id,
+                     coalesce(p.p_lat, w.g_lat) AS lat,
+                     coalesce(p.p_lon, w.g_lon) AS lon,
+                     CASE WHEN p.p_lat IS NOT NULL THEN 'coord'
+                          WHEN w.g_lat IS NOT NULL THEN 'gazetteer'
+                          ELSE 'unlocated' END AS src
+              FROM documents d
+              LEFT JOIN (SELECT * FROM parsed WHERE p_lat IS NOT NULL
+                         AND p_lon IS NOT NULL) p USING (doc_id)
+              LEFT JOIN won w USING (doc_id)
+            )
+            SELECT {_sql_tx("lon")} AS tile_x, {_sql_ty("lat")} AS tile_y,
+                   src, CAST(count(*) AS BIGINT) AS n_pages
+            FROM located WHERE lat IS NOT NULL
+            GROUP BY 1, 2, 3 ORDER BY tile_x, tile_y, src
         """,
     }

@@ -226,6 +226,9 @@ def build_queries(spark, sf_dir):
         def q_collocations():
             return entry._q_collocations(spark, sf_dir).agg(F.sum("n_ab"))
 
+        def q_geo_fallback():
+            return entry._q_geo_fallback(spark, sf_dir).agg(F.sum("n_pages"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -270,6 +273,7 @@ def build_queries(spark, sf_dir):
             label_cull=q_label_cull,
             rasterize=q_rasterize,
             collocations=q_collocations,
+            geo_fallback=q_geo_fallback,
         )
     return out
 

@@ -118,3 +118,28 @@ def test_driver_query_matches_oracle(spark):
         for c in got.columns:
             gv, wv = got[c].tolist(), want[c].tolist()
             assert gv == wv, (name, c)
+
+
+def test_geo_fallback_provenance(spark):
+    """Composed north-star ingest: every third doc resolves via explicit
+    coordinates, the rest via the gazetteer; nothing is unlocated on the
+    word-salad corpus and the oracle twin matches exactly."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("documents", "nation", "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    got = entry.queries()["geo_fallback"](spark, sf).toPandas()
+    want = con.execute(entry.oracle_sql()["geo_fallback"]).df()
+    assert list(got.columns) == list(want.columns)
+    got_s = got.sort_values(list(got.columns)).reset_index(drop=True)
+    want_s = want.sort_values(list(want.columns)).reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    for c in got_s.columns:
+        assert got_s[c].tolist() == want_s[c].tolist(), c
+    by_src = got.groupby("src")["n_pages"].sum().to_dict()
+    assert by_src.get("coord", 0) > 0 and by_src.get("gazetteer", 0) > 0
+    assert "unlocated" not in by_src  # all-vocab corpus always geocodes
