@@ -2711,6 +2711,26 @@ def _q_geo_fallback(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_crawl_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Polite crawl scheduling: per-host priority ranking -> fetch waves
+    capped at 3 URLs/host/wave, md5-slice host stagger over 4 offsets."""
+    from open_vector_tile_spark.operators.crawl import schedule_crawl
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    fr = docs.select(
+        F.concat(F.lit("h"), (d % 7).cast("string")).alias("host"),
+        F.concat(
+            F.lit("https://h"), (d % 7).cast("string"), F.lit("/p/"), d.cast("string")
+        ).alias("url"),
+        F.col("n_chars").cast("long").alias("prio"),
+    )
+    out = schedule_crawl(fr, per_host=3, stagger=4, priority=F.col("prio"))
+    return out.select("host", "url", "prio", "host_rank", "wave").orderBy(
+        "host", "host_rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -2811,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize": _q_rasterize,
         "collocations": _q_collocations,
         "geo_fallback": _q_geo_fallback,
+        "crawl_schedule": _q_crawl_schedule,
     }
 
 
@@ -4687,5 +4708,26 @@ def oracle_sql() -> dict[str, str]:
                    src, CAST(count(*) AS BIGINT) AS n_pages
             FROM located WHERE lat IS NOT NULL
             GROUP BY 1, 2, 3 ORDER BY tile_x, tile_y, src
+        """,
+        "crawl_schedule": """
+            WITH fr AS (
+              SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+                     'https://h' || CAST(doc_id % 7 AS VARCHAR) || '/p/' ||
+                       CAST(doc_id AS VARCHAR) AS url,
+                     CAST(n_chars AS BIGINT) AS prio
+              FROM documents
+            ),
+            r AS (
+              SELECT host, url, prio,
+                     CAST(row_number() OVER (
+                       PARTITION BY host ORDER BY prio DESC, url
+                     ) AS INT) AS host_rank
+              FROM fr
+            )
+            SELECT host, url, prio, host_rank,
+                   CAST((host_rank - 1) // 3
+                        + CAST(('0x' || substr(md5(host), 1, 4)) AS BIGINT) % 4
+                     AS BIGINT) AS wave
+            FROM r ORDER BY host, host_rank
         """,
     }

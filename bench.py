@@ -229,6 +229,9 @@ def build_queries(spark, sf_dir):
         def q_geo_fallback():
             return entry._q_geo_fallback(spark, sf_dir).agg(F.sum("n_pages"))
 
+        def q_crawl_schedule():
+            return entry._q_crawl_schedule(spark, sf_dir).agg(F.max("wave"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -274,6 +277,7 @@ def build_queries(spark, sf_dir):
             rasterize=q_rasterize,
             collocations=q_collocations,
             geo_fallback=q_geo_fallback,
+            crawl_schedule=q_crawl_schedule,
         )
     return out
 
