@@ -118,6 +118,11 @@ def _gazetteer(spark: SparkSession, sf: str) -> DataFrame:
     return nat.unionByName(reg)
 
 
+# RE2 spelling of functions.text.WS_SPLIT: Java's \s includes \x0B but
+# RE2's does not, so both engines use this explicit class instead of \s+
+_SQL_WS_SPLIT = r"[ \t\n\x0B\f\r]+"
+
+
 def _sql_gazetteer() -> str:
     n = len(_GAZ_TERMS)
     values = ", ".join(f"({i}, '{t}')" for i, t in enumerate(_GAZ_TERMS))
@@ -2667,16 +2672,15 @@ def _q_geo_fallback(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _load(spark, sf, "documents")
     d = F.col("doc_id")
-    mlat = ((d * 53) % 1600) / 10.0 - 80.0
-    mlon = ((d * 37) % 3600) / 10.0 - 180.0
-    synth = docs.select(
+    pts = _doc_points(docs)  # the driver-wide deterministic point formula
+    synth = pts.select(
         "doc_id",
         F.when(
             d % 3 == 0,
             F.concat(
                 F.col("text"),
                 F.lit(" "),
-                F.format_string("(%.1f, %.1f)", mlat, mlon),
+                F.format_string("(%.1f, %.1f)", F.col("lat"), F.col("lon")),
             ),
         )
         .otherwise(F.col("text"))
@@ -2701,7 +2705,8 @@ def _q_geo_fallback(spark: SparkSession, sf: str) -> DataFrame:
             .otherwise(F.lit("unlocated"))
             .alias("src"),
         )
-        .where(F.col("lat").isNotNull())
+        # unlocated pages are REPORTED (null tile, src='unlocated') rather
+        # than silently dropped — coverage accounting needs the denominator
     )
     return (
         _tile_cols(located)
@@ -4513,7 +4518,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_sql_gazetteer()},
             toks AS (
               SELECT doc_id,
-                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+                     unnest(regexp_split_to_array(lower(text), '{_SQL_WS_SPLIT}')) AS term
               FROM documents
             ),
             cnts AS (
@@ -4542,7 +4547,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_sql_gazetteer()},
             toks AS (
               SELECT doc_id,
-                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+                     unnest(regexp_split_to_array(lower(text), '{_SQL_WS_SPLIT}')) AS term
               FROM documents
             ),
             cnts AS (
@@ -4626,9 +4631,9 @@ def oracle_sql() -> dict[str, str]:
                OR (e01 <= 0 AND e12 <= 0 AND e20 <= 0)
             GROUP BY tri_id ORDER BY tri_id
         """,
-        "collocations": """
+        "collocations": f"""
             WITH toks AS (
-              SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+              SELECT list_filter(regexp_split_to_array(lower(text), '{_SQL_WS_SPLIT}'),
                                  t -> t <> '') AS ts
               FROM documents
             ),
@@ -4646,7 +4651,7 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs GROUP BY a, b HAVING count(*) >= 5
             )
             SELECT big.a, big.b, n_ab, ua.n_term AS n_a, ub.n_term AS n_b,
-                   CAST(n_ab * n_tokens AS DOUBLE) / (ua.n_term * ub.n_term)
+                   CAST(n_ab AS DOUBLE) * n_tokens / ua.n_term / ub.n_term
                      AS lift
             FROM big
             JOIN uni ua ON big.a = ua.term
@@ -4673,7 +4678,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             toks AS (
               SELECT doc_id,
-                     unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+                     unnest(regexp_split_to_array(lower(text), '{_SQL_WS_SPLIT}')) AS term
               FROM documents
             ),
             cnts AS (
@@ -4706,7 +4711,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT {_sql_tx("lon")} AS tile_x, {_sql_ty("lat")} AS tile_y,
                    src, CAST(count(*) AS BIGINT) AS n_pages
-            FROM located WHERE lat IS NOT NULL
+            FROM located
             GROUP BY 1, 2, 3 ORDER BY tile_x, tile_y, src
         """,
         "crawl_schedule": """

@@ -22,6 +22,12 @@ from pyspark.sql import functions as F
 # "... in Berlin (52.52000, 13.40500) ..." — lat first, lon second
 GEO_PATTERN = r"\((-?\d+\.\d+), (-?\d+\.\d+)\)"
 
+# Explicit whitespace class for tokenizers whose DuckDB oracle must split
+# IDENTICALLY: Java's \s includes \x0B (vertical tab) but RE2's does not,
+# so a bare \s+ silently diverges between the engines on \x0B.  Literal
+# control characters in a class mean the same thing in both regex dialects.
+WS_SPLIT = "[ \t\n\x0b\f\r]+"
+
 
 def geoparse(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``lat``/``lon`` doubles parsed from the first coordinate mention;

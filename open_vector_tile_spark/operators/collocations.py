@@ -3,10 +3,13 @@
 Training-data pipelines mine collocations ("new york", "machine
 learning") to build phrase vocabularies and tokenizer merges.  The
 classic statistic is PMI = log P(ab) / (P(a)P(b)); since log is
-monotone, ranking by the integer-exact LIFT ratio
-``n_ab * N / (n_a * n_b)`` produces the identical order while keeping
-every compared quantity a single IEEE division of exact int64 products —
-bit-identical on any engine, no transcendental in the ranking key.
+monotone, ranking by the LIFT ratio ``n_ab * N / (n_a * n_b)`` produces
+the identical order without a transcendental in the ranking key.  Lift
+is evaluated as the fixed double chain ``double(n_ab) * N / n_a / n_b``
+— the exact same IEEE operations in the same order on any engine (the
+oracle twin mirrors it literally), and immune to the int64 overflow a
+products-first formulation hits at web scale (N ~ 2e13 tokens makes
+``n_ab * N`` exceed 2^63 for stopword bigrams).
 
 Scale shape (100 TB corpus):
 - bigrams are built INSIDE the token array (`slice` + `arrays_zip`)
@@ -44,9 +47,11 @@ def bigram_collocations(
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from open_vector_tile_spark.functions.text import WS_SPLIT
+
     toks = docs.select(
         F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+            F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda t: t != ""
         ).alias("ts")
     )
     # persist the vocabulary-sized unigram table: it feeds BOTH broadcast
@@ -84,10 +89,21 @@ def bigram_collocations(
             "n_ab",
             "n_a",
             "n_b",
+            # double-first chain: overflow-free at any corpus size and a
+            # fixed op order the oracle twin reproduces bit-for-bit
             (
-                (F.col("n_ab") * F.col("n_tokens")).cast("double")
-                / (F.col("n_a") * F.col("n_b"))
+                F.col("n_ab").cast("double")
+                * F.col("n_tokens")
+                / F.col("n_a")
+                / F.col("n_b")
             ).alias("lift"),
         )
     )
-    return scored.orderBy(F.desc("lift"), F.asc("a"), F.asc("b")).limit(top_k)
+    result = scored.orderBy(F.desc("lift"), F.asc("a"), F.asc("b")).limit(top_k)
+    # the result is bounded by top_k rows: materialize it eagerly so the
+    # unigram cache can be released NOW instead of leaking for the
+    # application lifetime (the lazy plan would still reference it)
+    rows = result.collect()
+    schema = result.schema
+    unigrams.unpersist()
+    return docs.sparkSession.createDataFrame(rows, schema)

@@ -54,12 +54,17 @@ def schedule_crawl(
     order = [F.asc(url_col)]
     if priority is not None:
         order = [F.desc_nulls_last(priority), F.asc(url_col)]
-    w = Window.partitionBy(host_col).orderBy(*order)
+    # NULL hosts window together as one pseudo-host already; hash the same
+    # marker the sampling helpers use so their wave is a NUMBER, not NULL —
+    # md5(NULL) is NULL and a NULL wave silently drops the row from every
+    # wave-equality fetch (cf. sampling.stable_frac_hex's null-key marker)
+    host_key = F.coalesce(
+        F.col(host_col).cast("string"), F.lit("\x00<null-host>")
+    )
+    w = Window.partitionBy(host_key).orderBy(*order)
     ranked = frontier.withColumn("host_rank", F.row_number().over(w))
     offset = (
-        F.conv(F.substring(F.md5(F.col(host_col).cast("string")), 1, 4), 16, 10)
-        .cast("long")
-        % stagger
+        F.conv(F.substring(F.md5(host_key), 1, 4), 16, 10).cast("long") % stagger
     )
     wave = (
         F.floor((F.col("host_rank") - 1) / per_host).cast("long") + offset

@@ -57,9 +57,11 @@ def geocode_toponyms(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    from open_vector_tile_spark.functions.text import WS_SPLIT
+
     toks = docs.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term"),
+        F.explode(F.split(F.lower(F.col(text_col)), WS_SPLIT)).alias("term"),
     ).where(F.col("term") != "")
     gaz = F.broadcast(gazetteer) if broadcast_gazetteer else gazetteer
     hits = toks.join(gaz, "term")

@@ -17,7 +17,9 @@ def _brute(texts, min_count, top_k):
     uni = Counter(t for ts in toks for t in ts)
     big = Counter((ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1))
     rows = [
-        (a, b, c, uni[a], uni[b], (c * n_total) / (uni[a] * uni[b]))
+        # mirror the operator's overflow-free IEEE chain exactly:
+        # double(n_ab) * N / n_a / n_b (NOT products-first)
+        (a, b, c, uni[a], uni[b], float(c) * n_total / uni[a] / uni[b])
         for (a, b), c in big.items()
         if c >= min_count
     ]
