@@ -163,8 +163,6 @@ def hex_disk_join(
     of the square cell-ring prefilter in operators/knn.py, as pure
     relational algebra.  Downstream re-ranks candidates exactly (driver
     query `hex_knn`: haversine + rank window, twin-oracled)."""
-    from pyspark.sql import functions as F
-
     offsets = [tuple(x) for x in hex_disk_np(0, 0, k_disk).tolist()]
     r_renamed = right.select(
         *[F.col(c).alias(f"{c}{suffix}") for c in right.columns]
@@ -208,8 +206,6 @@ def hex_smooth(
     to itself + 6 shifted targets (one explode, 7× fan-out), one
     partial-agg shuffle on the target cell, then a semi join back onto the
     original cells — no UDF, verbatim SQL (driver oracle `hex_smooth`)."""
-    from pyspark.sql import functions as F
-
     dirs = [(0, 0)] + [tuple(d) for d in _HEX_DIRS.tolist()]
     contrib = df.select(
         F.col(q_col), F.col(r_col), F.col(value_col).alias("_v"),

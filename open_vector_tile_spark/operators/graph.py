@@ -39,6 +39,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a localCheckpoint's backing blocks.
+
+    ``localCheckpoint`` pins its RDD at MEMORY_AND_DISK for the application
+    lifetime; an iterative caller that checkpoints every round would
+    otherwise hold O(rounds) dead copies of the label table (25 rounds x
+    10^10 (id, comp) rows = terabytes of executor storage).  The pinned RDD
+    is the one wrapped by the LogicalRDD plan node; ``toRdd()`` returns a
+    metrics-wrapping derivative whose unpersist is a no-op, so go through
+    the analyzed plan.  Only call on frames that are never read again —
+    a locally-checkpointed RDD cannot be recomputed.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # Connect / API drift: leak rather than fail the job
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -96,9 +114,14 @@ def connected_components(
             .filter(F.col("comp") != F.col("old"))
             .count()
         )
+        # the old label table is dead once the changed-count action ran:
+        # free its pinned blocks NOW instead of holding rounds x |nodes|
+        _free_checkpoint(labels)
         labels = jumped
         if changed == 0:
+            _free_checkpoint(sym)
             return labels
+    _free_checkpoint(sym)
     raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
 
 
@@ -115,7 +138,19 @@ def dedup_components(
     doc id of the cluster (singletons: the doc itself, size 1).  The keep
     policy "retain the canonical, drop the rest" is then a one-line filter
     ``component == doc_id``.
+
+    Ids must be integral: a silent ``cast('long')`` of string ids like
+    'doc-17' would null every key, lump the whole corpus into one null
+    component, and make the keep filter drop ALL rows — so non-integral
+    id columns are rejected loudly instead.
     """
+    for frame, col in ((df, id_col), (pairs, src), (pairs, dst)):
+        dt = frame.schema[col].dataType.simpleString()
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"dedup_components requires integral ids; column {col!r} is "
+                f"{dt} (hash string ids to int64 first, e.g. xxhash64)"
+            )
     comp = connected_components(pairs, src=src, dst=dst)
     labeled = (
         df.select(F.col(id_col).cast("long").alias("id"))

@@ -34,54 +34,69 @@ def run_pipeline(
     store: Optional[TileStore] = None,
 ) -> DataFrame:
     """-> tiles DataFrame (TILE_SCHEMA). When ``store`` is given, commits a
-    snapshot and skips already-materialized tiles (resume)."""
+    snapshot and skips already-materialized tiles (resume).
+
+    Corpus semantics: the spatial join is INNER — a geoparsed page whose
+    coordinates fall in no polygon is excluded from the page layer (the
+    join defines the corpus of interest, e.g. pages inside admin areas).
+    Callers that need coverage accounting for the dropped remainder should
+    run the geolocate-with-fallback query shape instead (driver query
+    ``geo_fallback``), which reports unlocated pages with a null tile.
+
+    Multi-layer polygons: when ``polygons_pdf`` has a ``layer`` column the
+    polygon features are encoded under their own OVT layer names; without
+    one they all land in a single ``admin`` layer.
+    """
     points = geoparse(pages)
     joined = spatial_join(points, polygons_pdf, zoom=zoom)
-    # a stable numeric feature id (url hash) gives encode_tiles a
-    # within-tile sort key — without one, tile BYTES depend on shuffle
-    # arrival order and a resumed run would mix old and fresh encodings of
-    # identical inputs that differ byte-wise
-    joined = joined.withColumn("_fid", F.xxhash64(F.col("url")))
+    # a stable numeric feature id gives encode_tiles a within-tile sort key
+    # — without one, tile BYTES depend on shuffle arrival order and a
+    # resumed run would mix old and fresh encodings of identical inputs
+    # that differ byte-wise.  Hash (url, poly_id), NOT url alone: a page
+    # inside two overlapping polygons yields two feature rows, and equal
+    # sort ids would leave their relative order to shuffle arrival.
+    joined = joined.withColumn(
+        "_fid", F.xxhash64(F.col("url"), F.col("poly_id"))
+    )
+    props_cols = ["url", "lang", "poly_id"]
+    if pois_pdf is not None:
+        # kNN only over pages that reach the output (join survivors, one
+        # row per url even when a page sits in several polygons), and
+        # attach BEFORE featurization so props_json is serialized exactly
+        # once — no post-hoc JSON reparse/rewrite of every feature row.
+        survivors = joined.select("url", "lon", "lat").dropDuplicates(["url"])
+        nn = knn_broadcast(survivors, pois_pdf, k=k)
+        best = nn.filter(F.col("rank") == 1).select(
+            "url", F.col("poi_id").alias("nearest_poi")
+        )
+        joined = joined.join(best, on="url", how="left")
+        props_cols.append("nearest_poi")
     features = points_to_features(
         joined,
         zoom=zoom,
         layer="pages",
         extent=extent,
         id_col="_fid",
-        props_cols=["url", "lang", "poly_id"],
+        props_cols=props_cols,
     )
-    if pois_pdf is not None:
-        nn = knn_broadcast(points, pois_pdf, k=k)
-        best = nn.filter(F.col("rank") == 1).select(
-            "url", F.col("poi_id").alias("nearest_poi")
+    # polygon layers ride in the same tiles (multi-layer OVT), one OVT
+    # layer per value of the polygon table's ``layer`` column
+    spark = pages.sparkSession
+    if "layer" in polygons_pdf.columns:
+        groups = [
+            (str(name), grp.reset_index(drop=True))
+            for name, grp in polygons_pdf.groupby("layer", sort=True)
+        ]
+    else:
+        groups = [("admin", polygons_pdf)]
+    for name, grp in groups:
+        poly_features = polygons_to_features(
+            spark, grp, zoom=zoom, layer=name, extent=extent
         )
-        features = _attach_nearest(features, best)
-    # polygon layers ride in the same tiles (multi-layer OVT)
-    poly_features = polygons_to_features(
-        pages.sparkSession, polygons_pdf, zoom=zoom, layer="admin", extent=extent
-    )
-    features = features.unionByName(poly_features, allowMissingColumns=True)
+        features = features.unionByName(poly_features, allowMissingColumns=True)
     if store is not None:
         features = store.pending(features.select("*"))
     tiles = encode_tiles(features)
     if store is not None:
         store.commit(tiles)
     return tiles
-
-
-def _attach_nearest(features: DataFrame, best: DataFrame) -> DataFrame:
-    """Join nearest-POI id back into the feature props (broadcast-safe: the
-    join key rides in props_json; re-serialize with the extra field)."""
-    with_url = features.withColumn(
-        "_url", F.get_json_object("props_json", "$.url")
-    )
-    joined = with_url.join(best.withColumnRenamed("url", "_url"), on="_url", how="left")
-    props = F.to_json(
-        F.struct(
-            F.get_json_object("props_json", "$.url").alias("url"),
-            F.get_json_object("props_json", "$.lang").alias("lang"),
-            F.get_json_object("props_json", "$.poly_id").cast("long").alias("poly_id"),
-            F.col("nearest_poi"),
-        )
-    )
-    return joined.withColumn("props_json", props).drop("_url", "nearest_poi")

@@ -20,7 +20,9 @@ CITIES = (
     "Berlin", "Lagos", "Osaka", "Quito", "Perth", "Oslo", "Cusco", "Dakar",
     "Hanoi", "Tunis", "Miami", "Seoul", "Cairo", "Pune", "Lima", "Kyiv",
 )
-# three dense "mega-cell" hotspots (skew: 20% of rows, FIXTURES.md §1)
+# three dense "mega-cell" hotspots (skew: 5% of rows — i % 20 == 0 —
+# FIXTURES.md §1; the dedicated 90%-mega-cell skew test builds its own
+# corpus in tests/test_plan_shape.py)
 HOTSPOTS = ((13.40, 52.52), (-74.00, 40.71), (139.69, 35.69))
 
 
@@ -177,9 +179,14 @@ def pages_spark(spark, n: int, partitions: int = 32):
             if len(idx) == 0:
                 continue
             # pages_pdf is pure in the absolute index -> parallelism-invariant
-            out = pages_pdf(len(idx), start=int(idx[0]))
-            if not (np.diff(idx) == 1).all():  # non-contiguous batch: per-row
-                out = pd.concat([pages_pdf(1, start=int(j)) for j in idx], ignore_index=True)
-            yield out
+            if (np.diff(idx) == 1).all():
+                yield pages_pdf(len(idx), start=int(idx[0]))
+                continue
+            # non-contiguous batch: one vectorized call per contiguous run
+            runs = np.split(idx, np.where(np.diff(idx) != 1)[0] + 1)
+            yield pd.concat(
+                [pages_pdf(len(r), start=int(r[0])) for r in runs],
+                ignore_index=True,
+            )
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema)

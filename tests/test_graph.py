@@ -109,3 +109,31 @@ def test_cc_max_rounds_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(0, 64)], "src long, dst long")
     with pytest.raises(RuntimeError):
         connected_components(df, max_rounds=1)
+
+
+def test_dedup_components_rejects_string_ids(spark):
+    docs = spark.createDataFrame([("doc-1",), ("doc-2",)], "doc_id string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(TypeError, match="integral ids"):
+        dedup_components(docs, pairs)
+    # integral frame + string pair column is equally rejected
+    docs_i = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs_s = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    with pytest.raises(TypeError, match="integral ids"):
+        dedup_components(docs_i, pairs_s)
+
+
+def test_cc_releases_per_round_checkpoints(spark):
+    """A long chain runs several rounds; superseded per-round label
+    checkpoints must be unpersisted or executor storage grows O(rounds)."""
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 200)], "src long, dst long"
+    )
+    labels = connected_components(df)
+    assert labels.filter(F.col("comp") != 0).count() == 0
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    # only the RETURNED label table may remain pinned (plus whatever was
+    # pinned before the call) — no per-round accumulation, no edge table
+    assert after - before <= 1, f"leaked {after - before} pinned RDDs"
