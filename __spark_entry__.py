@@ -2736,6 +2736,37 @@ def _q_crawl_schedule(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_redirect_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    """Redirect-chain resolution (operators/redirects.py): canonical URL
+    per source via pointer doubling — O(log max_hops) self-joins instead
+    of the oracle's O(max_hops) recursive walk.  Synthetic redirect graph
+    derived from doc_id: chains of up to 7 hops down to each multiple of
+    8, plus a 4-node cycle seeded every 128 ids (64 -> 67 -> 66 -> 65 ->
+    64), so resolved chains, exact hop counts, drains-into-cycle, and
+    cycle members are all exercised."""
+    from open_vector_tile_spark.operators.redirects import resolve_redirects
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+
+    def _url(expr):
+        return F.concat(
+            F.lit("https://site"),
+            (expr % 13).cast("string"),
+            F.lit(".org/p/"),
+            expr.cast("string"),
+        )
+
+    chain = docs.where(d % 8 != 0).select(
+        _url(d).alias("src_url"), _url(d - 1).alias("dst_url")
+    )
+    cyc = docs.where(d % 128 == 64).select(
+        _url(d).alias("src_url"), _url(d + 3).alias("dst_url")
+    )
+    out = resolve_redirects(chain.unionByName(cyc))
+    return out.select("url", "canonical_url", "n_hops", "is_cycle").orderBy("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -2837,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": _q_collocations,
         "geo_fallback": _q_geo_fallback,
         "crawl_schedule": _q_crawl_schedule,
+        "redirect_resolve": _q_redirect_resolve,
     }
 
 
@@ -4734,5 +4766,43 @@ def oracle_sql() -> dict[str, str]:
                         + CAST(('0x' || substr(md5(host), 1, 4)) AS BIGINT) % 4
                      AS BIGINT) AS wave
             FROM r ORDER BY host, host_rank
+        """,
+        # the oracle walks the same chains with a bounded RECURSIVE CTE —
+        # the O(max_hops)-joins strategy the operator's pointer doubling
+        # exists to avoid, hence an honest independent twin
+        "redirect_resolve": """
+            WITH RECURSIVE e AS (
+              SELECT 'https://site' || CAST(doc_id % 13 AS VARCHAR)
+                       || '.org/p/' || CAST(doc_id AS VARCHAR) AS src_url,
+                     'https://site' || CAST((doc_id - 1) % 13 AS VARCHAR)
+                       || '.org/p/' || CAST(doc_id - 1 AS VARCHAR) AS dst_url
+              FROM documents WHERE doc_id % 8 <> 0
+              UNION ALL
+              SELECT 'https://site' || CAST(doc_id % 13 AS VARCHAR)
+                       || '.org/p/' || CAST(doc_id AS VARCHAR),
+                     'https://site' || CAST((doc_id + 3) % 13 AS VARCHAR)
+                       || '.org/p/' || CAST(doc_id + 3 AS VARCHAR)
+              FROM documents WHERE doc_id % 128 = 64
+            ),
+            m AS (SELECT src_url AS u, min(dst_url) AS v FROM e GROUP BY src_url),
+            walk AS (
+              SELECT u AS origin, v AS cur, 1 AS hops FROM m
+              UNION ALL
+              SELECT w.origin, m.v, w.hops + 1
+              FROM walk w JOIN m ON w.cur = m.u
+              WHERE w.hops < 64
+            ),
+            term AS (
+              SELECT origin, min_by(cur, hops) AS final,
+                     min(hops) AS n_hops
+              FROM walk WHERE cur NOT IN (SELECT u FROM m)
+              GROUP BY origin
+            )
+            SELECT m.u AS url,
+                   t.final AS canonical_url,
+                   CAST(t.n_hops AS BIGINT) AS n_hops,
+                   t.final IS NULL AS is_cycle
+            FROM m LEFT JOIN term t ON m.u = t.origin
+            ORDER BY url
         """,
     }

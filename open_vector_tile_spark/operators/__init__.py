@@ -18,6 +18,7 @@ from .layout import zorder_cluster, zorder_key  # noqa: F401
 from .merge import extract_layers, merge_tilesets  # noqa: F401
 from .packing import distributed_cumsum, pack_sequences  # noqa: F401
 from .pipeline import run_pipeline  # noqa: F401
+from .redirects import resolve_redirects  # noqa: F401
 from .resume import TileStore  # noqa: F401
 from .retrieval import bm25_topk, build_postings  # noqa: F401
 from .similarity import (  # noqa: F401
