@@ -232,6 +232,9 @@ def build_queries(spark, sf_dir):
         def q_crawl_schedule():
             return entry._q_crawl_schedule(spark, sf_dir).agg(F.max("wave"))
 
+        def q_redirect_resolve():
+            return entry._q_redirect_resolve(spark, sf_dir).agg(F.sum("n_hops"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -278,6 +281,7 @@ def build_queries(spark, sf_dir):
             collocations=q_collocations,
             geo_fallback=q_geo_fallback,
             crawl_schedule=q_crawl_schedule,
+            redirect_resolve=q_redirect_resolve,
         )
     return out
 
