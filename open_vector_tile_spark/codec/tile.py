@@ -12,6 +12,22 @@ from .layer import BaseLayer, OVLayer, write_ov_layer
 from .mvt import MvtLayer
 from .pbf import PbfReader, PbfWriter, TileDecodeError
 
+# Every error class a truncated/corrupt buffer can surface as, at parse time
+# OR during lazy feature decode after a clean header parse.  Single source of
+# truth: operators/decode.py's skip-corrupt paths catch exactly this tuple, so
+# adding a class here propagates to every scan's ``on_error="skip"``.
+DECODE_ERROR_CLASSES = (
+    TileDecodeError,
+    IndexError,
+    ValueError,
+    KeyError,
+    OverflowError,
+    UnicodeDecodeError,
+    AttributeError,  # e.g. column-cache tag truncated away -> cache is None
+    TypeError,
+    struct.error,
+)
+
 
 class VectorTile:
     """Parse a tile buffer: MVT layers (tags 1/3), OVT layers (tag 4),
@@ -23,16 +39,7 @@ class VectorTile:
             self._parse(data)
         except TileDecodeError:
             raise
-        except (
-            IndexError,
-            ValueError,
-            KeyError,
-            OverflowError,
-            UnicodeDecodeError,
-            AttributeError,  # e.g. column-cache tag truncated away -> cache is None
-            TypeError,
-            struct.error,
-        ) as e:
+        except DECODE_ERROR_CLASSES as e:
             raise TileDecodeError(
                 f"invalid tile buffer ({len(data)} bytes): {type(e).__name__}: {e}"
             ) from e

@@ -150,19 +150,8 @@ def decode_tiles(
     want_ovt = "ovt" in sources
     want_mvt = "mvt" in sources
     # lazy feature decode means truncation can surface as raw IndexError etc.
-    # after the header parse; treat the same error classes as TileDecodeError
-    import struct
-
-    _DECODE_ERRORS = (
-        TileDecodeError,
-        IndexError,
-        ValueError,
-        KeyError,
-        OverflowError,
-        AttributeError,
-        TypeError,
-        struct.error,
-    )
+    # after the header parse; the codec owns the canonical class list
+    from ..codec.tile import DECODE_ERROR_CLASSES as _DECODE_ERRORS
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -217,10 +206,18 @@ def decode_tiles(
     return tiles.mapInPandas(run, DECODED_SCHEMA)
 
 
-def decode_grids(tiles: DataFrame, names: Optional[list[str]] = None) -> DataFrame:
+def decode_grids(
+    tiles: DataFrame, names: Optional[list[str]] = None, on_error: str = "fail"
+) -> DataFrame:
     """tiles -> one row per embedded grid layer (wire tag 6,
-    src/open/gridLayer.ts:7-48), data dequantized to float64."""
+    src/open/gridLayer.ts:7-48), data dequantized to float64.
+
+    ``on_error`` mirrors :func:`decode_tiles`: "skip" drops a corrupt tile
+    atomically instead of failing the scan."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be fail|skip, got {on_error!r}")
     want = set(names) if names else None
+    from ..codec.tile import DECODE_ERROR_CLASSES as _DECODE_ERRORS
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -229,17 +226,28 @@ def decode_grids(tiles: DataFrame, names: Optional[list[str]] = None) -> DataFra
                 pdf["zoom"].tolist(), pdf["tile_x"].tolist(),
                 pdf["tile_y"].tolist(), pdf["tile"].tolist(),
             ):
-                parsed = VectorTile(bytes(blob))
-                for name, g in parsed.grids.items():
-                    if want is not None and name not in want:
-                        continue
-                    out.append(
-                        (
-                            int(zoom), int(tx), int(ty), name, int(g.extent),
-                            int(g.size), float(g.min), float(g.max),
-                            [float(v) for v in g.data()],
+                tile_rows: list[tuple] = []
+                try:
+                    parsed = VectorTile(bytes(blob))
+                    for name, g in parsed.grids.items():
+                        if want is not None and name not in want:
+                            continue
+                        tile_rows.append(
+                            (
+                                int(zoom), int(tx), int(ty), name, int(g.extent),
+                                int(g.size), float(g.min), float(g.max),
+                                [float(v) for v in g.data()],
+                            )
                         )
-                    )
+                except _DECODE_ERRORS as e:
+                    if on_error == "skip":
+                        continue
+                    if isinstance(e, TileDecodeError):
+                        raise
+                    raise TileDecodeError(
+                        f"tile ({zoom},{tx},{ty}): {type(e).__name__}: {e}"
+                    ) from e
+                out.extend(tile_rows)
             yield pd.DataFrame(
                 out,
                 columns=[
@@ -251,10 +259,18 @@ def decode_grids(tiles: DataFrame, names: Optional[list[str]] = None) -> DataFra
     return tiles.mapInPandas(run, GRID_SCHEMA)
 
 
-def decode_images(tiles: DataFrame, names: Optional[list[str]] = None) -> DataFrame:
+def decode_images(
+    tiles: DataFrame, names: Optional[list[str]] = None, on_error: str = "fail"
+) -> DataFrame:
     """tiles -> one row per embedded image layer (wire tag 7,
-    src/open/imageLayer.ts:37-73), bytes passed through untouched."""
+    src/open/imageLayer.ts:37-73), bytes passed through untouched.
+
+    ``on_error`` mirrors :func:`decode_tiles`: "skip" drops a corrupt tile
+    atomically instead of failing the scan."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be fail|skip, got {on_error!r}")
     want = set(names) if names else None
+    from ..codec.tile import DECODE_ERROR_CLASSES as _DECODE_ERRORS
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -263,16 +279,27 @@ def decode_images(tiles: DataFrame, names: Optional[list[str]] = None) -> DataFr
                 pdf["zoom"].tolist(), pdf["tile_x"].tolist(),
                 pdf["tile_y"].tolist(), pdf["tile"].tolist(),
             ):
-                parsed = VectorTile(bytes(blob))
-                for name, img in parsed.images.items():
-                    if want is not None and name not in want:
-                        continue
-                    out.append(
-                        (
-                            int(zoom), int(tx), int(ty), name, img.type,
-                            int(img.width), int(img.height), img.image(),
+                tile_rows: list[tuple] = []
+                try:
+                    parsed = VectorTile(bytes(blob))
+                    for name, img in parsed.images.items():
+                        if want is not None and name not in want:
+                            continue
+                        tile_rows.append(
+                            (
+                                int(zoom), int(tx), int(ty), name, img.type,
+                                int(img.width), int(img.height), img.image(),
+                            )
                         )
-                    )
+                except _DECODE_ERRORS as e:
+                    if on_error == "skip":
+                        continue
+                    if isinstance(e, TileDecodeError):
+                        raise
+                    raise TileDecodeError(
+                        f"tile ({zoom},{tx},{ty}): {type(e).__name__}: {e}"
+                    ) from e
+                out.extend(tile_rows)
             yield pd.DataFrame(
                 out,
                 columns=[

@@ -4,8 +4,8 @@ The standard composition op for tile pipelines (base layers + overlay,
 incremental layer refresh): a FULL OUTER join on the tile key aligns the two
 tilesets, then each pair of blobs merges to the union of their vector
 layers / grids / images (name collisions resolved by ``prefer``).  Tiles
-present on only one side pass through byte-unchanged (zero decode cost for
-the common no-overlap case).
+present on only one side pass through byte-unchanged (header-only parse for
+the feature count; feature bodies are never decoded in the no-overlap case).
 
 Scale shape: one shuffle on the tile key (the join); the merge itself is
 per-row Python over only the INTERSECTING tiles — for disjoint tilesets the
@@ -20,11 +20,22 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..codec.tile import grid_to_dict, image_to_dict, merge_tile_bytes
+from ..codec.tile import VectorTile, grid_to_dict, image_to_dict, merge_tile_bytes
 
 TILE_KEY = ["zoom", "tile_x", "tile_y"]
 
-MERGED_SCHEMA = "zoom int, tile_x long, tile_y long, tile binary, n_bytes long"
+# Same shape as tiler.TILE_SCHEMA so merged/extracted tilesets compose with
+# freshly encoded ones (unionByName, retile_incremental) without surgery.
+MERGED_SCHEMA = (
+    "zoom int, tile_x long, tile_y long, tile binary, n_features long, n_bytes long"
+)
+
+
+def _count_features(blob: bytes) -> int:
+    """Feature count via a header-only parse (layers are lazy: feature
+    bodies are never decoded, so this is cheap even for pass-through
+    tiles)."""
+    return sum(len(layer) for layer in VectorTile(blob).layers.values())
 
 
 def merge_tilesets(a: DataFrame, b: DataFrame, prefer: str = "b") -> DataFrame:
@@ -47,6 +58,7 @@ def merge_tilesets(a: DataFrame, b: DataFrame, prefer: str = "b") -> DataFrame:
                 tiles.append(merge_tile_bytes(ta, tb, prefer))
             out = pdf[TILE_KEY].copy()
             out["tile"] = tiles
+            out["n_features"] = [_count_features(t) for t in tiles]
             out["n_bytes"] = [len(t) for t in tiles]
             yield out
 
@@ -93,9 +105,11 @@ def extract_layers(
                 if not layers and grids is None and images is None:
                     continue
                 out = write_ov_tile(layers=layers, images=images, grids=grids)
-                rows.append((int(z), int(tx), int(ty), out, len(out)))
+                nf = sum(len(l.features) for l in layers)
+                rows.append((int(z), int(tx), int(ty), out, nf, len(out)))
             yield pd.DataFrame(
-                rows, columns=["zoom", "tile_x", "tile_y", "tile", "n_bytes"]
+                rows,
+                columns=["zoom", "tile_x", "tile_y", "tile", "n_features", "n_bytes"],
             )
 
     return tiles.select("zoom", "tile_x", "tile_y", "tile").mapInPandas(

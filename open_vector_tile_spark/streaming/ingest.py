@@ -41,8 +41,16 @@ def incremental_tile_run(
     4. commit a snapshot; reads are latest-snapshot-wins per tile key
 
     Returns the new snapshot name or None when the batch was empty."""
+    from ..operators.resume import tile_bucket_col
+
+    # stable per-feature id (hash of url): encode_tiles sorts within a tile
+    # by id, so a replayed micro-batch re-encodes BYTE-IDENTICAL tiles —
+    # without it, shuffle arrival order would vary run to run and
+    # changed_tiles would report phantom diffs to downstream consumers
     feats = points_to_features(
-        geoparse(pages), zoom=zoom, layer=layer, extent=extent, props_cols=props_cols
+        geoparse(pages).withColumn("_fid", F.xxhash64("url")),
+        zoom=zoom, layer=layer, extent=extent, props_cols=props_cols,
+        id_col="_fid",
     )
     # materialize ONCE: isEmpty, the log append, and the affected-keys scan
     # would otherwise each re-run the geoparse stage
@@ -52,7 +60,13 @@ def incremental_tile_run(
     store.append_features(feats, batch_id=batch_id)
     spark = pages.sparkSession
     affected = feats.select("zoom", "tile_x", "tile_y").distinct()
-    all_feats = store.read_features(spark)
+    # prune the log read to the hash buckets the affected tiles live in —
+    # per-batch cost scales with the touched slice of history, not the
+    # whole append-only log
+    buckets = [
+        r[0] for r in affected.select(tile_bucket_col().alias("tb")).distinct().collect()
+    ]
+    all_feats = store.read_features(spark, buckets=buckets)
     to_encode = all_feats.join(F.broadcast(affected), on=["zoom", "tile_x", "tile_y"], how="leftsemi")
     tiles = encode_tiles(to_encode)
     return store.commit(tiles)

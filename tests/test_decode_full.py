@@ -367,3 +367,68 @@ def test_extract_layers_roundtrip(spark):
     assert set(back) == set(am)
     for k in am:
         assert back[k] == am[k], k
+
+
+def test_decode_grids_images_skip_corrupt(spark):
+    """on_error='skip' on the grid/image scans drops a corrupt blob and
+    keeps the job alive, matching decode_tiles' operational contract;
+    the default still fails typed."""
+    import pytest
+
+    from open_vector_tile_spark.codec import TileDecodeError
+
+    g = grid_input(size=16)
+    img = image_input(size=32)
+    blob = write_ov_tile(
+        None,
+        images=[img],
+        grids=[{"name": g["name"], "size": g["size"], "data": g["data"], "extent": g["extent"]}],
+    )
+    torn = blob[: len(blob) // 2]
+    tiles = spark.createDataFrame(
+        [(5, 3, 4, bytearray(blob)), (5, 3, 5, bytearray(torn))],
+        "zoom int, tile_x long, tile_y long, tile binary",
+    )
+    gd = decode_grids(tiles, on_error="skip").toPandas()
+    assert len(gd) == 1 and gd.iloc[0]["tile_y"] == 4
+    idf = decode_images(tiles, on_error="skip").toPandas()
+    assert len(idf) == 1 and idf.iloc[0]["tile_y"] == 4
+    with pytest.raises(Exception) as ei:
+        decode_grids(tiles).toPandas()
+    assert "TileDecodeError" in str(ei.value) or isinstance(ei.value, TileDecodeError)
+
+
+def test_merge_output_composes_with_encoded_tiles(spark):
+    """Merged/extracted tilesets carry TILE_SCHEMA (incl. n_features) so
+    they union with freshly encoded tiles — the retile_incremental input
+    contract."""
+    from open_vector_tile_spark.operators import (
+        encode_tiles,
+        extract_layers,
+        merge_tilesets,
+        points_to_features,
+    )
+
+    pts = spark.createDataFrame(
+        [(int(i), (i * 37 % 3600) / 10.0 - 180.0, (i * 53 % 1600) / 10.0 - 80.0) for i in range(40)],
+        "doc_id long, lon double, lat double",
+    )
+    enc = encode_tiles(points_to_features(pts, zoom=2, layer="a", extent=4096, id_col="doc_id"))
+    enc_b = encode_tiles(points_to_features(pts, zoom=3, layer="b", extent=4096, id_col="doc_id"))
+    merged = merge_tilesets(
+        enc.select("zoom", "tile_x", "tile_y", "tile"),
+        enc_b.select("zoom", "tile_x", "tile_y", "tile"),
+    )
+    # schema-compatible union with encoder output
+    assert set(merged.columns) == set(enc.columns)
+    assert merged.unionByName(enc).count() == merged.count() + enc.count()
+    # n_features matches the true decoded count per tile
+    got = {(r["zoom"], r["tile_x"], r["tile_y"]): r["n_features"] for r in merged.collect()}
+    want = {
+        (r["zoom"], r["tile_x"], r["tile_y"]): r["n_features"]
+        for r in enc.unionByName(enc_b).collect()
+    }
+    assert got == want and sum(got.values()) == 80
+    ext = extract_layers(merged, keep=["a"]).collect()
+    assert all(r["n_features"] > 0 for r in ext)
+    assert sum(r["n_features"] for r in ext) == 40

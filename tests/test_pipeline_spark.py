@@ -343,3 +343,108 @@ def test_snapshot_order_numeric_past_ten(spark, tmp_path):
     # time travel still works across the 9/10 boundary
     asof9 = store.read_tiles(spark, as_of=9).collect()
     assert bytes(asof9[0]["tile"]) == bytes([9])
+
+
+def test_tilestore_tombstones(spark, tmp_path):
+    """delete_tiles commits tombstones: deleted keys vanish from latest
+    reads (no resurrection from older snapshots), show as NULL-tile rows in
+    the change feed, stop counting as completed, and time-travel still sees
+    the pre-delete table."""
+    store = TileStore(str(tmp_path / "tomb_store"))
+    df = spark.createDataFrame(
+        [(4, int(x), 1, bytes([x]), 1, 1) for x in range(6)],
+        "zoom int, tile_x long, tile_y long, tile binary, n_features long, n_bytes long",
+    )
+    store.commit(df)
+    dead = spark.createDataFrame([(4, 0, 1), (4, 1, 1)], "zoom int, tile_x long, tile_y long")
+    store.delete_tiles(dead)
+
+    latest = {r["tile_x"] for r in store.read_tiles(spark).collect()}
+    assert latest == {2, 3, 4, 5}
+    with_deleted = store.read_tiles(spark, keep_deleted=True).collect()
+    assert {r["tile_x"] for r in with_deleted} == set(range(6))
+    assert {r["tile_x"] for r in with_deleted if r["tile"] is None} == {0, 1}
+    # change feed surfaces the deletes as NULL-tile rows, nothing else
+    feed = store.changed_tiles(spark, since=0).collect()
+    assert {(r["tile_x"], r["tile"] is None) for r in feed} == {(0, True), (1, True)}
+    # deleted keys are no longer "completed": pending work recomputes them
+    done = {r["tile_x"] for r in store.completed_keys(spark).collect()}
+    assert done == {2, 3, 4, 5}
+    # time travel reads the pre-delete table
+    assert {r["tile_x"] for r in store.read_tiles(spark, as_of=0).collect()} == set(range(6))
+    # deleting an already-deleted/absent key is not re-reported
+    store.delete_tiles(dead)
+    assert store.changed_tiles(spark, since=1).count() == 0
+
+
+def test_snapshot_id_survives_retention_gap(spark, tmp_path):
+    """Snapshot ids are max+1, not len(): after retention deletes an old
+    snapshot, the next commit must not collide with a live directory."""
+    import shutil as sh
+
+    store = TileStore(str(tmp_path / "gap_store"))
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(4, 1, 1, bytes([i]), 1, 1)],
+            "zoom int, tile_x long, tile_y long, tile binary, n_features long, n_bytes long",
+        )
+        store.commit(df)
+    sh.rmtree(store.tiles_dir + "/snapshot=0")
+    df = spark.createDataFrame(
+        [(4, 1, 1, bytes([9]), 1, 1)],
+        "zoom int, tile_x long, tile_y long, tile binary, n_features long, n_bytes long",
+    )
+    snap = store.commit(df)
+    assert snap == "snapshot=3"
+    out = store.read_tiles(spark).collect()
+    assert len(out) == 1 and bytes(out[0]["tile"]) == bytes([9])
+    # a crashed commit's leftover stage dir is swept by the next commit
+    import os
+
+    os.makedirs(store.tiles_dir + "/_stage_dead", exist_ok=True)
+    store.commit(df)
+    assert not os.path.isdir(store.tiles_dir + "/_stage_dead")
+
+
+def test_feature_log_uniform_layout_and_bucket_pruning(spark, tmp_path):
+    """Ad-hoc (batch_id=None) and batch-scoped appends share one partition
+    layout (mixing them must not break partition discovery), and a
+    bucket-filtered read returns exactly the rows whose tile key hashes to
+    those buckets."""
+    from open_vector_tile_spark.operators.resume import tile_bucket_col
+
+    store = TileStore(str(tmp_path / "log_store"))
+    feats = spark.createDataFrame(
+        [(4, int(i % 7), int(i % 5), f"u{i}") for i in range(60)],
+        "zoom int, tile_x long, tile_y long, url string",
+    )
+    store.append_features(feats)  # ad-hoc
+    store.append_features(feats.limit(10), batch_id=3)  # batch-scoped
+    all_rows = store.read_features(spark)
+    assert all_rows.count() == 70
+    assert "batch" not in all_rows.columns and "tb" not in all_rows.columns
+    want_buckets = [
+        r[0]
+        for r in feats.select(tile_bucket_col().alias("tb")).distinct().limit(2).collect()
+    ]
+    pruned = store.read_features(spark, buckets=want_buckets)
+    oracle = (
+        spark.read.parquet(store.features_dir)
+        .filter(F.col("tb").isin(want_buckets))
+        .count()
+    )
+    assert 0 < pruned.count() == oracle < 70
+
+
+def test_incremental_ingest_replay_byte_deterministic(spark, tmp_path):
+    """An at-least-once replay of the same micro-batch (same batch_id) must
+    re-encode byte-identical tiles — the change feed between the two
+    snapshots is empty (no phantom CDN diffs)."""
+    from open_vector_tile_spark.streaming.ingest import incremental_tile_run
+
+    store = TileStore(str(tmp_path / "replay_store"))
+    batch = spark.createDataFrame(pages_pdf(120))
+    incremental_tile_run(batch, store, zoom=ZOOM, props_cols=["url", "lang"], batch_id=0)
+    incremental_tile_run(batch, store, zoom=ZOOM, props_cols=["url", "lang"], batch_id=0)
+    assert len(store.snapshots()) == 2
+    assert store.changed_tiles(spark, since=0, until=1).count() == 0
