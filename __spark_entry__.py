@@ -2767,6 +2767,81 @@ def _q_redirect_resolve(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("url", "canonical_url", "n_hops", "is_cycle").orderBy("url")
 
 
+def _q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank (operators/graph.py pagerank): the web-graph authority score
+    behind crawl prioritization — 5 power-iteration rounds with uniform
+    dangling-mass redistribution, deterministic mode (both float sums are
+    the repo's sorted fold, DuckDB twin ``sum(x ORDER BY x)``) so every
+    iteration replays bit-for-bit.  The link graph is synthesized from
+    doc_id arithmetic identically in both engines: forward chains
+    (d -> d+1 for d%7<=4), section-hub links (d -> d - d%50 — the
+    high-in-degree skew case), sparse cross links (d -> d+13 for d%11==0);
+    dst joined to existing ids, so boundary docs go dangling naturally."""
+    from open_vector_tile_spark.operators.graph import pagerank
+
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    d = F.col("id")
+    chain = docs.filter(d % 7 <= 4).select(d.alias("src"), (d + 1).alias("dst"))
+    hub = docs.filter(d % 50 != 0).select(d.alias("src"), (d - d % 50).alias("dst"))
+    cross = docs.filter(d % 11 == 0).select(d.alias("src"), (d + 13).alias("dst"))
+    edges = (
+        chain.union(hub).union(cross).join(docs.select(d.alias("dst")), on="dst")
+    )
+    pr = pagerank(edges, damping=0.85, n_iter=5, nodes=docs, deterministic=True)
+    return pr.select(
+        F.col("id").alias("doc_id"),
+        F.col("outdeg").cast("int").alias("outdeg"),
+        "rank",
+    ).orderBy("doc_id")
+
+
+def _pagerank_oracle_sql(n_iter: int = 5, damping: str = "0.85") -> str:
+    """Unrolled power iteration: one (inflow, dangling, rank) CTE triple per
+    round, float sums as ordered aggregates so they bit-match the Spark
+    sorted fold."""
+    its = []
+    for k in range(1, n_iter + 1):
+        p = f"r{k - 1}"
+        its.append(f"""
+        i{k} AS (
+          SELECT e.t AS id,
+                 sum(r.rank / r.outdeg ORDER BY r.rank / r.outdeg) AS inflow
+          FROM e JOIN {p} r ON r.id = e.s GROUP BY e.t
+        ), d{k} AS (
+          SELECT coalesce(sum(rank ORDER BY rank), 0.0) AS dm
+          FROM {p} WHERE outdeg = 0
+        ), r{k} AS (
+          SELECT n.id, n.outdeg,
+                 (1.0 - {damping}) / nn.nd
+                 + {damping} * (coalesce(i.inflow, 0.0) + d.dm / nn.nd) AS rank
+          FROM {p} n LEFT JOIN i{k} i USING (id) CROSS JOIN d{k} d CROSS JOIN nn
+        )""")
+    return f"""
+        WITH ids AS (
+          SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+        ), nn AS (
+          SELECT CAST(count(*) AS DOUBLE) AS nd FROM ids
+        ), e0 AS (
+          SELECT id AS s, id + 1 AS t FROM ids WHERE id % 7 <= 4
+          UNION ALL
+          SELECT id, id - id % 50 FROM ids WHERE id % 50 <> 0
+          UNION ALL
+          SELECT id, id + 13 FROM ids WHERE id % 11 = 0
+        ), e AS (
+          SELECT DISTINCT s, t FROM e0 JOIN ids n ON n.id = e0.t WHERE s <> t
+        ), deg AS (
+          SELECT s AS id, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY s
+        ), r0 AS (
+          SELECT ids.id, coalesce(deg.outdeg, 0) AS outdeg, 1.0 / nn.nd AS rank
+          FROM ids LEFT JOIN deg USING (id) CROSS JOIN nn
+        ),{",".join(its)}
+        SELECT id AS doc_id, CAST(outdeg AS INT) AS outdeg, rank
+        FROM r{n_iter} ORDER BY doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -2869,6 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_fallback": _q_geo_fallback,
         "crawl_schedule": _q_crawl_schedule,
         "redirect_resolve": _q_redirect_resolve,
+        "pagerank": _q_pagerank,
     }
 
 
@@ -4805,4 +4881,5 @@ def oracle_sql() -> dict[str, str]:
             FROM m LEFT JOIN term t ON m.u = t.origin
             ORDER BY url
         """,
+        "pagerank": _pagerank_oracle_sql(),
     }

@@ -39,6 +39,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _fold_sum(c: F.Column) -> F.Column:
+    """Order-deterministic double sum: collect, sort by value, left-fold.
+
+    Bit-identical across partitionings/engines (DuckDB twin:
+    ``sum(x ORDER BY x)``) — equal values sum the same regardless of which
+    tied element comes first.  This is the determinism-mode aggregate; it
+    materializes the group as an array, so production paths use a plain
+    ``sum`` instead (see ``pagerank(deterministic=)``)."""
+    return F.aggregate(
+        F.sort_array(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
+    )
+
+
 def _free_checkpoint(df: DataFrame) -> None:
     """Best-effort release of a localCheckpoint's backing blocks.
 
@@ -123,6 +136,116 @@ def connected_components(
             return labels
     _free_checkpoint(sym)
     raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 5,
+    nodes: DataFrame | None = None,
+    deterministic: bool = False,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list.
+
+    -> (id long, outdeg long, rank double).  The web-graph authority score
+    that ranks a crawl frontier (link-count priority treats a link farm and
+    the homepage of a national library identically; PageRank does not).
+    Fixed ``n_iter`` rounds — the production choice at 10^12 edges, where
+    convergence detection costs an extra action per round and ranks are
+    consumed by a downstream top-k anyway.
+
+    Semantics (the standard random-surfer model):
+        rank0     = 1/N
+        rank_k+1  = (1-d)/N + d * (sum over in-edges of rank_k/outdeg
+                                   + dangling_mass_k / N)
+    where dangling_mass is the total rank sitting on nodes with no
+    out-edges (redistributed uniformly — without it the scores of a graph
+    with sinks leak mass and no longer sum to 1).
+
+    Shape per round (the 100 TB plan):
+      - contributions = edges ⋈ ranks on the SOURCE key: the rank table is
+        (id, outdeg, rank) only — node payloads never travel;
+      - inflow = groupBy(dst).sum: partial-aggregated map-side, so
+        celebrity pages (10^8 in-links) combine before the shuffle;
+      - dangling mass is a 1-row aggregate cross-joined back (broadcast);
+      - the label table is ``localCheckpoint``-ed per round and the
+        previous round's blocks are freed immediately (same discipline as
+        connected_components / redirects) — peak pinned state is two
+        copies of (id, outdeg, rank), not O(rounds).
+
+    ``deterministic=True`` switches the two float sums (inflow, dangling)
+    to the repo's sorted-fold so a DuckDB oracle replays every iteration
+    bit-for-bit (``sum(x ORDER BY x)``); the fold materializes each
+    destination's contribution list, so leave it off in production.
+
+    Edges are deduplicated and self-loops dropped (the simple-graph
+    convention); ``nodes`` optionally supplies isolated ids that appear in
+    no edge (they still hold and receive redistributed mass).
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = edges.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("t")
+    )
+    e = e.filter(F.col("s") != F.col("t")).distinct().localCheckpoint(eager=True)
+    ids = e.select(F.col("s").alias("id")).union(e.select(F.col("t").alias("id")))
+    if nodes is not None:
+        # extra isolated ids join the surfer model; endpoints always count
+        ids = ids.union(
+            nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
+        )
+    ids = ids.distinct()
+    deg = e.groupBy(F.col("s").alias("id")).agg(F.count("*").alias("outdeg"))
+    n = ids.count()
+    if n == 0:
+        return ids.select(
+            "id", F.lit(0).cast("long").alias("outdeg"), F.lit(0.0).alias("rank")
+        )
+    nd = float(n)
+    state = (
+        ids.join(deg, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+            (F.lit(1.0) / F.lit(nd)).alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    fold = _fold_sum if deterministic else F.sum
+    base = (1.0 - damping) / nd  # same IEEE op order as the SQL twin
+    for _ in range(n_iter):
+        contrib = e.join(
+            state.select(F.col("id").alias("s"), "rank", "outdeg"), on="s"
+        ).select(F.col("t").alias("id"), (F.col("rank") / F.col("outdeg")).alias("c"))
+        inflow = contrib.groupBy("id").agg(fold(F.col("c")).alias("inflow"))
+        dang = state.filter(F.col("outdeg") == 0).agg(
+            fold(F.col("rank")).alias("dm")
+        )
+        new_state = (
+            state.crossJoin(F.broadcast(dang))
+            .join(inflow, on="id", how="left")
+            .select(
+                "id",
+                "outdeg",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.coalesce("dm", F.lit(0.0)) / F.lit(nd)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _free_checkpoint(state)
+        state = new_state
+    _free_checkpoint(e)
+    return state
 
 
 def dedup_components(

@@ -137,3 +137,119 @@ def test_cc_releases_per_round_checkpoints(spark):
     # only the RETURNED label table may remain pinned (plus whatever was
     # pinned before the call) — no per-round accumulation, no edge table
     assert after - before <= 1, f"leaked {after - before} pinned RDDs"
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def _pagerank_ref(edges, n_iter=5, damping=0.85, nodes=()):
+    """Pure-python power iteration with the same semantics (dedup edges,
+    drop self-loops, uniform dangling redistribution)."""
+    es = sorted({(a, b) for a, b in edges if a != b})
+    ids = sorted({x for e in es for x in e} | set(nodes))
+    n = len(ids)
+    out = {x: 0 for x in ids}
+    for a, _ in es:
+        out[a] += 1
+    rank = {x: 1.0 / n for x in ids}
+    for _ in range(n_iter):
+        dang = sum(rank[x] for x in ids if out[x] == 0)
+        inflow = {x: 0.0 for x in ids}
+        for a, b in es:
+            inflow[b] += rank[a] / out[a]
+        rank = {
+            x: (1.0 - damping) / n + damping * (inflow[x] + dang / n)
+            for x in ids
+        }
+    return rank, out
+
+
+def test_pagerank_matches_reference_random_graph(spark):
+    from open_vector_tile_spark.operators.graph import pagerank
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(300)]
+    want, out = _pagerank_ref(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r for r in pagerank(df).collect()}
+    assert set(got) == set(want)
+    for x in want:
+        assert got[x]["outdeg"] == out[x]
+        assert got[x]["rank"] == pytest.approx(want[x], abs=1e-12)
+    # mass conservation: ranks sum to 1
+    assert sum(r["rank"] for r in got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_star_and_dangling(spark):
+    from open_vector_tile_spark.operators.graph import pagerank
+
+    # hub with 4 in-links; hub itself dangling -> its mass redistributes
+    edges = [(1, 0), (2, 0), (3, 0), (4, 0)]
+    want, _ = _pagerank_ref(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(df).collect()}
+    assert got[0] > got[1]
+    for x in want:
+        assert got[x] == pytest.approx(want[x], abs=1e-12)
+
+
+def test_pagerank_two_cycle_is_uniform(spark):
+    from open_vector_tile_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    for r in pagerank(df, n_iter=3).collect():
+        assert r["rank"] == pytest.approx(0.5, abs=1e-15)
+
+
+def test_pagerank_isolated_nodes_and_duplicate_edges(spark):
+    from open_vector_tile_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 1), (1, 0), (2, 2)]  # dups + self-loop
+    iso = spark.createDataFrame([(9,), (0,)], "id long")  # 9 isolated, 0 dup
+    want, _ = _pagerank_ref(edges, nodes=[9])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(df, nodes=iso).collect()}
+    assert set(got) == set(want)
+    for x in want:
+        assert got[x] == pytest.approx(want[x], abs=1e-12)
+
+
+def test_pagerank_deterministic_mode_bit_stable(spark):
+    from open_vector_tile_spark.operators.graph import pagerank
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["id"]: r["rank"] for r in pagerank(df, deterministic=True).collect()}
+    b = {
+        r["id"]: r["rank"]
+        for r in pagerank(df.repartition(13), deterministic=True).collect()
+    }
+    assert a == b  # bit-exact across partitionings
+    c = {r["id"]: r["rank"] for r in pagerank(df).collect()}
+    for x in a:
+        assert a[x] == pytest.approx(c[x], abs=1e-12)
+
+
+def test_pagerank_releases_per_round_checkpoints(spark):
+    from open_vector_tile_spark.operators.graph import pagerank
+
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)], "src long, dst long"
+    )
+    out = pagerank(df, n_iter=6)
+    assert out.count() == 50
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= 1, f"leaked {after - before} pinned RDDs"
+
+
+def test_pagerank_param_validation(spark):
+    from open_vector_tile_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(df, n_iter=0)
