@@ -2797,10 +2797,12 @@ def _q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _pagerank_oracle_sql(n_iter: int = 5, damping: str = "0.85") -> str:
-    """Unrolled power iteration: one (inflow, dangling, rank) CTE triple per
-    round, float sums as ordered aggregates so they bit-match the Spark
-    sorted fold."""
+def _pagerank_iters_sql(n_iter: int = 5, damping: str = "0.85") -> str:
+    """Shared unrolled power iteration: expects CTEs ``ids(id)`` and
+    ``e(s, t)`` (deduped, self-loop-free) upstream; emits ``nn``/``deg``/
+    ``r0``..``r{n}``.  One (inflow, dangling, rank) CTE triple per round;
+    float sums as ordered aggregates so they bit-match the Spark sorted
+    fold."""
     its = []
     for k in range(1, n_iter + 1):
         p = f"r{k - 1}"
@@ -2819,10 +2821,20 @@ def _pagerank_oracle_sql(n_iter: int = 5, damping: str = "0.85") -> str:
           FROM {p} n LEFT JOIN i{k} i USING (id) CROSS JOIN d{k} d CROSS JOIN nn
         )""")
     return f"""
+        nn AS (
+          SELECT CAST(count(*) AS DOUBLE) AS nd FROM ids
+        ), deg AS (
+          SELECT s AS id, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY s
+        ), r0 AS (
+          SELECT ids.id, coalesce(deg.outdeg, 0) AS outdeg, 1.0 / nn.nd AS rank
+          FROM ids LEFT JOIN deg USING (id) CROSS JOIN nn
+        ),{",".join(its)}"""
+
+
+def _pagerank_oracle_sql(n_iter: int = 5) -> str:
+    return f"""
         WITH ids AS (
           SELECT CAST(doc_id AS BIGINT) AS id FROM documents
-        ), nn AS (
-          SELECT CAST(count(*) AS DOUBLE) AS nd FROM ids
         ), e0 AS (
           SELECT id AS s, id + 1 AS t FROM ids WHERE id % 7 <= 4
           UNION ALL
@@ -2831,14 +2843,231 @@ def _pagerank_oracle_sql(n_iter: int = 5, damping: str = "0.85") -> str:
           SELECT id, id + 13 FROM ids WHERE id % 11 = 0
         ), e AS (
           SELECT DISTINCT s, t FROM e0 JOIN ids n ON n.id = e0.t WHERE s <> t
-        ), deg AS (
-          SELECT s AS id, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY s
-        ), r0 AS (
-          SELECT ids.id, coalesce(deg.outdeg, 0) AS outdeg, 1.0 / nn.nd AS rank
-          FROM ids LEFT JOIN deg USING (id) CROSS JOIN nn
-        ),{",".join(its)}
+        ), {_pagerank_iters_sql(n_iter)}
         SELECT id AS doc_id, CAST(outdeg AS INT) AS outdeg, rank
         FROM r{n_iter} ORDER BY doc_id
+    """
+
+
+def _synth_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic (url, html) crawl pages from doc_id arithmetic — one
+    href per resolution class; shared by link_extract and host_rank so the
+    two queries (and their oracles) cannot drift."""
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://www.Site"), (d % 13).cast("string"),
+        F.lit(".org/dir"), (d % 5).cast("string"),
+        F.lit("/page"), d.cast("string"), F.lit(".html?ref=nav"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://Ext.COM/x/'), d.cast("string"),
+        F.lit('?utm_source=z">Ext </a>'),
+        F.lit('<a href="/about/'), (d % 7).cast("string"), F.lit('">About</a>'),
+        F.lit('<a href="sub/item'), (d % 5).cast("string"), F.lit('">Item</a>'),
+        F.when(d % 4 == 0, F.lit('<a href="//cdn.site.net/lib.js">CDN</a>'))
+        .otherwise(F.lit("")),
+        F.lit('<a href="#top">Top</a><a href="javascript:void(0)">JS</a>'),
+        F.lit("</body></html>"),
+    )
+    return docs.select("doc_id", base.alias("url"), html.alias("html"))
+
+
+def _q_link_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperlink extraction (operators/links.py): crawled (url, html) pages
+    -> resolved, canonicalized link edges — the producer of the web graph
+    that pagerank/redirect/crawl-schedule consume.  Pages are synthesized
+    from doc_id arithmetic with one href of every resolution class
+    (absolute + tracking params, root-relative, directory-relative,
+    protocol-relative on d%4==0, skipped fragment/javascript), so the
+    oracle exercises tag inventory, each CASE arm, and the full
+    normalize_url chain (RE2-replayable by construction)."""
+    from open_vector_tile_spark.operators.links import extract_links
+
+    pages = _synth_pages(_load(spark, sf, "documents"))
+    out = extract_links(pages)
+    return out.select("doc_id", "href", "dst_url", "anchor").orderBy(
+        "doc_id", "href"
+    )
+
+
+def _link_extract_oracle_sql() -> str:
+    pat = r'(?i)<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+    return f"""
+        WITH pages AS (
+          SELECT doc_id,
+            'https://www.Site' || CAST(doc_id % 13 AS VARCHAR)
+              || '.org/dir' || CAST(doc_id % 5 AS VARCHAR)
+              || '/page' || CAST(doc_id AS VARCHAR) || '.html?ref=nav' AS url,
+            '<html><body><a href="https://Ext.COM/x/' || CAST(doc_id AS VARCHAR)
+              || '?utm_source=z">Ext </a>'
+              || '<a href="/about/' || CAST(doc_id % 7 AS VARCHAR) || '">About</a>'
+              || '<a href="sub/item' || CAST(doc_id % 5 AS VARCHAR) || '">Item</a>'
+              || (CASE WHEN doc_id % 4 = 0
+                       THEN '<a href="//cdn.site.net/lib.js">CDN</a>' ELSE '' END)
+              || '<a href="#top">Top</a><a href="javascript:void(0)">JS</a>'
+              || '</body></html>' AS html
+          FROM documents
+        ), m AS (
+          SELECT doc_id, url, unnest(regexp_extract_all(html, '{pat}')) AS tag
+          FROM pages
+        ), x AS (
+          SELECT doc_id, url,
+                 regexp_extract(tag, '{pat}', 1) AS href,
+                 trim(regexp_extract(tag, '{pat}', 2)) AS anchor
+          FROM m
+        ), b AS (
+          -- base urls are absolute by construction here; the engine's
+          -- scheme-less base fallback is pytest-covered
+          SELECT doc_id, href, anchor,
+                 regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+                 regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                 regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS bpath
+          FROM x
+        ), r AS (
+          SELECT doc_id, href, anchor,
+            CASE
+              WHEN regexp_matches(href, '(?i)^(javascript:|mailto:|tel:|data:)')
+                   OR href LIKE '#%' OR href = '' THEN NULL
+              WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN href
+              WHEN href LIKE '//%' THEN scheme || ':' || href
+              WHEN href LIKE '/%' THEN scheme || '://' || host || href
+              ELSE scheme || '://' || host
+                   || (CASE WHEN bpath LIKE '%/%'
+                            THEN regexp_extract(bpath, '^(.*/)', 1)
+                            ELSE '/' END) || href
+            END AS resolved
+          FROM b
+        ), rr AS (
+          SELECT * FROM r WHERE resolved IS NOT NULL
+        ), n1 AS (
+          -- normalize_url chain, mirror of functions/url.py (same stages
+          -- as the url_dedup twin)
+          SELECT doc_id, href, anchor,
+            CASE WHEN regexp_matches(regexp_replace(resolved, '#.*', '', 'g'),
+                                     '^[A-Za-z][A-Za-z0-9+.-]*://')
+                 THEN regexp_replace(resolved, '#.*', '', 'g')
+                 ELSE 'http://' || regexp_replace(resolved, '#.*', '', 'g')
+            END AS u
+          FROM rr
+        ), n2 AS (
+          SELECT doc_id, href, anchor,
+            lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+            regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest
+          FROM n1
+        ), n2b AS (
+          SELECT doc_id, href, anchor, scheme, host,
+            regexp_extract(rest, '^([^?]*)', 1) AS path,
+            regexp_extract(rest, '^[^?]*(\\?.*)$', 1) AS qs
+          FROM n2
+        ), n3 AS (
+          SELECT doc_id, href, anchor, scheme,
+            regexp_replace(
+              CASE WHEN scheme = 'http'
+                     THEN regexp_replace(host, ':80$', '', 'g')
+                   WHEN scheme = 'https'
+                     THEN regexp_replace(host, ':443$', '', 'g')
+                   ELSE host END,
+              '^www\\.', '', 'g') AS chost,
+            regexp_replace(
+              regexp_replace(
+                path ||
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(qs,
+                      '&(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                    '\\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '?', 'g'),
+                  '\\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$', '', 'g'),
+                '[?&]+$', '', 'g'),
+              '/+$', '', 'g') AS crest
+          FROM n2b
+        )
+        SELECT doc_id, href, scheme || '://' || chost || crest AS dst_url, anchor
+        FROM n3 ORDER BY doc_id, href
+    """
+
+
+def _q_host_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed web-graph sentence: crawled pages -> extract_links ->
+    host-level edge collapse (operators/links.py host_edges) -> PageRank
+    over the host graph — the authority signal crawl_schedule would use as
+    priority.  Host names map to dense ids with a rank window (oracle-
+    replayable; production would use xxhash64 ids and skip the window).
+    The oracle rebuilds the host graph ANALYTICALLY from the synthesis
+    rules (every siteK.org links to ext.com; siteK hosts with a d%4==0
+    page also link to cdn.site.net) — an independent derivation, so it
+    checks extraction + collapse + ranking end to end."""
+    from open_vector_tile_spark.operators.graph import pagerank
+    from open_vector_tile_spark.operators.links import extract_links, host_edges
+    from open_vector_tile_spark.functions.url import normalize_url
+
+    pages = _synth_pages(_load(spark, sf, "documents"))
+    # materialize the link table before graph work: it is the natural
+    # persist point of an ingest pipeline (multiple graph consumers read
+    # it), and it caps the single fused projection — chaining host
+    # extraction onto the whole extract+resolve+normalize expression tree
+    # in one stage overruns the JVM's 64 KB codegen method limit and drops
+    # the stage to interpreted eval (see operators/links.py staging note)
+    links = (
+        extract_links(pages)
+        .withColumn("nurl", normalize_url(F.col("url")))
+        .localCheckpoint(eager=True)
+    )
+    he = host_edges(links, src="nurl", dst="dst_url")
+    hosts = (
+        he.select(F.col("src_host").alias("h"))
+        .union(he.select(F.col("dst_host").alias("h")))
+        .distinct()
+    )
+    ids = hosts.withColumn("id", F.row_number().over(Window.orderBy("h")))
+    e = (
+        he.join(ids.withColumnRenamed("h", "src_host"), on="src_host")
+        .withColumnRenamed("id", "src")
+        .join(ids.withColumnRenamed("h", "dst_host"), on="dst_host")
+        .withColumnRenamed("id", "dst")
+        .select("src", "dst")
+    )
+    pr = pagerank(e, damping=0.85, n_iter=5, deterministic=True)
+    return (
+        pr.join(ids, on="id")
+        .select(
+            F.col("h").alias("host"),
+            F.col("outdeg").cast("int").alias("outdeg"),
+            "rank",
+        )
+        .orderBy("host")
+    )
+
+
+def _host_rank_oracle_sql(n_iter: int = 5) -> str:
+    return f"""
+        WITH sh AS (
+          SELECT DISTINCT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.org' AS h
+          FROM documents
+        ), hosts AS (
+          SELECT h FROM sh
+          UNION SELECT DISTINCT 'ext.com' FROM documents
+          UNION SELECT DISTINCT 'cdn.site.net' FROM documents WHERE doc_id % 4 = 0
+        ), hid AS (
+          SELECT h, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS id
+          FROM hosts
+        ), ids AS (
+          SELECT id FROM hid
+        ), he AS (
+          SELECT h AS src_h, 'ext.com' AS dst_h FROM sh
+          UNION
+          SELECT DISTINCT 'site' || CAST(doc_id % 13 AS VARCHAR) || '.org',
+                 'cdn.site.net'
+          FROM documents WHERE doc_id % 4 = 0
+        ), e AS (
+          SELECT s.id AS s, t.id AS t
+          FROM he JOIN hid s ON s.h = he.src_h JOIN hid t ON t.h = he.dst_h
+        ), {_pagerank_iters_sql(n_iter)}
+        SELECT hid.h AS host, CAST(r.outdeg AS INT) AS outdeg, r.rank
+        FROM r{n_iter} r JOIN hid ON hid.id = r.id
+        ORDER BY host
     """
 
 
@@ -2945,6 +3174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": _q_crawl_schedule,
         "redirect_resolve": _q_redirect_resolve,
         "pagerank": _q_pagerank,
+        "link_extract": _q_link_extract,
+        "host_rank": _q_host_rank,
     }
 
 
@@ -4882,4 +5113,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY url
         """,
         "pagerank": _pagerank_oracle_sql(),
+        "link_extract": _link_extract_oracle_sql(),
+        "host_rank": _host_rank_oracle_sql(),
     }
