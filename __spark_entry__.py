@@ -3071,6 +3071,93 @@ def _host_rank_oracle_sql(n_iter: int = 5) -> str:
     """
 
 
+def _q_spatial_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-based DBSCAN (operators/cluster.py grid_cluster): hotspot
+    clustering — dense cells become cores, touching cores merge via
+    connected components, adjacent leftovers become border points, the
+    rest noise.  Points are synthesized as 23 deterministic clumps
+    (integer centers + 0.1-degree jitter, so clumps straddle 2-4 cells)
+    plus a 10% scattered-noise stratum; the oracle replays cells/cores
+    analytically and closes core adjacency with a recursive CTE."""
+    from open_vector_tile_spark.operators.cluster import grid_cluster
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    clump_lon = ((d % 23) * 157 % 340) - 170.0 + ((d * 7) % 11) / 10.0 - 0.5
+    clump_lat = ((d % 23) * 97 % 160) - 80.0 + ((d * 13) % 11) / 10.0 - 0.5
+    noise_lon = ((d * 37) % 3600) / 10.0 - 180.0
+    noise_lat = ((d * 53) % 1600) / 10.0 - 80.0
+    pts = docs.select(
+        "doc_id",
+        F.when(d % 10 == 9, noise_lon).otherwise(clump_lon).alias("lon"),
+        F.when(d % 10 == 9, noise_lat).otherwise(clump_lat).alias("lat"),
+    )
+    out = grid_cluster(pts, "doc_id", cell_deg=1.0, min_pts=4)
+    return out.orderBy("doc_id")
+
+
+_SPATIAL_CLUSTER_ORACLE_SQL = """
+    WITH RECURSIVE p AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 10 = 9
+          THEN ((doc_id * 37) % 3600) / 10.0 - 180.0
+          ELSE ((doc_id % 23) * 157 % 340) - 170.0
+               + ((doc_id * 7) % 11) / 10.0 - 0.5
+        END AS lon,
+        CASE WHEN doc_id % 10 = 9
+          THEN ((doc_id * 53) % 1600) / 10.0 - 80.0
+          ELSE ((doc_id % 23) * 97 % 160) - 80.0
+               + ((doc_id * 13) % 11) / 10.0 - 0.5
+        END AS lat
+      FROM documents
+    ), pt AS (
+      SELECT doc_id,
+             CAST(floor(lon / 1.0) AS BIGINT) AS cell_x,
+             CAST(floor(lat / 1.0) AS BIGINT) AS cell_y
+      FROM p
+    ), cnt AS (
+      SELECT cell_x, cell_y, count(*) AS n FROM pt GROUP BY cell_x, cell_y
+    ), core AS (
+      SELECT cell_x, cell_y,
+             (cell_x + 1048576) * 4194304 + (cell_y + 1048576) AS k
+      FROM cnt WHERE n >= 4
+    ), sym AS (
+      SELECT a.k AS a, b.k AS b FROM core a JOIN core b
+      ON abs(a.cell_x - b.cell_x) <= 1 AND abs(a.cell_y - b.cell_y) <= 1
+         AND a.k <> b.k
+    ), walk AS (
+      SELECT k AS id, k AS reach FROM core
+      UNION
+      SELECT w.id, s.b FROM walk w JOIN sym s ON s.a = w.reach
+    ), comp AS (
+      SELECT id, min(reach) AS component FROM walk GROUP BY id
+    ), lab AS (
+      SELECT c.cell_x, c.cell_y, coalesce(m.component, c.k) AS cluster
+      FROM core c LEFT JOIN comp m ON m.id = c.k
+    ), corepts AS (
+      SELECT doc_id, pt.cell_x, pt.cell_y, lab.cluster, 'core' AS role
+      FROM pt JOIN lab USING (cell_x, cell_y)
+    ), rest AS (
+      SELECT pt.* FROM pt LEFT JOIN lab USING (cell_x, cell_y)
+      WHERE lab.cluster IS NULL
+    ), border AS (
+      SELECT doc_id, r.cell_x, r.cell_y, min(l.cluster) AS cluster,
+             'border' AS role
+      FROM rest r JOIN lab l
+      ON abs(l.cell_x - r.cell_x) <= 1 AND abs(l.cell_y - r.cell_y) <= 1
+      GROUP BY doc_id, r.cell_x, r.cell_y
+    ), noise AS (
+      SELECT r.doc_id, r.cell_x, r.cell_y, CAST(NULL AS BIGINT) AS cluster,
+             'noise' AS role
+      FROM rest r LEFT JOIN border b USING (doc_id) WHERE b.doc_id IS NULL
+    )
+    SELECT * FROM (
+      SELECT * FROM corepts UNION ALL SELECT * FROM border
+      UNION ALL SELECT * FROM noise
+    ) ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -3176,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "link_extract": _q_link_extract,
         "host_rank": _q_host_rank,
+        "spatial_cluster": _q_spatial_cluster,
     }
 
 
@@ -5115,4 +5203,5 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle_sql(),
         "link_extract": _link_extract_oracle_sql(),
         "host_rank": _host_rank_oracle_sql(),
+        "spatial_cluster": _SPATIAL_CLUSTER_ORACLE_SQL,
     }
