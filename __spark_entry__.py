@@ -3158,6 +3158,55 @@ _SPATIAL_CLUSTER_ORACLE_SQL = """
 """
 
 
+def _q_dissolve(spark: SparkSession, sf: str) -> DataFrame:
+    """Polygon dissolve (operators/geometry.py dissolve_boundary): union of
+    a cell tessellation by edge-parity — interior edges (used twice)
+    cancel, the surviving once-used edges are the dissolved shape's outer
+    boundary + holes.  Input: 7 groups of deterministic unit squares on a
+    9x6 grid (deduped), yielding multi-part shapes with holes.  The oracle
+    regenerates each square's 4 edges with UNION ALL (independent of the
+    engine's array/slice machinery), canonicalizes, and keeps count=1."""
+    from open_vector_tile_spark.operators.geometry import dissolve_boundary
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    squares = docs.select(
+        (d % 7).alias("g"), ((d * 3) % 9).alias("sx"), ((d * 5) % 6).alias("sy")
+    ).distinct()
+    sx, sy = F.col("sx"), F.col("sy")
+    rings = squares.select(
+        "g",
+        F.array(sx, sx + 1, sx + 1, sx).alias("xs"),
+        F.array(sy, sy, sy + 1, sy + 1).alias("ys"),
+    )
+    out = dissolve_boundary(rings, ["g"])
+    return out.orderBy("g", "x1", "y1", "x2", "y2")
+
+
+_DISSOLVE_ORACLE_SQL = """
+    WITH sq AS (
+      SELECT DISTINCT doc_id % 7 AS g,
+             (doc_id * 3) % 9 AS sx, (doc_id * 5) % 6 AS sy
+      FROM documents
+    ), e0 AS (
+      SELECT g, sx AS xa, sy AS ya, sx + 1 AS xb, sy AS yb FROM sq
+      UNION ALL SELECT g, sx + 1, sy, sx + 1, sy + 1 FROM sq
+      UNION ALL SELECT g, sx + 1, sy + 1, sx, sy + 1 FROM sq
+      UNION ALL SELECT g, sx, sy + 1, sx, sy FROM sq
+    ), c AS (
+      SELECT g,
+        CASE WHEN xa < xb OR (xa = xb AND ya < yb) THEN xa ELSE xb END AS x1,
+        CASE WHEN xa < xb OR (xa = xb AND ya < yb) THEN ya ELSE yb END AS y1,
+        CASE WHEN xa < xb OR (xa = xb AND ya < yb) THEN xb ELSE xa END AS x2,
+        CASE WHEN xa < xb OR (xa = xb AND ya < yb) THEN yb ELSE ya END AS y2
+      FROM e0
+    )
+    SELECT g, x1, y1, x2, y2 FROM c
+    GROUP BY g, x1, y1, x2, y2 HAVING count(*) = 1
+    ORDER BY g, x1, y1, x2, y2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -3264,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": _q_link_extract,
         "host_rank": _q_host_rank,
         "spatial_cluster": _q_spatial_cluster,
+        "dissolve": _q_dissolve,
     }
 
 
@@ -5204,4 +5254,5 @@ def oracle_sql() -> dict[str, str]:
         "link_extract": _link_extract_oracle_sql(),
         "host_rank": _host_rank_oracle_sql(),
         "spatial_cluster": _SPATIAL_CLUSTER_ORACLE_SQL,
+        "dissolve": _DISSOLVE_ORACLE_SQL,
     }
