@@ -2815,9 +2815,13 @@ def _pagerank_iters_sql(n_iter: int = 5, damping: str = "0.85") -> str:
           SELECT coalesce(sum(rank ORDER BY rank), 0.0) AS dm
           FROM {p} WHERE outdeg = 0
         ), r{k} AS (
+          -- CAST the damping literal: DuckDB parses bare 1.0 - 0.85 as
+          -- DECIMAL (exact 0.15), one ulp off the engine's IEEE
+          -- 1.0 - 0.85 = 0.15000000000000002 — double arithmetic only
           SELECT n.id, n.outdeg,
-                 (1.0 - {damping}) / nn.nd
-                 + {damping} * (coalesce(i.inflow, 0.0) + d.dm / nn.nd) AS rank
+                 (1.0 - CAST({damping} AS DOUBLE)) / nn.nd
+                 + CAST({damping} AS DOUBLE)
+                   * (coalesce(i.inflow, 0.0) + d.dm / nn.nd) AS rank
           FROM {p} n LEFT JOIN i{k} i USING (id) CROSS JOIN d{k} d CROSS JOIN nn
         )""")
     return f"""
@@ -2890,6 +2894,61 @@ def _q_link_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _normalize_url_sql_ctes(src: str, url_col: str, carry: list[str]) -> str:
+    """CTE stages ``nu1 .. nu3`` replaying functions/url.py normalize_url
+    (fragment strip, scheme default, port/www strip, tracking-param strip,
+    trailing cleanup).  ``src`` is the upstream CTE, ``url_col`` its URL
+    column; ``carry`` columns pass through.  ``nu3`` exposes carry +
+    (scheme, chost, crest); canonical = scheme || '://' || chost || crest.
+    One source of truth for every oracle that replays the chain
+    (url_dedup, link_extract) — an edit to normalize_url is mirrored
+    exactly once."""
+    cols = "".join(f"{c}, " for c in carry)
+    return f"""nu1 AS (
+          SELECT {cols}
+            CASE WHEN regexp_matches(regexp_replace({url_col}, '#.*', '', 'g'),
+                                     '^[A-Za-z][A-Za-z0-9+.-]*://')
+                 THEN regexp_replace({url_col}, '#.*', '', 'g')
+                 ELSE 'http://' || regexp_replace({url_col}, '#.*', '', 'g')
+            END AS u
+          FROM {src}
+        ), nu2 AS (
+          SELECT {cols}
+            lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+            regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest
+          FROM nu1
+        ), nu2b AS (
+          -- split path from query before stripping params: '&' is a
+          -- legal PATH character (mirror of functions/url.py)
+          SELECT {cols} scheme, host,
+            regexp_extract(rest, '^([^?]*)', 1) AS path,
+            regexp_extract(rest, '^[^?]*(\\?.*)$', 1) AS qs
+          FROM nu2
+        ), nu3 AS (
+          SELECT {cols} scheme,
+            regexp_replace(
+              CASE WHEN scheme = 'http'
+                     THEN regexp_replace(host, ':80$', '', 'g')
+                   WHEN scheme = 'https'
+                     THEN regexp_replace(host, ':443$', '', 'g')
+                   ELSE host END,
+              '^www\\.', '', 'g') AS chost,
+            regexp_replace(
+              regexp_replace(
+                path ||
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(qs,
+                      '&(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
+                    '\\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '?', 'g'),
+                  '\\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$', '', 'g'),
+                '[?&]+$', '', 'g'),
+              '/+$', '', 'g') AS crest
+          FROM nu2b
+        )"""
+
+
 def _link_extract_oracle_sql() -> str:
     pat = r'(?i)<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
     return f"""
@@ -2941,51 +3000,9 @@ def _link_extract_oracle_sql() -> str:
           FROM b
         ), rr AS (
           SELECT * FROM r WHERE resolved IS NOT NULL
-        ), n1 AS (
-          -- normalize_url chain, mirror of functions/url.py (same stages
-          -- as the url_dedup twin)
-          SELECT doc_id, href, anchor,
-            CASE WHEN regexp_matches(regexp_replace(resolved, '#.*', '', 'g'),
-                                     '^[A-Za-z][A-Za-z0-9+.-]*://')
-                 THEN regexp_replace(resolved, '#.*', '', 'g')
-                 ELSE 'http://' || regexp_replace(resolved, '#.*', '', 'g')
-            END AS u
-          FROM rr
-        ), n2 AS (
-          SELECT doc_id, href, anchor,
-            lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-            lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
-            regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest
-          FROM n1
-        ), n2b AS (
-          SELECT doc_id, href, anchor, scheme, host,
-            regexp_extract(rest, '^([^?]*)', 1) AS path,
-            regexp_extract(rest, '^[^?]*(\\?.*)$', 1) AS qs
-          FROM n2
-        ), n3 AS (
-          SELECT doc_id, href, anchor, scheme,
-            regexp_replace(
-              CASE WHEN scheme = 'http'
-                     THEN regexp_replace(host, ':80$', '', 'g')
-                   WHEN scheme = 'https'
-                     THEN regexp_replace(host, ':443$', '', 'g')
-                   ELSE host END,
-              '^www\\.', '', 'g') AS chost,
-            regexp_replace(
-              regexp_replace(
-                path ||
-                regexp_replace(
-                  regexp_replace(
-                    regexp_replace(qs,
-                      '&(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
-                    '\\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '?', 'g'),
-                  '\\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$', '', 'g'),
-                '[?&]+$', '', 'g'),
-              '/+$', '', 'g') AS crest
-          FROM n2b
-        )
+        ), {_normalize_url_sql_ctes("rr", "resolved", ["doc_id", "href", "anchor"])}
         SELECT doc_id, href, scheme || '://' || chost || crest AS dst_url, anchor
-        FROM n3 ORDER BY doc_id, href
+        FROM nu3 ORDER BY doc_id, href
     """
 
 
@@ -4080,7 +4097,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sh s LEFT JOIN hits h USING (doc_id)
             ORDER BY s.doc_id
         """,
-        "url_dedup": r"""
+        "url_dedup": f"""
             WITH u0 AS (
               SELECT doc_id,
                 (CASE WHEN (doc_id // 100) % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END)
@@ -4093,53 +4110,11 @@ def oracle_sql() -> dict[str, str]:
                          WHEN (doc_id // 100) = 3 THEN '?x=1' ELSE '' END)
                 || (CASE WHEN (doc_id // 100) = 4 THEN '#frag' ELSE '' END) AS url
               FROM documents
-            ), n1 AS (
-              SELECT doc_id,
-                CASE WHEN regexp_matches(regexp_replace(url, '#.*', '', 'g'),
-                                         '^[A-Za-z][A-Za-z0-9+.-]*://')
-                     THEN regexp_replace(url, '#.*', '', 'g')
-                     ELSE 'http://' || regexp_replace(url, '#.*', '', 'g')
-                END AS u
-              FROM u0
-            ), n2 AS (
-              SELECT doc_id,
-                lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
-                regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest
-              FROM n1
-            ), n2b AS (
-              -- split path from query before stripping params: '&' is a
-              -- legal PATH character (mirror of functions/url.py)
-              SELECT doc_id, scheme, host,
-                regexp_extract(rest, '^([^?]*)', 1) AS path,
-                regexp_extract(rest, '^[^?]*(\?.*)$', 1) AS qs
-              FROM n2
-            ), n3 AS (
-              SELECT doc_id, scheme,
-                regexp_replace(
-                  CASE WHEN scheme = 'http'
-                         THEN regexp_replace(host, ':80$', '', 'g')
-                       WHEN scheme = 'https'
-                         THEN regexp_replace(host, ':443$', '', 'g')
-                       ELSE host END,
-                  '^www\.', '', 'g') AS chost,
-                regexp_replace(
-                  regexp_replace(
-                    path ||
-                    regexp_replace(
-                      regexp_replace(
-                        regexp_replace(qs,
-                          '&(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g'),
-                        '\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '?', 'g'),
-                      '\?(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$', '', 'g'),
-                    '[?&]+$', '', 'g'),
-                  '/+$', '', 'g') AS crest
-              FROM n2b
-            )
+            ), {_normalize_url_sql_ctes("u0", "url", ["doc_id"])}
             SELECT scheme || '://' || chost || crest AS canonical_url,
                    CAST(count(*) AS INT) AS n_docs,
                    CAST(min(doc_id) AS BIGINT) AS keeper_id
-            FROM n3 GROUP BY 1 ORDER BY canonical_url
+            FROM nu3 GROUP BY 1 ORDER BY canonical_url
         """,
         "gopher_filter": r"""
             WITH w AS (

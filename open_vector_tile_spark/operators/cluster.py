@@ -60,14 +60,32 @@ def grid_cluster(
     rendering's granularity — documented, coarser than point-radius
     DBSCAN).
     """
-    if cell_deg <= 0:
-        raise ValueError(f"cell_deg must be > 0, got {cell_deg}")
+    if cell_deg < 1e-3:
+        # the packed key is bijective only for |cell index| < 2^20; with
+        # cell_deg >= 1e-3 any in-domain coordinate (|value| <= 360)
+        # stays within +-360k cells.  A finer grid would silently alias
+        # distant cells into one cluster — reject loudly instead.
+        raise ValueError(f"cell_deg must be >= 1e-3, got {cell_deg}")
     if min_pts < 1:
         raise ValueError(f"min_pts must be >= 1, got {min_pts}")
     cx = F.floor(F.col(lon) / F.lit(float(cell_deg))).cast("long")
     cy = F.floor(F.col(lat) / F.lit(float(cell_deg))).cast("long")
-    pts = points.select(
+    allpts = points.select(
         F.col(id_col), cx.alias("cell_x"), cy.alias("cell_y")
+    )
+    in_domain = F.coalesce(
+        (F.abs(F.col("cell_x")) < _OFF) & (F.abs(F.col("cell_y")) < _OFF),
+        F.lit(False),
+    )
+    # out-of-domain / NULL coordinates cannot enter the packed-key pipeline
+    # (key aliasing); they are noise by definition and rejoin at the end
+    pts = allpts.where(in_domain)
+    bad = allpts.where(~in_domain).select(
+        id_col,
+        "cell_x",
+        "cell_y",
+        F.lit(None).cast("long").alias("cluster"),
+        F.lit("noise").alias("role"),
     )
 
     counts = pts.groupBy("cell_x", "cell_y").agg(F.count("*").alias("_n"))
@@ -138,7 +156,7 @@ def grid_cluster(
             )
         ).alias("_nb"),
     ).select(id_col, "cell_x", "cell_y", "_nb.nx", "_nb.ny")
-    border = (
+    border_lbl = (
         probed.join(
             labels.select(
                 F.col("cell_x").alias("nx"),
@@ -147,20 +165,19 @@ def grid_cluster(
             ),
             on=["nx", "ny"],
         )
-        .groupBy(id_col, "cell_x", "cell_y")
+        .groupBy(id_col)
         .agg(F.min("cluster").alias("cluster"))
-        .select(
-            id_col, "cell_x", "cell_y", "cluster", F.lit("border").alias("role")
-        )
     )
-    noise = (
-        rest.join(border.select(id_col), on=id_col, how="left_anti")
-        .select(
-            id_col,
-            "cell_x",
-            "cell_y",
-            F.lit(None).cast("long").alias("cluster"),
-            F.lit("noise").alias("role"),
-        )
+    # one left join classifies border vs noise in a single pass — an
+    # anti-join formulation would embed the explode-probe aggregation in
+    # two branches of the plan and execute it twice per action
+    rest_out = rest.join(border_lbl, on=id_col, how="left").select(
+        id_col,
+        "cell_x",
+        "cell_y",
+        "cluster",
+        F.when(F.col("cluster").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+        .alias("role"),
     )
-    return core_pts.unionByName(border).unionByName(noise)
+    return core_pts.unionByName(rest_out).unionByName(bad)

@@ -194,7 +194,21 @@ def pagerank(
     e = e.filter(F.col("s") != F.col("t")).distinct().localCheckpoint(eager=True)
     ids = e.select(F.col("s").alias("id")).union(e.select(F.col("t").alias("id")))
     if nodes is not None:
-        # extra isolated ids join the surfer model; endpoints always count
+        # extra isolated ids join the surfer model; endpoints always count.
+        # Demand exactly one integral column — silently casting the first
+        # column of a wider frame would union NULL/garbage ids and distort
+        # every rank without an error.
+        if len(nodes.columns) != 1:
+            raise ValueError(
+                f"pagerank nodes must have exactly one id column, got "
+                f"{nodes.columns}"
+            )
+        dt = nodes.schema[nodes.columns[0]].dataType.simpleString()
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"pagerank nodes id column must be integral, got {dt} "
+                "(hash string ids to int64 first, e.g. xxhash64)"
+            )
         ids = ids.union(
             nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
         )

@@ -84,6 +84,14 @@ def extract_links(
     substrings fan out.  Pages without links vanish (inner explode),
     which is the edge-list contract; count pages separately.
     """
+    reserved = {"_tag", "href", "anchor", "dst_url"} & {
+        c for c in df.columns if c != html_col
+    }
+    if reserved:
+        raise ValueError(
+            f"extract_links output columns collide with input columns "
+            f"{sorted(reserved)}; rename them first"
+        )
     h = F.col(html_col).cast("string")
     keep = [c for c in df.columns if c != html_col]
     tags = df.select(
