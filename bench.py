@@ -235,6 +235,23 @@ def build_queries(spark, sf_dir):
         def q_redirect_resolve():
             return entry._q_redirect_resolve(spark, sf_dir).agg(F.sum("n_hops"))
 
+        # round-3 session-6 additions: web graph (links -> hosts -> rank),
+        # grid DBSCAN, polygon dissolve
+        def q_pagerank():
+            return entry._q_pagerank(spark, sf_dir).agg(F.sum("rank"))
+
+        def q_link_extract():
+            return entry._q_link_extract(spark, sf_dir).agg(F.count("*"))
+
+        def q_host_rank():
+            return entry._q_host_rank(spark, sf_dir).agg(F.sum("rank"))
+
+        def q_spatial_cluster():
+            return entry._q_spatial_cluster(spark, sf_dir).agg(F.count("cluster"))
+
+        def q_dissolve():
+            return entry._q_dissolve(spark, sf_dir).agg(F.sum("x1"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -282,6 +299,11 @@ def build_queries(spark, sf_dir):
             geo_fallback=q_geo_fallback,
             crawl_schedule=q_crawl_schedule,
             redirect_resolve=q_redirect_resolve,
+            pagerank=q_pagerank,
+            link_extract=q_link_extract,
+            host_rank=q_host_rank,
+            spatial_cluster=q_spatial_cluster,
+            dissolve=q_dissolve,
         )
     return out
 
