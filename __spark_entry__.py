@@ -3224,6 +3224,79 @@ _DISSOLVE_ORACLE_SQL = """
 """
 
 
+def _q_robots(spark: SparkSession, sf: str) -> DataFrame:
+    """Robots exclusion end-to-end (operators/crawl.py parse_robots +
+    robots_filter): per-host robots.txt bodies — an other-bot group that
+    must NOT apply, a wildcard group with nested allow/disallow, per-host
+    extra rules, and a multi-UA group containing '*' — parsed into prefix
+    rules and applied to the frontier with longest-match / allow-tie
+    semantics.  The oracle is ANALYTIC: it derives each URL class's
+    verdict straight from the synthesis rules, independent of the parser
+    and matcher machinery, so it checks grouping, rule extraction, and
+    precedence end to end."""
+    from open_vector_tile_spark.operators.crawl import parse_robots, robots_filter
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    hosts = docs.select((d % 13).alias("k")).distinct()
+    kc = F.col("k").cast("string")
+    body = F.concat(
+        F.lit(
+            "User-agent: smarterbot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+        ),
+        F.when(F.col("k") % 3 == 0, F.lit("Disallow: /tmp\n")).otherwise(F.lit("")),
+        F.when(
+            F.col("k") % 4 == 1,
+            F.lit("\nUser-agent: extra\nUser-agent: *\nDisallow: /beta\n"),
+        ).otherwise(F.lit("")),
+    )
+    robots = hosts.select(
+        F.concat(F.lit("site"), kc, F.lit(".org")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    rules = parse_robots(robots)
+    m = d % 5
+    path = (
+        F.when(m == 0, F.concat(F.lit("/private/p"), d.cast("string")))
+        .when(m == 1, F.concat(F.lit("/private/ok/q"), d.cast("string")))
+        .when(m == 2, F.concat(F.lit("/pub/r"), d.cast("string")))
+        .when(m == 3, F.concat(F.lit("/tmp/s"), d.cast("string")))
+        .otherwise(F.concat(F.lit("/beta/t"), d.cast("string")))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), (d % 13).cast("string"), F.lit(".org"), path
+        ).alias("url"),
+    )
+    out = robots_filter(urls, rules)
+    return out.select("doc_id", "url", "allowed", "rule").orderBy("doc_id")
+
+
+_ROBOTS_ORACLE_SQL = """
+    WITH c AS (
+      SELECT doc_id, doc_id % 13 AS k, doc_id % 5 AS m FROM documents
+    )
+    SELECT doc_id,
+      'https://site' || CAST(k AS VARCHAR) || '.org' ||
+        (CASE WHEN m = 0 THEN '/private/p' WHEN m = 1 THEN '/private/ok/q'
+              WHEN m = 2 THEN '/pub/r' WHEN m = 3 THEN '/tmp/s'
+              ELSE '/beta/t' END) || CAST(doc_id AS VARCHAR) AS url,
+      CAST(CASE WHEN m = 0 THEN 0
+                WHEN m = 1 THEN 1
+                WHEN m = 2 THEN 1
+                WHEN m = 3 THEN CASE WHEN k % 3 = 0 THEN 0 ELSE 1 END
+                ELSE CASE WHEN k % 4 = 1 THEN 0 ELSE 1 END END AS INT) AS allowed,
+      CASE WHEN m = 0 THEN '/private'
+           WHEN m = 1 THEN '/private/ok'
+           WHEN m = 3 AND k % 3 = 0 THEN '/tmp'
+           WHEN m = 4 AND k % 4 = 1 THEN '/beta'
+           ELSE NULL END AS rule
+    FROM c ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -3331,6 +3404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rank": _q_host_rank,
         "spatial_cluster": _q_spatial_cluster,
         "dissolve": _q_dissolve,
+        "robots": _q_robots,
     }
 
 
@@ -5230,4 +5304,5 @@ def oracle_sql() -> dict[str, str]:
         "host_rank": _host_rank_oracle_sql(),
         "spatial_cluster": _SPATIAL_CLUSTER_ORACLE_SQL,
         "dissolve": _DISSOLVE_ORACLE_SQL,
+        "robots": _ROBOTS_ORACLE_SQL,
     }

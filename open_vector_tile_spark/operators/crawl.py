@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["schedule_crawl"]
+__all__ = ["schedule_crawl", "parse_robots", "robots_filter"]
 
 
 def schedule_crawl(
@@ -70,3 +70,119 @@ def schedule_crawl(
         F.floor((F.col("host_rank") - 1) / per_host).cast("long") + offset
     ).alias("wave")
     return ranked.withColumn("wave", wave)
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """robots.txt bodies -> one row per applicable path rule:
+    ``(host, directive in {'allow','disallow'}, prefix, rule_len)``.
+
+    Group semantics follow the robots exclusion protocol: a rule line
+    belongs to the group opened by the block of consecutive ``User-agent``
+    lines immediately above it, and applies when any UA line in that block
+    names ``user_agent`` (default ``*``; matched case-insensitively,
+    exact token — no UA substring matching).  Comments (``#...``), CR, and
+    surrounding whitespace are stripped; ``Allow:``/``Disallow:`` with an
+    empty value is a no-op per spec and is dropped.  Wildcard ``*``/``$``
+    PATTERN rules are NOT interpreted (prefix semantics only — the
+    original protocol; documented simplification).
+
+    Shape at scale: one shuffle on ``host`` feeds the two line windows
+    (block-start lag + running section sum); everything else is map-side
+    regexp.  Bodies are per-host dim data — tiny next to a frontier.
+    """
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col).cast("string"), "\n")).alias(
+            "idx", "_raw"
+        ),
+    ).select(
+        "host",
+        "idx",
+        # strip comments, CR, and edge whitespace: the grammar's canonical line
+        F.trim(F.regexp_replace(F.regexp_replace("_raw", "#.*", ""), "\r", "")).alias(
+            "line"
+        ),
+    )
+    ua_val = F.regexp_extract(F.col("line"), r"(?i)^user-agent\s*:\s*(\S*)", 1)
+    directive = F.lower(F.regexp_extract(F.col("line"), r"(?i)^(allow|disallow)\s*:", 1))
+    prefix = F.regexp_extract(F.col("line"), r"(?i)^(?:allow|disallow)\s*:\s*(\S*)", 1)
+    marked = lines.select(
+        "host",
+        "idx",
+        (ua_val != "").alias("is_ua"),
+        F.lower(ua_val).alias("ua"),
+        directive.alias("directive"),
+        prefix.alias("prefix"),
+    )
+    w = Window.partitionBy("host").orderBy("idx")
+    # a UA line NOT preceded by another UA line opens a new group
+    block_start = F.col("is_ua") & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False))
+    sec = marked.withColumn(
+        "section", F.sum(block_start.cast("int")).over(w)
+    )
+    star_sections = (
+        sec.filter(F.col("is_ua") & (F.col("ua") == user_agent.lower()))
+        .select("host", "section")
+        .distinct()
+    )
+    rules = sec.filter((F.col("directive") != "") & (F.col("prefix") != "")).join(
+        star_sections, on=["host", "section"], how="leftsemi"
+    )
+    return rules.select(
+        "host",
+        "directive",
+        "prefix",
+        F.length("prefix").cast("int").alias("rule_len"),
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Frontier politeness gate: -> input + ``(allowed int, rule string)``.
+
+    ``rules`` is parse_robots output.  Longest-prefix rule wins; on equal
+    length ``allow`` beats ``disallow`` (the least-restrictive tie rule);
+    no matching rule (or no rules for the host) = allowed.  Matching is
+    on the URL's path+query with prefix semantics.
+
+    Shape at 10^12 URLs: one equi-join on host (broadcast the rule table
+    when it fits — robots rules are per-host dim data), candidate rules
+    filtered map-side by startswith, one window on the URL key to pick
+    the winner, one left join back.  No pattern cross-join anywhere.
+    """
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    path0 = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    path = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    keyed = urls.withColumn("_rhost", host).withColumn("_rpath", path)
+    cand = keyed.select(url_col, "_rhost", "_rpath").join(
+        rules.withColumnRenamed("host", "_rhost"), on="_rhost"
+    ).filter(F.col("_rpath").startswith(F.col("prefix")))
+    wv = Window.partitionBy(url_col).orderBy(
+        F.desc("rule_len"), F.asc("directive"), F.asc("prefix")
+    )
+    winner = (
+        cand.withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") == 1)
+        .select(
+            url_col,
+            F.col("directive").alias("_rdir"),
+            F.col("prefix").alias("rule"),
+        )
+    )
+    out = keyed.join(winner, on=url_col, how="left")
+    return out.select(
+        *urls.columns,
+        (F.coalesce(F.col("_rdir") == "allow", F.lit(True))).cast("int").alias(
+            "allowed"
+        ),
+        "rule",
+    )

@@ -71,3 +71,136 @@ def test_driver_query_matches_oracle(spark):
     want = want.sort_values(list(want.columns)).reset_index(drop=True)
     for c in got.columns:
         assert got[c].tolist() == want[c].tolist(), c
+
+
+# ------------------------------------------------------- robots exclusion
+
+
+def _ref_parse(body, ua="*"):
+    """Python mirror of parse_robots (group semantics, prefix rules)."""
+    rules = []
+    group_uas, in_ua_block, applies = [], False, False
+    for raw in body.split("\n"):
+        line = raw.split("#")[0].replace("\r", "").strip()
+        import re
+
+        m = re.match(r"(?i)^user-agent\s*:\s*(\S*)", line)
+        if m:
+            if not in_ua_block:
+                group_uas = []
+            in_ua_block = True
+            group_uas.append(m.group(1).lower())
+            applies = ua in group_uas
+            continue
+        in_ua_block = False
+        m = re.match(r"(?i)^(allow|disallow)\s*:\s*(\S*)", line)
+        if m and m.group(2) and applies:
+            rules.append((m.group(1).lower(), m.group(2)))
+    return rules
+
+
+def _ref_allowed(path, rules):
+    cands = [
+        (len(p), 0 if d == "allow" else 1, p, d)
+        for d, p in rules
+        if path.startswith(p)
+    ]
+    if not cands:
+        return 1, None
+    cands.sort(key=lambda t: (-t[0], t[1], t[2]))
+    return (1 if cands[0][3] == "allow" else 0), cands[0][2]
+
+
+def test_parse_robots_groups_and_noise(spark):
+    from open_vector_tile_spark.operators.crawl import parse_robots
+
+    body = (
+        "User-agent: smarterbot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: other\n"
+        "User-agent: *\n"
+        "Disallow: /private   # comment\r\n"
+        "allow: /private/ok\n"
+        "Disallow:\n"           # empty value -> no-op
+        "\n"
+        "User-agent: last\n"
+        "Disallow: /hidden\n"
+    )
+    df = spark.createDataFrame([("h.com", body)], "host string, robots_txt string")
+    got = {
+        (r["directive"], r["prefix"], r["rule_len"])
+        for r in parse_robots(df).collect()
+    }
+    # only the group containing '*' applies; comments/CR stripped; empty dropped
+    assert got == {("disallow", "/private", 8), ("allow", "/private/ok", 11)}
+    want = {(d, p, len(p)) for d, p in _ref_parse(body)}
+    assert got == want
+
+
+def test_robots_filter_longest_match_and_allow_tie(spark):
+    from open_vector_tile_spark.operators.crawl import parse_robots, robots_filter
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "Allow: /dup\n"
+        "Disallow: /dup\n"      # equal length -> allow wins
+    )
+    rules = parse_robots(
+        spark.createDataFrame([("h.com", body)], "host string, robots_txt string")
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://h.com/private/x",),
+            ("https://h.com/private/ok/y",),
+            ("https://h.com/public",),
+            ("https://h.com/dup/z",),
+            ("https://h.com",),            # empty path -> '/'
+            ("https://other.org/private/x",),  # no rules for host
+        ],
+        "url string",
+    )
+    got = {r["url"]: (r["allowed"], r["rule"]) for r in robots_filter(urls, rules).collect()}
+    assert got["https://h.com/private/x"] == (0, "/private")
+    assert got["https://h.com/private/ok/y"] == (1, "/private/ok")
+    assert got["https://h.com/public"] == (1, None)
+    assert got["https://h.com/dup/z"] == (1, "/dup")
+    assert got["https://h.com"] == (1, None)
+    assert got["https://other.org/private/x"] == (1, None)
+
+
+def test_robots_randomized_matches_reference(spark):
+    import random
+
+    from open_vector_tile_spark.operators.crawl import parse_robots, robots_filter
+
+    rng = random.Random(17)
+    prefixes = ["/a", "/a/b", "/a/b/c", "/x", "/x/y", "/z"]
+    hosts, bodies = [], []
+    for h in range(8):
+        host = f"h{h}.com"
+        lines = ["User-agent: bot", "Disallow: /"]
+        lines += ["", "User-agent: *"]
+        for _ in range(rng.randrange(1, 5)):
+            d = rng.choice(["Allow", "Disallow"])
+            lines.append(f"{d}: {rng.choice(prefixes)}")
+        body = "\n".join(lines)
+        hosts.append(host)
+        bodies.append((host, body))
+    rules_df = parse_robots(
+        spark.createDataFrame(bodies, "host string, robots_txt string")
+    )
+    urls = []
+    for i in range(200):
+        host = rng.choice(hosts)
+        path = rng.choice(prefixes + ["/a/bq", "/q", "/x/y/z/deep"])
+        urls.append((f"https://{host}{path}",))
+    udf = spark.createDataFrame(urls, "url string")
+    got = {r["url"]: (r["allowed"], r["rule"]) for r in robots_filter(udf, rules_df).collect()}
+    ref_rules = {h: _ref_parse(b) for h, b in bodies}
+    for (u,) in urls:
+        host = u.split("://")[1].split("/")[0]
+        path = u[len("https://" + host):] or "/"
+        assert got[u] == _ref_allowed(path, ref_rules[host]), u
