@@ -3297,6 +3297,76 @@ _ROBOTS_ORACLE_SQL = """
 """
 
 
+def _q_overzoom(spark: SparkSession, sf: str) -> DataFrame:
+    """Tile overzoom (operators/overzoom.py overzoom_points): derive z5
+    child features from z4 quantized features — the tile-server trick for
+    serving zooms deeper than the stored pyramid.  Pure column exprs
+    (explode 4 children + vertex bounds test, buffer 64); the oracle
+    replays quantization at z4 and the child transform analytically.  The
+    full-geometry path (line/polygon clip) is pytest-oracled
+    (tests/test_overzoom.py) since clipped vertices are kernel outputs."""
+    from open_vector_tile_spark.operators.overzoom import overzoom_points
+
+    docs = _doc_points(_load(spark, sf, "documents"))
+    n = F.lit(16.0)
+    mx = (F.col("lon") + 180.0) / 360.0
+    my = _merc_y(F.col("lat"))
+    tx = F.floor(mx * n).cast("long")
+    ty = F.floor(my * n).cast("long")
+    qx = F.floor((mx * n - tx) * 4096.0 + 0.5).cast("int")
+    qy = F.floor((my * n - ty) * 4096.0 + 0.5).cast("int")
+    feats = docs.select(
+        F.lit(4).alias("zoom"),
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
+        F.lit("pts").alias("layer"),
+        F.lit(4096).alias("extent"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.lit(1).alias("ftype"),
+        F.array(qx, qy).alias("geom_xy"),
+        F.array(F.lit(1)).alias("ring_lens"),
+    )
+    out = overzoom_points(feats, buffer=64)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "zoom",
+        "tile_x",
+        "tile_y",
+        F.element_at("geom_xy", 1).alias("x"),
+        F.element_at("geom_xy", 2).alias("y"),
+    ).orderBy("doc_id", "tile_x", "tile_y")
+
+
+def _overzoom_oracle_sql() -> str:
+    mx = f"(({_SQL_LON_DOC}+180.0)/360.0)"
+    my = _sql_merc_y(_SQL_LAT_DOC)
+    return f"""
+        WITH q AS (
+          SELECT doc_id,
+                 CAST(floor({mx}*16.0) AS BIGINT) AS tx,
+                 CAST(floor({my}*16.0) AS BIGINT) AS ty,
+                 CAST(floor(({mx}*16.0 - CAST(floor({mx}*16.0) AS BIGINT))
+                            *4096.0 + 0.5) AS INT) AS qx,
+                 CAST(floor(({my}*16.0 - CAST(floor({my}*16.0) AS BIGINT))
+                            *4096.0 + 0.5) AS INT) AS qy
+          FROM documents
+        ), c AS (
+          SELECT q.*, t.ci, t.cj
+          FROM q CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) AS t(ci, cj)
+        )
+        SELECT doc_id,
+               5 AS zoom,
+               tx*2 + ci AS tile_x,
+               ty*2 + cj AS tile_y,
+               qx*2 - ci*4096 AS x,
+               qy*2 - cj*4096 AS y
+        FROM c
+        WHERE qx*2 - ci*4096 BETWEEN -64 AND 4160
+          AND qy*2 - cj*4096 BETWEEN -64 AND 4160
+        ORDER BY doc_id, tile_x, tile_y
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -3405,6 +3475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_cluster": _q_spatial_cluster,
         "dissolve": _q_dissolve,
         "robots": _q_robots,
+        "overzoom": _q_overzoom,
     }
 
 
@@ -5305,4 +5376,5 @@ def oracle_sql() -> dict[str, str]:
         "spatial_cluster": _SPATIAL_CLUSTER_ORACLE_SQL,
         "dissolve": _DISSOLVE_ORACLE_SQL,
         "robots": _ROBOTS_ORACLE_SQL,
+        "overzoom": _overzoom_oracle_sql(),
     }
