@@ -3367,6 +3367,81 @@ def _overzoom_oracle_sql() -> str:
     """
 
 
+def _q_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC container round trip at table scale (sources/warc.py): pages
+    synthesized from documents are framed as WARC response records (pure
+    column exprs), packed into Common-Crawl-style `.warc.gz` blobs (one
+    gzip member per record, ONE shuffle on the blob key), then parsed
+    back (map-side only) and split into HTTP pages.  `exact` asserts the
+    html BYTES survived the container verbatim (north_rule byte
+    identity); everything else the oracle derives analytically from
+    documents, independent of both the writer and the parser."""
+    from open_vector_tile_spark.sources.warc import (
+        http_response_bytes,
+        pack_warc_blobs,
+        parse_warc,
+        warc_record_bytes,
+        warc_response_pages,
+    )
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    pages = docs.select(
+        "doc_id",
+        (d % 37).alias("blob_id"),
+        F.concat(F.lit("https://crawl.example/doc/"), d.cast("string")).alias("url"),
+        # to_timestamp + interval: parse and format share the session tz,
+        # so warc_date is tz-agnostic wall time (matches DuckDB's naive
+        # TIMESTAMP arithmetic)
+        F.expr(
+            "to_timestamp('2026-01-01 00:00:00') + make_interval(0,0,0,0,0,0,doc_id)"
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body>"),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    records = pages.select(
+        "blob_id",
+        "url",
+        warc_record_bytes(
+            F.col("url"), F.col("warc_ts"), http_response_bytes(F.col("html"))
+        ).alias("record_bytes"),
+    )
+    blobs = pack_warc_blobs(records, gzip_members=True)
+    out_pages = warc_response_pages(parse_warc(blobs))
+    expected = pages.select("doc_id", F.col("url").alias("u2"), F.col("html").alias("want"))
+    return (
+        out_pages.join(expected, out_pages["url"] == expected["u2"])
+        .select(
+            "doc_id",
+            "url",
+            "warc_date",
+            "http_status",
+            F.length("html").cast("long").alias("html_len"),
+            (F.col("html") == F.col("want")).cast("int").alias("exact"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WARC_EXTRACT_ORACLE_SQL = """
+    SELECT doc_id,
+      'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+      strftime(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id),
+               '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+      200 AS http_status,
+      CAST(octet_length(encode('<html><body>' || COALESCE(text, '')
+                               || '</body></html>')) AS BIGINT) AS html_len,
+      1 AS exact
+    FROM documents ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -3476,6 +3551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve": _q_dissolve,
         "robots": _q_robots,
         "overzoom": _q_overzoom,
+        "warc_extract": _q_warc_extract,
     }
 
 
@@ -5377,4 +5453,5 @@ def oracle_sql() -> dict[str, str]:
         "dissolve": _DISSOLVE_ORACLE_SQL,
         "robots": _ROBOTS_ORACLE_SQL,
         "overzoom": _overzoom_oracle_sql(),
+        "warc_extract": _WARC_EXTRACT_ORACLE_SQL,
     }

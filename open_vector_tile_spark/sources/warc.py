@@ -1,0 +1,367 @@
+"""WARC (ISO 28500 / Common-Crawl) container source + sink.
+
+The north_rule input table `(url, warc_ts, html, text, lang)` is what
+Common Crawl ships as WARC: a stream of length-delimited records, each a
+small CRLF header block plus a Content-Length-sized binary payload
+(for `WARC-Type: response`, the payload is a full HTTP response).  This
+module is the on-ramp: raw WARC blobs -> page rows, and the inverse for
+testing / re-export.
+
+Layout handled (public WARC/1.0-1.1 framing):
+
+    WARC/1.0\r\n
+    WARC-Type: response\r\n
+    WARC-Record-ID: <urn:uuid:...>\r\n
+    WARC-Date: 2026-01-01T00:00:00Z\r\n
+    WARC-Target-URI: https://example.org/\r\n
+    Content-Type: application/http; msgtype=response\r\n
+    Content-Length: N\r\n
+    \r\n
+    <N payload bytes>\r\n\r\n
+
+plus Common Crawl's `.warc.gz` member framing: each record is an
+independent gzip member, so members can be split/decoded in parallel
+without decompressing the whole file (magic ``1f 8b`` at every record
+start).
+
+Scale shape (100 TB): blobs arrive as a binary column (one row per WARC
+chunk/file — e.g. from `spark.read.format("binaryFile")`); record
+extraction is map-side only (mapInPandas, no shuffle), so parallelism ==
+blob partitioning.  A 1 GiB Common-Crawl WARC is one row; for finer
+parallelism upstream splitters can cut on gzip-member boundaries (magic
+scan) without understanding WARC at all.  The sink packs record bytes
+into blobs with ONE shuffle on the blob key (repartition +
+sortWithinPartitions + mapInPandas — the tiler's sorted-run pattern, no
+per-tiny-group applyInPandas).
+
+Record ENCODING is pure column expressions (JVM codegen, no Python):
+headers are string concat, payload stays binary — so the hot write path
+is whole-stage-codegen until the final blob packing.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CRLF = "\r\n"
+_WARC_DATE_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.LongType()),
+        T.StructField("rec_index", T.IntegerType()),
+        T.StructField("rec_offset", T.LongType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("malformed", T.BooleanType()),
+    ]
+)
+
+PAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_content_type", T.StringType()),
+        T.StructField("html", T.BinaryType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# sink half: rows -> record bytes (pure column exprs) -> packed blobs
+
+
+def http_response_bytes(
+    html: Column,
+    content_type: Column | str = "text/html; charset=UTF-8",
+    status: Column | int = 200,
+    reason: Column | str = "OK",
+) -> Column:
+    """Binary column: a minimal deterministic HTTP/1.1 response wrapping
+    ``html`` (binary).  Pure JVM (concat on binary)."""
+    ct = F.lit(content_type) if isinstance(content_type, str) else content_type
+    st = F.lit(status).cast("string") if isinstance(status, int) else status.cast("string")
+    rs = F.lit(reason) if isinstance(reason, str) else reason
+    head = F.concat(
+        F.lit("HTTP/1.1 "),
+        st,
+        F.lit(" "),
+        rs,
+        F.lit(_CRLF),
+        F.lit("Content-Type: "),
+        ct,
+        F.lit(_CRLF),
+        F.lit("Content-Length: "),
+        F.length(html).cast("string"),
+        F.lit(_CRLF + _CRLF),
+    )
+    return F.concat(F.encode(head, "UTF-8"), html)
+
+
+def warc_record_bytes(
+    url: Column,
+    warc_ts: Column,
+    payload: Column,
+    record_id: Column | None = None,
+    warc_type: Column | str = "response",
+    content_type: Column | str = "application/http; msgtype=response",
+) -> Column:
+    """Binary column: one framed WARC record (header + payload + CRLFCRLF).
+
+    ``payload`` is binary (typically :func:`http_response_bytes`);
+    ``warc_ts`` a timestamp.  Deterministic: the record id defaults to a
+    hash of (url, ts) rather than a random uuid, so re-encodes are
+    byte-identical — the repo-wide reproducibility contract."""
+    wt = F.lit(warc_type) if isinstance(warc_type, str) else warc_type
+    ct = F.lit(content_type) if isinstance(content_type, str) else content_type
+    rid = (
+        record_id
+        if record_id is not None
+        else F.concat(
+            F.lit("urn:sha256:"),
+            F.sha2(F.concat(url, F.lit("@"), warc_ts.cast("string")), 256),
+        )
+    )
+    head = F.concat(
+        F.lit("WARC/1.0" + _CRLF),
+        F.lit("WARC-Type: "),
+        wt,
+        F.lit(_CRLF),
+        F.lit("WARC-Record-ID: <"),
+        rid,
+        F.lit(">" + _CRLF),
+        F.lit("WARC-Date: "),
+        F.date_format(warc_ts, _WARC_DATE_FMT),
+        F.lit(_CRLF),
+        F.lit("WARC-Target-URI: "),
+        url,
+        F.lit(_CRLF),
+        F.lit("Content-Type: "),
+        ct,
+        F.lit(_CRLF),
+        F.lit("Content-Length: "),
+        F.length(payload).cast("string"),
+        F.lit(_CRLF + _CRLF),
+    )
+    return F.concat(F.encode(head, "UTF-8"), payload, F.encode(F.lit(_CRLF + _CRLF), "UTF-8"))
+
+
+def pack_warc_blobs(
+    records: DataFrame,
+    blob_col: str = "blob_id",
+    order_col: str = "url",
+    bytes_col: str = "record_bytes",
+    gzip_members: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Pack per-record bytes into per-blob WARC byte streams.
+
+    ONE shuffle on the blob key, then sorted-run concatenation inside
+    mapInPandas (batch-spanning runs — the tiler's pattern; no
+    per-tiny-group applyInPandas).  ``gzip_members=True`` writes each
+    record as its own gzip member (`mtime=0`, fixed level → deterministic
+    bytes), i.e. Common Crawl's `.warc.gz` layout.
+
+    Returns (blob_id, data binary, n_records int)."""
+    cols = [blob_col, order_col, bytes_col]
+    parts = num_partitions or records.sparkSession.sparkContext.defaultParallelism
+    arranged = (
+        records.select(*cols)
+        .repartition(parts, F.col(blob_col))
+        .sortWithinPartitions(blob_col, order_col)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("blob_id", records.schema[blob_col].dataType),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("n_records", T.IntegerType()),
+        ]
+    )
+
+    def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur_key = None
+        chunks: list[bytes] = []
+        n = 0
+
+        def _flush():
+            nonlocal chunks, n
+            if cur_key is None:
+                return None
+            row = pd.DataFrame(
+                {"blob_id": [cur_key], "data": [b"".join(chunks)], "n_records": [n]}
+            )
+            chunks, n = [], 0
+            return row
+
+        for pdf in batches:
+            for key, raw in zip(pdf[blob_col], pdf[bytes_col]):
+                if key != cur_key:
+                    done = _flush()
+                    if done is not None:
+                        yield done
+                    cur_key = key
+                rec = bytes(raw)
+                if gzip_members:
+                    rec = gzip.compress(rec, compresslevel=6, mtime=0)
+                chunks.append(rec)
+                n += 1
+        done = _flush()
+        if done is not None:
+            yield done
+
+    return arranged.mapInPandas(_pack, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# source half: blobs -> records -> pages
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _split_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decode a multi-member gzip stream member by member (zlib keeps
+    `unused_data` pointing at the next member — no full-stream buffering)."""
+    view = memoryview(data)
+    pos = 0
+    while pos < len(view):
+        d = zlib.decompressobj(wbits=31)
+        yield d.decompress(bytes(view[pos:]))
+        tail = d.unused_data
+        if not tail:
+            break
+        pos = len(data) - len(tail)
+
+
+def _parse_warc_stream(blob_id, data: bytes):
+    """Walk one decompressed WARC byte stream; yields RECORD_SCHEMA tuples.
+
+    Length-driven (Content-Length), NOT delimiter-driven — binary payloads
+    containing 'WARC/1.0' never confuse it.  A malformed tail yields one
+    flagged row and stops (skip-corrupt semantics, like decode_tiles)."""
+    pos = 0
+    idx = 0
+    n = len(data)
+    while pos < n:
+        # tolerate inter-record padding
+        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0 or not data.startswith(b"WARC/", pos):
+            yield (blob_id, idx, pos, None, None, None, None, None, None, None, True)
+            return
+        headers = {}
+        for line in data[pos:head_end].decode("utf-8", "replace").split(_CRLF)[1:]:
+            k, _, v = line.partition(":")
+            if _:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            yield (blob_id, idx, pos, None, None, None, None, None, None, None, True)
+            return
+        body_start = head_end + 4
+        if body_start + clen > n:
+            yield (blob_id, idx, pos, None, None, None, None, None, None, None, True)
+            return
+        rid = headers.get("warc-record-id", "")
+        yield (
+            blob_id,
+            idx,
+            pos,
+            headers.get("warc-type"),
+            rid[1:-1] if rid.startswith("<") and rid.endswith(">") else rid or None,
+            headers.get("warc-date"),
+            headers.get("warc-target-uri"),
+            headers.get("content-type"),
+            clen,
+            data[body_start : body_start + clen],
+            False,
+        )
+        idx += 1
+        pos = body_start + clen
+
+
+def parse_warc(
+    blobs: DataFrame,
+    blob_id_col: str = "blob_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """WARC blobs -> one row per record (RECORD_SCHEMA).
+
+    Map-side only: no shuffle, parallelism == input partitioning.  Gzip
+    member framing is auto-detected per blob (magic ``1f 8b``), so plain
+    `.warc` and Common-Crawl `.warc.gz` blobs can mix in one table."""
+    src = blobs.select(F.col(blob_id_col).alias("blob_id"), F.col(data_col).alias("data"))
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob_id, raw in zip(pdf["blob_id"], pdf["data"]):
+                data = bytes(raw)
+                if data[:2] == _GZIP_MAGIC:
+                    base = 0
+                    for member in _split_gzip_members(data):
+                        for rec in _parse_warc_stream(blob_id, member):
+                            # rec_offset within the decompressed stream run
+                            rec = rec[:2] + (base + rec[2],) + rec[3:]
+                            rows.append(rec)
+                        base += len(member)
+                else:
+                    rows.extend(_parse_warc_stream(blob_id, data))
+            yield pd.DataFrame(rows, columns=[f.name for f in RECORD_SCHEMA.fields])
+
+    return src.mapInPandas(_parse, schema=RECORD_SCHEMA)
+
+
+def warc_response_pages(records: DataFrame) -> DataFrame:
+    """`response` records -> page rows (PAGE_SCHEMA): split the HTTP
+    head from the body, parse the status line + Content-Type header.
+
+    The html BYTES are sliced out verbatim (north_rule byte-identity:
+    the text path never reencodes page bytes)."""
+    resp = records.filter(
+        (F.col("warc_type") == "response") & (~F.col("malformed"))
+    ).select("target_uri", "warc_date", "payload")
+
+    def _split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for uri, wdate, payload in zip(
+                pdf["target_uri"], pdf["warc_date"], pdf["payload"]
+            ):
+                data = bytes(payload)
+                head_end = data.find(b"\r\n\r\n")
+                if head_end < 0 or not data.startswith(b"HTTP/"):
+                    rows.append((uri, wdate, None, None, data))
+                    continue
+                lines = data[:head_end].decode("utf-8", "replace").split(_CRLF)
+                parts = lines[0].split(" ", 2)
+                try:
+                    status = int(parts[1])
+                except (IndexError, ValueError):
+                    status = None
+                ctype = None
+                for line in lines[1:]:
+                    k, _, v = line.partition(":")
+                    if _ and k.strip().lower() == "content-type":
+                        ctype = v.strip()
+                        break
+                rows.append((uri, wdate, status, ctype, data[head_end + 4 :]))
+            yield pd.DataFrame(rows, columns=[f.name for f in PAGE_SCHEMA.fields])
+
+    return resp.mapInPandas(_split, schema=PAGE_SCHEMA)
