@@ -3442,6 +3442,91 @@ _WARC_EXTRACT_ORACLE_SQL = """
 """
 
 
+def _q_sitemap(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap protocol parsing (operators/crawl.py parse_sitemaps):
+    per-host sitemap XML synthesized from documents (entries with
+    optional lastmod/priority, entity-escaped query strings, plus a
+    sitemap-index child per host) parsed back into frontier rows.  The
+    oracle is ANALYTIC — it derives every field straight from the
+    synthesis arithmetic, independent of the XML writer and parser."""
+    from open_vector_tile_spark.operators.crawl import parse_sitemaps
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    k = d % 11
+    entry_s = F.concat(
+        F.lit("<url><loc>https://h"),
+        k.cast("string"),
+        F.lit(".net/doc/"),
+        d.cast("string"),
+        F.when(d % 3 == 0, F.lit("?a=1&amp;b=2")).otherwise(F.lit("")),
+        F.lit("</loc>"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("<lastmod>2026-01-"),
+                F.lpad(((d % 28) + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit("<priority>0."), (d % 10).cast("string"), F.lit("</priority>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    xml = (
+        docs.select(k.alias("k"), F.struct(d.alias("doc_id"), entry_s.alias("e")).alias("s"))
+        .groupBy("k")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda x: x["e"]), ""
+            ).alias("body")
+        )
+    )
+    kc = F.col("k").cast("string")
+    sitemaps = xml.select(
+        F.concat(F.lit("h"), kc, F.lit(".net")).alias("host"),
+        F.concat(
+            F.lit("<urlset>"),
+            F.col("body"),
+            F.lit("<sitemap><loc>https://h"),
+            kc,
+            F.lit(".net/more.xml</loc></sitemap></urlset>"),
+        ).alias("sitemap_xml"),
+    )
+    return (
+        parse_sitemaps(sitemaps)
+        .select("host", "kind", "loc", "lastmod", "priority")
+        .orderBy("loc", "kind")
+    )
+
+
+_SITEMAP_ORACLE_SQL = """
+    WITH c AS (
+      SELECT doc_id, doc_id % 11 AS k FROM documents
+    )
+    SELECT 'h' || CAST(k AS VARCHAR) || '.net' AS host,
+           'url' AS kind,
+           'https://h' || CAST(k AS VARCHAR) || '.net/doc/' || CAST(doc_id AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END) AS loc,
+           CASE WHEN doc_id % 2 = 0
+                THEN '2026-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                ELSE NULL END AS lastmod,
+           CASE WHEN doc_id % 5 = 0
+                THEN CAST('0.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE)
+                ELSE NULL END AS priority
+    FROM c
+    UNION ALL
+    SELECT DISTINCT 'h' || CAST(k AS VARCHAR) || '.net' AS host,
+           'sitemap' AS kind,
+           'https://h' || CAST(k AS VARCHAR) || '.net/more.xml' AS loc,
+           NULL AS lastmod, NULL AS priority
+    FROM c
+    ORDER BY loc, kind
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -3552,6 +3637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots": _q_robots,
         "overzoom": _q_overzoom,
         "warc_extract": _q_warc_extract,
+        "sitemap_parse": _q_sitemap,
     }
 
 
@@ -5454,4 +5540,5 @@ def oracle_sql() -> dict[str, str]:
         "robots": _ROBOTS_ORACLE_SQL,
         "overzoom": _overzoom_oracle_sql(),
         "warc_extract": _WARC_EXTRACT_ORACLE_SQL,
+        "sitemap_parse": _SITEMAP_ORACLE_SQL,
     }

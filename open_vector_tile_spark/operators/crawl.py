@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["schedule_crawl", "parse_robots", "robots_filter"]
+__all__ = ["schedule_crawl", "parse_robots", "robots_filter", "parse_sitemaps"]
 
 
 def schedule_crawl(
@@ -186,3 +186,61 @@ def robots_filter(
         ),
         "rule",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sitemap parsing (sitemaps.org XML protocol)
+
+# the chain extract_text uses, imported lazily to avoid a module cycle
+def _decode_entities(col: Column) -> Column:
+    from ..functions.text import _ENTITIES
+
+    for ent, ch in _ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Sitemap XML bodies -> one row per entry.
+
+    Handles both document kinds of the sitemaps.org protocol in one pass:
+    ``<urlset>`` page entries (kind='url') and ``<sitemapindex>`` child
+    sitemaps (kind='sitemap' — feed them back into the fetcher).  Per
+    entry: entity-decoded ``loc`` plus optional ``lastmod`` / ``changefreq``
+    / ``priority`` ('' -> NULL, priority cast to double).
+
+    Entirely JVM-side (two regexp_extract_all inventories + per-block
+    regexp_extract — map-only, no shuffle, no Python; patterns avoid
+    backreferences so a DuckDB RE2 twin can replay them verbatim).  At
+    10^12 scale this is a flatMap over the robots/sitemap fetch table:
+    parallelism == input partitioning.
+    """
+    xml = F.col(xml_col).cast("string")
+
+    def _entries(kind: str) -> DataFrame:
+        block = F.explode(
+            F.regexp_extract_all(xml, F.lit(f"(?s)<{kind}>(.*?)</{kind}>"), F.lit(1))
+        ).alias("_block")
+        b = F.col("_block")
+
+        def _field(tag: str) -> Column:
+            return F.nullif(
+                F.regexp_extract(b, f"(?s)<{tag}>\\s*([^<]*?)\\s*</{tag}>", 1),
+                F.lit(""),
+            )
+
+        return sitemaps.select(F.col(host_col).alias("host"), block).select(
+            "host",
+            F.lit(kind).alias("kind"),
+            _decode_entities(_field("loc")).alias("loc"),
+            _field("lastmod").alias("lastmod"),
+            _field("changefreq").alias("changefreq"),
+            _field("priority").cast("double").alias("priority"),
+        )
+
+    out = _entries("url").unionAll(_entries("sitemap"))
+    return out.filter(F.col("loc").isNotNull())

@@ -204,3 +204,90 @@ def test_robots_randomized_matches_reference(spark):
         host = u.split("://")[1].split("/")[0]
         path = u[len("https://" + host):] or "/"
         assert got[u] == _ref_allowed(path, ref_rules[host]), u
+
+
+# ---------------------------------------------------------------------------
+# parse_sitemaps
+
+
+def _sm_df(spark, rows):
+    return spark.createDataFrame(rows, "host string, sitemap_xml string")
+
+
+def test_sitemap_url_entries_all_fields(spark):
+    from open_vector_tile_spark.operators.crawl import parse_sitemaps
+
+    xml = (
+        "<?xml version='1.0'?><urlset>"
+        "<url><loc>https://a.org/p1</loc><lastmod>2026-01-02</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>  https://a.org/p2?x=1&amp;y=2  </loc></url>"
+        "<url><lastmod>2026-01-03</lastmod></url>"  # no loc -> dropped
+        "</urlset>"
+    )
+    got = (
+        parse_sitemaps(_sm_df(spark, [("a.org", xml)]))
+        .orderBy("loc")
+        .collect()
+    )
+    assert len(got) == 2
+    full, bare = got[0], got[1]
+    assert full["loc"] == "https://a.org/p1"
+    assert (full["lastmod"], full["changefreq"], full["priority"]) == (
+        "2026-01-02",
+        "daily",
+        0.8,
+    )
+    assert full["kind"] == "url"
+    # entity decoded + whitespace trimmed; absent fields are NULL not ''
+    assert bare["loc"] == "https://a.org/p2?x=1&y=2"
+    assert bare["lastmod"] is None and bare["changefreq"] is None
+    assert bare["priority"] is None
+
+
+def test_sitemap_index_children(spark):
+    from open_vector_tile_spark.operators.crawl import parse_sitemaps
+
+    xml = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://a.org/sm1.xml</loc><lastmod>2026-02-01</lastmod></sitemap>"
+        "<sitemap><loc>https://a.org/sm2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    got = parse_sitemaps(_sm_df(spark, [("a.org", xml)])).orderBy("loc").collect()
+    assert [r["kind"] for r in got] == ["sitemap", "sitemap"]
+    assert [r["loc"] for r in got] == ["https://a.org/sm1.xml", "https://a.org/sm2.xml"]
+    assert got[0]["lastmod"] == "2026-02-01"
+
+
+def test_sitemap_mixed_hosts_and_randomized_parity(spark):
+    """Randomized parity vs an independent python (ElementTree-free,
+    regex-free) reference built from the same synthesis plan."""
+    from open_vector_tile_spark.operators.crawl import parse_sitemaps
+
+    import random
+
+    rng = random.Random(7)
+    rows, expected = [], set()
+    for h in range(6):
+        host = f"h{h}.net"
+        parts = ["<urlset>"]
+        for i in range(rng.randrange(0, 8)):
+            loc = f"https://{host}/doc/{i}"
+            parts.append(f"<url><loc>{loc}</loc>")
+            lastmod = None
+            if rng.random() < 0.5:
+                lastmod = f"2026-0{1 + i % 9}-11"
+                parts.append(f"<lastmod>{lastmod}</lastmod>")
+            parts.append("</url>")
+            expected.add((host, "url", loc, lastmod))
+        if rng.random() < 0.5:
+            parts.append(f"<sitemap><loc>https://{host}/more.xml</loc></sitemap>")
+            expected.add((host, "sitemap", f"https://{host}/more.xml", None))
+        parts.append("</urlset>")
+        rows.append((host, "".join(parts)))
+    got = {
+        (r["host"], r["kind"], r["loc"], r["lastmod"])
+        for r in parse_sitemaps(_sm_df(spark, rows)).collect()
+    }
+    assert got == expected
