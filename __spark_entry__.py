@@ -3442,6 +3442,79 @@ _WARC_EXTRACT_ORACLE_SQL = """
 """
 
 
+def _q_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs/authorities (operators/graph.py hits): the complementary
+    web-graph score to pagerank — 4 mutual-reinforcement rounds with L2
+    normalization per half-step, deterministic mode (inflow and
+    sum-of-squares folds are the repo's sorted fold) so every round
+    replays bit-for-bit in DuckDB.  Same synthesized link graph as the
+    pagerank query (forward chains, section hubs, sparse cross links)."""
+    from open_vector_tile_spark.operators.graph import hits
+
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    d = F.col("id")
+    chain = docs.filter(d % 7 <= 4).select(d.alias("src"), (d + 1).alias("dst"))
+    hub = docs.filter(d % 50 != 0).select(d.alias("src"), (d - d % 50).alias("dst"))
+    cross = docs.filter(d % 11 == 0).select(d.alias("src"), (d + 13).alias("dst"))
+    edges = chain.union(hub).union(cross).join(docs.select(d.alias("dst")), on="dst")
+    out = hits(edges, n_iter=4, nodes=docs, deterministic=True)
+    return out.select(F.col("id").alias("doc_id"), "hub", "auth").orderBy("doc_id")
+
+
+def _hits_iters_sql(n_iter: int = 4) -> str:
+    """Unrolled HITS rounds: expects ``ids(id)`` and ``e(s, t)`` CTEs;
+    emits ``h0``..``h{n}`` / ``a1``..``a{n}``.  Ordered float sums replay
+    the Spark sorted folds bit-for-bit; the norm-0 guard matches the
+    operator's no-edge behavior."""
+    its = ["h0 AS (SELECT id, 1.0 AS hub FROM ids)"]
+    for k in range(1, n_iter + 1):
+        its.append(f"""
+        ar{k} AS (
+          SELECT e.t AS id, sum(h.hub ORDER BY h.hub) AS raw
+          FROM e JOIN h{k - 1} h ON h.id = e.s GROUP BY e.t
+        ), an{k} AS (
+          SELECT sqrt(coalesce(sum(raw*raw ORDER BY raw*raw), 0.0)) AS nrm
+          FROM ar{k}
+        ), a{k} AS (
+          SELECT ids.id,
+                 CASE WHEN n.nrm > 0.0
+                      THEN coalesce(r.raw, 0.0) / n.nrm ELSE 0.0 END AS auth
+          FROM ids LEFT JOIN ar{k} r USING (id) CROSS JOIN an{k} n
+        ), hr{k} AS (
+          SELECT e.s AS id, sum(a.auth ORDER BY a.auth) AS raw
+          FROM e JOIN a{k} a ON a.id = e.t GROUP BY e.s
+        ), hn{k} AS (
+          SELECT sqrt(coalesce(sum(raw*raw ORDER BY raw*raw), 0.0)) AS nrm
+          FROM hr{k}
+        ), h{k} AS (
+          SELECT ids.id,
+                 CASE WHEN n.nrm > 0.0
+                      THEN coalesce(r.raw, 0.0) / n.nrm ELSE 0.0 END AS hub
+          FROM ids LEFT JOIN hr{k} r USING (id) CROSS JOIN hn{k} n
+        )""")
+    return ",".join(its)
+
+
+def _hits_oracle_sql(n_iter: int = 4) -> str:
+    return f"""
+        WITH ids AS (
+          SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+        ), e0 AS (
+          SELECT id AS s, id + 1 AS t FROM ids WHERE id % 7 <= 4
+          UNION ALL
+          SELECT id, id - id % 50 FROM ids WHERE id % 50 <> 0
+          UNION ALL
+          SELECT id, id + 13 FROM ids WHERE id % 11 = 0
+        ), e AS (
+          SELECT DISTINCT s, t FROM e0 JOIN ids n ON n.id = e0.t WHERE s <> t
+        ), {_hits_iters_sql(n_iter)}
+        SELECT h.id AS doc_id, h.hub, a.auth
+        FROM h{n_iter} h JOIN a{n_iter} a USING (id) ORDER BY doc_id
+    """
+
+
 def _q_sitemap(spark: SparkSession, sf: str) -> DataFrame:
     """Sitemap protocol parsing (operators/crawl.py parse_sitemaps):
     per-host sitemap XML synthesized from documents (entries with
@@ -3638,6 +3711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overzoom": _q_overzoom,
         "warc_extract": _q_warc_extract,
         "sitemap_parse": _q_sitemap,
+        "hits": _q_hits,
     }
 
 
@@ -5541,4 +5615,5 @@ def oracle_sql() -> dict[str, str]:
         "overzoom": _overzoom_oracle_sql(),
         "warc_extract": _WARC_EXTRACT_ORACLE_SQL,
         "sitemap_parse": _SITEMAP_ORACLE_SQL,
+        "hits": _hits_oracle_sql(),
     }

@@ -303,3 +303,105 @@ def dedup_components(
             F.col("comp_size").cast("long").alias("comp_size"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    nodes: DataFrame | None = None,
+    deterministic: bool = False,
+) -> DataFrame:
+    """Kleinberg's HITS over a directed edge list -> (id, hub, auth).
+
+    The complementary web-graph score to :func:`pagerank`: authorities are
+    pages good links point AT (the content you want in a training corpus),
+    hubs are pages that point at good authorities (directories / link
+    lists — crawl seeds, but often boilerplate to filter OUT).  Standard
+    mutual-reinforcement power iteration with L2 normalization per
+    half-step:
+
+        auth_k(v) = Σ hub_{k-1}(u) over in-edges (u,v),   / ||auth_k||
+        hub_k(u)  = Σ auth_k(v)    over out-edges (u,v),  / ||hub_k||
+
+    Shape per round (same discipline as pagerank): two (edges ⋈ state)
+    joins on the endpoint key with map-side partial aggregation — hub
+    pages with 10^6 out-links combine before the shuffle; each L2 norm is
+    a 1-row aggregate broadcast back; state is localCheckpoint-ed per
+    round with the previous round's blocks freed immediately.
+
+    ``deterministic=True`` switches the three float sums per half-step
+    (inflow and the norm's sum of squares) to the repo's sorted fold so a
+    DuckDB oracle replays every iteration bit-for-bit
+    (``sum(x ORDER BY x)`` / ``sum(x*x ORDER BY x*x)``); a graph with no
+    edges yields all-zero scores rather than NaN (norm-0 guard).
+
+    Edges are deduplicated and self-loops dropped (simple-graph
+    convention, matching pagerank); ``nodes`` optionally adds isolated
+    ids (score 0, but present in the output).
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = edges.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("t")
+    )
+    e = e.filter(F.col("s") != F.col("t")).distinct().localCheckpoint(eager=True)
+    ids = e.select(F.col("s").alias("id")).union(e.select(F.col("t").alias("id")))
+    if nodes is not None:
+        if len(nodes.columns) != 1:
+            raise ValueError(
+                f"hits nodes must have exactly one id column, got {nodes.columns}"
+            )
+        dt = nodes.schema[nodes.columns[0]].dataType.simpleString()
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"hits nodes id column must be integral, got {dt} "
+                "(hash string ids to int64 first, e.g. xxhash64)"
+            )
+        ids = ids.union(nodes.select(F.col(nodes.columns[0]).cast("long").alias("id")))
+    ids = ids.distinct().localCheckpoint(eager=True)
+    fold = _fold_sum if deterministic else F.sum
+
+    def _half_step(state: DataFrame, score: str, join_key: str, out_key: str, out: str):
+        """One normalized propagation: sum `score` across edges grouped by
+        the far endpoint, L2-normalize, left-join back onto all ids."""
+        raw = (
+            e.join(state.select(F.col("id").alias(join_key), score), on=join_key)
+            .select(F.col(out_key).alias("id"), F.col(score).alias("c"))
+            .groupBy("id")
+            .agg(fold(F.col("c")).alias("raw"))
+        )
+        norm = raw.agg(
+            F.sqrt(
+                F.coalesce(fold(F.col("raw") * F.col("raw")), F.lit(0.0))
+            ).alias("nrm")
+        )
+        return (
+            state.join(raw, on="id", how="left")
+            .crossJoin(F.broadcast(norm))
+            .select(
+                *[c for c in state.columns if c != out],
+                F.when(
+                    F.col("nrm") > 0.0,
+                    F.coalesce("raw", F.lit(0.0)) / F.col("nrm"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias(out),
+            )
+        )
+
+    state = ids.select(
+        "id", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        # auth from hubs (in-edges), then hubs from the NEW auth (out-edges)
+        mid = _half_step(state, "hub", "s", "t", "auth")
+        new_state = _half_step(mid, "auth", "t", "s", "hub").select(
+            "id", "hub", "auth"
+        ).localCheckpoint(eager=True)
+        _free_checkpoint(state)
+        state = new_state
+    _free_checkpoint(e)
+    _free_checkpoint(ids)
+    return state

@@ -253,3 +253,99 @@ def test_pagerank_param_validation(spark):
         pagerank(df, damping=1.0)
     with pytest.raises(ValueError, match="n_iter"):
         pagerank(df, n_iter=0)
+
+
+# ---------------------------------------------------------------------------
+# HITS
+
+
+def _py_hits(edge_list, ids, n_iter):
+    """Independent numpy reference (textbook HITS, L2 per half-step)."""
+    import numpy as np
+
+    order = sorted(ids)
+    idx = {v: i for i, v in enumerate(order)}
+    edges = sorted({(s, t) for s, t in edge_list if s != t})
+    hub = np.ones(len(order))
+    auth = np.zeros(len(order))
+    for _ in range(n_iter):
+        auth = np.zeros(len(order))
+        for s, t in edges:
+            auth[idx[t]] += hub[idx[s]]
+        n = float(np.sqrt((auth**2).sum()))
+        auth = auth / n if n > 0 else auth
+        hub = np.zeros(len(order))
+        for s, t in edges:
+            hub[idx[s]] += auth[idx[t]]
+        n = float(np.sqrt((hub**2).sum()))
+        hub = hub / n if n > 0 else hub
+    return {v: (hub[i], auth[i]) for v, i in idx.items()}
+
+
+def test_hits_random_graph_parity(spark):
+    import random
+
+    from open_vector_tile_spark.operators.graph import hits
+
+    rng = random.Random(11)
+    ids = list(range(40))
+    edge_list = [
+        (rng.randrange(40), rng.randrange(40)) for _ in range(160)
+    ] + [(3, 3), (5, 5)]  # self loops must be ignored
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r["id"]: (r["hub"], r["auth"]) for r in hits(df, n_iter=4, nodes=nodes).collect()}
+    want = _py_hits(edge_list, ids, 4)
+    assert set(got) == set(want)
+    for v in ids:
+        assert got[v][0] == pytest.approx(want[v][0], rel=1e-9, abs=1e-12)
+        assert got[v][1] == pytest.approx(want[v][1], rel=1e-9, abs=1e-12)
+
+
+def test_hits_star_graph(spark):
+    """leaves -> center: center is the sole authority (1.0), leaves are
+    uniform hubs (1/sqrt(L)), center's hub score is 0."""
+    from open_vector_tile_spark.operators.graph import hits
+
+    L = 9
+    df = spark.createDataFrame([(i, 100) for i in range(L)], "src long, dst long")
+    got = {r["id"]: r for r in hits(df, n_iter=3).collect()}
+    assert got[100]["auth"] == pytest.approx(1.0)
+    assert got[100]["hub"] == pytest.approx(0.0)
+    for i in range(L):
+        assert got[i]["hub"] == pytest.approx(1.0 / L**0.5)
+        assert got[i]["auth"] == pytest.approx(0.0)
+
+
+def test_hits_no_edges_and_validation(spark):
+    from open_vector_tile_spark.operators.graph import hits
+
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    empty = spark.createDataFrame([], "src long, dst long")
+    rows = hits(empty, n_iter=2, nodes=nodes).collect()
+    assert {r["id"] for r in rows} == {1, 2}
+    assert all(r["hub"] == 0.0 and r["auth"] == 0.0 for r in rows)
+    with pytest.raises(ValueError):
+        hits(empty, n_iter=0)
+    bad = spark.createDataFrame([("a",)], "id string")
+    with pytest.raises(TypeError):
+        hits(empty, n_iter=1, nodes=bad)
+
+
+def test_hits_deterministic_mode_stable_across_partitioning(spark):
+    from open_vector_tile_spark.operators.graph import hits
+
+    import random
+
+    rng = random.Random(3)
+    edge_list = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    a = {
+        r["id"]: (r["hub"], r["auth"])
+        for r in hits(df.repartition(1), n_iter=3, deterministic=True).collect()
+    }
+    b = {
+        r["id"]: (r["hub"], r["auth"])
+        for r in hits(df.repartition(13), n_iter=3, deterministic=True).collect()
+    }
+    assert a == b  # bit-for-bit, not approx
