@@ -3442,6 +3442,97 @@ _WARC_EXTRACT_ORACLE_SQL = """
 """
 
 
+def _q_anchor_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-text aggregation (operators/links.py anchor_summary): how
+    the web describes each target page — case-folded anchors pooled per
+    dst, one partial-agg shuffle on (dst, anchor), per-target top-k
+    window over the reduced table.  Links synthesized from doc_id
+    arithmetic: three anchor spellings that must pool, a duplicate link
+    from even docs (cnt > srcs), empty anchors dropped, two target
+    families.  Oracle replays the same GROUP BY + window analytically."""
+    from open_vector_tile_spark.operators.links import anchor_summary
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    src = F.concat(F.lit("https://s"), d.cast("string"), F.lit(".org/p"))
+    t_dst = F.concat(F.lit("https://t"), (d % 17).cast("string"), F.lit(".net/"))
+    t_anchor = (
+        F.when(d % 4 == 0, F.lit("Home"))
+        .when(d % 4 == 1, F.lit("home "))
+        .when(d % 4 == 2, F.lit(" HOME"))
+        .otherwise(F.lit("visit"))
+    )
+    u_dst = F.concat(F.lit("https://u"), (d % 29).cast("string"), F.lit(".com/"))
+    u_anchor = F.when(d % 5 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("u"), (d % 3).cast("string"))
+    )
+    about = F.concat(t_dst, F.lit("about"))
+    links = docs.select(
+        src.alias("src_url"),
+        F.explode(
+            F.when(
+                d % 2 == 0,
+                F.array(
+                    F.struct(t_dst.alias("dst_url"), t_anchor.alias("anchor")),
+                    F.struct(t_dst.alias("dst_url"), t_anchor.alias("anchor")),
+                    F.struct(about.alias("dst_url"), F.lit("about").alias("anchor")),
+                    F.struct(u_dst.alias("dst_url"), u_anchor.alias("anchor")),
+                ),
+            ).otherwise(
+                F.array(
+                    F.struct(t_dst.alias("dst_url"), t_anchor.alias("anchor")),
+                    F.struct(about.alias("dst_url"), F.lit("about").alias("anchor")),
+                    F.struct(u_dst.alias("dst_url"), u_anchor.alias("anchor")),
+                )
+            )
+        ).alias("l"),
+    ).select("src_url", "l.dst_url", "l.anchor")
+    out = anchor_summary(links, top_k=3)
+    return out.orderBy("dst_url", "rank")
+
+
+_ANCHOR_TEXT_ORACLE_SQL = """
+    WITH d2 AS (SELECT doc_id AS d FROM documents),
+    l0 AS (
+      SELECT d, 'https://t' || CAST(d % 17 AS VARCHAR) || '.net/' AS dst,
+             CASE d % 4 WHEN 0 THEN 'Home' WHEN 1 THEN 'home '
+                        WHEN 2 THEN ' HOME' ELSE 'visit' END AS anchor,
+             CASE WHEN d % 2 = 0 THEN 2 ELSE 1 END AS copies
+      FROM d2
+      UNION ALL
+      SELECT d, 'https://t' || CAST(d % 17 AS VARCHAR) || '.net/about',
+             'about', 1 FROM d2
+      UNION ALL
+      SELECT d, 'https://u' || CAST(d % 29 AS VARCHAR) || '.com/',
+             CASE WHEN d % 5 = 0 THEN '' ELSE 'u' || CAST(d % 3 AS VARCHAR) END,
+             1 FROM d2
+    ),
+    base AS (
+      SELECT 'https://s' || CAST(d AS VARCHAR) || '.org/p' AS src,
+             dst, lower(trim(anchor)) AS anchor, copies
+      FROM l0 WHERE lower(trim(anchor)) <> ''
+    ),
+    g AS (
+      SELECT dst, anchor, CAST(sum(copies) AS BIGINT) AS cnt,
+             CAST(count(DISTINCT src) AS BIGINT) AS srcs
+      FROM base GROUP BY dst, anchor
+    ),
+    t AS (
+      SELECT dst, CAST(sum(cnt) AS BIGINT) AS n_links,
+             CAST(count(*) AS BIGINT) AS n_anchors
+      FROM g GROUP BY dst
+    ),
+    w AS (
+      SELECT g.*, CAST(row_number() OVER (
+               PARTITION BY dst ORDER BY cnt DESC, srcs DESC, anchor ASC
+             ) AS INT) AS rank
+      FROM g
+    )
+    SELECT w.dst AS dst_url, t.n_links, t.n_anchors, w.anchor, w.cnt, w.srcs, w.rank
+    FROM w JOIN t USING (dst) WHERE rank <= 3 ORDER BY dst_url, rank
+"""
+
+
 def _q_hits(spark: SparkSession, sf: str) -> DataFrame:
     """HITS hubs/authorities (operators/graph.py hits): the complementary
     web-graph score to pagerank — 4 mutual-reinforcement rounds with L2
@@ -3712,6 +3803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": _q_warc_extract,
         "sitemap_parse": _q_sitemap,
         "hits": _q_hits,
+        "anchor_text": _q_anchor_text,
     }
 
 
@@ -5616,4 +5708,5 @@ def oracle_sql() -> dict[str, str]:
         "warc_extract": _WARC_EXTRACT_ORACLE_SQL,
         "sitemap_parse": _SITEMAP_ORACLE_SQL,
         "hits": _hits_oracle_sql(),
+        "anchor_text": _ANCHOR_TEXT_ORACLE_SQL,
     }

@@ -19,7 +19,7 @@ performed; relative hrefs resolve against the base directory as-is.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from open_vector_tile_spark.functions.url import normalize_url
@@ -138,3 +138,51 @@ def host_edges(links: DataFrame, src: str = "url", dst: str = "dst_url") -> Data
         & (F.col("src_host") != "")
         & (F.col("dst_host") != "")
     ).distinct()
+
+
+def anchor_summary(
+    links: DataFrame,
+    src: str = "src_url",
+    dst: str = "dst_url",
+    anchor: str = "anchor",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic document-expansion
+    / ranking signal: how the web DESCRIBES a page (anchor words often
+    beat the page's own title; empty/whitespace anchors are dropped,
+    case-folded + trimmed so 'About' and 'about ' pool).
+
+    -> one row per (dst_url, kept anchor): ``n_links``/``n_anchors``
+    totals for the target plus the anchor's ``cnt`` (link occurrences),
+    ``srcs`` (distinct linking pages), and dense ``rank`` (1 = most
+    common).  Only the ``top_k`` anchors per target survive.
+
+    Scale shape (10^12 links): ONE partial-aggregated shuffle on
+    (dst, anchor) does the heavy reduction — a celebrity page's 10^8
+    in-links combine map-side; the per-target window and the totals
+    aggregate then run on the already-reduced table (≤ distinct-anchor
+    rows, not link rows), and totals join winners on dst.  No second
+    scan of the link table.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    a = F.lower(F.trim(F.col(anchor)))
+    base = links.select(
+        F.col(dst).alias("dst_url"), a.alias("anchor"), F.col(src).alias("_s")
+    ).filter(F.col("anchor").isNotNull() & (F.col("anchor") != ""))
+    g = base.groupBy("dst_url", "anchor").agg(
+        F.count("*").alias("cnt"), F.count_distinct(F.col("_s")).alias("srcs")
+    )
+    totals = g.groupBy("dst_url").agg(
+        F.sum("cnt").alias("n_links"), F.count("*").alias("n_anchors")
+    )
+    w = Window.partitionBy("dst_url").orderBy(
+        F.desc("cnt"), F.desc("srcs"), F.asc("anchor")
+    )
+    winners = (
+        g.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+    return winners.join(totals, on="dst_url").select(
+        "dst_url", "n_links", "n_anchors", "anchor", "cnt", "srcs", "rank"
+    )

@@ -144,3 +144,57 @@ def test_host_edges(spark):
     )
     got = {(r["src_host"], r["dst_host"]) for r in host_edges(links).collect()}
     assert got == {("a.com", "b.org")}
+
+
+# ---------------------------------------------------------------------------
+# anchor_summary
+
+
+def test_anchor_summary_counts_rank_and_fold(spark):
+    from open_vector_tile_spark.operators.links import anchor_summary
+
+    rows = [
+        # 4 links to /t with anchors pooling across case/space; 2 sources
+        ("p1", "https://x.org/t", "Home"),
+        ("p1", "https://x.org/t", " home "),
+        ("p2", "https://x.org/t", "home"),
+        ("p2", "https://x.org/t", "start"),
+        # empty/whitespace anchors dropped
+        ("p3", "https://x.org/t", "  "),
+        ("p3", "https://x.org/t", ""),
+        # second target: single link
+        ("p1", "https://y.org/", "Y"),
+    ]
+    df = spark.createDataFrame(rows, "src_url string, dst_url string, anchor string")
+    got = {
+        (r["dst_url"], r["anchor"]): r
+        for r in anchor_summary(df, top_k=2).collect()
+    }
+    home = got[("https://x.org/t", "home")]
+    assert (home["cnt"], home["srcs"], home["rank"]) == (3, 2, 1)
+    assert (home["n_links"], home["n_anchors"]) == (4, 2)
+    start = got[("https://x.org/t", "start")]
+    assert (start["cnt"], start["srcs"], start["rank"]) == (1, 1, 2)
+    y = got[("https://y.org/", "y")]
+    assert (y["cnt"], y["n_links"], y["n_anchors"], y["rank"]) == (1, 1, 1, 1)
+
+
+def test_anchor_summary_topk_and_ties(spark):
+    from open_vector_tile_spark.operators.links import anchor_summary
+
+    rows = []
+    for i, (a, n) in enumerate([("alpha", 3), ("beta", 3), ("gamma", 2), ("delta", 1)]):
+        rows += [(f"s{i}-{j}", "https://z.org/", a) for j in range(n)]
+    df = spark.createDataFrame(rows, "src_url string, dst_url string, anchor string")
+    got = anchor_summary(df, top_k=3).orderBy("rank").collect()
+    # tie on cnt=3 breaks alphabetically: alpha before beta; delta cut
+    assert [(r["anchor"], r["rank"]) for r in got] == [
+        ("alpha", 1),
+        ("beta", 2),
+        ("gamma", 3),
+    ]
+    assert all(r["n_links"] == 9 and r["n_anchors"] == 4 for r in got)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        anchor_summary(df, top_k=0)
