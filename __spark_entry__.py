@@ -3442,6 +3442,86 @@ _WARC_EXTRACT_ORACLE_SQL = """
 """
 
 
+def _q_trap_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-trap detection (operators/crawl.py detect_traps): a frontier
+    synthesized with four URL classes per host — calendar template
+    explosion (trips the per-template distinct-URL threshold), a tame
+    /about class, an over-deep path, and a path cycle.  The oracle
+    replays the url_template regexp chain verbatim in DuckDB RE2 ('g'
+    flag = Spark's always-global regexp_replace) and derives
+    depth/cycle analytically per class."""
+    from open_vector_tile_spark.operators.crawl import detect_traps
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    k = d % 7
+    m = d % 4
+    path = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("/cal/"),
+                (d % 30 + 2000).cast("string"),
+                F.lit("/"),
+                (d % 12 + 1).cast("string"),
+            ),
+        )
+        .when(m == 1, F.concat(F.lit("/about/p"), (d % 3).cast("string")))
+        .when(
+            m == 2,
+            F.concat(F.lit("/s1/s2/s3/s4/s5/s6/s7/s8/s9/x"), (d % 5).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("/go/z/w/z/w/q"), d.cast("string")))
+    )
+    frontier = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), k.cast("string"), F.lit(".org")).alias("host"),
+        F.concat(F.lit("https://h"), k.cast("string"), F.lit(".org"), path).alias("url"),
+    )
+    out = detect_traps(frontier, min_urls=10, max_depth=8)
+    return out.select(
+        "doc_id",
+        "url",
+        "template",
+        "template_urls",
+        "depth",
+        F.col("cycle").cast("int").alias("cycle"),
+        F.col("is_trap").cast("int").alias("is_trap"),
+    ).orderBy("doc_id")
+
+
+_TRAP_DETECT_ORACLE_SQL = """
+    WITH c AS (
+      SELECT doc_id AS d, doc_id % 7 AS k, doc_id % 4 AS m FROM documents
+    ), u AS (
+      SELECT d, k, m,
+        'https://h' || CAST(k AS VARCHAR) || '.org' ||
+        CASE m WHEN 0 THEN '/cal/' || CAST(d % 30 + 2000 AS VARCHAR)
+                         || '/' || CAST(d % 12 + 1 AS VARCHAR)
+               WHEN 1 THEN '/about/p' || CAST(d % 3 AS VARCHAR)
+               WHEN 2 THEN '/s1/s2/s3/s4/s5/s6/s7/s8/s9/x' || CAST(d % 5 AS VARCHAR)
+               ELSE '/go/z/w/z/w/q' || CAST(d AS VARCHAR) END AS url
+      FROM c
+    ), t AS (
+      SELECT d, k, m, url,
+        regexp_replace(regexp_replace(regexp_replace(
+          url, '[0-9a-f]{8,}', 'H', 'g'), '[0-9]+', 'N', 'g'),
+          '=[^&#]*', '=', 'g') AS template
+      FROM u
+    ), g AS (
+      SELECT k, template, CAST(count(DISTINCT url) AS BIGINT) AS template_urls
+      FROM t GROUP BY k, template
+    )
+    SELECT t.d AS doc_id, t.url, t.template, g.template_urls,
+      CASE t.m WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 10 ELSE 6 END AS depth,
+      CASE WHEN t.m = 3 THEN 1 ELSE 0 END AS cycle,
+      CAST(g.template_urls >= 10
+           OR t.m = 2 OR t.m = 3 AS INT) AS is_trap
+    FROM t JOIN g ON g.k = t.k AND g.template = t.template
+    ORDER BY doc_id
+"""
+
+
 def _q_anchor_text(spark: SparkSession, sf: str) -> DataFrame:
     """Anchor-text aggregation (operators/links.py anchor_summary): how
     the web describes each target page — case-folded anchors pooled per
@@ -3804,6 +3884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": _q_sitemap,
         "hits": _q_hits,
         "anchor_text": _q_anchor_text,
+        "trap_detect": _q_trap_detect,
     }
 
 
@@ -5709,4 +5790,5 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_parse": _SITEMAP_ORACLE_SQL,
         "hits": _hits_oracle_sql(),
         "anchor_text": _ANCHOR_TEXT_ORACLE_SQL,
+        "trap_detect": _TRAP_DETECT_ORACLE_SQL,
     }

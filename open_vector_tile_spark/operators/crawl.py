@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["schedule_crawl", "parse_robots", "robots_filter", "parse_sitemaps"]
+__all__ = [
+    "schedule_crawl", "parse_robots", "robots_filter", "parse_sitemaps",
+    "url_template", "detect_traps",
+]
 
 
 def schedule_crawl(
@@ -244,3 +247,74 @@ def parse_sitemaps(
 
     out = _entries("url").unionAll(_entries("sitemap"))
     return out.filter(F.col("loc").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Crawl-trap detection
+
+
+def url_template(url: Column) -> Column:
+    """Structural template of a URL — what's left when the variable parts
+    are collapsed: long hex runs -> 'H' (session ids / content hashes,
+    collapsed FIRST so their digits don't fragment into N-runs), digit
+    runs -> 'N', query-param VALUES dropped (keys kept).  Calendar pages
+    `/cal/2026/08/18` and `/cal/2027/01/02` share one template; so do
+    `?sid=deadbeef01` session spam URLs.  Pure JVM regexps, no
+    backreferences (DuckDB RE2 replays the chain verbatim)."""
+    t = F.regexp_replace(url, r"[0-9a-f]{8,}", "H")
+    t = F.regexp_replace(t, r"[0-9]+", "N")
+    return F.regexp_replace(t, r"=[^&#]*", "=")
+
+
+def detect_traps(
+    frontier: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    min_urls: int = 100,
+    max_depth: int = 8,
+) -> DataFrame:
+    """Flag crawler traps in a frontier — the URL families that eat fetch
+    budget without adding content: calendar/pagination/session-id spaces
+    where one page template generates unbounded URLs, unboundedly deep
+    paths, and path-segment cycles (`/a/b/a/b/a/b`).
+
+    Adds per-URL columns:
+      - ``template``       (:func:`url_template`)
+      - ``template_urls``  distinct frontier URLs sharing (host, template)
+      - ``depth``          path-segment count
+      - ``cycle``          true when >= 2 duplicate path segments
+      - ``is_trap``        template_urls >= min_urls OR depth > max_depth
+                           OR cycle
+
+    Scale shape (10^12-URL frontier): template counting is ONE
+    partial-aggregated shuffle on (host, template) — the reduced table is
+    ~templates, orders of magnitude smaller than URLs — and the verdict
+    join shuffles on the same key (AQE broadcasts the reduced side when
+    it fits).  Everything else is map-side column exprs.
+    """
+    if min_urls < 1:
+        raise ValueError(f"min_urls must be >= 1, got {min_urls}")
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    u = F.col(url_col)
+    # path = after the host, before ?/#; '' for bare hosts
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    base = frontier.withColumn("template", url_template(u)).withColumn(
+        "depth", F.size(segs)
+    ).withColumn(
+        "cycle", (F.size(segs) - F.size(F.array_distinct(segs))) >= 2
+    )
+    counts = base.groupBy(F.col(host_col).alias("_h"), F.col("template").alias("_t")).agg(
+        F.count_distinct(u).alias("template_urls")
+    )
+    out = base.join(
+        counts,
+        (F.col(host_col) == F.col("_h")) & (F.col("template") == F.col("_t")),
+    ).drop("_h", "_t")
+    return out.withColumn(
+        "is_trap",
+        (F.col("template_urls") >= min_urls)
+        | (F.col("depth") > max_depth)
+        | F.col("cycle"),
+    )

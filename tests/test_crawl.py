@@ -291,3 +291,65 @@ def test_sitemap_mixed_hosts_and_randomized_parity(spark):
         for r in parse_sitemaps(_sm_df(spark, rows)).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# detect_traps
+
+
+def test_url_template_collapses_variability(spark):
+    from open_vector_tile_spark.operators.crawl import url_template
+
+    rows = [
+        ("https://a.org/cal/2026/08/18",),
+        ("https://a.org/cal/2027/01/02",),
+        ("https://a.org/item?id=55&sort=asc",),
+        ("https://a.org/item?id=99&sort=desc",),
+        ("https://a.org/s/deadbeef0099cafe/page",),
+        ("https://a.org/s/0123456789abcdef/page",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = [r[0] for r in df.select(url_template("url")).collect()]
+    assert got[0] == got[1] == "https://a.org/cal/N/N/N"
+    assert got[2] == got[3] == "https://a.org/item?id=&sort="
+    assert got[4] == got[5] == "https://a.org/s/H/page"
+
+
+def test_detect_traps_signals(spark):
+    from open_vector_tile_spark.operators.crawl import detect_traps
+
+    rows = (
+        # calendar trap: 30 urls, one template
+        [("trap.org", f"https://trap.org/cal/2026/{m:02d}/{d:02d}") for m, d in
+         [(i // 6 + 1, i % 6 + 1) for i in range(30)]]
+        # normal host: 5 distinct templates
+        + [("ok.org", f"https://ok.org/page{chr(97 + i)}") for i in range(5)]
+        # deep path
+        + [("deep.org", "https://deep.org/" + "/".join("abcdefghij"))]
+        # cycle /a/b/a/b/a
+        + [("cyc.org", "https://cyc.org/a/b/a/b/a")]
+    )
+    df = spark.createDataFrame(rows, "host string, url string")
+    got = {r["url"]: r for r in detect_traps(df, min_urls=20, max_depth=8).collect()}
+    trap = [r for u, r in got.items() if "trap.org" in u]
+    assert all(r["is_trap"] and r["template_urls"] == 30 for r in trap)
+    ok = [r for u, r in got.items() if "ok.org" in u]
+    assert all((not r["is_trap"]) and r["template_urls"] == 1 for r in ok)
+    deep = got["https://deep.org/" + "/".join("abcdefghij")]
+    assert deep["is_trap"] and deep["depth"] == 10 and not deep["cycle"]
+    cyc = got["https://cyc.org/a/b/a/b/a"]
+    assert cyc["is_trap"] and cyc["cycle"] and cyc["depth"] == 5
+
+
+def test_detect_traps_validation_and_bare_host(spark):
+    from open_vector_tile_spark.operators.crawl import detect_traps
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a.org", "https://a.org")], "host string, url string")
+    r = detect_traps(df, min_urls=2).collect()[0]
+    assert r["depth"] == 0 and not r["cycle"] and not r["is_trap"]
+    with _pytest.raises(ValueError):
+        detect_traps(df, min_urls=0)
+    with _pytest.raises(ValueError):
+        detect_traps(df, max_depth=0)
