@@ -3442,6 +3442,118 @@ _WARC_EXTRACT_ORACLE_SQL = """
 """
 
 
+def _q_viewport_cover(spark: SparkSession, sf: str) -> DataFrame:
+    """Viewport tile cover (functions/geo.py viewport_tiles): the tile
+    server's inverse query — (bbox, zoom) requests synthesized from
+    doc_id arithmetic explode into covering (tile_x, tile_y) keys, pure
+    column exprs, no shuffle.  Three request classes: ordinary boxes at
+    per-row zooms 4-6, antimeridian-crossing boxes (min_lon > max_lon
+    splits into two x-ranges), and oversize boxes that must NOT explode
+    (one flagged row, n_tiles auditable).  The oracle replays the
+    mercator floor/clamp and the range explosion in SQL."""
+    from open_vector_tile_spark.functions.geo import viewport_tiles
+
+    docs = _doc_points(_load(spark, sf, "documents"))
+    d = F.col("doc_id")
+    clon, clat = F.col("lon"), F.col("lat")
+    am = d % 11 == 0
+    big = d % 13 == 0
+    vp = docs.select(
+        "doc_id",
+        F.when(am, F.lit(175.0))
+        .when(big, clon - 20.0)
+        .otherwise(clon - (F.lit(0.5) + (d % 5)))
+        .alias("min_lon"),
+        F.when(am, F.lit(-5.0) + (d % 7))
+        .when(big, clat - 15.0)
+        .otherwise(clat - (F.lit(0.3) + (d % 3) * 0.4))
+        .alias("min_lat"),
+        F.when(am, F.lit(-175.0))
+        .when(big, clon + 20.0)
+        .otherwise(clon + (F.lit(0.5) + (d % 5)))
+        .alias("max_lon"),
+        F.when(am, F.lit(5.0) + (d % 7))
+        .when(big, clat + 15.0)
+        .otherwise(clat + (F.lit(0.3) + (d % 3) * 0.4))
+        .alias("max_lat"),
+        F.when(am, F.lit(3)).when(big, F.lit(7)).otherwise((d % 3 + 4).cast("int")).alias("zoom"),
+    )
+    out = viewport_tiles(vp, max_tiles=256)
+    return out.select(
+        "doc_id",
+        "zoom",
+        "n_tiles",
+        "tile_x",
+        "tile_y",
+        F.col("oversized").cast("int").alias("oversized"),
+    ).orderBy("doc_id", "tile_x", "tile_y")
+
+
+def _viewport_cover_oracle_sql() -> str:
+    merc_parts = []
+    for tag, lat_expr in (("y0", "max_lat"), ("y1", "min_lat")):
+        merc_parts.append(
+            f"CAST(greatest(0.0, least(n - 1.0, "
+            f"floor({_sql_merc_y(lat_expr)} * n))) AS BIGINT) AS {tag}"
+        )
+    return f"""
+        WITH c AS (
+          SELECT doc_id AS d, {_SQL_LON_DOC} AS clon, {_SQL_LAT_DOC} AS clat
+          FROM documents
+        ), v AS (
+          SELECT d,
+            CASE WHEN d % 11 = 0 THEN 175.0
+                 WHEN d % 13 = 0 THEN clon - 20.0
+                 ELSE clon - (0.5 + d % 5) END AS min_lon,
+            CASE WHEN d % 11 = 0 THEN -5.0 + d % 7
+                 WHEN d % 13 = 0 THEN clat - 15.0
+                 ELSE clat - (0.3 + (d % 3) * 0.4) END AS min_lat,
+            CASE WHEN d % 11 = 0 THEN -175.0
+                 WHEN d % 13 = 0 THEN clon + 20.0
+                 ELSE clon + (0.5 + d % 5) END AS max_lon,
+            CASE WHEN d % 11 = 0 THEN 5.0 + d % 7
+                 WHEN d % 13 = 0 THEN clat + 15.0
+                 ELSE clat + (0.3 + (d % 3) * 0.4) END AS max_lat,
+            CASE WHEN d % 11 = 0 THEN 3
+                 WHEN d % 13 = 0 THEN 7
+                 ELSE CAST(d % 3 + 4 AS INT) END AS zoom
+          FROM c
+        ), t AS (
+          SELECT *, pow(2.0, CAST(zoom AS DOUBLE)) AS n FROM v
+        ), b AS (
+          SELECT d, zoom, n, (min_lon <= max_lon) AS nocross,
+            CAST(greatest(0.0, least(n - 1.0,
+              floor((min_lon + 180.0) / 360.0 * n))) AS BIGINT) AS x0,
+            CAST(greatest(0.0, least(n - 1.0,
+              floor((max_lon + 180.0) / 360.0 * n))) AS BIGINT) AS x1,
+            {merc_parts[0]}, {merc_parts[1]}
+          FROM t
+        ), s AS (
+          SELECT *, (CASE WHEN nocross THEN x1 - x0 + 1
+                          ELSE (CAST(n AS BIGINT) - x0) + (x1 + 1) END)
+                    * (y1 - y0 + 1) AS n_tiles
+          FROM b
+        )
+        SELECT d AS doc_id, zoom, n_tiles, xx AS tile_x, yy AS tile_y, 0 AS oversized
+        FROM s, unnest(range(x0, x1 + 1)) AS rx(xx),
+                unnest(range(y0, y1 + 1)) AS ry(yy)
+        WHERE nocross AND n_tiles <= 256
+        UNION ALL
+        SELECT d, zoom, n_tiles, xx, yy, 0
+        FROM s, unnest(range(x0, CAST(n AS BIGINT))) AS rx(xx),
+                unnest(range(y0, y1 + 1)) AS ry(yy)
+        WHERE NOT nocross AND n_tiles <= 256
+        UNION ALL
+        SELECT d, zoom, n_tiles, xx, yy, 0
+        FROM s, unnest(range(0, x1 + 1)) AS rx(xx),
+                unnest(range(y0, y1 + 1)) AS ry(yy)
+        WHERE NOT nocross AND n_tiles <= 256
+        UNION ALL
+        SELECT d, zoom, n_tiles, NULL, NULL, 1 FROM s WHERE n_tiles > 256
+        ORDER BY doc_id, tile_x, tile_y
+    """
+
+
 def _q_trap_detect(spark: SparkSession, sf: str) -> DataFrame:
     """Crawl-trap detection (operators/crawl.py detect_traps): a frontier
     synthesized with four URL classes per host — calendar template
@@ -3885,6 +3997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": _q_hits,
         "anchor_text": _q_anchor_text,
         "trap_detect": _q_trap_detect,
+        "viewport_cover": _q_viewport_cover,
     }
 
 
@@ -5791,4 +5904,5 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_oracle_sql(),
         "anchor_text": _ANCHOR_TEXT_ORACLE_SQL,
         "trap_detect": _TRAP_DETECT_ORACLE_SQL,
+        "viewport_cover": _viewport_cover_oracle_sql(),
     }

@@ -396,3 +396,97 @@ def _ring_area(ring) -> float:
     x, y = r[:, 0], r[:, 1]
     xp, yp = np.roll(x, 1), np.roll(y, 1)
     return float(np.sum((xp - x) * (y + yp)))
+
+
+if _HAS_SPARK:
+
+    def viewport_tiles(
+        viewports: "DataFrame",
+        min_lon: str = "min_lon",
+        min_lat: str = "min_lat",
+        max_lon: str = "max_lon",
+        max_lat: str = "max_lat",
+        zoom: str = "zoom",
+        max_tiles: int = 4096,
+    ) -> "DataFrame":
+        """The tile server's inverse query: a (bbox, zoom) viewport ->
+        the exploded set of (tile_x, tile_y) keys that cover it — what a
+        map client requests per frame, and the key set a tileset scan
+        prunes on.
+
+        Per-row ``zoom`` (different clients at different zooms in one
+        table).  Antimeridian-crossing viewports (min_lon > max_lon)
+        split into two x-ranges — the standard slippy-map convention.
+        Pure column expressions end-to-end (pow/floor/sequence/explode,
+        no Python, no shuffle): cover size is data, not plan, so the
+        whole frontier of viewport requests fans out map-side.
+
+        No silent caps: a viewport covering more than ``max_tiles`` tiles
+        emits ONE row with NULL tile_x/tile_y and ``oversized=true``
+        instead of exploding (the caller decides whether to re-request at
+        a lower zoom); every output row carries ``n_tiles`` so the cap is
+        auditable.
+        """
+        if max_tiles < 1:
+            raise ValueError(f"max_tiles must be >= 1, got {max_tiles}")
+        zc = F.col(zoom).cast("double")
+        n = F.pow(F.lit(2.0), zc)
+
+        def _tx(c: Column) -> Column:
+            return F.greatest(
+                F.lit(0.0), F.least(n - F.lit(1.0), F.floor(merc_x_col(c) * n))
+            ).cast("long")
+
+        def _ty(c: Column) -> Column:
+            return F.greatest(
+                F.lit(0.0), F.least(n - F.lit(1.0), F.floor(merc_y_col(c) * n))
+            ).cast("long")
+
+        x0, x1 = _tx(F.col(min_lon)), _tx(F.col(max_lon))
+        y0, y1 = _ty(F.col(max_lat)), _ty(F.col(min_lat))  # north = smaller y
+        last = (n - F.lit(1.0)).cast("long")
+        ranges = F.when(
+            F.col(min_lon) <= F.col(max_lon),
+            F.array(F.struct(x0.alias("a"), x1.alias("b"))),
+        ).otherwise(
+            F.array(
+                F.struct(x0.alias("a"), last.alias("b")),
+                F.struct(F.lit(0).cast("long").alias("a"), x1.alias("b")),
+            )
+        )
+        xspan = F.aggregate(
+            ranges, F.lit(0).cast("long"), lambda acc, r: acc + r["b"] - r["a"] + 1
+        )
+        base = (
+            viewports.withColumn("_rs", ranges)
+            .withColumn("_y0", y0)
+            .withColumn("_y1", y1)
+            .withColumn("n_tiles", xspan * (y1 - y0 + 1))
+        )
+        keep = [c for c in viewports.columns]
+        ok = (
+            base.filter(F.col("n_tiles") <= max_tiles)
+            .select(*keep, "n_tiles", "_y0", "_y1", F.explode("_rs").alias("_r"))
+            .select(
+                *keep,
+                "n_tiles",
+                "_y0",
+                "_y1",
+                F.explode(F.sequence(F.col("_r.a"), F.col("_r.b"))).alias("tile_x"),
+            )
+            .select(
+                *keep,
+                "n_tiles",
+                F.explode(F.sequence(F.col("_y0"), F.col("_y1"))).alias("tile_y"),
+                "tile_x",
+            )
+            .select(*keep, "n_tiles", "tile_x", "tile_y", F.lit(False).alias("oversized"))
+        )
+        big = base.filter(F.col("n_tiles") > max_tiles).select(
+            *keep,
+            "n_tiles",
+            F.lit(None).cast("long").alias("tile_x"),
+            F.lit(None).cast("long").alias("tile_y"),
+            F.lit(True).alias("oversized"),
+        )
+        return ok.unionByName(big)

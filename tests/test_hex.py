@@ -313,3 +313,69 @@ def test_hex_disk_join_matches_bruteforce(spark):
         if dist((lr["hq"], lr["hr"]), (rr["hq"], rr["hr"])) <= 2
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# viewport_tiles
+
+
+def _vp_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vid long, min_lon double, min_lat double, max_lon double, max_lat double, zoom int"
+    )
+
+
+def test_viewport_tiles_matches_numpy_cover(spark):
+    """Parity with the numpy bbox cover (cover_bbox_np) over randomized
+    non-crossing viewports at mixed zooms."""
+    import random
+
+    from open_vector_tile_spark.functions.geo import cover_bbox_np, viewport_tiles
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(40):
+        lon = rng.uniform(-170, 165)
+        lat = rng.uniform(-75, 75)
+        rows.append(
+            (i, lon, lat, lon + rng.uniform(0.1, 8), lat + rng.uniform(0.1, 6), rng.randrange(2, 7))
+        )
+    got = {}
+    for r in viewport_tiles(_vp_df(spark, rows), max_tiles=100000).collect():
+        assert not r["oversized"]
+        got.setdefault(r["vid"], set()).add((r["tile_x"], r["tile_y"]))
+    for vid, lon0, lat0, lon1, lat1, z in rows:
+        txs, tys = cover_bbox_np(lon0, lat0, lon1, lat1, z)
+        want = set(zip(txs.tolist(), tys.tolist()))
+        assert got[vid] == want, f"viewport {vid} z{z}"
+        assert len(want) > 0
+
+
+def test_viewport_tiles_antimeridian_split(spark):
+    from open_vector_tile_spark.functions.geo import viewport_tiles
+
+    # crossing box at z3: x(175deg)=7, x(-175deg)=0 -> two ranges
+    rows = [(1, 175.0, -5.0, -175.0, 5.0, 3)]
+    got = viewport_tiles(_vp_df(spark, rows)).collect()
+    xs = {r["tile_x"] for r in got}
+    assert xs == {0, 7}
+    assert all(not r["oversized"] for r in got)
+    # n_tiles = 2 x-tiles * y-span
+    yspan = len({r["tile_y"] for r in got})
+    assert all(r["n_tiles"] == 2 * yspan for r in got)
+
+
+def test_viewport_tiles_oversize_capped_explicitly(spark):
+    from open_vector_tile_spark.functions.geo import viewport_tiles
+
+    rows = [(1, -10.0, -10.0, 10.0, 10.0, 10), (2, 0.0, 0.0, 0.5, 0.5, 5)]
+    got = viewport_tiles(_vp_df(spark, rows), max_tiles=16).collect()
+    big = [r for r in got if r["vid"] == 1]
+    assert len(big) == 1 and big[0]["oversized"] and big[0]["tile_x"] is None
+    assert big[0]["n_tiles"] > 16
+    small = [r for r in got if r["vid"] == 2]
+    assert small and all(not r["oversized"] for r in small)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        viewport_tiles(_vp_df(spark, rows), max_tiles=0)
