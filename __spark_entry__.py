@@ -3442,6 +3442,77 @@ _WARC_EXTRACT_ORACLE_SQL = """
 """
 
 
+def _q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-span detection (operators/dedup.py duplicate_spans —
+    Lee et al. ExactSubstr, window-fingerprint rendering): documents are
+    augmented with a shared 12-token passage on two doc classes and a
+    shared 10-token preamble on a third, then every duplicated 8-token
+    window (cross-doc OR within-doc, incl. any natural repetition in the
+    corpus text itself) merges into maximal per-doc spans.  The oracle
+    tokenizes with the SAME ASCII-whitespace classes as the byte-level
+    kernel and groups windows by their literal token string — hash-free,
+    so it independently validates the rolling fingerprint."""
+    from open_vector_tile_spark.operators.dedup import duplicate_spans
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    passage = " ".join(f"q{i}" for i in range(12))
+    pre = " ".join(f"p{i}" for i in range(10))
+    text2 = F.concat(
+        F.when(d % 10 == 0, F.lit(pre + " ")).otherwise(F.lit("")),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when((d % 6 == 0) | (d % 6 == 3), F.lit(" " + passage)).otherwise(F.lit("")),
+    )
+    out = duplicate_spans(
+        docs.select("doc_id", text2.alias("text")), window=8, min_count=2
+    )
+    return out.orderBy("doc_id", "span_start")
+
+
+def _dup_spans_oracle_sql() -> str:
+    passage = " ".join(f"q{i}" for i in range(12))
+    pre = " ".join(f"p{i}" for i in range(10))
+    return f"""
+        WITH raw AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 10 = 0 THEN '{pre} ' ELSE '' END)
+            || COALESCE(text, '')
+            || (CASE WHEN doc_id % 6 = 0 OR doc_id % 6 = 3
+                     THEN ' {passage}' ELSE '' END) AS t
+          FROM documents
+        ), toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(t, '[ \t\n\r\f\v]+'),
+                             x -> x <> '') AS tk
+          FROM raw
+        ), g AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 array_to_string(tk[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ') AS gram,
+                 CAST(len(tk) AS BIGINT) AS n_tokens
+          FROM toks, unnest(range(0, greatest(len(tk) - 7, 0))) r(i)
+        ), dup AS (
+          SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+        ), p AS (
+          SELECT doc_id, pos, n_tokens FROM g JOIN dup USING (gram)
+        ), isl AS (
+          SELECT doc_id, pos, n_tokens,
+            CASE WHEN pos > coalesce(max(pos) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), -1099511627776) + 8 THEN 1 ELSE 0 END AS brk
+          FROM p
+        ), isl2 AS (
+          SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM isl
+        )
+        SELECT doc_id, n_tokens, min(pos) AS span_start,
+               max(pos) + 8 AS span_end,
+               max(pos) + 8 - min(pos) AS span_tokens
+        FROM isl2 GROUP BY doc_id, island, n_tokens
+        ORDER BY doc_id, span_start
+    """
+
+
 def _q_viewport_cover(spark: SparkSession, sf: str) -> DataFrame:
     """Viewport tile cover (functions/geo.py viewport_tiles): the tile
     server's inverse query — (bbox, zoom) requests synthesized from
@@ -3998,6 +4069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": _q_anchor_text,
         "trap_detect": _q_trap_detect,
         "viewport_cover": _q_viewport_cover,
+        "dup_spans": _q_dup_spans,
     }
 
 
@@ -5905,4 +5977,5 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text": _ANCHOR_TEXT_ORACLE_SQL,
         "trap_detect": _TRAP_DETECT_ORACLE_SQL,
         "viewport_cover": _viewport_cover_oracle_sql(),
+        "dup_spans": _dup_spans_oracle_sql(),
     }

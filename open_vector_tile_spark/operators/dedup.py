@@ -415,7 +415,7 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def _batch_word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+def _batch_word_hashes(texts, lower: bool = True) -> tuple[np.ndarray, np.ndarray]:
     """All word hashes of an Arrow batch -> (uint64 hashes in batch order,
     per-doc word counts) with NO per-word Python objects.
 
@@ -430,7 +430,7 @@ def _batch_word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     Tokenization is ASCII-whitespace (matches ``str.split()`` everywhere
     except exotic unicode spaces; affects only LSH candidate recall — the
     verify stage recomputes exact Jaccard on the raw text)."""
-    lowered = [(t or "").lower() for t in texts]
+    lowered = [(t or "").lower() if lower else (t or "") for t in texts]
     parts = [t.encode("utf-8", "surrogatepass") for t in lowered]
     D = len(parts)
     buf = np.frombuffer(b"\n".join(parts), dtype=np.uint8)
@@ -469,7 +469,9 @@ def _batch_word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     return wh, wc
 
 
-def _batch_gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _batch_gram_hashes(
+    texts, n: int, lower: bool = True
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Whole-batch word-n-gram hashing -> (gram hashes uint64, per-doc start
     offsets, per-doc word counts).  Every doc owns >= 1 gram slot (offsets
     strictly increasing).
@@ -483,7 +485,7 @@ def _batch_gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarra
     is unchanged.  Docs with < n words produce one gram folding all their
     words (the old single-" ".join shingle semantics); empty docs hash
     to 0."""
-    wh, wc = _batch_word_hashes(texts)
+    wh, wc = _batch_word_hashes(texts, lower=lower)
     D = len(wc)
     cnt = np.where(wc >= n, wc - n + 1, 1)
     offs = np.zeros(D, dtype=np.int64)
@@ -798,3 +800,97 @@ def simhash_near_dups(
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming"))
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection — the substring-level dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (suffix-array ExactSubstr), rendered distributable: every
+    ``window``-token run is fingerprinted with a rolling hash, runs whose
+    fingerprint occurs >= ``min_count`` times corpus-wide (ACROSS docs or
+    repeated within one) are duplicate runs, and overlapping/adjacent
+    duplicate runs merge into maximal spans per document.  Granularity is
+    the window: duplicated passages shorter than ``window`` tokens are
+    invisible, and reported spans snap outward to window boundaries —
+    the standard trade for shuffling O(tokens) fixed-width keys instead
+    of building a distributed suffix array.
+
+    -> (id_col, n_tokens, span_start, span_end, span_tokens): token-index
+    [start, end) spans to cut before training; per-doc duplication ratio
+    is ``sum(span_tokens)/n_tokens`` one groupBy away.
+
+    Scale shape (10^12 tokens):
+      - fingerprinting is Arrow-batched numpy (the minhash path's
+        byte-level segmented kernel + rolling FNV — O(tokens), no
+        per-word Python, `lower=False` so bytes are compared verbatim);
+      - duplicate detection = ONE partial-aggregated count shuffle on the
+        64-bit fingerprint (boilerplate fingerprints combine map-side);
+      - the positions join shuffles on the fingerprint, then span
+        assembly is a per-doc gaps-and-islands window (one shuffle on
+        id).  Nothing holds more than (id, pos, hash) rows.
+
+    Caveat (documented, inherent to hashing): two DIFFERENT windows
+    colliding in 64 bits would fuse spans; P(collision) ~ G^2/2^65 —
+    negligible below ~10^8 windows per corpus, and a verify pass on the
+    span texts (ngram_jaccard style) removes even that.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<n_tokens: long, grams: array<long>>")
+    def _grams(texts: pd.Series) -> pd.DataFrame:
+        out, offs, wc = _batch_gram_hashes(texts.tolist(), window, lower=False)
+        sig = out.view(np.int64)
+        parts = np.split(sig, offs[1:])
+        grams = [p if w >= window else p[:0] for p, w in zip(parts, wc.tolist())]
+        return pd.DataFrame({"n_tokens": wc, "grams": grams})
+
+    g = docs.select(
+        F.col(id_col).alias("id"),
+        _grams(F.col(text_col).cast("string")).alias("s"),
+    ).select(
+        "id",
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.posexplode("s.grams").alias("pos", "h"),
+    )
+    dup = (
+        g.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    hits = g.join(dup, on="h")
+    w_prev = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("id").orderBy("pos")
+    isl = hits.withColumn(
+        "brk",
+        (
+            F.col("pos")
+            > F.coalesce(F.max("pos").over(w_prev), F.lit(-(1 << 40))) + window
+        ).cast("int"),
+    ).withColumn("island", F.sum("brk").over(w_run))
+    return (
+        isl.groupBy("id", "island", "n_tokens")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window).alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
