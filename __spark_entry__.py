@@ -3442,6 +3442,76 @@ _WARC_EXTRACT_ORACLE_SQL = """
 """
 
 
+def _q_cdc_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking (operators/dedup.py cdc_chunks): the
+    corpus plus edited recrawls (every 4th doc re-appears with appended
+    words) is chunked at md5-under-threshold word boundaries; because
+    boundaries are content-defined, every chunk EXCEPT the edited tail
+    keeps its identity and deduplicates corpus-wide.  Output joins each
+    chunk with its corpus-wide copy/doc counts.  The oracle replays
+    boundaries, chunk hashes, and copy counts verbatim in DuckDB (md5 is
+    the cross-engine determinism primitive)."""
+    from open_vector_tile_spark.operators.dedup import cdc_chunks
+
+    docs = _load(spark, sf, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    d = F.col("doc_id")
+    recrawl = docs.filter(d % 4 == 0).select(
+        (d + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended update7")).alias("text"),
+    )
+    corpus = docs.unionByName(recrawl)
+    ch = cdc_chunks(corpus, boundary_hex=16)
+    copies = ch.groupBy("chunk_hash").agg(
+        F.count("*").alias("copies"), F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        ch.join(copies, on="chunk_hash")
+        .select("doc_id", "chunk_id", "n_words", "chunk_hash", "copies", "n_docs")
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_CDC_DEDUP_ORACLE_SQL = """
+    WITH corpus AS (
+      SELECT doc_id, COALESCE(text, '') AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, COALESCE(text, '') || ' appended update7'
+      FROM documents WHERE doc_id % 4 = 0
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \t\n\v\f\r]+'),
+                         x -> x <> '') AS tk
+      FROM corpus
+    ), w AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[CAST(i + 1 AS INT)] AS word
+      FROM toks, unnest(range(0, len(tk))) r(i)
+    ), b AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN substring(md5(word), 1, 2) < '10' THEN 1 ELSE 0 END AS isb
+      FROM w
+    ), c AS (
+      SELECT *, coalesce(sum(isb) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      FROM b
+    ), agg AS (
+      SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_words,
+             md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+      FROM c GROUP BY doc_id, chunk_id
+    ), cp AS (
+      SELECT chunk_hash, CAST(count(*) AS BIGINT) AS copies,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM agg GROUP BY chunk_hash
+    )
+    SELECT agg.doc_id, agg.chunk_id, agg.n_words, agg.chunk_hash,
+           cp.copies, cp.n_docs
+    FROM agg JOIN cp USING (chunk_hash)
+    ORDER BY doc_id, chunk_id
+"""
+
+
 def _q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate-span detection (operators/dedup.py duplicate_spans —
     Lee et al. ExactSubstr, window-fingerprint rendering): documents are
@@ -4070,6 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_detect": _q_trap_detect,
         "viewport_cover": _q_viewport_cover,
         "dup_spans": _q_dup_spans,
+        "cdc_dedup": _q_cdc_dedup,
     }
 
 
@@ -5978,4 +6049,5 @@ def oracle_sql() -> dict[str, str]:
         "trap_detect": _TRAP_DETECT_ORACLE_SQL,
         "viewport_cover": _viewport_cover_oracle_sql(),
         "dup_spans": _dup_spans_oracle_sql(),
+        "cdc_dedup": _CDC_DEDUP_ORACLE_SQL,
     }

@@ -894,3 +894,80 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
         )
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_hex: int = 16,
+    keep_text: bool = False,
+) -> DataFrame:
+    """Content-defined chunking at word granularity — the LBFS/FastCDC
+    idea that makes recrawl storage dedup work: chunk boundaries are
+    chosen by CONTENT (a word ends a chunk when its hash falls under a
+    threshold), so an edit moves at most the chunks it touches — every
+    other chunk of a recrawled page keeps its identity and deduplicates,
+    where fixed-size blocks would all shift.
+
+    Boundary rule: word w closes a chunk when the first 2 hex chars of
+    ``md5(w)`` are < ``boundary_hex`` (as "%02x") — boundary probability
+    boundary_hex/256, expected chunk length 256/boundary_hex words.  md5
+    (not xxhash) on purpose: it is the repo's cross-engine determinism
+    primitive (functions/sampling.py), so a DuckDB oracle replays the
+    exact boundaries.
+
+    -> (id_col, chunk_id, n_words, chunk_hash[, chunk_text]): chunk_id is
+    0-based per doc in document order; chunk_hash = md5 of the
+    space-joined words, the storage-dedup key (recrawls sharing a chunk
+    produce the same hash corpus-wide).
+
+    Scale shape: pure Catalyst — split + posexplode, ONE shuffle on the
+    doc key for the running-boundary window, one partial-agg groupBy on
+    (doc, chunk).  Chunk text reassembly is bounded by chunk size.  At
+    10^12 docs the doc-key shuffle carries (id, pos, word) rows — the
+    same weight as the line-dedup path, and far below the suffix shuffle
+    of dup-span detection.
+    """
+    if not 1 <= boundary_hex <= 255:
+        raise ValueError(f"boundary_hex must be in [1, 255], got {boundary_hex}")
+    thr = format(boundary_hex, "02x")
+    from ..functions.text import WS_SPLIT  # Java/RE2-identical whitespace class
+
+    w = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col).cast("string"), F.lit("")), WS_SPLIT),
+                lambda x: x != "",
+            )
+        ).alias("pos", "word"),
+    )
+    is_boundary = (
+        F.substring(F.md5(F.encode(F.col("word"), "UTF-8")), 1, 2) < F.lit(thr)
+    ).cast("long")
+    w_prev = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = w.withColumn(
+        "chunk_id", F.coalesce(F.sum(is_boundary).over(w_prev), F.lit(0))
+    )
+    agg = chunked.groupBy("id", "chunk_id").agg(
+        F.count("*").alias("n_words"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    cols = [
+        F.col("id").alias(id_col),
+        "chunk_id",
+        "n_words",
+        F.md5(F.encode(F.col("chunk_text"), "UTF-8")).alias("chunk_hash"),
+    ]
+    if keep_text:
+        cols.append(F.col("chunk_text"))
+    return agg.select(*cols)

@@ -106,3 +106,76 @@ def test_validation(spark):
         duplicate_spans(df, window=1)
     with pytest.raises(ValueError):
         duplicate_spans(df, min_count=1)
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunks
+
+
+def _py_cdc(texts: dict, boundary_hex: int):
+    import hashlib
+
+    thr = format(boundary_hex, "02x")
+    out = {}
+    for i, t in texts.items():
+        words = t.split()
+        chunks, cur = [], []
+        for w in words:
+            cur.append(w)
+            if hashlib.md5(w.encode()).hexdigest()[:2] < thr:
+                chunks.append(cur)
+                cur = []
+        if cur:
+            chunks.append(cur)
+        for ci, ws in enumerate(chunks):
+            joined = " ".join(ws)
+            out[(i, ci)] = (
+                len(ws),
+                hashlib.md5(joined.encode()).hexdigest(),
+            )
+    return out
+
+
+def test_cdc_matches_python_reference_and_is_content_defined(spark):
+    import random
+
+    from open_vector_tile_spark.operators.dedup import cdc_chunks
+
+    rng = random.Random(9)
+    vocab = [f"tok{i}" for i in range(200)]
+    base = [rng.choice(vocab) for _ in range(300)]
+    edited = list(base)
+    edited[150:150] = ["INSERTED", "WORDS"]  # one edit mid-document
+    texts = {0: " ".join(base), 1: " ".join(edited)}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    rows = cdc_chunks(df, boundary_hex=16).collect()
+    got = {(r["doc_id"], r["chunk_id"]): (r["n_words"], r["chunk_hash"]) for r in rows}
+    assert got == _py_cdc(texts, 16)
+    # content-defined property: all chunks except the edited one dedup
+    h0 = {v[1] for (d, _), v in got.items() if d == 0}
+    h1 = {v[1] for (d, _), v in got.items() if d == 1}
+    assert len(h0) > 5
+    assert len(h0 - h1) <= 1 and len(h1 - h0) <= 2  # only the edit region differs
+
+
+def test_cdc_trailing_chunk_and_empty(spark):
+    from open_vector_tile_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(0, "solo"), (1, None), (2, "  "), (3, "a b")],
+        "doc_id long, text string",
+    )
+    rows = cdc_chunks(df, boundary_hex=4, keep_text=True).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc and 2 not in by_doc  # no words -> no chunks
+    assert sum(r["n_words"] for r in by_doc[3]) == 2
+    text3 = " ".join(
+        r["chunk_text"] for r in sorted(by_doc[3], key=lambda r: r["chunk_id"])
+    )
+    assert text3 == "a b"  # chunks reassemble the document
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cdc_chunks(df, boundary_hex=0)
