@@ -3442,6 +3442,62 @@ _WARC_EXTRACT_ORACLE_SQL = """
 """
 
 
+def _q_tile_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-tile byte-budget enforcement (operators/budget.py
+    enforce_tile_budget): the tile-size guardrail — rank features per
+    tile by priority, keep the contiguous prefix whose cumulative cost
+    fits the budget, drop the rest BEFORE the encoder.  Docs land on the
+    z4 grid via the shared mercator math; priority and cost come from
+    doc_id arithmetic so the oracle replays the rank window, running
+    cost sum, and keep rule exactly."""
+    from open_vector_tile_spark.operators.budget import enforce_tile_budget
+
+    docs = _tile_cols(_doc_points(_load(spark, sf, "documents")))
+    d = F.col("doc_id")
+    feats = docs.select(
+        F.lit(ZOOM).alias("zoom"),
+        "tile_x",
+        "tile_y",
+        d.alias("id"),
+        ((d * 13) % 101).cast("double").alias("priority"),
+        (F.lit(10) + d % 97).cast("long").alias("cost_bytes"),
+    )
+    out = enforce_tile_budget(feats, budget_bytes=600, keep_dropped=True)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "tile_x",
+        "tile_y",
+        "rank",
+        "cum_cost",
+        F.col("kept").cast("int").alias("kept"),
+    ).orderBy("doc_id")
+
+
+def _tile_budget_oracle_sql() -> str:
+    return f"""
+        WITH p AS (
+          SELECT doc_id, {_SQL_LON_DOC} AS lon, {_SQL_LAT_DOC} AS lat
+          FROM documents
+        ), t AS (
+          SELECT doc_id, {_sql_tx("lon")} AS tile_x, {_sql_ty("lat")} AS tile_y,
+                 CAST(doc_id * 13 % 101 AS DOUBLE) AS priority,
+                 10 + doc_id % 97 AS cost
+          FROM p
+        )
+        SELECT doc_id, tile_x, tile_y,
+               CAST(row_number() OVER win AS INT) AS "rank",
+               CAST(sum(cost) OVER (
+                 win ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_cost,
+               CAST(CAST(sum(cost) OVER (
+                 win ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) <= 600 AS INT) AS kept
+        FROM t
+        WINDOW win AS (PARTITION BY tile_x, tile_y ORDER BY priority DESC, doc_id ASC)
+        ORDER BY doc_id
+    """
+
+
 def _q_cdc_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Content-defined chunking (operators/dedup.py cdc_chunks): the
     corpus plus edited recrawls (every 4th doc re-appears with appended
@@ -4141,6 +4197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewport_cover": _q_viewport_cover,
         "dup_spans": _q_dup_spans,
         "cdc_dedup": _q_cdc_dedup,
+        "tile_budget": _q_tile_budget,
     }
 
 
@@ -6050,4 +6107,5 @@ def oracle_sql() -> dict[str, str]:
         "viewport_cover": _viewport_cover_oracle_sql(),
         "dup_spans": _dup_spans_oracle_sql(),
         "cdc_dedup": _CDC_DEDUP_ORACLE_SQL,
+        "tile_budget": _tile_budget_oracle_sql(),
     }
