@@ -3442,6 +3442,62 @@ _WARC_EXTRACT_ORACLE_SQL = """
 """
 
 
+def _q_recrawl(spark: SparkSession, sf: str) -> DataFrame:
+    """Recrawl scheduling (operators/crawl.py recrawl_priority): per-URL
+    change rates from fetch history — three synthesized URL classes
+    (changes every other fetch / static / changes every fetch) with
+    Laplace-smoothed rates and expected-staleness priority at a pinned
+    `now`.  Oracle replays the lag window, smoothing, and the single
+    age x rate multiply in SQL."""
+    from open_vector_tile_spark.operators.crawl import recrawl_priority
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    u = d % 120
+    seq = F.floor(d / 120)
+    h = (
+        F.when(u % 3 == 0, F.concat(F.lit("h"), F.floor(seq / 2).cast("string")))
+        .when(u % 3 == 1, F.lit("h0"))
+        .otherwise(F.concat(F.lit("h"), seq.cast("string")))
+    )
+    snaps = docs.select(
+        F.concat(F.lit("https://r"), u.cast("string"), F.lit(".org/")).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + d).alias("fetch_ts"),
+        h.alias("content_hash"),
+    )
+    out = recrawl_priority(snaps, now=1700010000)
+    return out.orderBy("url")
+
+
+_RECRAWL_ORACLE_SQL = """
+    WITH s AS (
+      SELECT doc_id AS d, doc_id % 120 AS u, doc_id // 120 AS seq FROM documents
+    ), f AS (
+      SELECT 'https://r' || CAST(u AS VARCHAR) || '.org/' AS url, d,
+        CASE WHEN u % 3 = 0 THEN 'h' || CAST(seq // 2 AS VARCHAR)
+             WHEN u % 3 = 1 THEN 'h0'
+             ELSE 'h' || CAST(seq AS VARCHAR) END AS h
+      FROM s
+    ), o AS (
+      SELECT url, h, d, lag(h) OVER (PARTITION BY url ORDER BY d) AS prev FROM f
+    ), g AS (
+      SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+        CAST(count(prev) AS BIGINT) AS n_obs,
+        CAST(coalesce(sum(CASE WHEN prev IS NULL THEN NULL
+                               WHEN h <> prev THEN 1 ELSE 0 END), 0) AS BIGINT)
+          AS n_changes,
+        max(d) AS last_d
+      FROM o GROUP BY url
+    )
+    SELECT url, n_fetches, n_changes,
+      (n_changes + 0.5) / (n_obs + 1.0) AS change_rate,
+      1700010000.0 - CAST(1700000000 + last_d AS DOUBLE) AS age_secs,
+      (1700010000.0 - CAST(1700000000 + last_d AS DOUBLE))
+        * ((n_changes + 0.5) / (n_obs + 1.0)) AS priority
+    FROM g ORDER BY url
+"""
+
+
 def _q_tile_budget(spark: SparkSession, sf: str) -> DataFrame:
     """Per-tile byte-budget enforcement (operators/budget.py
     enforce_tile_budget): the tile-size guardrail — rank features per
@@ -4198,6 +4254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "cdc_dedup": _q_cdc_dedup,
         "tile_budget": _q_tile_budget,
+        "recrawl_priority": _q_recrawl,
     }
 
 
@@ -6108,4 +6165,5 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_oracle_sql(),
         "cdc_dedup": _CDC_DEDUP_ORACLE_SQL,
         "tile_budget": _tile_budget_oracle_sql(),
+        "recrawl_priority": _RECRAWL_ORACLE_SQL,
     }

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "schedule_crawl", "parse_robots", "robots_filter", "parse_sitemaps",
-    "url_template", "detect_traps",
+    "url_template", "detect_traps", "recrawl_priority",
 ]
 
 
@@ -317,4 +317,69 @@ def detect_traps(
         (F.col("template_urls") >= min_urls)
         | (F.col("depth") > max_depth)
         | F.col("cycle"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recrawl scheduling from change history
+
+
+def recrawl_priority(
+    snapshots: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    hash_col: str = "content_hash",
+    now=None,
+) -> DataFrame:
+    """Per-URL refresh priority from fetch history — the freshness model
+    behind incremental recrawl (Cho & Garcia-Molina: pages change at
+    wildly different rates; re-fetching everything uniformly wastes most
+    of the fetch budget on static pages).
+
+    Input: one row per historical fetch (url, fetch_ts, content_hash —
+    the hash of the EXTRACTED content, so boilerplate churn doesn't count
+    as change).  Per URL:
+
+      - ``n_fetches``; ``n_changes`` = fetches whose hash differs from
+        the PREVIOUS fetch (first fetch is no observation);
+      - ``change_rate`` = (n_changes + 0.5)/(n_obs + 1.0) — Laplace-
+        smoothed so a never-observed-changing page keeps a small nonzero
+        rate (it may still change) and one noisy flip doesn't saturate;
+      - ``age_secs`` = ``now`` − last fetch;
+      - ``priority`` = age_secs × change_rate — the expected-staleness
+        proxy; feed it straight into :func:`schedule_crawl` as the wave
+        priority.
+
+    ``now`` must be an explicit epoch-seconds value (no wall-clock reads:
+    schedules must replay identically across runs and engines).
+
+    Scale shape: ONE shuffle on the url key serves both the lag window
+    and the rollup aggregate (same partitioning, no second exchange);
+    output is one row per url.
+    """
+    if now is None:
+        raise ValueError("recrawl_priority requires an explicit `now` epoch seconds")
+    w = Window.partitionBy(url_col).orderBy(F.col(ts_col).asc(), F.col(hash_col).asc())
+    prev = F.lag(F.col(hash_col)).over(w)
+    obs = snapshots.withColumn(
+        "_chg",
+        F.when(prev.isNull(), F.lit(None).cast("int")).otherwise(
+            (F.col(hash_col) != prev).cast("int")
+        ),
+    )
+    g = obs.groupBy(url_col).agg(
+        F.count("*").alias("n_fetches"),
+        F.count("_chg").alias("n_obs"),
+        F.coalesce(F.sum("_chg"), F.lit(0)).alias("n_changes"),
+        F.max(F.col(ts_col)).alias("last_fetch"),
+    )
+    rate = (F.col("n_changes") + F.lit(0.5)) / (F.col("n_obs") + F.lit(1.0))
+    age = F.lit(float(now)) - F.unix_timestamp(F.col("last_fetch")).cast("double")
+    return g.select(
+        url_col,
+        "n_fetches",
+        "n_changes",
+        rate.alias("change_rate"),
+        age.alias("age_secs"),
+        (age * rate).alias("priority"),
     )

@@ -353,3 +353,57 @@ def test_detect_traps_validation_and_bare_host(spark):
         detect_traps(df, min_urls=0)
     with _pytest.raises(ValueError):
         detect_traps(df, max_depth=0)
+
+
+# ---------------------------------------------------------------------------
+# recrawl_priority
+
+
+def test_recrawl_priority_change_rates(spark):
+    from pyspark.sql import functions as F
+
+    from open_vector_tile_spark.operators.crawl import recrawl_priority
+
+    base = 1_700_000_000
+    rows = []
+    # url A: 4 fetches, changes every time (3 changes / 3 obs)
+    for i in range(4):
+        rows.append(("A", base + i * 100, f"h{i}"))
+    # url B: 4 fetches, never changes (0/3)
+    for i in range(4):
+        rows.append(("B", base + i * 100, "same"))
+    # url C: single fetch (no observations)
+    rows.append(("C", base + 50, "x"))
+    df = spark.createDataFrame(rows, "url string, es long, content_hash string").select(
+        "url", F.timestamp_seconds("es").alias("fetch_ts"), "content_hash"
+    )
+    now = base + 1000
+    got = {r["url"]: r for r in recrawl_priority(df, now=now).collect()}
+    a, b, c = got["A"], got["B"], got["C"]
+    assert (a["n_fetches"], a["n_changes"]) == (4, 3)
+    assert a["change_rate"] == pytest.approx(3.5 / 4.0)
+    assert a["age_secs"] == 700.0
+    assert a["priority"] == pytest.approx(700 * 3.5 / 4.0)
+    assert (b["n_fetches"], b["n_changes"]) == (4, 0)
+    assert b["change_rate"] == pytest.approx(0.5 / 4.0)
+    assert (c["n_fetches"], c["n_changes"]) == (1, 0)
+    assert c["change_rate"] == pytest.approx(0.5 / 1.0)  # one fetch: max uncertainty
+    assert c["age_secs"] == 950.0
+    # priorities order: changing-and-stale outranks static
+    assert a["priority"] > b["priority"]
+    with pytest.raises(ValueError):
+        recrawl_priority(df)
+
+
+def test_recrawl_priority_reverted_content_counts_both_flips(spark):
+    from pyspark.sql import functions as F
+
+    from open_vector_tile_spark.operators.crawl import recrawl_priority
+
+    base = 1_700_000_000
+    rows = [("R", base + i, h) for i, h in enumerate(["v1", "v2", "v1"])]
+    df = spark.createDataFrame(rows, "url string, es long, content_hash string").select(
+        "url", F.timestamp_seconds("es").alias("fetch_ts"), "content_hash"
+    )
+    r = recrawl_priority(df, now=base + 10).collect()[0]
+    assert r["n_changes"] == 2  # v1->v2 and v2->v1 both count
