@@ -3442,6 +3442,61 @@ _WARC_EXTRACT_ORACLE_SQL = """
 """
 
 
+def _q_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN (operators/similarity.py sq8_*): train
+    per-dim min/max (one posexplode partial agg, exact on any
+    partitioning), encode to int8 codes with pure column exprs
+    (floor(+0.5) half-up, degenerate dims -> 0), search by INTEGER code
+    dot product — products <= 255^2 make int64 accumulation exact in any
+    order, so the DuckDB twin (list_dot_product over the same codes)
+    replays scores bit-for-bit.  Dequantized-cosine mode is
+    pytest-oracled against float cosine."""
+    from open_vector_tile_spark.operators.similarity import (
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+
+    emb = _load(spark, sf, "embeddings")
+    stats = sq8_train(emb)
+    codes = sq8_encode(emb, stats)
+    queries = codes.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    out = sq8_topk(codes, queries, k=5)
+    return out.select("query_id", "vec_id", "score", "rank").orderBy(
+        "query_id", "rank"
+    )
+
+
+_SQ8_TOPK_ORACLE_SQL = """
+    WITH ex AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), dims AS (
+      SELECT CAST(i AS INT) AS dim,
+             min(e[CAST(i AS INT)]) AS vmin, max(e[CAST(i AS INT)]) AS vmax
+      FROM ex, unnest(range(1, len(e) + 1)) r(i) GROUP BY 1
+    ), codes AS (
+      SELECT vec_id,
+             list(CASE WHEN vmax = vmin THEN 0.0
+                       ELSE greatest(0.0, least(255.0,
+                         floor(((e[dim] - vmin) / (vmax - vmin)) * 255.0 + 0.5)))
+                  END ORDER BY dim) AS c
+      FROM ex, unnest(range(1, len(e) + 1)) r(i)
+           JOIN dims ON dims.dim = CAST(i AS INT)
+      GROUP BY vec_id
+    ), qc AS (
+      SELECT vec_id AS query_id, c FROM codes WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, d.vec_id,
+             list_dot_product(d.c, q.c) AS s,
+             row_number() OVER (PARTITION BY q.query_id
+                ORDER BY list_dot_product(d.c, q.c) DESC, d.vec_id ASC) AS rank
+      FROM codes d, qc q
+    )
+    SELECT query_id, vec_id, CAST(s AS BIGINT) AS score, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def _q_recrawl(spark: SparkSession, sf: str) -> DataFrame:
     """Recrawl scheduling (operators/crawl.py recrawl_priority): per-URL
     change rates from fetch history — three synthesized URL classes
@@ -4255,6 +4310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": _q_cdc_dedup,
         "tile_budget": _q_tile_budget,
         "recrawl_priority": _q_recrawl,
+        "sq8_topk": _q_sq8_topk,
     }
 
 
@@ -6166,4 +6222,5 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dedup": _CDC_DEDUP_ORACLE_SQL,
         "tile_budget": _tile_budget_oracle_sql(),
         "recrawl_priority": _RECRAWL_ORACLE_SQL,
+        "sq8_topk": _SQ8_TOPK_ORACLE_SQL,
     }

@@ -714,3 +714,149 @@ def pq_topk(
     local = vectors.mapInPandas(local_topk, out_schema)
     w = Window.partitionBy(qid_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
     return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — per-dimension min-max int8 codes
+# ---------------------------------------------------------------------------
+
+
+def sq8_train(
+    vectors: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension min/max over the corpus -> (dim, vmin, vmax).
+
+    The training half of scalar quantization (FAISS SQ8 / Milvus SQ8):
+    each dimension is affinely mapped onto [0, 255].  4x smaller than
+    float32 with near-lossless recall — the middle rung of the
+    compression ladder between raw vectors and PQ's 32-128x.
+
+    ONE posexplode + partial-agg shuffle with d distinct keys; min/max
+    are order-insensitive and exact, so retraining on any partitioning
+    yields identical stats (the reproducibility contract PQ's k-means
+    needs iteration discipline for, SQ gets for free)."""
+    return (
+        vectors.select(F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("vmin"),
+            F.max(F.col("x").cast("double")).alias("vmax"),
+        )
+    )
+
+
+def _sq8_stats_arrays(stats: DataFrame) -> tuple[list, list]:
+    sp = stats.toPandas().sort_values("dim")
+    return sp["vmin"].tolist(), sp["vmax"].tolist()
+
+
+def sq8_encode(
+    vectors: DataFrame,
+    stats: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (id_col, codes array<int>): code_j = clamp(floor(((x_j - vmin_j)
+    / (vmax_j - vmin_j)) * 255.0 + 0.5), 0, 255); degenerate dims
+    (vmax == vmin) code to 0.  floor(+0.5) — the repo's JS-half-up
+    convention — NOT round(), so the DuckDB twin replays bit-for-bit.
+
+    The stats table is d rows (tiny, driver-collected into literal
+    arrays), so encoding is a PURE column expression over the big side:
+    no join, no shuffle, whole-stage codegen."""
+    vmins, vmaxs = _sq8_stats_arrays(stats)
+    lit_min = F.array(*[F.lit(float(v)) for v in vmins])
+    lit_max = F.array(*[F.lit(float(v)) for v in vmaxs])
+    zipped = F.arrays_zip(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("x"),
+        lit_min.alias("lo"),
+        lit_max.alias("hi"),
+    )
+    code = F.transform(
+        zipped,
+        lambda t: F.when(t["hi"] == t["lo"], F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        ((t["x"] - t["lo"]) / (t["hi"] - t["lo"])) * F.lit(255.0)
+                        + F.lit(0.5)
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+    return vectors.select(F.col(id_col), code.alias("codes"))
+
+
+def sq8_topk(
+    codes: DataFrame,
+    query_codes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k search over SQ8 codes.
+
+    Default scoring is the INTEGER code dot product (search in the
+    per-dim affine space — rank-equivalent to dot on min-max-normalized
+    data, and exact in any summation order: products are <= 255^2, so
+    int64 accumulation replays bit-for-bit in a SQL twin).  Passing
+    ``stats`` switches to asymmetric dequantized cosine (production
+    scoring; floating-point, pytest-oracled against float cosine).
+
+    Same distributed shape as cosine_topk_bruteforce: queries broadcast,
+    numpy-scored partitions, k*Q candidate rows shuffle to one rank
+    window."""
+    spark = codes.sparkSession
+    qids, Q = _collect_queries(query_codes, qid_col, "codes")
+    dq = stats is not None
+    if dq:
+        vmins, vmaxs = _sq8_stats_arrays(stats)
+        lo = np.asarray(vmins, dtype=np.float64)
+        step = (np.asarray(vmaxs, dtype=np.float64) - lo) / 255.0
+        bq = spark.sparkContext.broadcast((qids, lo + Q * step, lo, step))
+    else:
+        bq = spark.sparkContext.broadcast((qids, Q.astype(np.int64)))
+    qid_t = query_codes.schema[qid_col].dataType.simpleString()
+    id_t = codes.schema[id_col].dataType.simpleString()
+    score_t = "double" if dq else "bigint"
+    out_schema = f"{qid_col} {qid_t}, {id_col} {id_t}, score {score_t}"
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if dq:
+            qids_b, Qd, lo_b, step_b = bq.value
+            qn = _seq_norm(Qd)
+        else:
+            qids_b, Qi = bq.value
+        cand_ids: list[list] = [[] for _ in qids_b]
+        cand_s: list[list] = [[] for _ in qids_b]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["codes"]])
+            ids = pdf[id_col].to_numpy()
+            if dq:
+                V = lo_b + C.astype(np.float64) * step_b
+                sims = _seq_dot(V, Qd) / (_seq_norm(V)[:, None] * qn[None, :])
+            else:
+                sims = C @ Qi.T  # exact int64
+            for qi in range(len(qids_b)):
+                sel = _topk_order(sims[:, qi].astype(np.float64), ids, k)
+                cand_ids[qi].append(ids[sel])
+                cand_s[qi].append(sims[sel, qi])
+        rows = []
+        for qi, qid in enumerate(qids_b):
+            if not cand_ids[qi]:
+                continue
+            ids_all = np.concatenate(cand_ids[qi])
+            s_all = np.concatenate(cand_s[qi])
+            for j in _topk_order(s_all.astype(np.float64), ids_all, k):
+                rows.append((qid, ids_all[j], s_all[j]))
+        yield pd.DataFrame(rows, columns=[qid_col, id_col, "score"])
+
+    local = codes.mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

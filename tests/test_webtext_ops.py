@@ -771,3 +771,95 @@ def test_blocklist_filter(spark):
         for r in blocklist_filter(df, ["bad", "worse"], max_hits=1).collect()
     }
     assert got == {0: (0, 1), 1: (1, 1), 2: (1, 1), 3: (0, 1), 4: (2, 0)}
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization
+
+
+def _sq8_vectors(spark, n=60, d=8, seed=31):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1, 1) * (j + 1) for j in range(d)]) for i in range(n)
+    ]
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_sq8_train_and_encode_match_python(spark):
+    import math
+
+    from open_vector_tile_spark.operators.similarity import sq8_encode, sq8_train
+
+    rows, df = _sq8_vectors(spark)
+    stats = sq8_train(df)
+    sp = {r["dim"]: (r["vmin"], r["vmax"]) for r in stats.collect()}
+    import numpy as np
+
+    M = np.stack([np.asarray(v, dtype=np.float32) for _, v in rows]).astype(np.float64)
+    for j in range(M.shape[1]):
+        assert sp[j][0] == M[:, j].min() and sp[j][1] == M[:, j].max()
+    got = {r["vec_id"]: list(r["codes"]) for r in sq8_encode(df, stats).collect()}
+    for i, v in rows:
+        for j, x in enumerate(np.asarray(v, dtype=np.float32).astype(np.float64)):
+            lo, hi = sp[j]
+            want = 0 if hi == lo else max(0, min(255, math.floor((x - lo) / (hi - lo) * 255.0 + 0.5)))
+            assert got[i][j] == want
+    # codes bounded and full scale used
+    allc = [c for cs in got.values() for c in cs]
+    assert min(allc) == 0 and max(allc) == 255
+
+
+def test_sq8_degenerate_dim_codes_zero(spark):
+    from open_vector_tile_spark.operators.similarity import sq8_encode, sq8_train
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [2.0, 5.0])], "vec_id long, embedding array<float>"
+    )
+    stats = sq8_train(df)
+    got = {r["vec_id"]: list(r["codes"]) for r in sq8_encode(df, stats).collect()}
+    assert got[0][1] == 0 and got[1][1] == 0  # constant dim
+    assert got[0][0] == 0 and got[1][0] == 255
+
+
+def test_sq8_topk_codes_mode_exact_and_dequant_recall(spark):
+    import numpy as np
+
+    from open_vector_tile_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+
+    rows, df = _sq8_vectors(spark, n=80, d=12)
+    stats = sq8_train(df)
+    codes = sq8_encode(df, stats)
+    queries = codes.filter("vec_id < 3").withColumnRenamed("vec_id", "query_id")
+    got = sq8_topk(codes, queries, k=5).collect()
+    # exact integer replay: recompute every dot in python
+    cmap = {r["vec_id"]: np.asarray(r["codes"], dtype=np.int64) for r in codes.collect()}
+    for r in got:
+        want = int(cmap[r["query_id"]] @ cmap[r["vec_id"]])
+        assert r["score"] == want
+    # per-query ranks are 1..5 and ordered by (score desc, id asc)
+    byq = {}
+    for r in got:
+        byq.setdefault(r["query_id"], []).append(r)
+    for q, rs in byq.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        keys = [(-r["score"], r["vec_id"]) for r in rs]
+        assert keys == sorted(keys)
+    # dequantized mode: top-1 of float cosine survives quantization
+    qf = df.filter("vec_id < 3").withColumnRenamed("vec_id", "query_id")
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in cosine_topk_bruteforce(df, qf, k=1).collect()
+    }
+    dq = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in sq8_topk(codes, queries, k=1, stats=stats).collect()
+    }
+    assert dq == exact
