@@ -3442,6 +3442,76 @@ _WARC_EXTRACT_ORACLE_SQL = """
 """
 
 
+def _q_grid_pyramid(spark: SparkSession, sf: str) -> DataFrame:
+    """Raster overview pyramid (operators/gridding.py grid_pyramid):
+    events land on the z4 8x8 grid with an integer measure, then ALL
+    three overview levels build in one explode + one shuffle (blocks
+    crossing tile borders assemble from up to 4 child tiles).  Integer
+    sums are exact in any order, so the oracle replays every level's
+    cells, sums, counts, and means verbatim."""
+    from open_vector_tile_spark.operators.gridding import grid_pyramid
+
+    size = 8
+    pts = _tile_cols(_event_points(_load(spark, sf, "events")))
+    mx = _merc_x(F.col("lon")) * N_TILES
+    my = _merc_y(F.col("lat")) * N_TILES
+    px = F.greatest(
+        F.lit(0), F.least(F.lit(size - 1), F.floor((mx - F.col("tile_x")) * size))
+    ).cast("int")
+    py = F.greatest(
+        F.lit(0), F.least(F.lit(size - 1), F.floor((my - F.col("tile_y")) * size))
+    ).cast("int")
+    base = (
+        pts.select(
+            F.lit(ZOOM).alias("zoom"),
+            "tile_x",
+            "tile_y",
+            px.alias("px"),
+            py.alias("py"),
+            (F.col("user_id") % 7).alias("v"),
+        )
+        .groupBy("zoom", "tile_x", "tile_y", "px", "py")
+        .agg(F.sum("v").alias("value_sum"), F.count("*").alias("n"))
+    )
+    out = grid_pyramid(base, size=size, levels=3)
+    return out.select(
+        "zoom", "tile_x", "tile_y", "px", "py", "value_sum", "n", "mean_value"
+    ).orderBy("zoom", "tile_x", "tile_y", "px", "py")
+
+
+def _grid_pyramid_oracle_sql() -> str:
+    mx = f"(({_SQL_LON_EV}+180.0)/360.0*{N_TILES})"
+    my = f"({_sql_merc_y(_SQL_LAT_EV)}*{N_TILES})"
+    return f"""
+        WITH c AS (
+          SELECT {_sql_tx(_SQL_LON_EV)} AS tx, {_sql_ty(_SQL_LAT_EV)} AS ty,
+                 CAST(greatest(0, least(7,
+                   floor(({mx} - {_sql_tx(_SQL_LON_EV)})*8))) AS INT) AS px,
+                 CAST(greatest(0, least(7,
+                   floor(({my} - {_sql_ty(_SQL_LAT_EV)})*8))) AS INT) AS py,
+                 user_id % 7 AS v
+          FROM events
+        ), b AS (
+          SELECT tx, ty, px, py, CAST(sum(v) AS BIGINT) AS value_sum,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM c GROUP BY tx, ty, px, py
+        ), e AS (
+          SELECT 4 - k AS zoom,
+                 CAST(floor((tx*8 + px) / pow(2.0, k)) AS BIGINT) AS gpx,
+                 CAST(floor((ty*8 + py) / pow(2.0, k)) AS BIGINT) AS gpy,
+                 value_sum, n
+          FROM b, unnest([1, 2, 3]) t(k)
+        )
+        SELECT CAST(zoom AS INT) AS zoom, gpx // 8 AS tile_x, gpy // 8 AS tile_y,
+               CAST(gpx % 8 AS INT) AS px, CAST(gpy % 8 AS INT) AS py,
+               CAST(sum(value_sum) AS BIGINT) AS value_sum,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(value_sum) AS DOUBLE) / CAST(sum(n) AS BIGINT) AS mean_value
+        FROM e GROUP BY zoom, tile_x, tile_y, px, py
+        ORDER BY zoom, tile_x, tile_y, px, py
+    """
+
+
 def _q_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
     """SQ8 scalar-quantized ANN (operators/similarity.py sq8_*): train
     per-dim min/max (one posexplode partial agg, exact on any
@@ -4311,6 +4381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_budget": _q_tile_budget,
         "recrawl_priority": _q_recrawl,
         "sq8_topk": _q_sq8_topk,
+        "grid_pyramid": _q_grid_pyramid,
     }
 
 
@@ -6223,4 +6294,5 @@ def oracle_sql() -> dict[str, str]:
         "tile_budget": _tile_budget_oracle_sql(),
         "recrawl_priority": _RECRAWL_ORACLE_SQL,
         "sq8_topk": _SQ8_TOPK_ORACLE_SQL,
+        "grid_pyramid": _grid_pyramid_oracle_sql(),
     }

@@ -136,3 +136,73 @@ def zonal_stats(
         F.min(value).alias("vmin"),
         F.max(value).alias("vmax"),
     )
+
+
+def grid_pyramid(
+    cells: DataFrame,
+    size: int,
+    levels: int,
+    value_sum: str = "value_sum",
+    count: str = "n",
+) -> DataFrame:
+    """Raster overview pyramid — the grid-layer sibling of the vector
+    tile pyramid (GDAL/COG overviews): level k halves resolution k times,
+    so a parent cell aggregates a 2^k x 2^k block of base cells, with
+    blocks crossing tile borders assembling from up to 4 child tiles.
+
+    Input: long-form base cells (zoom, tile_x, tile_y, px, py) carrying a
+    MERGEABLE pair (``value_sum``, ``count``) — means don't average
+    across levels, sums and counts do; ``mean_value`` is emitted per
+    output cell as sum/count.
+
+    ALL levels in ONE pass: each base cell explodes into `levels` rows
+    keyed by its ancestor cell (global-pixel shift arithmetic), then one
+    partial-aggregated shuffle builds every overview simultaneously —
+    the same one-scan/one-shuffle trick as the vector featurizer
+    pyramids, vs one scan per level for the naive loop.  Determinism:
+    integer measures sum exactly in any order; float measures are exact
+    per IEEE addition order only (use integer-scaled measures where the
+    replay matters).
+
+    Requires power-of-two ``size`` (grid sizes in the OVT spec are) and
+    emits levels 1..levels with zoom decreasing (rows where the level
+    would underflow zoom 0 are dropped per row, so a mixed-zoom input is
+    safe)."""
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    if size < 2 or (size & (size - 1)) != 0:
+        raise ValueError(f"size must be a power of two >= 2, got {size}")
+    k = F.col("_k")
+    scale = F.pow(F.lit(2.0), k)  # exact for small integer k
+    gx = F.col("tile_x") * size + F.col("px")
+    gy = F.col("tile_y") * size + F.col("py")
+    gpx = F.floor(gx / scale).cast("long")
+    gpy = F.floor(gy / scale).cast("long")
+    exploded = (
+        cells.select(
+            F.explode(F.sequence(F.lit(1), F.lit(levels))).alias("_k"),
+            "zoom",
+            "tile_x",
+            "tile_y",
+            "px",
+            "py",
+            F.col(value_sum).alias("_vs"),
+            F.col(count).alias("_n"),
+        )
+        .filter(F.col("zoom") - k >= 0)
+        .select(
+            (F.col("zoom") - k).cast("int").alias("zoom"),
+            F.floor(gpx / size).cast("long").alias("tile_x"),
+            F.floor(gpy / size).cast("long").alias("tile_y"),
+            (gpx % size).cast("int").alias("px"),
+            (gpy % size).cast("int").alias("py"),
+            "_vs",
+            "_n",
+        )
+    )
+    out = exploded.groupBy("zoom", "tile_x", "tile_y", "px", "py").agg(
+        F.sum("_vs").alias(value_sum), F.sum("_n").alias(count)
+    )
+    return out.withColumn(
+        "mean_value", F.col(value_sum).cast("double") / F.col(count)
+    )

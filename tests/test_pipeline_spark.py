@@ -448,3 +448,81 @@ def test_incremental_ingest_replay_byte_deterministic(spark, tmp_path):
     incremental_tile_run(batch, store, zoom=ZOOM, props_cols=["url", "lang"], batch_id=0)
     assert len(store.snapshots()) == 2
     assert store.changed_tiles(spark, since=0, until=1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# grid_pyramid
+
+
+def _py_grid_pyramid(cells, size, levels):
+    """cells: {(zoom, tx, ty, px, py): (vsum, n)} -> same map for levels 1..L."""
+    out = {}
+    for (z, tx, ty, px, py), (vs, n) in cells.items():
+        gx, gy = tx * size + px, ty * size + py
+        for k in range(1, levels + 1):
+            if z - k < 0:
+                continue
+            gpx, gpy = gx >> k, gy >> k
+            key = (z - k, gpx // size, gpy // size, gpx % size, gpy % size)
+            a, b = out.get(key, (0, 0))
+            out[key] = (a + vs, b + n)
+    return out
+
+
+def test_grid_pyramid_matches_python_and_crosses_tile_borders(spark):
+    import random
+
+    from open_vector_tile_spark.operators.gridding import grid_pyramid
+
+    rng = random.Random(13)
+    size = 8
+    cells = {}
+    for _ in range(300):
+        key = (4, rng.randrange(4), rng.randrange(4), rng.randrange(size), rng.randrange(size))
+        vs, n = rng.randrange(1, 50), rng.randrange(1, 5)
+        a, b = cells.get(key, (0, 0))
+        cells[key] = (a + vs, b + n)
+    df = spark.createDataFrame(
+        [(z, tx, ty, px, py, vs, n) for (z, tx, ty, px, py), (vs, n) in cells.items()],
+        "zoom int, tile_x long, tile_y long, px int, py int, value_sum long, n long",
+    )
+    got = {
+        (r["zoom"], r["tile_x"], r["tile_y"], r["px"], r["py"]): (
+            r["value_sum"],
+            r["n"],
+            r["mean_value"],
+        )
+        for r in grid_pyramid(df, size=size, levels=3).collect()
+    }
+    want = _py_grid_pyramid(cells, size, 3)
+    assert {k: v[:2] for k, v in got.items()} == want
+    for k, (vs, n, mean) in got.items():
+        assert mean == vs / n
+    # cross-tile assembly: at level 3 (8-pixel blocks == whole tile), the
+    # parent pixel (z1) aggregates ONE FULL child tile; at level >= 4 it
+    # would span 4 child tiles — verify level-3 zoom-1 rows exist and the
+    # totals are conserved at every level
+    base_tot = sum(v for v, _ in cells.values())
+    for z in (3, 2, 1):
+        assert sum(v for (zz, *_), (v, *_r) in ((k, vv) for k, vv in want.items()) if zz == z) == base_tot
+        got_tot = sum(v for (zz, *_), (v, _n, _m) in got.items() if zz == z)
+        assert got_tot == base_tot
+
+
+def test_grid_pyramid_validation_and_zoom_floor(spark):
+    import pytest as _pytest
+
+    from open_vector_tile_spark.operators.gridding import grid_pyramid
+
+    df = spark.createDataFrame(
+        [(1, 0, 0, 0, 0, 10, 2), (0, 0, 0, 1, 1, 5, 1)],
+        "zoom int, tile_x long, tile_y long, px int, py int, value_sum long, n long",
+    )
+    rows = grid_pyramid(df, size=4, levels=3).collect()
+    # the zoom-0 input row cannot go deeper; the zoom-1 row only to zoom 0
+    assert {(r["zoom"],) for r in rows} == {(0,)}
+    assert len(rows) == 1 and rows[0]["value_sum"] == 10
+    with _pytest.raises(ValueError):
+        grid_pyramid(df, size=3, levels=1)
+    with _pytest.raises(ValueError):
+        grid_pyramid(df, size=4, levels=0)
