@@ -3442,6 +3442,59 @@ _WARC_EXTRACT_ORACLE_SQL = """
 """
 
 
+def _q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host corpus profile (operators/pipeline.py host_stats): the
+    curation table a CCNet/RefinedWeb-style pipeline publishes — doc and
+    unique-text counts (exact-dedup key), dup ratio, token/char totals,
+    and dominant language with deterministic tie-break.  Two
+    partial-aggregated shuffles; oracle replays the normalized-text
+    distinctness, the established token-count twin, and the mode window
+    in chained CTEs."""
+    from open_vector_tile_spark.operators.pipeline import host_stats
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    hosts = docs.select(
+        F.concat(F.lit("h"), (d % 23).cast("string"), F.lit(".org")).alias("host"),
+        "text",
+        "lang",
+    )
+    return host_stats(hosts).orderBy("host")
+
+
+_HOST_STATS_ORACLE_SQL = """
+    WITH d AS (
+      SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) || '.org' AS host,
+             COALESCE(text, '') AS t, COALESCE(lang, '') AS lang
+      FROM documents
+    ), b AS (
+      SELECT host, lang,
+             regexp_replace(lower(trim(t)), '\\s+', ' ', 'g') AS norm,
+             CAST(len(list_filter(regexp_split_to_array(trim(t), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS tok,
+             CAST(length(t) AS BIGINT) AS chars
+      FROM d
+    ), roll AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT norm) AS BIGINT) AS n_unique_texts,
+             CAST(sum(tok) AS BIGINT) AS total_tokens,
+             CAST(sum(chars) AS BIGINT) AS total_chars
+      FROM b GROUP BY host
+    ), lc AS (
+      SELECT host, lang, count(*) AS n FROM b GROUP BY host, lang
+    ), top AS (
+      SELECT host, lang AS top_lang FROM (
+        SELECT host, lang,
+               row_number() OVER (PARTITION BY host ORDER BY n DESC, lang ASC) AS rn
+        FROM lc) WHERE rn = 1
+    )
+    SELECT roll.host, n_docs, n_unique_texts,
+           1.0 - CAST(n_unique_texts AS DOUBLE) / n_docs AS dup_ratio,
+           total_tokens, total_chars, top_lang
+    FROM roll JOIN top USING (host) ORDER BY host
+"""
+
+
 def _q_grid_pyramid(spark: SparkSession, sf: str) -> DataFrame:
     """Raster overview pyramid (operators/gridding.py grid_pyramid):
     events land on the z4 8x8 grid with an integer measure, then ALL
@@ -4382,6 +4435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority": _q_recrawl,
         "sq8_topk": _q_sq8_topk,
         "grid_pyramid": _q_grid_pyramid,
+        "host_stats": _q_host_stats,
     }
 
 
@@ -6295,4 +6349,5 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_priority": _RECRAWL_ORACLE_SQL,
         "sq8_topk": _SQ8_TOPK_ORACLE_SQL,
         "grid_pyramid": _grid_pyramid_oracle_sql(),
+        "host_stats": _HOST_STATS_ORACLE_SQL,
     }

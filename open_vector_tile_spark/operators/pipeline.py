@@ -14,7 +14,7 @@ from __future__ import annotations
 from typing import Optional
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import geoparse
@@ -100,3 +100,67 @@ def run_pipeline(
     if store is not None:
         store.commit(tiles)
     return tiles
+
+
+def host_stats(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-host corpus profile — the curation table every web-scale
+    pipeline keeps next to its corpus (CCNet/RefinedWeb publish exactly
+    these): spam farms show up as high dup_ratio, content farms as huge
+    n_docs with low distinct ratios, and the host's dominant language
+    routes it to the right downstream pipeline.
+
+    Per host: ``n_docs``, ``n_unique_texts`` (distinct whitespace-
+    normalized texts — the exact_dedup key), ``dup_ratio`` (1 -
+    unique/docs), ``total_tokens`` / ``total_chars``, and ``top_lang``
+    (mode of ``lang_col``; ties break on the lang string so the table is
+    reproducible).
+
+    Scale shape: two partial-aggregated shuffles — (host, lang) counts
+    reduce map-side before the mode window runs on the tiny reduced
+    table, and the main rollup is one groupBy(host) whose inputs
+    (normalized-text hash for distinctness, token/char counts) are all
+    computed map-side.  At 10^8 hosts everything stays distributed; no
+    driver state."""
+    from ..functions.text import WS_SPLIT, token_count
+    from .dedup import normalized_text
+
+    t = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    base = docs.select(
+        F.col(host_col).alias("host"),
+        # '' for NULL langs: asc-null placement differs between engines,
+        # and the mode should group unknown langs together anyway
+        F.coalesce(F.col(lang_col), F.lit("")).alias("lang"),
+        normalized_text(t).alias("_norm"),
+        token_count(t).alias("_tok"),
+        F.length(t).alias("_chars"),
+    )
+    roll = base.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("_norm").alias("n_unique_texts"),
+        F.sum("_tok").cast("long").alias("total_tokens"),
+        F.sum("_chars").cast("long").alias("total_chars"),
+    )
+    lc = base.groupBy("host", "lang").agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("host").orderBy(F.desc("_n"), F.asc("lang"))
+    top = (
+        lc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("host", F.col("lang").alias("top_lang"))
+    )
+    return roll.join(top, on="host").select(
+        "host",
+        "n_docs",
+        "n_unique_texts",
+        (
+            F.lit(1.0)
+            - F.col("n_unique_texts").cast("double") / F.col("n_docs")
+        ).alias("dup_ratio"),
+        "total_tokens",
+        "total_chars",
+        "top_lang",
+    )

@@ -526,3 +526,44 @@ def test_grid_pyramid_validation_and_zoom_floor(spark):
         grid_pyramid(df, size=3, levels=1)
     with _pytest.raises(ValueError):
         grid_pyramid(df, size=4, levels=0)
+
+
+# ---------------------------------------------------------------------------
+# host_stats
+
+
+def test_host_stats_profile(spark):
+    from open_vector_tile_spark.operators.pipeline import host_stats
+
+    rows = [
+        # spam.org: 4 docs, 2 unique texts (one differs only by whitespace)
+        ("spam.org", "buy  now", "en"),
+        ("spam.org", "buy now", "en"),
+        ("spam.org", "BUY NOW", "de"),   # normalized lower -> same text
+        ("spam.org", "other page", "en"),
+        # clean.org: 2 docs, all unique, lang tie en/de -> 'de' wins asc
+        ("clean.org", "alpha beta gamma", "de"),
+        ("clean.org", "delta epsilon", "en"),
+    ]
+    df = spark.createDataFrame(rows, "host string, text string, lang string")
+    got = {r["host"]: r for r in host_stats(df).collect()}
+    s = got["spam.org"]
+    assert (s["n_docs"], s["n_unique_texts"]) == (4, 2)
+    assert s["dup_ratio"] == 1.0 - 2.0 / 4.0
+    assert s["total_tokens"] == 8
+    assert s["top_lang"] == "en"  # 3 en vs 1 de
+    c = got["clean.org"]
+    assert (c["n_docs"], c["n_unique_texts"], c["dup_ratio"]) == (2, 2, 0.0)
+    assert c["top_lang"] == "de"  # 1-1 tie breaks on lang asc
+    assert c["total_chars"] == len("alpha beta gamma") + len("delta epsilon")
+
+
+def test_host_stats_null_text(spark):
+    from open_vector_tile_spark.operators.pipeline import host_stats
+
+    df = spark.createDataFrame(
+        [("h.org", None, "en"), ("h.org", "", "en")], "host string, text string, lang string"
+    )
+    r = host_stats(df).collect()[0]
+    # null and '' normalize identically -> 1 unique text, 0 tokens
+    assert (r["n_docs"], r["n_unique_texts"], r["total_tokens"]) == (2, 1, 0)
