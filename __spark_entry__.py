@@ -3390,12 +3390,10 @@ def _q_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         (d % 37).alias("blob_id"),
         F.concat(F.lit("https://crawl.example/doc/"), d.cast("string")).alias("url"),
-        # to_timestamp + interval: parse and format share the session tz,
-        # so warc_date is tz-agnostic wall time (matches DuckDB's naive
-        # TIMESTAMP arithmetic)
-        F.expr(
-            "to_timestamp('2026-01-01 00:00:00') + make_interval(0,0,0,0,0,0,doc_id)"
-        ).alias("warc_ts"),
+        # epoch-built instant: the writer renders TRUE UTC (suffix 'Z' is
+        # honest on any session tz), and the oracle renders the same
+        # instant via AT TIME ZONE 'UTC' — tz-independent on both sides
+        F.timestamp_seconds(F.lit(1767225600) + d).alias("warc_ts"),
         F.encode(
             F.concat(
                 F.lit("<html><body>"),
@@ -3432,7 +3430,7 @@ def _q_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
 _WARC_EXTRACT_ORACLE_SQL = """
     SELECT doc_id,
       'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
-      strftime(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id),
+      strftime(to_timestamp(1767225600 + doc_id) AT TIME ZONE 'UTC',
                '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
       200 AS http_status,
       CAST(octet_length(encode('<html><body>' || COALESCE(text, '')
@@ -3961,6 +3959,7 @@ def _viewport_cover_oracle_sql() -> str:
           FROM t
         ), s AS (
           SELECT *, (CASE WHEN nocross THEN x1 - x0 + 1
+                          WHEN x1 >= x0 THEN CAST(n AS BIGINT)
                           ELSE (CAST(n AS BIGINT) - x0) + (x1 + 1) END)
                     * (y1 - y0 + 1) AS n_tiles
           FROM b
@@ -3971,14 +3970,19 @@ def _viewport_cover_oracle_sql() -> str:
         WHERE nocross AND n_tiles <= 256
         UNION ALL
         SELECT d, zoom, n_tiles, xx, yy, 0
+        FROM s, unnest(range(0, CAST(n AS BIGINT))) AS rx(xx),
+                unnest(range(y0, y1 + 1)) AS ry(yy)
+        WHERE NOT nocross AND x1 >= x0 AND n_tiles <= 256
+        UNION ALL
+        SELECT d, zoom, n_tiles, xx, yy, 0
         FROM s, unnest(range(x0, CAST(n AS BIGINT))) AS rx(xx),
                 unnest(range(y0, y1 + 1)) AS ry(yy)
-        WHERE NOT nocross AND n_tiles <= 256
+        WHERE NOT nocross AND x1 < x0 AND n_tiles <= 256
         UNION ALL
         SELECT d, zoom, n_tiles, xx, yy, 0
         FROM s, unnest(range(0, x1 + 1)) AS rx(xx),
                 unnest(range(y0, y1 + 1)) AS ry(yy)
-        WHERE NOT nocross AND n_tiles <= 256
+        WHERE NOT nocross AND x1 < x0 AND n_tiles <= 256
         UNION ALL
         SELECT d, zoom, n_tiles, NULL, NULL, 1 FROM s WHERE n_tiles > 256
         ORDER BY doc_id, tile_x, tile_y

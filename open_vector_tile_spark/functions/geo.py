@@ -445,13 +445,24 @@ if _HAS_SPARK:
         x0, x1 = _tx(F.col(min_lon)), _tx(F.col(max_lon))
         y0, y1 = _ty(F.col(max_lat)), _ty(F.col(min_lat))  # north = smaller y
         last = (n - F.lit(1.0)).cast("long")
-        ranges = F.when(
-            F.col(min_lon) <= F.col(max_lon),
-            F.array(F.struct(x0.alias("a"), x1.alias("b"))),
-        ).otherwise(
-            F.array(
-                F.struct(x0.alias("a"), last.alias("b")),
-                F.struct(F.lit(0).cast("long").alias("a"), x1.alias("b")),
+        # crossing box whose two arcs land in overlapping tile ranges
+        # (x1 >= x0 — e.g. both edges inside ONE tile at low zoom, or a
+        # near-global box): the union is the full x row; emitting both
+        # ranges would duplicate tiles and overcount n_tiles
+        ranges = (
+            F.when(
+                F.col(min_lon) <= F.col(max_lon),
+                F.array(F.struct(x0.alias("a"), x1.alias("b"))),
+            )
+            .when(
+                x1 >= x0,
+                F.array(F.struct(F.lit(0).cast("long").alias("a"), last.alias("b"))),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(x0.alias("a"), last.alias("b")),
+                    F.struct(F.lit(0).cast("long").alias("a"), x1.alias("b")),
+                )
             )
         )
         xspan = F.aggregate(

@@ -34,16 +34,17 @@ __all__ = ["feature_cost_estimate", "enforce_tile_budget", "tile_budget_summary"
 TILE_KEY = ("zoom", "tile_x", "tile_y")
 
 
-def feature_cost_estimate(geometry: Column, ftype: Column | None = None) -> Column:
+def feature_cost_estimate(geom_xy: Column) -> Column:
     """Documented encode-size estimate (bytes) for a feature whose
-    ``geometry`` is the quantized vertex array (array of 2-field structs
-    or flat x/y pairs): ~2.5 bytes per coordinate varint delta after
-    zigzag (empirical mid-zoom average; deltas are small because vertices
-    are spatially local) + 12 bytes per-feature framing (id varint, flag
-    word, property indices).  An ESTIMATE for planning — byte-exact
-    budgeting feeds measured sizes instead."""
-    n = F.size(geometry)
-    return (F.lit(12) + (n * F.lit(5))).cast("long")
+    ``geom_xy`` is the FLAT quantized coordinate array
+    ``[x0, y0, x1, y1, ...]`` — the featurizers' canonical layout
+    (tiler.FEATURE_SCHEMA): ~2.5 bytes per coordinate varint delta after
+    zigzag (5 bytes/vertex; empirical mid-zoom average — deltas are small
+    because vertices are spatially local) + 12 bytes per-feature framing
+    (id varint, flag word, property indices).  An ESTIMATE for planning —
+    byte-exact budgeting feeds measured sizes instead."""
+    n_coords = F.size(geom_xy)
+    return (F.lit(12) + F.ceil(n_coords * F.lit(2.5))).cast("long")
 
 
 def enforce_tile_budget(

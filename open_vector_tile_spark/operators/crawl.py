@@ -308,9 +308,13 @@ def detect_traps(
     counts = base.groupBy(F.col(host_col).alias("_h"), F.col("template").alias("_t")).agg(
         F.count_distinct(u).alias("template_urls")
     )
+    # null-safe equality: NULL-host / NULL-url rows are exactly the junk a
+    # trap detector must SURFACE, not silently drop (groupBy already keeps
+    # null keys, so the counts side has their row)
     out = base.join(
         counts,
-        (F.col(host_col) == F.col("_h")) & (F.col("template") == F.col("_t")),
+        F.col(host_col).eqNullSafe(F.col("_h"))
+        & F.col("template").eqNullSafe(F.col("_t")),
     ).drop("_h", "_t")
     return out.withColumn(
         "is_trap",

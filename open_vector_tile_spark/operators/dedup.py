@@ -862,6 +862,10 @@ def duplicate_spans(
         F.col("s.n_tokens").alias("n_tokens"),
         F.posexplode("s.grams").alias("pos", "h"),
     )
+    # g feeds BOTH the duplicate-count branch and the positions join —
+    # without a checkpoint Spark would re-run the Arrow fingerprint UDF
+    # over the whole corpus twice (the dominant cost at scale)
+    g = g.localCheckpoint(eager=True)
     dup = (
         g.groupBy("h")
         .agg(F.count("*").alias("c"))

@@ -135,7 +135,10 @@ def host_stats(
         # '' for NULL langs: asc-null placement differs between engines,
         # and the mode should group unknown langs together anyway
         F.coalesce(F.col(lang_col), F.lit("")).alias("lang"),
-        normalized_text(t).alias("_norm"),
+        # hash the normalized text map-side: the distinct key shuffled is
+        # 8 bytes/doc, not the document body (the exact_dedup pattern);
+        # count-level collision odds ~n_docs^2/2^64 per host — negligible
+        F.xxhash64(normalized_text(t)).alias("_norm"),
         token_count(t).alias("_tok"),
         F.length(t).alias("_chars"),
     )

@@ -123,16 +123,23 @@ def warc_record_bytes(
 
     ``payload`` is binary (typically :func:`http_response_bytes`);
     ``warc_ts`` a timestamp.  Deterministic: the record id defaults to a
-    hash of (url, ts) rather than a random uuid, so re-encodes are
-    byte-identical — the repo-wide reproducibility contract."""
+    hash of (url, UTC date string) rather than a random uuid, so
+    re-encodes are byte-identical — the repo-wide reproducibility
+    contract.  WARC-Date is TRUE UTC regardless of the session timezone:
+    the timestamp instant is shifted via to_utc_timestamp(ts,
+    current_timezone()) before formatting, so the literal 'Z' suffix is
+    honest on non-UTC drivers too (and a no-op on UTC sessions)."""
     wt = F.lit(warc_type) if isinstance(warc_type, str) else warc_type
     ct = F.lit(content_type) if isinstance(content_type, str) else content_type
+    utc_date = F.date_format(
+        F.to_utc_timestamp(warc_ts, F.expr("current_timezone()")), _WARC_DATE_FMT
+    )
     rid = (
         record_id
         if record_id is not None
         else F.concat(
             F.lit("urn:sha256:"),
-            F.sha2(F.concat(url, F.lit("@"), warc_ts.cast("string")), 256),
+            F.sha2(F.concat(url, F.lit("@"), utc_date), 256),
         )
     )
     head = F.concat(
@@ -144,7 +151,7 @@ def warc_record_bytes(
         rid,
         F.lit(">" + _CRLF),
         F.lit("WARC-Date: "),
-        F.date_format(warc_ts, _WARC_DATE_FMT),
+        utc_date,
         F.lit(_CRLF),
         F.lit("WARC-Target-URI: "),
         url,
@@ -231,18 +238,30 @@ def pack_warc_blobs(
 _GZIP_MAGIC = b"\x1f\x8b"
 
 
+_GZ_CHUNK = 1 << 20
+
+
 def _split_gzip_members(data: bytes) -> Iterator[bytes]:
-    """Decode a multi-member gzip stream member by member (zlib keeps
-    `unused_data` pointing at the next member — no full-stream buffering)."""
+    """Decode a multi-member gzip stream member by member, feeding
+    fixed-size chunks — per-member work is O(member bytes), not
+    O(remaining blob), so a 1 GiB 50k-member Common-Crawl file costs one
+    pass, not quadratic memcpy.  Raises ``zlib.error`` on a truncated
+    final member (callers map it to a malformed row)."""
     view = memoryview(data)
+    n = len(view)
     pos = 0
-    while pos < len(view):
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
-        yield d.decompress(bytes(view[pos:]))
-        tail = d.unused_data
-        if not tail:
-            break
-        pos = len(data) - len(tail)
+        out = []
+        fed = 0
+        while not d.eof and pos + fed < n:
+            chunk = bytes(view[pos + fed : pos + fed + _GZ_CHUNK])
+            out.append(d.decompress(chunk))
+            fed += len(chunk)
+        if not d.eof:
+            raise zlib.error("truncated gzip member")
+        yield b"".join(out)
+        pos += fed - len(d.unused_data)
 
 
 def _parse_warc_stream(blob_id, data: bytes):
@@ -272,6 +291,10 @@ def _parse_warc_stream(blob_id, data: bytes):
         try:
             clen = int(headers.get("content-length", ""))
         except ValueError:
+            yield (blob_id, idx, pos, None, None, None, None, None, None, None, True)
+            return
+        if clen < 0:
+            # a negative length would walk `pos` BACKWARDS and loop forever
             yield (blob_id, idx, pos, None, None, None, None, None, None, None, True)
             return
         body_start = head_end + 4
@@ -315,12 +338,20 @@ def parse_warc(
                 data = bytes(raw)
                 if data[:2] == _GZIP_MAGIC:
                     base = 0
-                    for member in _split_gzip_members(data):
-                        for rec in _parse_warc_stream(blob_id, member):
-                            # rec_offset within the decompressed stream run
-                            rec = rec[:2] + (base + rec[2],) + rec[3:]
-                            rows.append(rec)
-                        base += len(member)
+                    try:
+                        for member in _split_gzip_members(data):
+                            for rec in _parse_warc_stream(blob_id, member):
+                                # rec_offset within the decompressed stream run
+                                rec = rec[:2] + (base + rec[2],) + rec[3:]
+                                rows.append(rec)
+                            base += len(member)
+                    except zlib.error:
+                        # truncated/garbage member: same skip-corrupt
+                        # semantics as a malformed plain-WARC tail — one
+                        # flagged row, job stays alive
+                        rows.append(
+                            (blob_id, -1, base, None, None, None, None, None, None, None, True)
+                        )
                 else:
                     rows.extend(_parse_warc_stream(blob_id, data))
             yield pd.DataFrame(rows, columns=[f.name for f in RECORD_SCHEMA.fields])

@@ -91,7 +91,7 @@ def test_budget_shrinks_real_encoded_tiles(spark):
         "doc_id long, lon double, lat double",
     )
     feats = points_to_features(pts, zoom=2, layer="pois", extent=4096, id_col="doc_id")
-    # geom_xy is the flat [x0, y0, x1, y1, ...] layout: 2 entries per vertex
+    # geom_xy is flat [x0, y0, ...]: a point costs 12 + ceil(2*2.5) = 17
     costed = feats.withColumn(
         "cost_bytes", feature_cost_estimate(F.col("geom_xy"))
     ).withColumn("priority", (F.col("id") % 10).cast("double"))
@@ -109,6 +109,6 @@ def test_budget_shrinks_real_encoded_tiles(spark):
     for key, (nb, nf) in kept_bytes.items():
         fb, ff = full_bytes[key]
         assert nf <= ff and nb <= fb
-        assert nf <= 9  # 200-byte budget / 22 bytes per point feature
+        assert nf <= 11  # 200-byte budget / 17 bytes per point feature
         shrunk += int(nb < fb)
     assert shrunk > 0

@@ -407,3 +407,16 @@ def test_recrawl_priority_reverted_content_counts_both_flips(spark):
     )
     r = recrawl_priority(df, now=base + 10).collect()[0]
     assert r["n_changes"] == 2  # v1->v2 and v2->v1 both count
+
+
+def test_detect_traps_preserves_null_host_and_url(spark):
+    from open_vector_tile_spark.operators.crawl import detect_traps
+
+    df = spark.createDataFrame(
+        [(None, "https://x.org/a"), ("x.org", None), ("x.org", "https://x.org/a")],
+        "host string, url string",
+    )
+    rows = detect_traps(df, min_urls=5).collect()
+    assert len(rows) == 3  # nothing silently dropped
+    by = {(r["host"], r["url"]): r for r in rows}
+    assert (None, "https://x.org/a") in by and ("x.org", None) in by

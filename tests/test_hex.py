@@ -379,3 +379,20 @@ def test_viewport_tiles_oversize_capped_explicitly(spark):
 
     with _pytest.raises(ValueError):
         viewport_tiles(_vp_df(spark, rows), max_tiles=0)
+
+
+def test_viewport_tiles_crossing_box_in_one_tile_no_duplicates(spark):
+    """Crossing box whose both edges land in tile x=0 at z0: the union is
+    the full row, emitted once — not the same tile twice."""
+    from open_vector_tile_spark.functions.geo import viewport_tiles
+
+    rows = [(1, 175.0, -5.0, -175.0, 5.0, 0), (2, 10.0, -5.0, 9.99, 5.0, 3)]
+    got = viewport_tiles(_vp_df(spark, rows)).collect()
+    one = [(r["tile_x"], r["tile_y"]) for r in got if r["vid"] == 1]
+    assert len(one) == len(set(one)) == 1  # z0: single world tile, once
+    r1 = [r for r in got if r["vid"] == 1][0]
+    assert r1["n_tiles"] == 1
+    # z3 wrap-onto-itself: full row 0..7 once per y
+    two = [(r["tile_x"], r["tile_y"]) for r in got if r["vid"] == 2]
+    assert len(two) == len(set(two))
+    assert {x for x, _ in two} == set(range(8))

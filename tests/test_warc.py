@@ -97,9 +97,10 @@ def test_record_bytes_match_python_reference(spark):
 
     for r in rows:
         date = r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        # record id hashes the UTC date STRING (tz-honest, reproducible)
         rid = (
             "urn:sha256:"
-            + hashlib.sha256(f"{r['url']}@{date[:10]} {date[11:19]}".encode()).hexdigest()
+            + hashlib.sha256(f"{r['url']}@{date}".encode()).hexdigest()
         )
         assert bytes(r["record_bytes"]) == _py_record(r["url"], date, rid, bytes(r["html"]))
 
@@ -177,3 +178,30 @@ def test_non_response_records_pass_through_parser(spark):
     assert bytes(pdf.iloc[0]["payload"]) == b"robots: x"
     # pages view keeps only the response
     assert warc_response_pages(recs).count() == 1
+
+
+def test_negative_content_length_flagged_not_infinite(spark):
+    evil = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:x:1>\r\n"
+        b"Content-Length: -33\r\n\r\n"
+    )
+    df = spark.createDataFrame([(0, evil)], "blob_id long, data binary")
+    pdf = parse_warc(df).toPandas()
+    assert len(pdf) == 1 and pdf.iloc[0]["malformed"]
+
+
+def test_corrupt_gzip_member_flagged_not_fatal(spark):
+    pages = _pages_df(spark, n=4).filter("blob_id = 0")
+    good = bytes(
+        pack_warc_blobs(_records_df(pages), gzip_members=True).collect()[0]["data"]
+    )
+    df = spark.createDataFrame(
+        [(0, good + b"\x1f\x8bGARBAGE-NOT-GZIP"), (1, good)],
+        "blob_id long, data binary",
+    )
+    pdf = parse_warc(df).toPandas()
+    n_pages = pages.count()
+    ok = pdf[~pdf["malformed"]]
+    assert len(ok[ok["blob_id"] == 0]) == n_pages  # good members all parsed
+    assert len(ok[ok["blob_id"] == 1]) == n_pages
+    assert pdf[pdf["malformed"]]["blob_id"].tolist() == [0]  # one flagged row
