@@ -3440,6 +3440,47 @@ _WARC_EXTRACT_ORACLE_SQL = """
 """
 
 
+def _q_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document TF-IDF keywords (operators/retrieval.py
+    extract_keywords): top-3 characteristic terms per doc — normalized
+    term frequency x smoothed IDF over the shared postings index (one
+    tokenize shuffle, df as a rollup of postings).  Oracle replays the
+    bm25 tokenizer chain, the score formula, and the rank window."""
+    from open_vector_tile_spark.operators.retrieval import extract_keywords
+
+    docs = _load(spark, sf, "documents")
+    return extract_keywords(docs, k=3).orderBy("doc_id", "rank")
+
+
+_KEYWORDS_ORACLE_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents
+      ) WHERE term <> ''
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+    ), dft AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM tf GROUP BY 1
+    ), nd AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM dl
+    ), s AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dft.dfreq,
+             (CAST(tf.tf AS DOUBLE) / dl.dl)
+               * ln((1.0 + nd.n) / (1.0 + dfreq)) AS score
+      FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, dfreq, score, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, term ASC) AS rank
+      FROM s) WHERE rank <= 3
+    ORDER BY doc_id, rank
+"""
+
+
 def _q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-host corpus profile (operators/pipeline.py host_stats): the
     curation table a CCNet/RefinedWeb-style pipeline publishes — doc and
@@ -4440,6 +4481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_topk": _q_sq8_topk,
         "grid_pyramid": _q_grid_pyramid,
         "host_stats": _q_host_stats,
+        "keywords": _q_keywords,
     }
 
 
@@ -6354,4 +6396,5 @@ def oracle_sql() -> dict[str, str]:
         "sq8_topk": _SQ8_TOPK_ORACLE_SQL,
         "grid_pyramid": _grid_pyramid_oracle_sql(),
         "host_stats": _HOST_STATS_ORACLE_SQL,
+        "keywords": _KEYWORDS_ORACLE_SQL,
     }

@@ -33,7 +33,7 @@ BM25 (Robertson/Sparck Jones, Okapi; the Lucene-default idf form):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT = r"\s+"
@@ -245,4 +245,50 @@ def bm25_topk(
         F.row_number().over(
             Window.orderBy(F.desc("score"), F.col(id_col))
         ).cast("int"),
+    )
+
+
+def extract_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    index: "tuple[DataFrame, DataFrame] | None" = None,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction -> (id, term, tf, dfreq,
+    score, rank): the top-``k`` most characteristic REAL terms of each
+    document (unlike :func:`tfidf_hashed`, which trades terms for fixed
+    buckets) — the standard document-tagging / faceting signal a corpus
+    browser or mixture sampler keys on.
+
+    score = (tf / dl) * ln((1 + N) / (1 + df)) — normalized term
+    frequency times smoothed IDF; ties break on the term string so the
+    table is reproducible.  ``min_df`` prunes hapax noise when asked.
+
+    Scale shape: reuses :func:`build_postings` (one tokenize shuffle,
+    localCheckpoint-ed); document frequency is a rollup OF postings
+    (term-key partial agg, never a second corpus scan); the top-k window
+    runs per doc after an id-key shuffle.  Corpus size N is the one
+    driver scalar (a count on the already-materialized doclen).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    postings, doclen = index if index is not None else build_postings(docs, id_col, text_col)
+    n_docs = doclen.count()
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    if min_df > 1:
+        df_t = df_t.filter(F.col("dfreq") >= min_df)
+    joined = postings.join(df_t, on="term").join(doclen, on=id_col)
+    score = (F.col("tf").cast("double") / F.col("dl")) * F.log(
+        (F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("dfreq"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        joined.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "dfreq", "score", "rank")
     )

@@ -426,3 +426,56 @@ def test_kmv_set_ops_disjoint(spark):
     row = kmv_set_ops(sa, sb, ["g"], k=64).collect()[0]
     assert row["match_k"] == 0 and row["est_intersection"] == 0
     assert row["jaccard_est"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# extract_keywords
+
+
+def test_extract_keywords_matches_python(spark):
+    import math
+
+    from open_vector_tile_spark.operators.retrieval import extract_keywords
+
+    texts = {
+        0: "apple banana apple cherry",
+        1: "banana banana durian",
+        2: "cherry durian elder elder elder",
+        3: "apple",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {}
+    for r in extract_keywords(df, k=2).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    # python reference
+    toks = {i: t.split() for i, t in texts.items()}
+    dfreq = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    n = len(texts)
+    for i, ts in toks.items():
+        scores = {}
+        for t in set(ts):
+            scores[t] = (ts.count(t) / len(ts)) * math.log((1 + n) / (1 + dfreq[t]))
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        rows = sorted(got[i], key=lambda r: r["rank"])
+        assert [(r["term"],) for r in rows] == [(t,) for t, _ in want]
+        for r, (t, s) in zip(rows, want):
+            assert r["score"] == pytest.approx(s, rel=1e-12)
+            assert r["tf"] == toks[i].count(t) and r["dfreq"] == dfreq[t]
+
+
+def test_extract_keywords_min_df_and_validation(spark):
+    from open_vector_tile_spark.operators.retrieval import extract_keywords
+
+    df = spark.createDataFrame(
+        [(0, "rare common common"), (1, "common common other")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["term"] for r in extract_keywords(df, k=1, min_df=2).collect()}
+    assert got[0] == "common"  # 'rare' pruned by min_df
+    with pytest.raises(ValueError):
+        extract_keywords(df, k=0)
+    with pytest.raises(ValueError):
+        extract_keywords(df, min_df=0)
