@@ -3440,6 +3440,55 @@ _WARC_EXTRACT_ORACLE_SQL = """
 """
 
 
+def _q_heatmap(spark: SparkSession, sf: str) -> DataFrame:
+    """KDE heatmap grid (operators/gridding.py heatmap_grid): events
+    splat an integer-scaled gaussian kernel onto their z4 grid-cell
+    neighborhood — taps are plan-time literals from kernel_offsets (exp
+    never runs in either engine), kernels cross tile borders via
+    global-pixel arithmetic, out-of-world taps drop.  Densities are
+    exact integer sums, so the oracle replays every cell verbatim from
+    the SAME python-generated tap table."""
+    from open_vector_tile_spark.operators.gridding import heatmap_grid
+
+    pts = _event_points(_load(spark, sf, "events"))
+    out = heatmap_grid(pts, zoom=ZOOM, size=8, radius=1, sigma=1.0)
+    return out.orderBy("tile_x", "tile_y", "px", "py")
+
+
+def _heatmap_oracle_sql() -> str:
+    from open_vector_tile_spark.operators.gridding import kernel_offsets
+
+    taps = kernel_offsets(1, 1.0)
+    vals = ", ".join(f"({dx}, {dy}, {w})" for dx, dy, w in taps)
+    mx = f"(({_SQL_LON_EV}+180.0)/360.0*{N_TILES})"
+    my = f"({_sql_merc_y(_SQL_LAT_EV)}*{N_TILES})"
+    world = N_TILES * 8
+    return f"""
+        WITH k(dx, dy, w) AS (VALUES {vals}),
+        c AS (
+          SELECT {_sql_tx(_SQL_LON_EV)} AS tx, {_sql_ty(_SQL_LAT_EV)} AS ty,
+                 CAST(greatest(0, least(7,
+                   floor(({mx} - {_sql_tx(_SQL_LON_EV)})*8))) AS BIGINT) AS px,
+                 CAST(greatest(0, least(7,
+                   floor(({my} - {_sql_ty(_SQL_LAT_EV)})*8))) AS BIGINT) AS py
+          FROM events
+        ), g AS (
+          SELECT tx*8 + px AS gx, ty*8 + py AS gy FROM c
+        ), t AS (
+          SELECT gx + dx AS tgx, gy + dy AS tgy, w
+          FROM g, k
+          WHERE gx + dx >= 0 AND gx + dx < {world}
+            AND gy + dy >= 0 AND gy + dy < {world}
+        )
+        SELECT {ZOOM} AS zoom, tgx // 8 AS tile_x, tgy // 8 AS tile_y,
+               CAST(tgx % 8 AS INT) AS px, CAST(tgy % 8 AS INT) AS py,
+               CAST(sum(w) AS BIGINT) AS density_int,
+               CAST(sum(w) AS DOUBLE) / 1048576.0 AS density
+        FROM t GROUP BY tile_x, tile_y, px, py
+        ORDER BY tile_x, tile_y, px, py
+    """
+
+
 def _q_keywords(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document TF-IDF keywords (operators/retrieval.py
     extract_keywords): top-3 characteristic terms per doc — normalized
@@ -4482,6 +4531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_pyramid": _q_grid_pyramid,
         "host_stats": _q_host_stats,
         "keywords": _q_keywords,
+        "heatmap": _q_heatmap,
     }
 
 
@@ -6397,4 +6447,5 @@ def oracle_sql() -> dict[str, str]:
         "grid_pyramid": _grid_pyramid_oracle_sql(),
         "host_stats": _HOST_STATS_ORACLE_SQL,
         "keywords": _KEYWORDS_ORACLE_SQL,
+        "heatmap": _heatmap_oracle_sql(),
     }

@@ -206,3 +206,105 @@ def grid_pyramid(
     return out.withColumn(
         "mean_value", F.col(value_sum).cast("double") / F.col(count)
     )
+
+
+def kernel_offsets(
+    radius: int, sigma: float, scale: int = 1 << 20
+) -> list[tuple[int, int, int]]:
+    """Integer-scaled gaussian kernel weights for :func:`heatmap_grid`:
+    [(dx, dy, round(exp(-(dx^2+dy^2)/(2 sigma^2)) * scale))], zero-weight
+    taps dropped.  Computed ONCE at plan time in python and embedded as
+    literals in both the Spark plan and the SQL oracle — exp() never runs
+    inside either engine, so there is no libm-parity question and the
+    density sums are exact integers."""
+    import math
+
+    if radius < 0:
+        raise ValueError(f"radius must be >= 0, got {radius}")
+    if sigma <= 0:
+        raise ValueError(f"sigma must be > 0, got {sigma}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    out = []
+    for dx in range(-radius, radius + 1):
+        for dy in range(-radius, radius + 1):
+            w = round(math.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma)) * scale)
+            if w > 0:
+                out.append((dx, dy, w))
+    return out
+
+
+def heatmap_grid(
+    points: DataFrame,
+    zoom: int,
+    size: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    radius: int = 2,
+    sigma: float = 1.0,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Kernel-density heatmap on the tile grid — the cartographic layer
+    behind every 'activity map': each point splats a gaussian kernel onto
+    its neighborhood of grid cells, kernels crossing tile borders land in
+    the neighbor tile (global-pixel arithmetic, same as grid_pyramid).
+
+    -> (zoom, tile_x, tile_y, px, py, density_int, density): density_int
+    is the EXACT integer sum of scaled kernel taps (deterministic on any
+    partitioning/engine); density = density_int / scale.
+
+    Scale shape: pure Catalyst — one explode by the (2r+1)^2 literal
+    kernel (taps are plan constants from :func:`kernel_offsets`, no exp()
+    at runtime) and ONE partial-aggregated shuffle on the target cell.
+    Out-of-world taps are dropped (no wraparound smear at the
+    antimeridian — the mercator world does not wrap in pixel space)."""
+    taps = kernel_offsets(radius, sigma, scale)
+    n = 1 << zoom
+    world = n * size
+    mx = merc_x_col(F.col(lon)) * F.lit(float(n))
+    my = merc_y_col(F.col(lat)) * F.lit(float(n))
+    tx = F.greatest(F.lit(0), F.least(F.lit(n - 1), F.floor(mx))).cast("long")
+    ty = F.greatest(F.lit(0), F.least(F.lit(n - 1), F.floor(my))).cast("long")
+    px = F.greatest(F.lit(0), F.least(F.lit(size - 1), F.floor((mx - tx) * size))).cast(
+        "long"
+    )
+    py = F.greatest(F.lit(0), F.least(F.lit(size - 1), F.floor((my - ty) * size))).cast(
+        "long"
+    )
+    tap_arr = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(w).alias("w"))
+            for dx, dy, w in taps
+        ]
+    )
+    base = points.select(
+        (tx * size + px).alias("gx"), (ty * size + py).alias("gy"),
+        F.explode(tap_arr).alias("t"),
+    ).select(
+        (F.col("gx") + F.col("t.dx")).alias("tgx"),
+        (F.col("gy") + F.col("t.dy")).alias("tgy"),
+        F.col("t.w").alias("w"),
+    ).filter(
+        (F.col("tgx") >= 0) & (F.col("tgx") < world)
+        & (F.col("tgy") >= 0) & (F.col("tgy") < world)
+    )
+    out = (
+        base.select(
+            F.floor(F.col("tgx") / size).cast("long").alias("tile_x"),
+            F.floor(F.col("tgy") / size).cast("long").alias("tile_y"),
+            (F.col("tgx") % size).cast("int").alias("px"),
+            (F.col("tgy") % size).cast("int").alias("py"),
+            "w",
+        )
+        .groupBy("tile_x", "tile_y", "px", "py")
+        .agg(F.sum("w").alias("density_int"))
+    )
+    return out.select(
+        F.lit(zoom).alias("zoom"),
+        "tile_x",
+        "tile_y",
+        "px",
+        "py",
+        "density_int",
+        (F.col("density_int").cast("double") / F.lit(float(scale))).alias("density"),
+    )

@@ -567,3 +567,65 @@ def test_host_stats_null_text(spark):
     r = host_stats(df).collect()[0]
     # null and '' normalize identically -> 1 unique text, 0 tokens
     assert (r["n_docs"], r["n_unique_texts"], r["total_tokens"]) == (2, 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# heatmap_grid
+
+
+def test_heatmap_matches_python_splat(spark):
+    import math
+    import random
+
+    from open_vector_tile_spark.functions.geo import merc_y_np
+    from open_vector_tile_spark.operators.gridding import heatmap_grid, kernel_offsets
+
+    rng = random.Random(41)
+    zoom, size, radius, sigma = 3, 4, 1, 1.0
+    n = 1 << zoom
+    world = n * size
+    pts = [(rng.uniform(-179, 179), rng.uniform(-75, 75)) for _ in range(200)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    got = {
+        (r["tile_x"], r["tile_y"], r["px"], r["py"]): (r["density_int"], r["density"])
+        for r in heatmap_grid(df, zoom=zoom, size=size, radius=radius, sigma=sigma).collect()
+    }
+    taps = kernel_offsets(radius, sigma)
+    want = {}
+    for lon, lat in pts:
+        mx = (lon + 180.0) / 360.0 * n
+        my = float(merc_y_np(lat)) * n
+        tx = min(n - 1, max(0, math.floor(mx)))
+        ty = min(n - 1, max(0, math.floor(my)))
+        gx = tx * size + min(size - 1, max(0, math.floor((mx - tx) * size)))
+        gy = ty * size + min(size - 1, max(0, math.floor((my - ty) * size)))
+        for dx, dy, w in taps:
+            X, Y = gx + dx, gy + dy
+            if 0 <= X < world and 0 <= Y < world:
+                key = (X // size, Y // size, X % size, Y % size)
+                want[key] = want.get(key, 0) + w
+    assert {k: v[0] for k, v in got.items()} == want
+    scale = 1 << 20
+    for k, (di, d) in got.items():
+        assert d == di / scale
+
+
+def test_heatmap_kernel_and_validation(spark):
+    import pytest as _pytest
+
+    from open_vector_tile_spark.operators.gridding import heatmap_grid, kernel_offsets
+
+    taps = {(dx, dy): w for dx, dy, w in kernel_offsets(1, 1.0)}
+    assert taps[(0, 0)] == 1 << 20  # center tap = full scale
+    assert taps[(1, 0)] == taps[(-1, 0)] == taps[(0, 1)]  # isotropy
+    assert taps[(1, 1)] < taps[(1, 0)]
+    df = spark.createDataFrame([(0.0, 0.0)], "lon double, lat double")
+    with _pytest.raises(ValueError):
+        heatmap_grid(df, zoom=2, size=4, radius=-1)
+    with _pytest.raises(ValueError):
+        heatmap_grid(df, zoom=2, size=4, sigma=0.0)
+    # a single point at world center splats the full kernel mass
+    rows = heatmap_grid(df, zoom=2, size=4, radius=1).collect()
+    assert sum(r["density_int"] for r in rows) == sum(
+        w for _, _, w in kernel_offsets(1, 1.0)
+    )
