@@ -3440,6 +3440,41 @@ _WARC_EXTRACT_ORACLE_SQL = """
 """
 
 
+def _q_lexical(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical diversity (operators/retrieval.py lexical_stats): per-doc
+    token/type counts, type-token ratio, and unigram Shannon entropy —
+    the perplexity-proxy quality gate.  Entropy terms fold in sorted
+    order so the DuckDB twin (sum(x ORDER BY x)) replays bit-for-bit."""
+    from open_vector_tile_spark.operators.retrieval import lexical_stats
+
+    docs = _load(spark, sf, "documents")
+    return lexical_stats(docs).orderBy("doc_id")
+
+
+_LEXICAL_ORACLE_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents
+      ) WHERE term <> ''
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+    ), c AS (
+      SELECT tf.doc_id, dl.dl,
+             -((CAST(tf.tf AS DOUBLE) / dl.dl)
+               * ln(CAST(tf.tf AS DOUBLE) / dl.dl)) AS h
+      FROM tf JOIN dl USING (doc_id)
+    )
+    SELECT doc_id, dl, CAST(count(*) AS BIGINT) AS types,
+           CAST(count(*) AS DOUBLE) / dl AS ttr,
+           sum(h ORDER BY h) AS entropy
+    FROM c GROUP BY doc_id, dl ORDER BY doc_id
+"""
+
+
 def _q_heatmap(spark: SparkSession, sf: str) -> DataFrame:
     """KDE heatmap grid (operators/gridding.py heatmap_grid): events
     splat an integer-scaled gaussian kernel onto their z4 grid-cell
@@ -4532,6 +4567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": _q_host_stats,
         "keywords": _q_keywords,
         "heatmap": _q_heatmap,
+        "lexical_stats": _q_lexical,
     }
 
 
@@ -6448,4 +6484,5 @@ def oracle_sql() -> dict[str, str]:
         "host_stats": _HOST_STATS_ORACLE_SQL,
         "keywords": _KEYWORDS_ORACLE_SQL,
         "heatmap": _heatmap_oracle_sql(),
+        "lexical_stats": _LEXICAL_ORACLE_SQL,
     }

@@ -292,3 +292,45 @@ def extract_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "dfreq", "score", "rank")
     )
+
+
+def lexical_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index: "tuple[DataFrame, DataFrame] | None" = None,
+    deterministic: bool = True,
+) -> DataFrame:
+    """Per-document lexical-diversity signals -> (id, dl, types, ttr,
+    entropy): token count, distinct-token count, type-token ratio, and
+    the unigram Shannon entropy H = -sum (tf/dl) ln(tf/dl) — the
+    perplexity-proxy quality gate (keyboard-mash and template spam sit
+    at the entropy extremes; Gopher-style filters cut on exactly this).
+
+    Reuses :func:`build_postings` (one tokenize shuffle); the stats are
+    one partial-agg rollup of postings per doc.  ``deterministic=True``
+    sums entropy terms with the repo's sorted fold so a DuckDB oracle
+    (``sum(x ORDER BY x)``) replays bit-for-bit; production can use the
+    plain sum."""
+    postings, doclen = index if index is not None else build_postings(docs, id_col, text_col)
+    j = postings.join(doclen, on=id_col)
+    p = F.col("tf").cast("double") / F.col("dl")
+    term = -(p * F.log(p))
+    contrib = j.select(id_col, F.col("dl"), term.alias("_h"))
+    if deterministic:
+        ent = F.aggregate(
+            F.sort_array(F.collect_list("_h")), F.lit(0.0), lambda a, x: a + x
+        )
+    else:
+        ent = F.sum("_h")
+    return (
+        contrib.groupBy(id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("types"), ent.alias("entropy"))
+        .select(
+            id_col,
+            "dl",
+            "types",
+            (F.col("types").cast("double") / F.col("dl")).alias("ttr"),
+            "entropy",
+        )
+    )

@@ -479,3 +479,27 @@ def test_extract_keywords_min_df_and_validation(spark):
         extract_keywords(df, k=0)
     with pytest.raises(ValueError):
         extract_keywords(df, min_df=0)
+
+
+def test_lexical_stats_matches_python(spark):
+    import math
+
+    from open_vector_tile_spark.operators.retrieval import lexical_stats
+
+    texts = {
+        0: "a a a a",              # zero entropy
+        1: "a b c d",              # max entropy ln(4)
+        2: "x x y",                # mixed
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lexical_stats(df).collect()}
+    for i, t in texts.items():
+        ts = t.split()
+        tfs = {w: ts.count(w) for w in set(ts)}
+        h = -sum((c / len(ts)) * math.log(c / len(ts)) for c in tfs.values())
+        r = got[i]
+        assert (r["dl"], r["types"]) == (len(ts), len(tfs))
+        assert r["ttr"] == len(tfs) / len(ts)
+        assert r["entropy"] == pytest.approx(h, abs=1e-12)
+    assert got[0]["entropy"] == 0.0
+    assert got[1]["entropy"] == pytest.approx(math.log(4))
