@@ -4443,6 +4443,71 @@ _SITEMAP_ORACLE_SQL = """
 """
 
 
+def _q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality gate: a bigram Stupid-Backoff model (Brants
+    et al. 2007) trained on the even-doc_id half of the corpus scores
+    EVERY document with mean negative log-likelihood (nats per bigram).
+    The odd half's unseen bigrams exercise the backoff and OOV branches;
+    <2-token documents surface with n_bigrams=0 and a null score."""
+    from open_vector_tile_spark.operators.lm import (
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    docs = _load(spark, sf, "documents")
+    model = train_bigram_lm(docs.where(F.col("doc_id") % 2 == 0))
+    out = perplexity_score(docs, model)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_nll", 6).alias("avg_nll")
+    ).orderBy("doc_id")
+
+
+def _q_snap_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Map matching: every document point snapped to its 2 nearest road
+    segments within 4 planar units (cell-prefiltered candidates + exact
+    clamped point-to-segment distance; ties on seg_id)."""
+    from open_vector_tile_spark.operators.matching import snap_to_segments
+
+    docs = _doc_points(_load(spark, sf, "documents"))
+    points = docs.select(
+        F.col("doc_id").alias("pid"),
+        F.col("lon").alias("x"),
+        F.col("lat").alias("y"),
+    )
+    sup = _load(spark, sf, "supplier")
+    segs = (
+        sup.select(
+            F.col("s_suppkey").alias("seg_id"),
+            (((F.col("s_suppkey") * 91) % 3600) / 10.0 - 180.0).alias("x1"),
+            (((F.col("s_suppkey") * 57) % 1600) / 10.0 - 80.0).alias("y1"),
+        )
+        .withColumn(
+            "x2", F.col("x1") + ((F.col("seg_id") * 13) % 21 - 10) / 2.0
+        )
+        .withColumn(
+            "y2", F.col("y1") + ((F.col("seg_id") * 29) % 21 - 10) / 2.0
+        )
+    )
+    out = snap_to_segments(points, segs, radius=4.0, k=2)
+    return out.select(
+        "pid",
+        "seg_id",
+        (F.round("t", 6) + F.lit(0.0)).alias("t_pos"),  # clear -0.0 (twin too)
+        F.round("dist", 6).alias("dist"),
+    ).orderBy("pid", "seg_id")
+
+
+def _q_phrase_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact phrase query ("table table") over positional postings:
+    m-1 position-adjacency equi-joins on the term-filtered postings
+    slice.  The oracle is HASH-FREE — DuckDB scans the token lists
+    directly, independently validating the index-join strategy."""
+    from open_vector_tile_spark.operators.retrieval import phrase_search
+
+    docs = _load(spark, sf, "documents")
+    return phrase_search(docs, "table table").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -4568,6 +4633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords": _q_keywords,
         "heatmap": _q_heatmap,
         "lexical_stats": _q_lexical,
+        "lm_perplexity": _q_lm_perplexity,
+        "snap_match": _q_snap_match,
+        "phrase_hits": _q_phrase_hits,
     }
 
 
@@ -4621,6 +4689,124 @@ def _sql_polygon_ingest_dist() -> str:
                unnest([{coords}]) AS coord
         FROM t
     """
+
+
+# Stupid-Backoff bigram LM twin: counts, the three score branches, the
+# sorted fold (sum ORDER BY) and the fixed double-op chains all replayed
+# verbatim — bit-identical avg_nll before the 6-place round.
+_LM_PERPLEXITY_ORACLE_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '{_SQL_WS_SPLIT}'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    train AS (SELECT ts FROM toks WHERE doc_id % 2 = 0),
+    uni AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n_term
+      FROM (SELECT unnest(ts) AS term FROM train) GROUP BY term
+    ),
+    n AS (SELECT CAST(sum(n_term) AS BIGINT) AS n_tokens FROM uni),
+    big AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM (SELECT ts[i] AS a, ts[i+1] AS b
+            FROM train, unnest(range(1, len(ts))) r(i))
+      GROUP BY a, b
+    ),
+    ev AS (
+      SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, ts[i] AS a, ts[i+1] AS b
+            FROM toks, unnest(range(1, len(ts))) r(i))
+      GROUP BY doc_id, a, b
+    ),
+    scored AS (
+      SELECT ev.doc_id, cnt,
+             CAST(cnt AS DOUBLE) * ln(
+               CASE WHEN big.n_ab IS NOT NULL
+                    THEN CAST(big.n_ab AS DOUBLE) / CAST(ua.n_term AS DOUBLE)
+                    ELSE 0.4 * (CAST(coalesce(ub.n_term, 1) AS DOUBLE)
+                                / CAST(n_tokens AS DOUBLE))
+               END) AS ll
+      FROM ev
+      LEFT JOIN big ON ev.a = big.a AND ev.b = big.b
+      LEFT JOIN uni ua ON ev.a = ua.term
+      LEFT JOIN uni ub ON ev.b = ub.term, n
+    ),
+    per AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             sum(ll ORDER BY ll) AS ll_sum
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           round(-ll_sum / CAST(per.n_bigrams AS DOUBLE), 6) AS avg_nll
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    ORDER BY d.doc_id
+"""
+
+# snap-to-segment twin: brute-force cross join (the cover is a strict
+# superset, so prefilter+refine == cross+filter), identical clamp/dist
+# double chains, the same (dist2, seg_id) rank tie-break.
+_SNAP_MATCH_ORACLE_SQL = f"""
+    WITH p AS (
+      SELECT doc_id AS pid, {_SQL_LON_DOC} AS x, {_SQL_LAT_DOC} AS y
+      FROM documents
+    ),
+    s AS (
+      SELECT seg_id, x1, y1,
+             x1 + ((seg_id*13) % 21 - 10)/2.0 AS x2,
+             y1 + ((seg_id*29) % 21 - 10)/2.0 AS y2
+      FROM (SELECT s_suppkey AS seg_id,
+                   ((CAST(s_suppkey*91 AS DOUBLE) % 3600)/10.0 - 180.0) AS x1,
+                   ((CAST(s_suppkey*57 AS DOUBLE) % 1600)/10.0 - 80.0) AS y1
+            FROM supplier)
+    ),
+    c AS (
+      SELECT pid, seg_id, x, y, x1, y1, x2, y2,
+             CASE WHEN (x2-x1)*(x2-x1) + (y2-y1)*(y2-y1) = 0.0 THEN 0.0
+                  ELSE least(greatest(
+                         ((x-x1)*(x2-x1) + (y-y1)*(y2-y1))
+                           / ((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1)),
+                         0.0), 1.0)
+             END AS t
+      FROM p, s
+    ),
+    d AS (
+      SELECT pid, seg_id, t,
+             (x-(x1+t*(x2-x1)))*(x-(x1+t*(x2-x1)))
+               + (y-(y1+t*(y2-y1)))*(y-(y1+t*(y2-y1))) AS dist2
+      FROM c
+    )
+    -- "+ 0.0" clears IEEE negative zero: DuckDB's greatest(-0.0, 0.0)
+    -- keeps -0.0 where Spark emits +0.0 (equal values, different bits)
+    SELECT pid, seg_id, round(t, 6) + 0.0 AS t_pos,
+           round(sqrt(dist2), 6) AS dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY pid
+                                       ORDER BY dist2, seg_id) AS rk
+          FROM d WHERE dist2 <= 16.0)
+    WHERE rk <= 2
+    ORDER BY pid, seg_id
+"""
+
+# phrase-search twin: HASH-FREE — scans the token lists directly (lateral
+# range unnest + literal compares), independent of the postings
+# adjacency-join strategy.  DuckDB lists are 1-based; first_pos is 0-based.
+_PHRASE_HITS_ORACLE_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '{_SQL_WS_SPLIT}'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, i - 1 AS p0
+      FROM toks, unnest(range(1, len(ts))) r(i)
+      WHERE ts[i] = 'table' AND ts[i+1] = 'table'
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(min(p0) AS BIGINT) AS first_pos
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6485,4 +6671,7 @@ def oracle_sql() -> dict[str, str]:
         "keywords": _KEYWORDS_ORACLE_SQL,
         "heatmap": _heatmap_oracle_sql(),
         "lexical_stats": _LEXICAL_ORACLE_SQL,
+        "lm_perplexity": _LM_PERPLEXITY_ORACLE_SQL,
+        "snap_match": _SNAP_MATCH_ORACLE_SQL,
+        "phrase_hits": _PHRASE_HITS_ORACLE_SQL,
     }

@@ -334,3 +334,76 @@ def lexical_stats(
             "entropy",
         )
     )
+
+
+def build_positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional postings (id, pos, term): the index artifact phrase and
+    proximity queries consume.  pos is the 0-based token index after
+    empty-token removal.  One narrow posexplode — at scale this is the
+    table a real deployment would persist bucketed by term."""
+    from open_vector_tile_spark.functions.text import WS_SPLIT
+
+    ts = F.filter(
+        F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda t: t != ""
+    )
+    return docs.select(F.col(id_col), ts.alias("ts")).select(
+        id_col, F.posexplode("ts").alias("pos", "term")
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: "list[str] | str",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    positions: DataFrame | None = None,
+) -> DataFrame:
+    """Exact phrase query over positional postings -> (id, n_matches,
+    first_pos) for documents containing the phrase (adjacent lowercased
+    whitespace tokens; overlapping occurrences all count).
+
+    The inverted-index classic: an m-term phrase is m-1 *position
+    adjacency* equi-joins over the postings slice matching the phrase's
+    terms — relational algebra, no regex scan of the corpus.
+
+    Scale shape: the term filter (`isin` over a literal handful) prunes
+    the postings stream map-side BEFORE any shuffle, so each adjacency
+    join moves only rows for the phrase's own terms — the classic
+    positional-index win: query cost scales with term frequency, not
+    corpus size.  The filtered slice is lazily checkpointed so the m
+    plan branches share one postings pass.  With a pre-built
+    ``positions`` table (persisted, bucketed by term) nothing rescans
+    the corpus at all.
+    """
+    words = (
+        [w for w in phrase.lower().split() if w]
+        if isinstance(phrase, str)
+        else [w.lower() for w in phrase]
+    )
+    if not words:
+        raise ValueError("phrase must contain at least one token")
+    if any(not w for w in words):
+        raise ValueError(f"phrase tokens must be non-empty, got {words!r}")
+    pos = (
+        positions
+        if positions is not None
+        else build_positional_postings(docs, id_col, text_col)
+    )
+    sliced = pos.where(F.col("term").isin(*set(words))).localCheckpoint(
+        eager=False
+    )
+    anchor = sliced.where(F.col("term") == words[0]).select(
+        id_col, F.col("pos").alias("p0")
+    )
+    for i, w in enumerate(words[1:], start=1):
+        nxt = sliced.where(F.col("term") == w).select(
+            id_col, (F.col("pos") - F.lit(i)).alias("p0")
+        )
+        anchor = anchor.join(nxt, [id_col, "p0"])
+    return anchor.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("p0").cast("long").alias("first_pos"),
+    )
