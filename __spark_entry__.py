@@ -4497,6 +4497,73 @@ def _q_snap_match(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("pid", "seg_id")
 
 
+def _q_track_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Trajectory sanity gate: per-user ping streams (deterministic
+    small-jitter walks around each user's base point) get exact
+    microsecond deltas, haversine step distances, speeds, and the
+    implausible-teleport flag — the pre-map-matching GPS-noise filter."""
+    from open_vector_tile_spark.operators.events import track_speed
+
+    ev = _load(spark, sf, "events")
+    pings = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            ((F.col("user_id") * 37) % 3600) / 10.0
+            - 180.0
+            + ((F.col("event_id") % 21) - 10) / 1000.0
+        ).alias("lon"),
+        (
+            ((F.col("user_id") * 53) % 1400) / 10.0
+            - 70.0
+            + ((F.col("event_id") % 17) - 8) / 1000.0
+        ).alias("lat"),
+    )
+    out = track_speed(pings, order_cols=("event_id",), max_speed_mps=5.0)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("dt_s", 6).alias("dt_s"),
+        F.round("dist_m", 6).alias("dist_m"),
+        F.round("speed_mps", 6).alias("speed_mps"),
+        F.col("implausible").cast("int").alias("implausible"),
+    ).orderBy("event_id")
+
+
+def _q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained quality gate: logistic regression over cheap text features
+    (log-length, mean token length, stopword ratio), trained by 4 rounds
+    of full-batch gradient descent against the lang='en' label, then
+    applied to every document.  Training itself is replayed bit-for-bit
+    by the oracle (unrolled CTE per round, sorted gradient folds) — the
+    pagerank evidence pattern applied to model training."""
+    from open_vector_tile_spark.operators.classify import (
+        doc_features,
+        score_logreg,
+        train_logreg,
+    )
+
+    docs = _load(spark, sf, "documents")
+    feats = doc_features(docs).join(
+        docs.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")),
+        "doc_id",
+    )
+    w = train_logreg(
+        feats,
+        label_col="y",
+        feature_cols=["x1", "x2", "x3"],
+        deterministic=True,
+    )
+    out = score_logreg(feats, w, feature_cols=["x1", "x2", "x3"])
+    return out.select(
+        "doc_id",
+        "y",
+        F.round("score", 6).alias("score"),
+        F.col("keep").cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
 def _q_phrase_hits(spark: SparkSession, sf: str) -> DataFrame:
     """Exact phrase query ("table table") over positional postings:
     m-1 position-adjacency equi-joins on the term-filtered postings
@@ -4636,6 +4703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "snap_match": _q_snap_match,
         "phrase_hits": _q_phrase_hits,
+        "quality_classifier": _q_quality_classifier,
+        "track_gate": _q_track_gate,
     }
 
 
@@ -4787,6 +4856,110 @@ _SNAP_MATCH_ORACLE_SQL = f"""
     WHERE rk <= 2
     ORDER BY pid, seg_id
 """
+
+# track-speed twin: same deterministic jitter-walk synthesis, lag window
+# with the same (ts, event_id) order, exact integer microsecond deltas,
+# and the proven haversine chain from the distance_join twin.
+_TRACK_GATE_ORACLE_SQL = """
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             ((CAST(user_id*37 AS DOUBLE) % 3600)/10.0 - 180.0
+               + ((event_id % 21) - 10)/1000.0) AS lon,
+             ((CAST(user_id*53 AS DOUBLE) % 1400)/10.0 - 70.0
+               + ((event_id % 17) - 8)/1000.0) AS lat
+      FROM events
+    ),
+    l AS (
+      SELECT event_id, user_id, lon, lat,
+             lag(ts)  OVER w AS pts,
+             lag(lon) OVER w AS plon,
+             lag(lat) OVER w AS plat,
+             date_diff('microsecond', lag(ts) OVER w, ts) AS dt_us
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    d AS (
+      SELECT event_id, user_id, dt_us,
+             CAST(dt_us AS DOUBLE)/1000000.0 AS dt_s,
+             CASE WHEN pts IS NULL THEN NULL
+                  ELSE 2.0*6371008.8*asin(least(1.0, sqrt(
+                         pow(sin(radians(lat - plat)/2),2)
+                         + cos(radians(plat))*cos(radians(lat))
+                           *pow(sin(radians(lon - plon)/2),2))))
+             END AS dist_m
+      FROM l
+    ),
+    s AS (
+      SELECT *, CASE WHEN dt_us > 0 THEN dist_m / dt_s END AS speed_mps
+      FROM d
+    )
+    SELECT event_id, user_id,
+           round(dt_s, 6) AS dt_s,
+           round(dist_m, 6) AS dist_m,
+           round(speed_mps, 6) AS speed_mps,
+           CAST(CASE WHEN dt_us IS NULL THEN false
+                     ELSE coalesce(speed_mps > 5.0, false)
+                          OR (dt_us = 0 AND dist_m > 0.0)
+                END AS INT) AS implausible
+    FROM s ORDER BY event_id
+"""
+
+
+def _logreg_oracle_sql(rounds: int = 4, lr: str = "0.5") -> str:
+    """Unrolled-CTE replay of the full 4-round GD training run + apply:
+    each round is one sorted-fold gradient aggregate (``sum(g ORDER BY
+    g)`` == Spark's sort_array fold) and one weight-update CTE using the
+    exact IEEE chain ``w - lr * (g / n)`` the driver computes in Python.
+    Bit-identical weights => bit-identical scores before the round."""
+    sw = ", ".join(f"'{s}'" for s in (
+        "the", "a", "and", "of", "to", "in", "is", "for", "on", "that"
+    ))
+    parts = [f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '{_SQL_WS_SPLIT}'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS INT) AS y,
+             ln(1.0 + CAST(len(ts) AS DOUBLE)) AS x1,
+             CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE)
+               / CAST(len(ts) AS DOUBLE) AS x2,
+             CAST(len(list_filter(ts, t -> t IN ({sw}))) AS DOUBLE)
+               / CAST(len(ts) AS DOUBLE) AS x3
+      FROM toks WHERE len(ts) >= 1
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+    w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""]
+    for r in range(1, rounds + 1):
+        z = "w0 + w1*x1 + w2*x2 + w3*x3"
+        e = f"(1.0/(1.0 + exp(-({z}))) - CAST(y AS DOUBLE))"
+        parts.append(f""",
+    e{r} AS (SELECT {e} AS e, x1, x2, x3 FROM f, w{r - 1}),
+    g{r} AS (
+      SELECT sum(e ORDER BY e) AS g0,
+             sum(e*x1 ORDER BY e*x1) AS g1,
+             sum(e*x2 ORDER BY e*x2) AS g2,
+             sum(e*x3 ORDER BY e*x3) AS g3
+      FROM e{r}
+    ),
+    w{r} AS (
+      SELECT w0 - {lr} * (g0 / n) AS w0,
+             w1 - {lr} * (g1 / n) AS w1,
+             w2 - {lr} * (g2 / n) AS w2,
+             w3 - {lr} * (g3 / n) AS w3
+      FROM w{r - 1}, g{r}, nn
+    )""")
+    parts.append(f"""
+    SELECT doc_id, y,
+           round(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))), 6) AS score,
+           CAST(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3))) >= 0.5
+                AS INT) AS keep
+    FROM f, w{rounds}
+    ORDER BY doc_id""")
+    return "".join(parts)
+
 
 # phrase-search twin: HASH-FREE — scans the token lists directly (lateral
 # range unnest + literal compares), independent of the postings
@@ -6674,4 +6847,6 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _LM_PERPLEXITY_ORACLE_SQL,
         "snap_match": _SNAP_MATCH_ORACLE_SQL,
         "phrase_hits": _PHRASE_HITS_ORACLE_SQL,
+        "quality_classifier": _logreg_oracle_sql(),
+        "track_gate": _TRACK_GATE_ORACLE_SQL,
     }

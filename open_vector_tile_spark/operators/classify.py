@@ -1,0 +1,157 @@
+"""Trained linear quality classifier — the fasttext-style corpus gate.
+
+DataComp-LM, LLaMA and the CCNet line of work all gate web documents
+with a *trained* lightweight classifier (fasttext / logistic regression
+over cheap text features), not just hand-tuned thresholds.  At corpus
+scale both halves must be distributed: feature extraction is a map-side
+column-expression pass, and training is batch gradient descent where
+each step is ONE partial-aggregated reduction over the corpus
+(d+1 feature gradients, a few doubles to the driver per round — the
+same shape as the distributed Lloyd iteration in similarity.py).
+
+Model: logistic regression  p(y=1|x) = sigmoid(w·x)  trained by full-batch
+gradient descent,  w ← w − lr · (Xᵀ(sigmoid(Xw) − y)) / n.  Full-batch
+(not SGD) is the deterministic choice: every round is a pure function of
+(data, w), so the whole training run replays bit-for-bit in the DuckDB
+oracle as one unrolled CTE per round — the pagerank/HITS evidence
+pattern applied to model training.
+
+Determinism: double addition is non-associative, so the gradient
+reduction has two modes — ``deterministic=True`` folds each feature's
+per-document contributions in sorted order (bit-stable under any
+partitioning; what the oracle replays via ``sum(g ORDER BY g)``), the
+default uses plain ``SUM`` partial aggregation (the 100 TB path: map-side
+combine, no single collect_list group).  The driver-side weight update
+uses the same IEEE ops (``w - lr * (g / n)``) in Python, Spark and SQL.
+
+Features (doc_features): intercept-ready cheap signals with EXACT
+integer numerators so both engines derive bit-identical doubles —
+log(1+token_count), mean token length, stopword ratio.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["STOPWORDS", "doc_features", "train_logreg", "score_logreg"]
+
+# tiny English function-word list: the classic "is this running prose?"
+# signal (Gopher's stop-word rule uses the same idea)
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "that")
+
+
+def doc_features(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_tokens, x1, x2, x3): x1 = ln(1 + n_tokens), x2 = mean token
+    length, x3 = stopword ratio.  Documents with zero tokens are dropped
+    (their ratios are undefined; a length gate owns them).  Pure column
+    expressions — integer counts first, one double division each, so any
+    engine replaying the formula reproduces the doubles bit-for-bit."""
+    from open_vector_tile_spark.functions.text import WS_SPLIT
+
+    ts = F.filter(
+        F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda t: t != ""
+    )
+    d = docs.select(F.col(id_col), ts.alias("ts")).where(F.size("ts") >= 1)
+    n = F.size("ts").cast("long")
+    chars = F.aggregate(
+        F.transform(F.col("ts"), F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    sw = F.size(F.filter(F.col("ts"), lambda t: t.isin(*STOPWORDS)))
+    return d.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.log(F.lit(1.0) + n.cast("double")).alias("x1"),
+        (chars.cast("double") / n.cast("double")).alias("x2"),
+        (sw.cast("double") / n.cast("double")).alias("x3"),
+    )
+
+
+def _dot(weights: list[float], xs: list[Column]) -> Column:
+    """w·x as a fixed left-associated chain: w0 + w1*x1 + w2*x2 + ... —
+    the exact op order the SQL twin spells out."""
+    acc: Column = F.lit(float(weights[0]))
+    for w, x in zip(weights[1:], xs):
+        acc = acc + F.lit(float(w)) * x
+    return acc
+
+
+def _sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def train_logreg(
+    feats: DataFrame,
+    *,
+    label_col: str,
+    feature_cols: list[str],
+    lr: float = 0.5,
+    rounds: int = 4,
+    deterministic: bool = False,
+) -> list[float]:
+    """Full-batch GD -> [w0 (intercept), w1..wd].  One reduction job per
+    round; each ships d+1 doubles to the driver.  ``deterministic=True``
+    makes the result bit-stable under any partitioning (sorted folds) —
+    use it when an oracle or reproducibility audit replays training."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if lr <= 0:
+        raise ValueError(f"lr must be > 0, got {lr}")
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    # pin the training set: each round re-reads it, and re-derived input
+    # (or a re-run of a nondeterministic upstream) would break the pure
+    # function-of-(data, w) replay contract
+    base = feats.select(
+        F.col(label_col).cast("double").alias("_y"), *feature_cols
+    ).localCheckpoint(eager=False)
+    n = base.count()
+    if n == 0:
+        raise ValueError("training set is empty")
+    xs = [F.col(c) for c in feature_cols]
+    w = [0.0] * (1 + len(feature_cols))
+    for _ in range(int(rounds)):
+        err = _sigmoid(_dot(w, xs)) - F.col("_y")
+        gcols = [err.alias("g0")] + [
+            (err * x).alias(f"g{j + 1}") for j, x in enumerate(xs)
+        ]
+        contrib = base.select(*gcols)
+        if deterministic:
+            aggs = [
+                F.aggregate(
+                    F.sort_array(F.collect_list(f"g{j}")),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ).alias(f"g{j}")
+                for j in range(len(w))
+            ]
+        else:
+            aggs = [F.sum(f"g{j}").alias(f"g{j}") for j in range(len(w))]
+        g = contrib.agg(*aggs).collect()[0]
+        w = [w[j] - lr * (g[f"g{j}"] / n) for j in range(len(w))]
+    return w
+
+
+def score_logreg(
+    feats: DataFrame,
+    weights: list[float],
+    *,
+    feature_cols: list[str],
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Apply a trained model: adds ``score`` = sigmoid(w·x) and ``keep``
+    = score >= threshold.  Map-side column math only — the 100 TB apply
+    pass is a narrow scan."""
+    if len(weights) != 1 + len(feature_cols):
+        raise ValueError(
+            f"got {len(weights)} weights for {len(feature_cols)} features"
+        )
+    xs = [F.col(c) for c in feature_cols]
+    score = _sigmoid(_dot(list(weights), xs))
+    return feats.withColumn("score", score).withColumn(
+        "keep", F.col("score") >= F.lit(float(threshold))
+    )

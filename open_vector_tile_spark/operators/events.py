@@ -227,3 +227,79 @@ def sessionize(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return events.withColumn(out_col, F.sum(is_cut).over(run).cast("long"))
+
+
+def track_speed(
+    pings: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    order_cols: Sequence[str] = (),
+    max_speed_mps: float = 70.0,
+) -> DataFrame:
+    """Per-track movement derivation + GPS-noise gate: for each ping,
+    distance (haversine meters) and elapsed time to the PREVIOUS ping of
+    the same track, speed, and an ``implausible`` flag (speed above
+    ``max_speed_mps``, or a nonzero jump at zero elapsed time — the
+    teleport case a speed division cannot represent).
+
+    The geolocation pipeline's trajectory sanity filter: crawler-derived
+    or GPS point streams carry device glitches that would otherwise smear
+    kNN/tile aggregates; this is the standard pre-filter before
+    map matching (see operators/matching.py).
+
+    Plan shape: ONE shuffle on the track key; lag windows stream sorted
+    runs per partition (state = one row).  All arithmetic is column math
+    — time deltas in exact integer microseconds (timezone-free: a
+    same-column difference cancels any session-tz rendering), haversine
+    via the shared `_haversine_col` chain, so every derived double
+    replays bit-for-bit in a SQL twin.  First ping of a track: null
+    delta/speed, implausible = false.
+    """
+    if max_speed_mps <= 0:
+        raise ValueError(f"max_speed_mps must be > 0, got {max_speed_mps}")
+    from open_vector_tile_spark.operators.knn import _haversine_col
+
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        F.col(ts_col), *[F.col(c) for c in order_cols]
+    )
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    prev_lon = F.lag(F.col(lon_col)).over(w)
+    prev_lat = F.lag(F.col(lat_col)).over(w)
+    out = (
+        # timestamp_diff is wall-clock arithmetic: TIMESTAMP and
+        # TIMESTAMP_NTZ alike, no session-timezone / DST dependence
+        pings.withColumn(
+            "_dt_us", F.timestamp_diff("MICROSECOND", prev_ts, F.col(ts_col))
+        )
+        .withColumn(
+            "dist_m",
+            # explicit null at track start: Spark's least() SKIPS nulls, so
+            # the haversine chain would otherwise collapse to asin(1)·2R
+            # (antipodal distance) instead of null for a null prev point
+            F.when(
+                prev_ts.isNotNull(),
+                _haversine_col(
+                    prev_lon, prev_lat, F.col(lon_col), F.col(lat_col)
+                ),
+            ),
+        )
+        .withColumn("dt_s", F.col("_dt_us").cast("double") / F.lit(1e6))
+        .withColumn(
+            "speed_mps",
+            F.when(F.col("_dt_us") > 0, F.col("dist_m") / F.col("dt_s")),
+        )
+    )
+    implausible = F.when(
+        F.col("_dt_us").isNull(), F.lit(False)
+    ).otherwise(
+        # speed is null at dt=0: coalesce, or a duplicate ping (dt=0,
+        # dist=0) would propagate null instead of false
+        F.coalesce(
+            F.col("speed_mps") > F.lit(float(max_speed_mps)), F.lit(False)
+        )
+        | ((F.col("_dt_us") == 0) & (F.col("dist_m") > 0.0))
+    )
+    return out.withColumn("implausible", implausible).drop("_dt_us")
