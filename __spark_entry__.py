@@ -4497,6 +4497,43 @@ def _q_snap_match(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("pid", "seg_id")
 
 
+def _line_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic polyline corpus from part keys: 3-6 zigzag vertices,
+    every 13th line all-duplicate vertices (zero length), every 17th a
+    single vertex — the degenerate cases the interpolator must anchor."""
+    part = _load(spark, sf, "part")
+    pk = F.col("p_partkey")
+    dup = pk % 13 == 0
+    bx = (pk * 7 % 100).cast("double")
+    by = (pk * 11 % 100).cast("double")
+    sx = F.when(dup, F.lit(0.0)).otherwise((pk % 5 + 1).cast("double") * 1.5)
+    sy = F.when(dup, F.lit(0.0)).otherwise(F.lit(2.0))
+    nv = F.when(pk % 17 == 0, F.lit(1)).otherwise((3 + pk % 4).cast("int"))
+    seq = F.sequence(F.lit(0), nv - 1)
+    return part.select(
+        pk.alias("line_id"),
+        F.transform(seq, lambda j: bx + j.cast("double") * sx).alias("xs"),
+        F.transform(
+            seq, lambda j: by + ((pk + j) % 7).cast("double") * sy
+        ).alias("ys"),
+    )
+
+
+def _q_line_anchor(spark: SparkSession, sf: str) -> DataFrame:
+    """Label anchoring: the point at 35% of each polyline's arc length
+    (windowed running-length formulation; degenerate lines anchor at
+    their first vertex)."""
+    from open_vector_tile_spark.operators.geometry import line_interpolate
+
+    out = line_interpolate(_line_corpus(spark, sf), fraction=0.35)
+    return out.select(
+        "line_id",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("total_len", 6).alias("total_len"),
+    ).orderBy("line_id")
+
+
 def _q_track_gate(spark: SparkSession, sf: str) -> DataFrame:
     """Trajectory sanity gate: per-user ping streams (deterministic
     small-jitter walks around each user's base point) get exact
@@ -4705,6 +4742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_hits": _q_phrase_hits,
         "quality_classifier": _q_quality_classifier,
         "track_gate": _q_track_gate,
+        "line_anchor": _q_line_anchor,
     }
 
 
@@ -4855,6 +4893,70 @@ _SNAP_MATCH_ORACLE_SQL = f"""
           FROM d WHERE dist2 <= 16.0)
     WHERE rk <= 2
     ORDER BY pid, seg_id
+"""
+
+# line-interpolation twin: same vertex synthesis, lead-window segments,
+# the SAME sequential running-length window (cumulative float sums must
+# not be reassociated — the window order pins them), max-over-partition
+# total, first qualifying segment, identical interpolation chain.
+_LINE_ANCHOR_ORACLE_SQL = """
+    WITH base AS (
+      SELECT p_partkey AS line_id, p_partkey AS pk,
+             CAST(p_partkey*7 % 100 AS DOUBLE) AS bx,
+             CAST(p_partkey*11 % 100 AS DOUBLE) AS by,
+             CASE WHEN p_partkey % 13 = 0 THEN 0.0
+                  ELSE CAST(p_partkey % 5 + 1 AS DOUBLE) * 1.5 END AS sx,
+             CASE WHEN p_partkey % 13 = 0 THEN 0.0 ELSE 2.0 END AS sy,
+             CAST(CASE WHEN p_partkey % 17 = 0 THEN 1
+                       ELSE 3 + p_partkey % 4 END AS BIGINT) AS nv
+      FROM part
+    ),
+    verts AS (
+      SELECT line_id, j,
+             bx + CAST(j AS DOUBLE) * sx AS x,
+             by + CAST((pk + j) % 7 AS DOUBLE) * sy AS y
+      FROM base, unnest(range(0, nv)) r(j)
+    ),
+    sg AS (
+      SELECT line_id, j AS i, x AS x1, y AS y1,
+             lead(x) OVER w AS x2, lead(y) OVER w AS y2
+      FROM verts WINDOW w AS (PARTITION BY line_id ORDER BY j)
+      QUALIFY lead(x) OVER w IS NOT NULL
+    ),
+    seg AS (
+      SELECT line_id, i, x1, y1, x2, y2,
+             sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1)) AS len
+      FROM sg
+    ),
+    runsum AS (
+      SELECT *,
+             sum(len) OVER (PARTITION BY line_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM seg
+    ),
+    cums AS (
+      SELECT *, max(cum) OVER (PARTITION BY line_id) AS total FROM runsum
+    ),
+    hit AS (
+      SELECT line_id,
+             x1 + t * (x2 - x1) AS hx,
+             y1 + t * (y2 - y1) AS hy,
+             total AS tl
+      FROM (
+        SELECT *, (0.35 * total - (cum - len)) / len AS t,
+               row_number() OVER (PARTITION BY line_id ORDER BY i) AS rk
+        FROM cums WHERE cum >= 0.35 * total AND len > 0.0
+      ) WHERE rk = 1
+    ),
+    firstv AS (
+      SELECT line_id, x AS fx, y AS fy FROM verts WHERE j = 0
+    )
+    SELECT f.line_id,
+           round(coalesce(hx, fx), 6) AS x,
+           round(coalesce(hy, fy), 6) AS y,
+           round(coalesce(tl, 0.0), 6) AS total_len
+    FROM firstv f LEFT JOIN hit h ON f.line_id = h.line_id
+    ORDER BY f.line_id
 """
 
 # track-speed twin: same deterministic jitter-walk synthesis, lag window
@@ -6849,4 +6951,5 @@ def oracle_sql() -> dict[str, str]:
         "phrase_hits": _PHRASE_HITS_ORACLE_SQL,
         "quality_classifier": _logreg_oracle_sql(),
         "track_gate": _TRACK_GATE_ORACLE_SQL,
+        "line_anchor": _LINE_ANCHOR_ORACLE_SQL,
     }

@@ -199,3 +199,96 @@ def polygon_metrics(
         .alias("cy"),
         deg.cast("int").alias("degenerate"),
     )
+
+
+def line_interpolate(
+    lines: DataFrame,
+    *,
+    fraction: float,
+    id_col: str = "line_id",
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+) -> DataFrame:
+    """Point at ``fraction`` of each polyline's length -> (id, x, y,
+    total_len): the label-anchor / midpoint primitive for line layers
+    (place a road name at 50%, a chevron every k%).
+
+    Semantics: arc-length parameterization over the vertex chain;
+    zero-length segments are skipped (the point lands on the next real
+    segment); degenerate lines (single vertex, or all vertices equal)
+    anchor at the FIRST vertex with total_len 0; empty vertex arrays
+    yield null coordinates.
+
+    Scale + determinism shape: segments are built INSIDE the array
+    (slice+zip, the bigram-adjacency trick — map-side, no self-join);
+    ONE window shuffle on the line key computes the running length in
+    vertex order (sequential IEEE adds both engines replay exactly —
+    cumulative sums must NOT be reassociated, so this is a window, not
+    an agg); the containing segment is the row_number()=1 candidate and
+    interpolation is pure column math.  ``t_seg = (target - cum_prev) /
+    len`` is exact at the clamp points: target <= cum guarantees
+    t_seg <= 1 and first-candidate selection guarantees cum_prev <
+    target, so no epsilon handling is needed.
+    """
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    nseg = F.greatest(F.size(xs_col) - 1, F.lit(0))
+    segs = lines.select(
+        id_col,
+        F.posexplode(
+            F.arrays_zip(
+                F.slice(F.col(xs_col), 1, nseg).alias("x1"),
+                F.slice(F.col(ys_col), 1, nseg).alias("y1"),
+                F.slice(F.col(xs_col), 2, nseg).alias("x2"),
+                F.slice(F.col(ys_col), 2, nseg).alias("y2"),
+            )
+        ).alias("i", "s"),
+    ).select(
+        id_col,
+        "i",
+        F.col("s.x1").alias("x1"),
+        F.col("s.y1").alias("y1"),
+        F.col("s.x2").alias("x2"),
+        F.col("s.y2").alias("y2"),
+    )
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    seg_len = F.sqrt(dx * dx + dy * dy)
+    run = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = Window.partitionBy(id_col)
+    segs = (
+        segs.withColumn("len", seg_len)
+        .withColumn("cum", F.sum("len").over(run))
+        # lengths are >= 0 so the running sum is nondecreasing: max == the
+        # final cumulative value, and max is order-independent
+        .withColumn("total", F.max("cum").over(whole))
+    )
+    target = F.lit(float(fraction)) * F.col("total")
+    cand = segs.where((F.col("cum") >= target) & (F.col("len") > 0.0))
+    w1 = Window.partitionBy(id_col).orderBy("i")
+    hit = (
+        cand.withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") == 1)
+        .withColumn("_t", (target - (F.col("cum") - F.col("len"))) / F.col("len"))
+        .select(
+            id_col,
+            (F.col("x1") + F.col("_t") * (F.col("x2") - F.col("x1"))).alias("_hx"),
+            (F.col("y1") + F.col("_t") * (F.col("y2") - F.col("y1"))).alias("_hy"),
+            F.col("total").alias("_tl"),
+        )
+    )
+    # degenerate fallback: no qualifying segment (single vertex / all
+    # zero-length) -> first vertex; empty arrays -> nulls (F.get is
+    # out-of-bounds-safe where element_at would raise under ANSI)
+    return lines.select(
+        id_col, F.get(xs_col, 0).alias("_fx"), F.get(ys_col, 0).alias("_fy")
+    ).join(hit, id_col, "left").select(
+        id_col,
+        F.coalesce("_hx", "_fx").alias("x"),
+        F.coalesce("_hy", "_fy").alias("y"),
+        F.coalesce("_tl", F.lit(0.0)).alias("total_len"),
+    )
