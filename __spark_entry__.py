@@ -4586,6 +4586,9 @@ def _q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
         docs.select("doc_id", (F.col("lang") == "en").cast("int").alias("y")),
         "doc_id",
     )
+    # one materialization feeds BOTH the training rounds and the apply
+    # pass — without the cut the corpus would re-tokenize for scoring
+    feats = feats.localCheckpoint(eager=False)
     w = train_logreg(
         feats,
         label_col="y",

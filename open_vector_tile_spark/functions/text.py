@@ -29,6 +29,16 @@ GEO_PATTERN = r"\((-?\d+\.\d+), (-?\d+\.\d+)\)"
 WS_SPLIT = "[ \t\n\x0b\f\r]+"
 
 
+def ws_tokens(col) -> Column:
+    """Lowercased whitespace-run tokens with empties removed — THE shared
+    tokenizer expression for the corpus operators whose DuckDB twins
+    replay ``list_filter(regexp_split_to_array(lower(text), ...))``
+    (classifier features, bigram LM, positional postings).  One spelling
+    to keep the engines and the operators in sync."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), WS_SPLIT), lambda t: t != "")
+
+
 def geoparse(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``lat``/``lon`` doubles parsed from the first coordinate mention;
     rows without a mention are dropped (filter pushes to the scan).  ``text``

@@ -51,12 +51,11 @@ def doc_features(
     (their ratios are undefined; a length gate owns them).  Pure column
     expressions — integer counts first, one double division each, so any
     engine replaying the formula reproduces the doubles bit-for-bit."""
-    from open_vector_tile_spark.functions.text import WS_SPLIT
+    from open_vector_tile_spark.functions.text import ws_tokens
 
-    ts = F.filter(
-        F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda t: t != ""
+    d = docs.select(F.col(id_col), ws_tokens(text_col).alias("ts")).where(
+        F.size("ts") >= 1
     )
-    d = docs.select(F.col(id_col), ts.alias("ts")).where(F.size("ts") >= 1)
     n = F.size("ts").cast("long")
     chars = F.aggregate(
         F.transform(F.col("ts"), F.length), F.lit(0).cast("long"), lambda a, x: a + x

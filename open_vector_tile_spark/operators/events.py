@@ -280,7 +280,11 @@ def track_speed(
             # the haversine chain would otherwise collapse to asin(1)·2R
             # (antipodal distance) instead of null for a null prev point
             F.when(
-                prev_ts.isNotNull(),
+                prev_ts.isNotNull()
+                & prev_lon.isNotNull()
+                & prev_lat.isNotNull()
+                & F.col(lon_col).isNotNull()
+                & F.col(lat_col).isNotNull(),
                 _haversine_col(
                     prev_lon, prev_lat, F.col(lon_col), F.col(lat_col)
                 ),

@@ -232,7 +232,22 @@ def line_interpolate(
     """
     if not (0.0 <= fraction <= 1.0):
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    nseg = F.greatest(F.size(xs_col) - 1, F.lit(0))
+    # ragged xs/ys would null-pad arrays_zip and SILENTLY skip segments in
+    # the running sum — fail the job loudly instead (guard woven into the
+    # slice length so projection pruning cannot drop it)
+    nseg = F.when(
+        F.size(xs_col) != F.size(ys_col),
+        F.raise_error(
+            F.concat(
+                F.lit("line_interpolate: ragged vertex arrays (|xs|="),
+                F.size(xs_col).cast("string"),
+                F.lit(", |ys|="),
+                F.size(ys_col).cast("string"),
+                F.lit(") for "),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(F.greatest(F.size(xs_col) - 1, F.lit(0)))
     segs = lines.select(
         id_col,
         F.posexplode(

@@ -48,15 +48,10 @@ __all__ = ["train_bigram_lm", "perplexity_score"]
 
 
 def _token_arrays(docs: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
-    from open_vector_tile_spark.functions.text import WS_SPLIT
+    from open_vector_tile_spark.functions.text import ws_tokens
 
     cols = [F.col(id_col)] if id_col else []
-    return docs.select(
-        *cols,
-        F.filter(
-            F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda t: t != ""
-        ).alias("ts"),
-    )
+    return docs.select(*cols, ws_tokens(text_col).alias("ts"))
 
 
 def _bigram_pairs(toks: DataFrame, extra_cols: list[str]) -> DataFrame:
@@ -83,6 +78,15 @@ def train_bigram_lm(
     localCheckpoint (Catalyst does not CSE across join branches — without
     the cut the corpus would re-tokenize once per model table)."""
     toks = _token_arrays(train_docs, text_col, None).localCheckpoint(eager=False)
+    # fail loudly on an empty reference slice (a silent empty model would
+    # null every score downstream); the count also materializes the
+    # checkpoint the model tables share
+    n_train = toks.select(F.sum(F.size("ts")).alias("n")).first()["n"]
+    if not n_train:
+        raise ValueError(
+            "train_bigram_lm: reference slice has no tokens — check the "
+            "training predicate"
+        )
     unigrams = (
         toks.select(F.explode("ts").alias("term"))
         .groupBy("term")

@@ -33,6 +33,8 @@ BM25 (Robertson/Sparck Jones, Okapi; the Lucene-default idf form):
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -343,12 +345,9 @@ def build_positional_postings(
     proximity queries consume.  pos is the 0-based token index after
     empty-token removal.  One narrow posexplode — at scale this is the
     table a real deployment would persist bucketed by term."""
-    from open_vector_tile_spark.functions.text import WS_SPLIT
+    from open_vector_tile_spark.functions.text import ws_tokens
 
-    ts = F.filter(
-        F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda t: t != ""
-    )
-    return docs.select(F.col(id_col), ts.alias("ts")).select(
+    return docs.select(F.col(id_col), ws_tokens(text_col).alias("ts")).select(
         id_col, F.posexplode("ts").alias("pos", "term")
     )
 
@@ -387,6 +386,12 @@ def phrase_search(
         raise ValueError("phrase must contain at least one token")
     if any(not w for w in words):
         raise ValueError(f"phrase tokens must be non-empty, got {words!r}")
+    # list-form tokens containing whitespace can never match a postings
+    # term — reject instead of silently returning an empty result
+    if any(_re.search(r"\s", w) for w in words):
+        raise ValueError(
+            f"phrase tokens must be single words (no whitespace): {words!r}"
+        )
     pos = (
         positions
         if positions is not None

@@ -106,3 +106,9 @@ def test_validation(spark):
         line_interpolate(df, fraction=-0.1)
     with pytest.raises(ValueError):
         line_interpolate(df, fraction=1.5)
+
+
+def test_ragged_arrays_fail_loudly(spark):
+    df = _df(spark, [(1, [0.0, 1.0, 2.0], [0.0, 0.0])])
+    with pytest.raises(Exception, match="ragged"):
+        line_interpolate(df, fraction=0.5).collect()

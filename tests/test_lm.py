@@ -208,3 +208,17 @@ def test_phrase_search_validation(spark):
         phrase_search(df, [])
     with pytest.raises(ValueError):
         phrase_search(df, ["a", ""])
+
+
+def test_empty_training_slice_raises(spark):
+    tdf = _docs(spark, [(0, "   "), (1, "")])
+    with pytest.raises(ValueError, match="no tokens"):
+        train_bigram_lm(tdf)
+
+
+def test_phrase_list_whitespace_rejected(spark):
+    from open_vector_tile_spark.operators.retrieval import phrase_search
+
+    df = spark.createDataFrame([(1, "new york")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="single words"):
+        phrase_search(df, ["new york"])

@@ -123,3 +123,21 @@ def test_validation(spark):
     df = _df(spark, [(1, 0, 0.0, 0.0, 0)])
     with pytest.raises(ValueError):
         track_speed(df, max_speed_mps=0.0)
+
+
+def test_null_coordinates_yield_null_distance(spark):
+    # a ping with missing fix must not smear antipodal distances
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 10.0, 10.0, 0),
+        (1, dt.datetime(2024, 1, 1, 0, 0, 10), None, None, 1),
+        (1, dt.datetime(2024, 1, 1, 0, 0, 20), 10.0, 10.0, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, lon double, lat double, seq long"
+    )
+    got = {
+        r["seq"]: (r["dist_m"], r["speed_mps"], r["implausible"])
+        for r in track_speed(df, order_cols=("seq",)).collect()
+    }
+    assert got[1] == (None, None, False)
+    assert got[2] == (None, None, False)  # prev fix unknown
