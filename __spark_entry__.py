@@ -4497,6 +4497,52 @@ def _q_snap_match(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("pid", "seg_id")
 
 
+def _q_hull_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group strict convex hull (operators/geometry.py
+    group_convex_hull): mapInPandas local-hull prune + per-group monotone
+    chain.  The oracle derives the SAME vertex set with a completely
+    different algorithm — the relational O(n^3) all-pairs hull-edge test
+    (cross products in exact integer arithmetic) — so chain and edge-test
+    validate each other.  Output is the vertex set (traversal order is
+    pytest-validated; SQL cannot express it without a walk)."""
+    from open_vector_tile_spark.operators.geometry import group_convex_hull
+
+    docs = _load(spark, sf, "documents")
+    pts = docs.select(
+        (F.col("doc_id") % 7).cast("int").alias("grp"),
+        (F.col("doc_id") * 31 % 101).cast("double").alias("x"),
+        (F.col("doc_id") * 17 % 103).cast("double").alias("y"),
+    )
+    out = group_convex_hull(pts, group_cols=["grp"])
+    return out.select("grp", "x", "y").orderBy("grp", "x", "y")
+
+
+def _q_crawl_radius(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source BFS hop distance (operators/graph.py bfs_hops) over
+    the same synthesized link graph as `pagerank`: how many clicks each
+    document is from the trusted seed set (doc_id % 97 == 0) — the
+    TrustRank-style crawl-depth feature.  Frontier expansion visits each
+    node once; the oracle re-walks paths with a bounded recursive CTE and
+    takes min(hop), so the two strategies validate each other."""
+    from open_vector_tile_spark.operators.graph import bfs_hops
+
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    d = F.col("id")
+    chain = docs.filter(d % 7 <= 4).select(d.alias("src"), (d + 1).alias("dst"))
+    hub = docs.filter(d % 50 != 0).select(d.alias("src"), (d - d % 50).alias("dst"))
+    cross = docs.filter(d % 11 == 0).select(d.alias("src"), (d + 13).alias("dst"))
+    edges = (
+        chain.union(hub).union(cross).join(docs.select(d.alias("dst")), on="dst")
+    )
+    seeds = docs.filter(d % 97 == 0).select(d.alias("node"))
+    out = bfs_hops(edges, seeds, max_hops=6)
+    return out.select(
+        F.col("node").alias("doc_id"), F.col("hops").cast("int").alias("hops")
+    ).orderBy("doc_id")
+
+
 def _line_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic polyline corpus from part keys: 3-6 zigzag vertices,
     every 13th line all-duplicate vertices (zero length), every 17th a
@@ -4746,6 +4792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "track_gate": _q_track_gate,
         "line_anchor": _q_line_anchor,
+        "crawl_radius": _q_crawl_radius,
+        "hull_extract": _q_hull_extract,
     }
 
 
@@ -4896,6 +4944,76 @@ _SNAP_MATCH_ORACLE_SQL = f"""
           FROM d WHERE dist2 <= 16.0)
     WHERE rk <= 2
     ORDER BY pid, seg_id
+"""
+
+# convex-hull twin: the O(n^3) relational hull-edge characterization —
+# (a, b) is a hull edge iff every other point r is strictly left of the
+# directed edge, or exactly ON it strictly between the endpoints (so
+# collinear boundary points are skipped, never vertices).  Vertices =
+# edge sources, plus groups that collapse to a single distinct point.
+# Exact BIGINT cross/dot products; independent of the monotone chain.
+_HULL_EXTRACT_ORACLE_SQL = """
+    WITH p AS (
+      SELECT DISTINCT CAST(doc_id % 7 AS INT) AS grp,
+             CAST(doc_id*31 % 101 AS BIGINT) AS xi,
+             CAST(doc_id*17 % 103 AS BIGINT) AS yi
+      FROM documents
+    ),
+    edges AS (
+      SELECT a.grp, a.xi, a.yi
+      FROM p a JOIN p b
+        ON a.grp = b.grp AND (a.xi <> b.xi OR a.yi <> b.yi)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p r
+        WHERE r.grp = a.grp
+          AND (r.xi <> a.xi OR r.yi <> a.yi)
+          AND (r.xi <> b.xi OR r.yi <> b.yi)
+          AND NOT (
+            (b.xi - a.xi)*(r.yi - a.yi) - (b.yi - a.yi)*(r.xi - a.xi) > 0
+            OR (
+              (b.xi - a.xi)*(r.yi - a.yi) - (b.yi - a.yi)*(r.xi - a.xi) = 0
+              AND (b.xi - a.xi)*(r.xi - a.xi) + (b.yi - a.yi)*(r.yi - a.yi) > 0
+              AND (b.xi - a.xi)*(r.xi - a.xi) + (b.yi - a.yi)*(r.yi - a.yi)
+                  < (b.xi - a.xi)*(b.xi - a.xi) + (b.yi - a.yi)*(b.yi - a.yi)
+            )
+          )
+      )
+    ),
+    singles AS (
+      SELECT grp, xi, yi FROM p
+      QUALIFY count(*) OVER (PARTITION BY grp) = 1
+    )
+    SELECT DISTINCT grp, CAST(xi AS DOUBLE) AS x, CAST(yi AS DOUBLE) AS y
+    FROM (SELECT * FROM edges UNION ALL SELECT * FROM singles)
+    ORDER BY grp, x, y
+"""
+
+# BFS twin: same link-graph synthesis as the pagerank oracle; a bounded
+# RECURSIVE CTE re-walks paths (UNION dedups (node, hop) pairs) and
+# min(hop) collapses them — an independent strategy from the operator's
+# visit-once frontier expansion.
+_CRAWL_RADIUS_ORACLE_SQL = """
+    WITH RECURSIVE ids AS (
+      SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+    ), e0 AS (
+      SELECT id AS s, id + 1 AS t FROM ids WHERE id % 7 <= 4
+      UNION ALL
+      SELECT id, id - id % 50 FROM ids WHERE id % 50 <> 0
+      UNION ALL
+      SELECT id, id + 13 FROM ids WHERE id % 11 = 0
+    ), e AS (
+      SELECT DISTINCT s, t FROM e0 JOIN ids n ON n.id = e0.t
+    ), seeds AS (
+      SELECT id AS node FROM ids WHERE id % 97 = 0
+    ), walk(node, hop) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.t, walk.hop + 1
+      FROM walk JOIN e ON walk.node = e.s
+      WHERE walk.hop < 6
+    )
+    SELECT node AS doc_id, CAST(min(hop) AS INT) AS hops
+    FROM walk GROUP BY node ORDER BY doc_id
 """
 
 # line-interpolation twin: same vertex synthesis, lead-window segments,
@@ -6955,4 +7073,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _logreg_oracle_sql(),
         "track_gate": _TRACK_GATE_ORACLE_SQL,
         "line_anchor": _LINE_ANCHOR_ORACLE_SQL,
+        "crawl_radius": _CRAWL_RADIUS_ORACLE_SQL,
+        "hull_extract": _HULL_EXTRACT_ORACLE_SQL,
     }

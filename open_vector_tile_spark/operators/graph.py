@@ -405,3 +405,71 @@ def hits(
     _free_checkpoint(e)
     _free_checkpoint(ids)
     return state
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 8,
+) -> DataFrame:
+    """Multi-source BFS -> (node, hops): minimum hop distance from ANY
+    seed, nodes beyond ``max_hops`` (or unreachable) omitted.
+
+    The crawl-radius primitive: "how many clicks from a trusted seed set
+    is this host?" (TrustRank-style distance features, crawl-depth
+    budgeting, link-farm isolation).
+
+    Frontier expansion, not path enumeration: each round joins the
+    CURRENT frontier (nodes first reached last round) to the edge table,
+    anti-joins the visited set, and tags survivors with hop h — every
+    node is expanded exactly once, so total work is O(E) across all
+    rounds no matter how many distinct paths exist (the recursive-CTE
+    oracle, by contrast, re-walks paths and only stays bounded because
+    the hop budget caps it).  Integer-only state: no float determinism
+    concerns.  The frontier and visited tables are localCheckpoint-ed
+    per round and previous copies freed — lineage stays flat, peak
+    pinned state is one visited + one frontier table.  Early-exits when
+    the frontier drains.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_t"))
+        .filter(F.col("_s").isNotNull() & F.col("_t").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    for h in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_t").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            _free_checkpoint(nxt)
+            break
+        new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        _free_checkpoint(visited)
+        if frontier is not visited:
+            _free_checkpoint(frontier)
+        visited, frontier = new_visited, nxt
+    _free_checkpoint(e)
+    # the last frontier is already folded into visited (materialized), so
+    # its backing blocks can go too
+    if frontier is not visited:
+        _free_checkpoint(frontier)
+    return visited

@@ -349,3 +349,81 @@ def test_hits_deterministic_mode_stable_across_partitioning(spark):
         for r in hits(df.repartition(13), n_iter=3, deterministic=True).collect()
     }
     assert a == b  # bit-for-bit, not approx
+
+
+# ------------------------------------------------------------------ bfs_hops
+
+
+def _py_bfs(edges, seeds, max_hops):
+    from collections import deque
+
+    adj = {}
+    for s, t in edges:
+        adj.setdefault(s, []).append(t)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_bfs_known(spark):
+    from open_vector_tile_spark.operators.graph import bfs_hops
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (3, 5), (10, 11)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (10,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(e, seeds, max_hops=8).collect()}
+    assert got == {1: 0, 10: 0, 2: 1, 11: 1, 3: 2, 4: 3, 5: 3}
+    # hop cap
+    got2 = {r["node"]: r["hops"] for r in bfs_hops(e, seeds, max_hops=1).collect()}
+    assert got2 == {1: 0, 10: 0, 2: 1, 11: 1}
+    # multi-seed minimum: seed at 3 shortens 4/5
+    seeds2 = spark.createDataFrame([(1,), (3,)], "node long")
+    got3 = {r["node"]: r["hops"] for r in bfs_hops(e, seeds2, max_hops=8).collect()}
+    assert got3 == {1: 0, 3: 0, 2: 1, 4: 1, 5: 1}
+
+
+def test_bfs_randomized_and_determinism(spark):
+    import random
+
+    from open_vector_tile_spark.operators.graph import bfs_hops
+
+    rng = random.Random(17)
+    nodes = list(range(120))
+    edges = list(
+        {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(350)
+        }
+    )
+    seeds = [0, 7, 55]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    for mh in (0, 2, 6):
+        got = {r["node"]: r["hops"] for r in bfs_hops(e, s, max_hops=mh).collect()}
+        assert got == _py_bfs(edges, seeds, mh), mh
+    got2 = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(e.repartition(7), s, max_hops=6).collect()
+    }
+    assert got2 == _py_bfs(edges, seeds, 6)
+
+
+def test_bfs_validation_and_nulls(spark):
+    import pytest as _pytest
+
+    from open_vector_tile_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame([(1, None)], "src long, dst long")
+    s = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(e, s).collect()}
+    assert got == {1: 0}  # null endpoints dropped, early exit
+    with _pytest.raises(ValueError):
+        bfs_hops(e, s, max_hops=-1)
