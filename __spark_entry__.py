@@ -4497,6 +4497,20 @@ def _q_snap_match(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("pid", "seg_id")
 
 
+def _q_adaptive_tiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Adaptive quadtree tiling (operators/adaptive.py): document points
+    cut into leaf tiles by recursive overfull-tile subdivision (cap 12,
+    zooms 2..5).  The operator iterates rounds over shrinking survivor
+    sets; the oracle replays the whole recursion CLOSED-FORM — tile keys
+    at every level derived from the z_max keys by exact right shifts,
+    leaves = own-count-under-cap AND all-ancestors-overfull."""
+    from open_vector_tile_spark.operators.adaptive import adaptive_tiling
+
+    docs = _doc_points(_load(spark, sf, "documents"))
+    out = adaptive_tiling(docs, z_min=2, z_max=5, max_per_tile=12)
+    return out.orderBy("zoom", "tile_x", "tile_y")
+
+
 def _q_hull_extract(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group strict convex hull (operators/geometry.py
     group_convex_hull): mapInPandas local-hull prune + per-group monotone
@@ -4794,6 +4808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_anchor": _q_line_anchor,
         "crawl_radius": _q_crawl_radius,
         "hull_extract": _q_hull_extract,
+        "adaptive_tiles": _q_adaptive_tiles,
     }
 
 
@@ -4945,6 +4960,47 @@ _SNAP_MATCH_ORACLE_SQL = f"""
     WHERE rk <= 2
     ORDER BY pid, seg_id
 """
+
+def _adaptive_oracle_sql(z_min: int = 2, z_max: int = 5, cap: int = 12) -> str:
+    """Closed-form replay of the adaptive quadtree: every level's tile key
+    is the z_max key right-shifted (exact — scaling a double by a power of
+    two never rounds, so floor(x*2^z) == floor(x*2^zmax) >> (zmax-z)); a
+    leaf needs its own count under cap (except at z_max) and EVERY
+    ancestor level overfull."""
+    n_max = 1 << z_max
+    parts = [
+        f"""
+    WITH base AS (
+      SELECT {_sql_tx(_SQL_LON_DOC, n_max)} AS txm,
+             {_sql_ty(_SQL_LAT_DOC, n_max)} AS tym
+      FROM documents
+    )"""
+    ]
+    for z in range(z_min, z_max + 1):
+        sh = z_max - z
+        parts.append(f""",
+    c{z} AS (
+      SELECT txm >> {sh} AS tx, tym >> {sh} AS ty,
+             CAST(count(*) AS BIGINT) AS n
+      FROM base GROUP BY 1, 2
+    )""")
+    selects = []
+    for z in range(z_min, z_max + 1):
+        conds = ["TRUE" if z == z_max else f"n <= {cap}"]
+        for za in range(z_min, z):
+            sh = z - za
+            conds.append(
+                f"EXISTS (SELECT 1 FROM c{za} a WHERE a.tx = c{z}.tx >> {sh} "
+                f"AND a.ty = c{z}.ty >> {sh} AND a.n > {cap})"
+            )
+        selects.append(
+            f"SELECT CAST({z} AS INT) AS zoom, tx AS tile_x, ty AS tile_y, "
+            f"n AS n_points FROM c{z} WHERE " + " AND ".join(conds)
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + (
+        "\nORDER BY zoom, tile_x, tile_y"
+    )
+
 
 # convex-hull twin: the O(n^3) relational hull-edge characterization —
 # (a, b) is a hull edge iff every other point r is strictly left of the
@@ -7075,4 +7131,5 @@ def oracle_sql() -> dict[str, str]:
         "line_anchor": _LINE_ANCHOR_ORACLE_SQL,
         "crawl_radius": _CRAWL_RADIUS_ORACLE_SQL,
         "hull_extract": _HULL_EXTRACT_ORACLE_SQL,
+        "adaptive_tiles": _adaptive_oracle_sql(),
     }

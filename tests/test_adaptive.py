@@ -1,0 +1,113 @@
+"""Adaptive quadtree tiling (operators/adaptive.py)."""
+
+import math
+import random
+
+import pytest
+
+from open_vector_tile_spark.operators.adaptive import adaptive_tiling
+
+MAX_LAT = 85.051128779806604
+
+
+def _merc(lon, lat):
+    x = (lon + 180.0) / 360.0
+    lat = max(-MAX_LAT, min(MAX_LAT, lat))
+    s = math.sin(math.radians(lat))
+    y = 0.5 - math.log((1.0 + s) / (1.0 - s)) / (4.0 * math.pi)
+    return x, y
+
+
+def _tile(lon, lat, z):
+    n = 1 << z
+    x, y = _merc(lon, lat)
+    return (
+        max(0, min(n - 1, math.floor(x * n))),
+        max(0, min(n - 1, math.floor(y * n))),
+    )
+
+
+def _py_adaptive(pts, z_min, z_max, cap):
+    """Closed-form reference: leaf at z iff own count <= cap (or z=z_max)
+    and every ancestor in [z_min, z) overfull."""
+    counts = {}
+    for z in range(z_min, z_max + 1):
+        for lon, lat in pts:
+            k = (z, *_tile(lon, lat, z))
+            counts[k] = counts.get(k, 0) + 1
+    leaves = {}
+    for lon, lat in pts:
+        for z in range(z_min, z_max + 1):
+            k = (z, *_tile(lon, lat, z))
+            if counts[k] <= cap or z == z_max:
+                leaves[k] = counts[k]
+                break
+    return leaves
+
+
+def _run(spark, pts, **kw):
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    return {
+        (r["zoom"], r["tile_x"], r["tile_y"]): r["n_points"]
+        for r in adaptive_tiling(df, **kw).collect()
+    }
+
+
+def test_known_split(spark):
+    # 30 points clustered in one z2 tile + 3 lone points elsewhere
+    pts = [(10.0 + i * 0.001, 50.0 + i * 0.001) for i in range(30)]
+    pts += [(-120.0, -30.0), (120.0, 10.0), (60.0, -60.0)]
+    got = _run(spark, pts, z_min=2, z_max=6, max_per_tile=8)
+    want = _py_adaptive(pts, 2, 6, 8)
+    assert got == want
+    # the cluster forced splits below z2; lone points are z2 leaves
+    assert any(z > 2 for z, _, _ in got)
+    assert sum(got.values()) == len(pts)  # every point in exactly one leaf
+
+
+def test_zmax_cap_exceeded(spark):
+    # identical points can never split apart: leaf at z_max over cap
+    pts = [(0.5, 0.5)] * 40
+    got = _run(spark, pts, z_min=1, z_max=4, max_per_tile=5)
+    assert got == _py_adaptive(pts, 1, 4, 5)
+    (k, v), = got.items()
+    assert k[0] == 4 and v == 40
+
+
+def test_no_split_needed(spark):
+    pts = [(float(x), 10.0) for x in range(-170, 170, 40)]
+    got = _run(spark, pts, z_min=3, z_max=8, max_per_tile=50)
+    want = _py_adaptive(pts, 3, 8, 50)
+    assert got == want
+    assert all(z == 3 for z, _, _ in got)
+
+
+def test_randomized_parity_and_determinism(spark):
+    rng = random.Random(41)
+    pts = []
+    for _ in range(400):
+        # mix of clustered and scattered
+        if rng.random() < 0.5:
+            pts.append((rng.gauss(12.0, 0.2), rng.gauss(48.0, 0.1)))
+        else:
+            pts.append((rng.uniform(-179, 179), rng.uniform(-75, 75)))
+    got = _run(spark, pts, z_min=2, z_max=7, max_per_tile=20)
+    want = _py_adaptive(pts, 2, 7, 20)
+    assert got == want
+    assert sum(got.values()) == len(pts)
+    df = spark.createDataFrame(pts, "lon double, lat double").repartition(7)
+    got2 = {
+        (r["zoom"], r["tile_x"], r["tile_y"]): r["n_points"]
+        for r in adaptive_tiling(
+            df, z_min=2, z_max=7, max_per_tile=20
+        ).collect()
+    }
+    assert got2 == want
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(0.0, 0.0)], "lon double, lat double")
+    with pytest.raises(ValueError):
+        adaptive_tiling(df, z_min=5, z_max=3)
+    with pytest.raises(ValueError):
+        adaptive_tiling(df, max_per_tile=0)
