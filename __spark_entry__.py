@@ -4497,6 +4497,28 @@ def _q_snap_match(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("pid", "seg_id")
 
 
+def _q_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style paragraph boilerplate removal: documents re-cut into three
+    deterministic paragraphs (word slices joined by blank lines), then the
+    map-side rule cascade — min words, stopword share as exact integer
+    percent, blacklist regex — keeps running prose and re-joins it in
+    order.  No shuffle anywhere in the operator."""
+    from open_vector_tile_spark.functions.text import boilerplate_filter
+
+    docs = _load(spark, sf, "documents")
+    ts = F.split(F.col("text"), " ")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.array_join(F.slice(ts, 1, 8), " "),
+            F.array_join(F.slice(ts, 9, 4), " "),
+            F.array_join(F.slice(ts, 13, 100000), " "),
+        ).alias("text"),
+    )
+    return boilerplate_filter(synth).orderBy("doc_id")
+
+
 def _q_adaptive_tiles(spark: SparkSession, sf: str) -> DataFrame:
     """Adaptive quadtree tiling (operators/adaptive.py): document points
     cut into leaf tiles by recursive overfull-tile subdivision (cap 12,
@@ -4809,6 +4831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_radius": _q_crawl_radius,
         "hull_extract": _q_hull_extract,
         "adaptive_tiles": _q_adaptive_tiles,
+        "boilerplate": _q_boilerplate,
     }
 
 
@@ -4960,6 +4983,54 @@ _SNAP_MATCH_ORACLE_SQL = f"""
     WHERE rk <= 2
     ORDER BY pid, seg_id
 """
+
+def _boilerplate_oracle_sql() -> str:
+    """Twin of the paragraph filter: same word-slice paragraph synthesis
+    (1-based inclusive list slices == Spark's slice), the same rule
+    cascade as nested list lambdas, integer-percent stopword compare,
+    chr(10) newlines (DuckDB string literals do not interpret escapes —
+    the REGEX pattern '\\n{2,}' is interpreted by RE2 itself)."""
+    sw = ", ".join(f"'{s}'" for s in (
+        "the", "a", "and", "of", "to", "in", "is", "for", "on", "that"
+    ))
+    toks = "list_filter(regexp_split_to_array(lower(p), '{ws}'), t -> t <> '')".replace(
+        "{ws}", _SQL_WS_SPLIT
+    )
+    keep = (
+        f"len({toks}) >= 5 "
+        f"AND len(list_filter({toks}, t -> t IN ({sw}))) * 100 "
+        f">= 10 * len({toks}) "
+        "AND NOT regexp_matches(lower(p), 'javascript|lorem ipsum|cookies? polic')"
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(text, ' ') AS ws FROM documents
+    ),
+    synth AS (
+      -- coalesce each slice join: DuckDB's array_to_string of an EMPTY
+      -- list is NULL (Spark's array_join is ''), and concat_ws skips
+      -- NULLs, which would silently drop the paragraph slot
+      SELECT doc_id,
+             concat_ws(chr(10)||chr(10),
+                       coalesce(array_to_string(ws[1:8], ' '), ''),
+                       coalesce(array_to_string(ws[9:12], ' '), ''),
+                       coalesce(array_to_string(ws[13:len(ws)], ' '), ''))
+               AS text
+      FROM w
+    ),
+    paras AS (
+      SELECT doc_id, regexp_split_to_array(text, '\\n{{2,}}') AS ps FROM synth
+    ),
+    sel AS (
+      SELECT doc_id, ps, list_filter(ps, p -> {keep}) AS kp FROM paras
+    )
+    SELECT doc_id,
+           CAST(len(ps) AS BIGINT) AS n_paras,
+           CAST(len(kp) AS BIGINT) AS n_kept,
+           coalesce(array_to_string(kp, chr(10)||chr(10)), '') AS clean_text
+    FROM sel ORDER BY doc_id
+"""
+
 
 def _adaptive_oracle_sql(z_min: int = 2, z_max: int = 5, cap: int = 12) -> str:
     """Closed-form replay of the adaptive quadtree: every level's tile key
@@ -7132,4 +7203,5 @@ def oracle_sql() -> dict[str, str]:
         "crawl_radius": _CRAWL_RADIUS_ORACLE_SQL,
         "hull_extract": _HULL_EXTRACT_ORACLE_SQL,
         "adaptive_tiles": _adaptive_oracle_sql(),
+        "boilerplate": _boilerplate_oracle_sql(),
     }

@@ -29,6 +29,12 @@ GEO_PATTERN = r"\((-?\d+\.\d+), (-?\d+\.\d+)\)"
 WS_SPLIT = "[ \t\n\x0b\f\r]+"
 
 
+# tiny English function-word list: the classic "is this running prose?"
+# signal (Gopher's stop-word rule; shared by the classifier features and
+# the boilerplate filter so the two gates can't drift)
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "that")
+
+
 def ws_tokens(col) -> Column:
     """Lowercased whitespace-run tokens with empties removed — THE shared
     tokenizer expression for the corpus operators whose DuckDB twins
@@ -374,3 +380,52 @@ def fingerprint(text: Column) -> Column:
     # the SAME normalization exact_dedup keys on — if the canonical form
     # ever changes, fingerprint identity must move with it
     return F.xxhash64(normalized_text(text))
+
+
+def boilerplate_filter(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_stop_pct: int = 10,
+    blacklist: str = "javascript|lorem ipsum|cookies? polic",
+) -> DataFrame:
+    """C4-style paragraph-level boilerplate removal -> (id, n_paras,
+    n_kept, clean_text): split on blank lines, keep a paragraph iff it
+    has >= ``min_words`` tokens, its stopword share is >= ``min_stop_pct``
+    percent (the "running prose, not a nav menu" test), and it does not
+    match ``blacklist``; surviving paragraphs re-join in original order.
+
+    Raffel et al.'s C4 cleaning applies exactly this family of
+    line/paragraph heuristics before any model-based gate.  Plan shape:
+    every rule runs INSIDE the paragraph array (nested higher-order
+    functions over split(text)), so the whole operator is one map-side
+    projection — NO shuffle, no UDF, whole-stage codegen.  The stopword
+    share is compared as ``n_stop * 100 >= pct * n_tokens`` (exact
+    integers): a float ratio would hit the 0/0 NaN whose comparison
+    semantics differ between engines.
+    """
+    if min_words < 1:
+        raise ValueError(f"min_words must be >= 1, got {min_words}")
+    if not (0 <= min_stop_pct <= 100):
+        raise ValueError(f"min_stop_pct must be in [0, 100], got {min_stop_pct}")
+    paras = F.split(F.col(text_col), r"\n{2,}")
+
+    def _keep(p):
+        toks = F.filter(F.split(F.lower(p), WS_SPLIT), lambda t: t != "")
+        n = F.size(toks)
+        n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+        return (
+            (n >= F.lit(int(min_words)))
+            & (n_stop * F.lit(100) >= F.lit(int(min_stop_pct)) * n)
+            & (~F.lower(p).rlike(blacklist))
+        )
+
+    kept = F.filter(paras, _keep)
+    return docs.select(
+        F.col(id_col),
+        F.size(paras).cast("long").alias("n_paras"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, "\n\n").alias("clean_text"),
+    )

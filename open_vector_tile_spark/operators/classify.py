@@ -38,9 +38,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["STOPWORDS", "doc_features", "train_logreg", "score_logreg"]
 
-# tiny English function-word list: the classic "is this running prose?"
-# signal (Gopher's stop-word rule uses the same idea)
-STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "that")
+# re-exported from the shared tokenizer module (one list for every gate)
+from open_vector_tile_spark.functions.text import STOPWORDS  # noqa: E402
 
 
 def doc_features(
