@@ -4513,7 +4513,10 @@ def _q_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
             "\n\n",
             F.array_join(F.slice(ts, 1, 8), " "),
             F.array_join(F.slice(ts, 9, 4), " "),
-            F.array_join(F.slice(ts, 13, 100000), " "),
+            # unbounded tail: length >= the remainder for any input (the
+            # oracle's ws[13:len(ws)] is unbounded too — a fixed cap would
+            # silently diverge on very long documents)
+            F.array_join(F.slice(ts, 13, F.greatest(F.size(ts), F.lit(1))), " "),
         ).alias("text"),
     )
     return boilerplate_filter(synth).orderBy("doc_id")

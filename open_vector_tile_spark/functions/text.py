@@ -410,10 +410,12 @@ def boilerplate_filter(
         raise ValueError(f"min_words must be >= 1, got {min_words}")
     if not (0 <= min_stop_pct <= 100):
         raise ValueError(f"min_stop_pct must be in [0, 100], got {min_stop_pct}")
-    paras = F.split(F.col(text_col), r"\n{2,}")
+    # null text behaves as '' (split(NULL) would propagate size() = -1
+    # nonsense counts and a NULL clean_text)
+    paras = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n{2,}")
 
     def _keep(p):
-        toks = F.filter(F.split(F.lower(p), WS_SPLIT), lambda t: t != "")
+        toks = ws_tokens(p)
         n = F.size(toks)
         n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
         return (

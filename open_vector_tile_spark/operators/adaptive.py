@@ -60,15 +60,21 @@ def adaptive_tiling(
         raise ValueError(f"max_per_tile must be >= 1, got {max_per_tile}")
 
     cur = points.select(F.col(lon_col).alias("_lon"), F.col(lat_col).alias("_lat"))
-    cur = cur.localCheckpoint(eager=True)
     leaves: list[DataFrame] = []
+    prev = None
     for z in range(int(z_min), int(z_max) + 1):
+        # checkpoint the TILED projection (not the bare points): the
+        # counts aggregate and the survivor semi-join both read it, so
+        # the mercator/floor math runs once per survivor per round
         tz = cur.select(
             tile_x_col(F.col("_lon"), z).alias("tile_x"),
             tile_y_col(F.col("_lat"), z).alias("tile_y"),
             "_lon",
             "_lat",
-        )
+        ).localCheckpoint(eager=True)
+        if prev is not None:
+            _free_checkpoint(prev)
+        prev = tz
         counts = (
             tz.groupBy("tile_x", "tile_y")
             .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
@@ -76,7 +82,6 @@ def adaptive_tiling(
         )
         if z == z_max:
             leaves.append(counts.withColumn("zoom", F.lit(z).cast("int")))
-            _free_checkpoint(cur)
             break
         ok = counts.where(F.col("n_points") <= max_per_tile)
         leaves.append(ok.withColumn("zoom", F.lit(z).cast("int")))
@@ -84,15 +89,12 @@ def adaptive_tiling(
             "tile_x", "tile_y"
         )
         if over.isEmpty():
-            _free_checkpoint(cur)
             break
-        nxt = (
-            tz.join(F.broadcast(over), ["tile_x", "tile_y"], "left_semi")
-            .select("_lon", "_lat")
-            .localCheckpoint(eager=True)
+        cur = tz.join(F.broadcast(over), ["tile_x", "tile_y"], "left_semi").select(
+            "_lon", "_lat"
         )
-        _free_checkpoint(cur)
-        cur = nxt
+    if prev is not None:
+        _free_checkpoint(prev)
     out = leaves[0]
     for lf in leaves[1:]:
         out = out.unionByName(lf)

@@ -377,7 +377,10 @@ def group_convex_hull(
             if len(pdf) == 0:
                 continue
             outs = []
-            for key, g in pdf.groupby(list(group_cols), sort=False):
+            # dropna=False: Spark's groupBy keeps a null-keyed group, so
+            # the prune stage must too or prefilter=True would silently
+            # drop whole groups with null keys
+            for key, g in pdf.groupby(list(group_cols), sort=False, dropna=False):
                 hull = _hull_chain_np(
                     g[x_col].to_numpy(), g[y_col].to_numpy()
                 )

@@ -69,3 +69,9 @@ def test_validation(spark):
         boilerplate_filter(df, min_words=0)
     with pytest.raises(ValueError):
         boilerplate_filter(df, min_stop_pct=101)
+
+
+def test_null_text_behaves_as_empty(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = boilerplate_filter(df).collect()[0]
+    assert (r["n_paras"], r["n_kept"], r["clean_text"]) == (1, 0, "")

@@ -105,3 +105,13 @@ def test_validation(spark):
     df = spark.createDataFrame([(0, 1.0, 1.0)], "g int, x double, y double")
     with pytest.raises(ValueError):
         group_convex_hull(df, group_cols=[])
+
+
+def test_null_group_key_kept_both_paths(spark):
+    rows = [(None, 0.0, 0.0), (None, 3.0, 1.0), (None, 1.0, 4.0), (0, 2.0, 2.0)]
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    for pre in (True, False):
+        out = group_convex_hull(df, group_cols=["g"], prefilter=pre).collect()
+        groups = {r["g"] for r in out}
+        assert groups == {None, 0}, pre
+        assert sum(1 for r in out if r["g"] is None) == 3
