@@ -252,6 +252,39 @@ def build_queries(spark, sf_dir):
         def q_dissolve():
             return entry._q_dissolve(spark, sf_dir).agg(F.sum("x1"))
 
+        # round-3 session-10 additions: LM perplexity gate, map matching,
+        # phrase search, trained classifier, trajectory gate, line anchor,
+        # BFS crawl radius, convex hull, adaptive tiling, boilerplate
+        def q_lm_perplexity():
+            return entry._q_lm_perplexity(spark, sf_dir).agg(F.sum("n_bigrams"))
+
+        def q_snap_match():
+            return entry._q_snap_match(spark, sf_dir).agg(F.count("*"))
+
+        def q_phrase_hits():
+            return entry._q_phrase_hits(spark, sf_dir).agg(F.sum("n_matches"))
+
+        def q_quality_classifier():
+            return entry._q_quality_classifier(spark, sf_dir).agg(F.sum("keep"))
+
+        def q_track_gate():
+            return entry._q_track_gate(spark, sf_dir).agg(F.sum("implausible"))
+
+        def q_line_anchor():
+            return entry._q_line_anchor(spark, sf_dir).agg(F.sum("total_len"))
+
+        def q_crawl_radius():
+            return entry._q_crawl_radius(spark, sf_dir).agg(F.sum("hops"))
+
+        def q_hull_extract():
+            return entry._q_hull_extract(spark, sf_dir).agg(F.count("*"))
+
+        def q_adaptive_tiles():
+            return entry._q_adaptive_tiles(spark, sf_dir).agg(F.sum("n_points"))
+
+        def q_boilerplate():
+            return entry._q_boilerplate(spark, sf_dir).agg(F.sum("n_kept"))
+
         out.update(
             extract_text=q_extract_text,
             asof_join=q_asof_join,
@@ -304,6 +337,16 @@ def build_queries(spark, sf_dir):
             host_rank=q_host_rank,
             spatial_cluster=q_spatial_cluster,
             dissolve=q_dissolve,
+            lm_perplexity=q_lm_perplexity,
+            snap_match=q_snap_match,
+            phrase_hits=q_phrase_hits,
+            quality_classifier=q_quality_classifier,
+            track_gate=q_track_gate,
+            line_anchor=q_line_anchor,
+            crawl_radius=q_crawl_radius,
+            hull_extract=q_hull_extract,
+            adaptive_tiles=q_adaptive_tiles,
+            boilerplate=q_boilerplate,
         )
     return out
 
