@@ -4497,6 +4497,69 @@ def _q_snap_match(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("pid", "seg_id")
 
 
+def _q_host_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host heavy hitters (operators/pipeline.py host_top_terms): the
+    top-5 vocabulary fingerprint of each synthesized host — one
+    partial-agg shuffle + a rank window on the reduced vocab table."""
+    from open_vector_tile_spark.operators.pipeline import host_top_terms
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    hosts = docs.select(
+        F.concat(F.lit("h"), (d % 23).cast("string"), F.lit(".org")).alias(
+            "host"
+        ),
+        "text",
+    )
+    return host_top_terms(hosts, k=5, min_count=2).orderBy("host", "rank")
+
+
+def _q_densify_routes(spark: SparkSession, sf: str) -> DataFrame:
+    """Great-circle densification of supplier-derived routes (5 waypoints
+    per route): pure slerp column math, one explode, no shuffle.  The
+    twin replays the identical trig chains; '+ 0.0' clears the one
+    observed cross-engine rounding divergence (-0.0 vs 0.0 on values
+    rounding to zero)."""
+    from open_vector_tile_spark.functions.geo import geodesic_densify
+
+    sup = _load(spark, sf, "supplier")
+    k = F.col("s_suppkey")
+    routes = sup.select(
+        k.alias("rid"),
+        (((k * 91) % 3600) / 10.0 - 180.0).alias("lon1"),
+        (((k * 57) % 1600) / 10.0 - 80.0).alias("lat1"),
+        (((k * 39) % 3600) / 10.0 - 180.0).alias("lon2"),
+        (((k * 73) % 1600) / 10.0 - 80.0).alias("lat2"),
+    )
+    out = geodesic_densify(routes, id_cols=["rid"], n_segments=4)
+    return out.select(
+        "rid",
+        "seg_idx",
+        (F.round("lon", 6) + F.lit(0.0)).alias("lon"),
+        (F.round("lat", 6) + F.lit(0.0)).alias("lat"),
+        F.col("degenerate").cast("int").alias("degenerate"),
+    ).orderBy("rid", "seg_idx")
+
+
+def _q_idw_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """IDW (Shepard p=2) surface interpolation over document sample
+    points with integer values: disk-bbox cell cover + one partial-agg
+    shuffle; both weighted sums are sorted folds so the estimate is
+    bit-stable and replays exactly in the twin."""
+    from open_vector_tile_spark.operators.gridding import idw_grid
+
+    docs = _doc_points(_load(spark, sf, "documents"))
+    pts = docs.select(
+        F.col("lon").alias("x"),
+        F.col("lat").alias("y"),
+        (F.col("doc_id") % 50 + 1).cast("double").alias("value"),
+    )
+    out = idw_grid(pts, cell_size=5.0, radius=8.0)
+    return out.select(
+        "gx", "gy", "n_pts", F.round("est", 6).alias("est")
+    ).orderBy("gx", "gy")
+
+
 def _q_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style paragraph boilerplate removal: documents re-cut into three
     deterministic paragraphs (word slices joined by blank lines), then the
@@ -4835,6 +4898,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hull_extract": _q_hull_extract,
         "adaptive_tiles": _q_adaptive_tiles,
         "boilerplate": _q_boilerplate,
+        "idw_surface": _q_idw_surface,
+        "densify_routes": _q_densify_routes,
+        "host_terms": _q_host_terms,
     }
 
 
@@ -4986,6 +5052,129 @@ _SNAP_MATCH_ORACLE_SQL = f"""
     WHERE rk <= 2
     ORDER BY pid, seg_id
 """
+
+# host-top-terms twin: count + QUALIFY rank replay on the same host
+# synthesis and the shared whitespace tokenizer.
+_HOST_TERMS_ORACLE_SQL = f"""
+    WITH toks AS (
+      SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) || '.org' AS host,
+             unnest(list_filter(
+               regexp_split_to_array(lower(text), '{_SQL_WS_SPLIT}'),
+               t -> t <> '')) AS term
+      FROM documents
+    ),
+    c AS (
+      SELECT host, term, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY host, term HAVING count(*) >= 2
+    )
+    SELECT host, term, cnt,
+           CAST(row_number() OVER (PARTITION BY host
+                                   ORDER BY cnt DESC, term) AS INT) AS rank
+    FROM c QUALIFY rank <= 5 ORDER BY host, rank
+"""
+
+
+# geodesic-densify twin: identical slerp chains (haversine angle, unit
+# vectors, sin-ratio weights, atan2 readback); degenerate contract —
+# coincident endpoints repeat the start, clamped-haversine == 1.0 flags
+# antipodal (sin(pi) is 1.2e-16 in floats, a sin test never fires).
+_DENSIFY_ORACLE_SQL = """
+    WITH r AS (
+      SELECT s_suppkey AS rid,
+             ((CAST(s_suppkey*91 AS DOUBLE) % 3600)/10.0 - 180.0) AS lon1,
+             ((CAST(s_suppkey*57 AS DOUBLE) % 1600)/10.0 - 80.0) AS lat1,
+             ((CAST(s_suppkey*39 AS DOUBLE) % 3600)/10.0 - 180.0) AS lon2,
+             ((CAST(s_suppkey*73 AS DOUBLE) % 1600)/10.0 - 80.0) AS lat2
+      FROM supplier
+    ),
+    g AS (
+      SELECT rid, lon1, lat1,
+             least(1.0, sqrt(
+               pow(sin(radians(lat2 - lat1)/2), 2)
+               + cos(radians(lat1))*cos(radians(lat2))
+                 *pow(sin(radians(lon2 - lon1)/2), 2))) AS sh,
+             cos(radians(lat1))*cos(radians(lon1)) AS ax,
+             cos(radians(lat1))*sin(radians(lon1)) AS ay,
+             sin(radians(lat1)) AS az,
+             cos(radians(lat2))*cos(radians(lon2)) AS bx,
+             cos(radians(lat2))*sin(radians(lon2)) AS by,
+             sin(radians(lat2)) AS bz
+      FROM r
+    ),
+    e AS (
+      SELECT g.*, 2.0 * asin(sh) AS om, sin(2.0 * asin(sh)) AS so,
+             CAST(i AS BIGINT) AS seg_idx,
+             CAST(i AS DOUBLE) / 4.0 AS t
+      FROM g, unnest(range(0, 5)) s(i)
+    ),
+    w AS (
+      -- so = 0 exactly iff om = 0 (coincident endpoints, taken by the
+      -- first CASE branch below) — guard the division anyway: this CTE
+      -- evaluates eagerly for every row
+      SELECT rid, seg_idx, om, sh, lon1, lat1,
+             CASE WHEN so = 0.0 THEN NULL ELSE
+               sin((1.0 - t) * om) / so * ax + sin(t * om) / so * bx END AS x,
+             CASE WHEN so = 0.0 THEN NULL ELSE
+               sin((1.0 - t) * om) / so * ay + sin(t * om) / so * by END AS y,
+             CASE WHEN so = 0.0 THEN NULL ELSE
+               sin((1.0 - t) * om) / so * az + sin(t * om) / so * bz END AS z
+      FROM e
+    )
+    SELECT rid, seg_idx,
+           CASE WHEN om = 0.0 THEN round(lon1, 6)
+                WHEN sh = 1.0 THEN NULL
+                ELSE round(degrees(atan2(y, x)), 6) END + 0.0 AS lon,
+           CASE WHEN om = 0.0 THEN round(lat1, 6)
+                WHEN sh = 1.0 THEN NULL
+                ELSE round(degrees(atan2(z, sqrt(x*x + y*y))), 6) END + 0.0
+             AS lat,
+           CAST(sh = 1.0 AS INT) AS degenerate
+    FROM w ORDER BY rid, seg_idx
+"""
+
+
+# IDW twin: same disk-bbox cover arithmetic, exact-hit short circuit,
+# and the two sorted-fold weighted sums as ordered aggregates (nulls from
+# the d2>0 guard are skipped by both engines' aggregators).
+_IDW_ORACLE_SQL = f"""
+    WITH p AS (
+      SELECT {_SQL_LON_DOC} AS x, {_SQL_LAT_DOC} AS y,
+             CAST(doc_id % 50 + 1 AS DOUBLE) AS v
+      FROM documents
+    ),
+    ex AS (
+      SELECT x, y, v, gx, gy,
+             (x - (CAST(gx AS DOUBLE) + 0.5) * 5.0) AS dx,
+             (y - (CAST(gy AS DOUBLE) + 0.5) * 5.0) AS dy
+      FROM p,
+           unnest(range(CAST(floor((x - 8.0)/5.0 - 0.5) AS BIGINT),
+                        CAST(floor((x + 8.0)/5.0 + 0.5) AS BIGINT) + 1)) rx(gx),
+           unnest(range(CAST(floor((y - 8.0)/5.0 - 0.5) AS BIGINT),
+                        CAST(floor((y + 8.0)/5.0 + 0.5) AS BIGINT) + 1)) ry(gy)
+    ),
+    cand AS (
+      SELECT gx, gy, dx*dx + dy*dy AS d2, v,
+             CASE WHEN dx*dx + dy*dy > 0.0
+                  THEN v / (dx*dx + dy*dy) END AS wv,
+             CASE WHEN dx*dx + dy*dy > 0.0
+                  THEN 1.0 / (dx*dx + dy*dy) END AS w
+      FROM ex WHERE dx*dx + dy*dy <= 64.0
+    ),
+    agg AS (
+      SELECT gx, gy,
+             CAST(count(*) AS BIGINT) AS n_pts,
+             min(d2) AS mind2,
+             min(CASE WHEN d2 = 0.0 THEN v END) AS exact_v,
+             coalesce(sum(wv ORDER BY wv), 0.0) AS swv,
+             coalesce(sum(w ORDER BY w), 0.0) AS sw
+      FROM cand GROUP BY gx, gy
+    )
+    SELECT gx, gy, n_pts,
+           round(CASE WHEN mind2 = 0.0 THEN exact_v ELSE swv / sw END, 6)
+             AS est
+    FROM agg ORDER BY gx, gy
+"""
+
 
 def _boilerplate_oracle_sql() -> str:
     """Twin of the paragraph filter: same word-slice paragraph synthesis
@@ -7207,4 +7396,7 @@ def oracle_sql() -> dict[str, str]:
         "hull_extract": _HULL_EXTRACT_ORACLE_SQL,
         "adaptive_tiles": _adaptive_oracle_sql(),
         "boilerplate": _boilerplate_oracle_sql(),
+        "idw_surface": _IDW_ORACLE_SQL,
+        "densify_routes": _DENSIFY_ORACLE_SQL,
+        "host_terms": _HOST_TERMS_ORACLE_SQL,
     }

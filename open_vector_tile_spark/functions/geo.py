@@ -501,3 +501,94 @@ if _HAS_SPARK:
             F.lit(True).alias("oversized"),
         )
         return ok.unionByName(big)
+
+    def geodesic_densify(
+        df: DataFrame,
+        *,
+        id_cols: list[str],
+        n_segments: int,
+        lon1_col: str = "lon1",
+        lat1_col: str = "lat1",
+        lon2_col: str = "lon2",
+        lat2_col: str = "lat2",
+    ) -> DataFrame:
+        """Great-circle densification -> one row per waypoint:
+        ``(*id_cols, seg_idx, lon, lat, degenerate)`` with seg_idx
+        0..n_segments inclusive (endpoints kept).
+
+        Long geodesic edges drawn as straight lines in tile space cut
+        corners badly at low zooms — flight routes, shipping lanes,
+        cable maps all densify first.  Spherical linear interpolation
+        (slerp): p(t) = (sin((1-t)ω)·A + sin(tω)·B) / sin ω on unit
+        vectors, ω the central angle from the haversine chain.
+
+        Pure column math, map-side only (one explode, NO shuffle, no
+        UDF) — same fixed IEEE chains in the SQL twin.  Degenerate
+        cases: coincident endpoints (ω = 0) emit the start point for
+        every waypoint; exactly antipodal endpoints (sin ω = 0, ω > 0 —
+        the great circle is ambiguous) emit null coordinates with
+        ``degenerate`` = true rather than an arbitrary path.
+        """
+        if n_segments < 1:
+            raise ValueError(f"n_segments must be >= 1, got {n_segments}")
+        lon1, lat1 = F.col(lon1_col), F.col(lat1_col)
+        lon2, lat2 = F.col(lon2_col), F.col(lat2_col)
+        dlat = F.radians(lat2 - lat1)
+        dlon = F.radians(lon2 - lon1)
+        h = (
+            F.sin(dlat / 2) ** 2
+            + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2
+        )
+        sh = F.least(F.lit(1.0), F.sqrt(h))
+        omega = F.lit(2.0) * F.asin(sh)
+        ax = F.cos(F.radians(lat1)) * F.cos(F.radians(lon1))
+        ay = F.cos(F.radians(lat1)) * F.sin(F.radians(lon1))
+        az = F.sin(F.radians(lat1))
+        bx = F.cos(F.radians(lat2)) * F.cos(F.radians(lon2))
+        by = F.cos(F.radians(lat2)) * F.sin(F.radians(lon2))
+        bz = F.sin(F.radians(lat2))
+        base = df.select(
+            *id_cols,
+            omega.alias("_om"),
+            sh.alias("_sh"),
+            F.sin(omega).alias("_so"),
+            ax.alias("_ax"),
+            ay.alias("_ay"),
+            az.alias("_az"),
+            bx.alias("_bx"),
+            by.alias("_by"),
+            bz.alias("_bz"),
+            lon1.alias("_lon1"),
+            lat1.alias("_lat1"),
+        ).select(
+            *id_cols,
+            "_om", "_sh", "_so", "_ax", "_ay", "_az", "_bx", "_by", "_bz",
+            "_lon1", "_lat1",
+            F.explode(F.sequence(F.lit(0), F.lit(int(n_segments)))).alias(
+                "seg_idx"
+            ),
+        )
+        t = F.col("seg_idx").cast("double") / F.lit(float(n_segments))
+        f1 = F.sin((F.lit(1.0) - t) * F.col("_om")) / F.col("_so")
+        f2 = F.sin(t * F.col("_om")) / F.col("_so")
+        x = f1 * F.col("_ax") + f2 * F.col("_bx")
+        y = f1 * F.col("_ay") + f2 * F.col("_by")
+        z = f1 * F.col("_az") + f2 * F.col("_bz")
+        lat_i = F.degrees(F.atan2(z, F.sqrt(x * x + y * y)))
+        lon_i = F.degrees(F.atan2(y, x))
+        zero = F.col("_om") == 0.0
+        # antipodal detection via the CLAMPED haversine hitting 1.0, not
+        # sin(omega) == 0: sin(pi) is 1.2e-16 in floats, so a sin test
+        # never fires and the slerp silently collapses to garbage
+        anti = F.col("_sh") == 1.0
+        return base.select(
+            *id_cols,
+            "seg_idx",
+            F.when(zero, F.col("_lon1")).when(anti, F.lit(None)).otherwise(
+                lon_i
+            ).alias("lon"),
+            F.when(zero, F.col("_lat1")).when(anti, F.lit(None)).otherwise(
+                lat_i
+            ).alias("lat"),
+            anti.alias("degenerate"),
+        )

@@ -308,3 +308,106 @@ def heatmap_grid(
         "density_int",
         (F.col("density_int").cast("double") / F.lit(float(scale))).alias("density"),
     )
+
+
+def idw_grid(
+    points: DataFrame,
+    *,
+    cell_size: float,
+    radius: float,
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str = "value",
+    max_cells_per_point: int = 4096,
+) -> DataFrame:
+    """Inverse-distance-weighted surface interpolation (Shepard's method,
+    power p=2) -> ``(gx, gy, n_pts, est)``: every grid cell whose CENTER
+    lies within ``radius`` of at least one sample point gets the estimate
+    ``sum(v/d^2) / sum(1/d^2)`` over the in-radius samples; a sample
+    exactly AT the center short-circuits to that sample's value (minimum
+    value on exact ties — deterministic).
+
+    The point→raster half of the raster↔vector family (grid_aggregate
+    bins, idw_grid interpolates — the elevation/temperature-surface op a
+    tile server renders as hillshade or isolines via marching_squares).
+
+    Scale shape: each sample explodes to the grid cells of its
+    radius-disk bbox (bounded by ``max_cells_per_point`` — raise_error
+    guard woven into the sequence bound, the snap_to_segments contract),
+    then ONE partial-agg shuffle on the cell key.  Since p=2, the weight
+    is ``1/d2`` — no sqrt anywhere.  Float determinism: both weighted
+    sums are sorted folds (collect_list + sort_array + left fold; DuckDB
+    twin ``sum(x ORDER BY x)``), so the estimate is bit-stable under any
+    partitioning and replays exactly in the oracle.
+    """
+    if radius <= 0:
+        raise ValueError(f"radius must be > 0, got {radius}")
+    if cell_size <= 0:
+        raise ValueError(f"cell_size must be > 0, got {cell_size}")
+    cs = float(cell_size)
+    r = float(radius)
+
+    # cells whose center (gx+0.5)*cs could be within radius: bbox cover
+    gx_lo = F.floor((F.col(x_col) - r) / cs - 0.5).cast("long")
+    gx_hi = F.floor((F.col(x_col) + r) / cs + 0.5).cast("long")
+    gy_lo = F.floor((F.col(y_col) - r) / cs - 0.5).cast("long")
+    gy_hi = F.floor((F.col(y_col) + r) / cs + 0.5).cast("long")
+    n_cells = (gx_hi - gx_lo + 1) * (gy_hi - gy_lo + 1)
+    gx_hi_guarded = F.when(
+        n_cells > F.lit(int(max_cells_per_point)),
+        F.raise_error(
+            F.concat(
+                F.lit("idw_grid: point cover exceeds "),
+                F.lit(str(int(max_cells_per_point))),
+                F.lit(" cells; raise cell_size or lower radius"),
+            )
+        ).cast("long"),
+    ).otherwise(gx_hi)
+
+    ex = (
+        points.select(x_col, y_col, value_col, gx_lo.alias("_gxl"),
+                      gx_hi_guarded.alias("_gxh"), gy_lo.alias("_gyl"),
+                      gy_hi.alias("_gyh"))
+        .withColumn("gx", F.explode(F.sequence(F.col("_gxl"), F.col("_gxh"))))
+        .withColumn("gy", F.explode(F.sequence(F.col("_gyl"), F.col("_gyh"))))
+    )
+    cx = (F.col("gx").cast("double") + F.lit(0.5)) * F.lit(cs)
+    cy = (F.col("gy").cast("double") + F.lit(0.5)) * F.lit(cs)
+    dx = F.col(x_col) - cx
+    dy = F.col(y_col) - cy
+    cand = ex.withColumn("_d2", dx * dx + dy * dy).where(
+        F.col("_d2") <= F.lit(r * r)
+    )
+    v = F.col(value_col).cast("double")
+    # weights guarded at projection: an exact hit (d2 = 0) must not even
+    # EVALUATE the division — ANSI mode raises DIVIDE_BY_ZERO
+    pos = F.col("_d2") > 0.0
+    cand = cand.select(
+        "gx",
+        "gy",
+        F.col("_d2"),
+        v.alias("_v"),
+        F.when(pos, v / F.col("_d2")).alias("_wv"),
+        F.when(pos, F.lit(1.0) / F.col("_d2")).alias("_w"),
+    )
+
+    def _fold(col):
+        return F.aggregate(
+            F.sort_array(F.collect_list(col)), F.lit(0.0), lambda a, x: a + x
+        )
+
+    agg = cand.groupBy("gx", "gy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+        F.min("_d2").alias("_mind2"),
+        F.min(F.when(F.col("_d2") == 0.0, F.col("_v"))).alias("_exact"),
+        _fold(F.col("_wv")).alias("_swv"),
+        _fold(F.col("_w")).alias("_sw"),
+    )
+    return agg.select(
+        "gx",
+        "gy",
+        "n_pts",
+        F.when(F.col("_mind2") == 0.0, F.col("_exact"))
+        .otherwise(F.col("_swv") / F.col("_sw"))
+        .alias("est"),
+    )

@@ -167,3 +167,42 @@ def host_stats(
         "total_chars",
         "top_lang",
     )
+
+
+def host_top_terms(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    host_col: str = "host",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Per-host heavy hitters -> (host, term, cnt, rank): the top ``k``
+    terms of each host's pooled text, ties broken lexicographically on
+    the term — the per-source vocabulary fingerprint a curation pipeline
+    uses to spot template farms and topic skew (next to host_stats'
+    volume/dup profile).
+
+    One partial-agg count shuffle on (host, term), then the rank window
+    runs on the ALREADY-REDUCED vocabulary table — WindowGroupLimit
+    prunes to k per host map-side, so a mega-host is a bigger hash-agg
+    key range, never a window-sort hazard.
+    """
+    from open_vector_tile_spark.functions.text import ws_tokens
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    counts = (
+        docs.select(F.col(host_col).alias("host"), ws_tokens(text_col).alias("ts"))
+        .select("host", F.explode("ts").alias("term"))
+        .groupBy("host", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

@@ -629,3 +629,63 @@ def test_heatmap_kernel_and_validation(spark):
     assert sum(r["density_int"] for r in rows) == sum(
         w for _, _, w in kernel_offsets(1, 1.0)
     )
+
+
+# ------------------------------------------------------------ host_top_terms
+
+
+def test_host_top_terms_known(spark):
+    from open_vector_tile_spark.operators.pipeline import host_top_terms
+
+    rows = [
+        ("a.org", "x x x y y z"),
+        ("a.org", "y Z"),          # case folds; y ties x at 3
+        ("b.org", ""),
+        ("c.org", "solo"),
+    ]
+    df = spark.createDataFrame(rows, "host string, text string")
+    got = {}
+    for r in host_top_terms(df, k=2).collect():
+        got.setdefault(r["host"], []).append((r["rank"], r["term"], r["cnt"]))
+    for h in got:
+        got[h].sort()
+    assert got["a.org"] == [(1, "x", 3), (2, "y", 3)]  # tie -> lexicographic
+    assert "b.org" not in got
+    assert got["c.org"] == [(1, "solo", 1)]
+
+
+def test_host_top_terms_randomized(spark):
+    import random
+
+    from open_vector_tile_spark.operators.pipeline import host_top_terms
+
+    rng = random.Random(53)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (f"h{rng.randint(0, 4)}", " ".join(rng.choice(vocab) for _ in range(30)))
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame(rows, "host string, text string")
+    got = {}
+    for r in host_top_terms(df, k=3, min_count=2).collect():
+        got.setdefault(r["host"], []).append((r["rank"], r["term"], r["cnt"]))
+    # python reference
+    cnt = {}
+    for h, t in rows:
+        for w in t.split():
+            cnt[(h, w)] = cnt.get((h, w), 0) + 1
+    want = {}
+    for h in {r[0] for r in rows}:
+        terms = sorted(
+            ((c, t) for (hh, t), c in cnt.items() if hh == h and c >= 2),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        if terms:
+            want[h] = [(i + 1, t, c) for i, (c, t) in enumerate(terms)]
+    for h in got:
+        got[h].sort()
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        host_top_terms(df, k=0)
