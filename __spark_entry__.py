@@ -4497,6 +4497,36 @@ def _q_snap_match(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("pid", "seg_id")
 
 
+def _q_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """The CCNet signature move: per-LANGUAGE perplexity terciles
+    (head/middle/tail) from the Stupid-Backoff LM scores — head is the
+    keep set, tail the drop set, middle the gray zone.  Orders by the
+    UNROUNDED bit-identical score (tie-break doc_id) so the ntile replays
+    exactly in the twin."""
+    from open_vector_tile_spark.operators.lm import (
+        perplexity_score,
+        train_bigram_lm,
+    )
+    from pyspark.sql import Window
+
+    docs = _load(spark, sf, "documents")
+    model = train_bigram_lm(docs.where(F.col("doc_id") % 2 == 0))
+    s = perplexity_score(docs, model).where(F.col("avg_nll").isNotNull())
+    j = s.join(docs.select("doc_id", "lang"), "doc_id")
+    nt = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(F.asc("avg_nll"), F.asc("doc_id"))
+    )
+    return j.select(
+        "doc_id",
+        "lang",
+        F.round("avg_nll", 6).alias("avg_nll"),
+        F.when(nt == 1, F.lit("head"))
+        .when(nt == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    ).orderBy("doc_id")
+
+
 def _q_host_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Per-host heavy hitters (operators/pipeline.py host_top_terms): the
     top-5 vocabulary fingerprint of each synthesized host — one
@@ -4901,6 +4931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_surface": _q_idw_surface,
         "densify_routes": _q_densify_routes,
         "host_terms": _q_host_terms,
+        "ppl_buckets": _q_ppl_buckets,
     }
 
 
@@ -4959,8 +4990,11 @@ def _sql_polygon_ingest_dist() -> str:
 # Stupid-Backoff bigram LM twin: counts, the three score branches, the
 # sorted fold (sum ORDER BY) and the fixed double-op chains all replayed
 # verbatim — bit-identical avg_nll before the 6-place round.
-_LM_PERPLEXITY_ORACLE_SQL = f"""
-    WITH toks AS (
+# shared CTE block: the Stupid-Backoff scoring pipeline up to the per-doc
+# (n_bigrams, ll_sum) table — reused by the lm_perplexity twin and the
+# ppl_buckets (head/middle/tail) twin so they cannot drift.
+_LM_SCORED_CTES = f"""
+    toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '{_SQL_WS_SPLIT}'),
                          t -> t <> '') AS ts
@@ -5002,11 +5036,36 @@ _LM_PERPLEXITY_ORACLE_SQL = f"""
              sum(ll ORDER BY ll) AS ll_sum
       FROM scored GROUP BY doc_id
     )
+"""
+
+_LM_PERPLEXITY_ORACLE_SQL = f"""
+    WITH {_LM_SCORED_CTES}
     SELECT d.doc_id,
            CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            round(-ll_sum / CAST(per.n_bigrams AS DOUBLE), 6) AS avg_nll
     FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     ORDER BY d.doc_id
+"""
+
+# CCNet head/middle/tail twin: per-language ntile(3) over the UNROUNDED
+# bit-identical avg_nll (tie-break doc_id), labels from the tercile.
+_PPL_BUCKETS_ORACLE_SQL = f"""
+    WITH {_LM_SCORED_CTES},
+    s AS (
+      SELECT d.doc_id, d.lang,
+             -ll_sum / CAST(per.n_bigrams AS DOUBLE) AS nll
+      FROM documents d JOIN per ON d.doc_id = per.doc_id
+      WHERE per.n_bigrams > 0
+    ),
+    b AS (
+      SELECT doc_id, lang, nll,
+             ntile(3) OVER (PARTITION BY lang ORDER BY nll, doc_id) AS nt
+      FROM s
+    )
+    SELECT doc_id, lang, round(nll, 6) AS avg_nll,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+    FROM b ORDER BY doc_id
 """
 
 # snap-to-segment twin: brute-force cross join (the cover is a strict
@@ -7399,4 +7458,5 @@ def oracle_sql() -> dict[str, str]:
         "idw_surface": _IDW_ORACLE_SQL,
         "densify_routes": _DENSIFY_ORACLE_SQL,
         "host_terms": _HOST_TERMS_ORACLE_SQL,
+        "ppl_buckets": _PPL_BUCKETS_ORACLE_SQL,
     }
