@@ -4497,6 +4497,36 @@ def _q_snap_match(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("pid", "seg_id")
 
 
+def _q_str_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Sort-Tile-Recursive R-tree bulk packing (operators/layout.py
+    str_pack) over the bbox_join rectangle corpus: leaf assignments +
+    leaf MBRs.  The Spark side ranks with the distributed offset pattern
+    (no single-partition window); the twin uses a plain global
+    row_number — identical ranks by construction."""
+    from open_vector_tile_spark.operators.layout import str_pack
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    rects = docs.select(
+        d.alias("rid"),
+        ((d * 13 % 1000) / 10.0).alias("xmin"),
+        ((d * 29 % 1000) / 10.0).alias("ymin"),
+        ((d * 13 % 1000) / 10.0 + (d % 7 + 1) * 0.7).alias("xmax"),
+        ((d * 29 % 1000) / 10.0 + (d % 5 + 1) * 0.9).alias("ymax"),
+    )
+    out = str_pack(rects, leaf_capacity=16)
+    return out.select(
+        "rid",
+        "slice",
+        "leaf_id",
+        "leaf_xmin",
+        "leaf_ymin",
+        "leaf_xmax",
+        "leaf_ymax",
+        "n_in_leaf",
+    ).orderBy("rid")
+
+
 def _q_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """The CCNet signature move: per-LANGUAGE perplexity terciles
     (head/middle/tail) from the Stupid-Backoff LM scores — head is the
@@ -4932,6 +4962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densify_routes": _q_densify_routes,
         "host_terms": _q_host_terms,
         "ppl_buckets": _q_ppl_buckets,
+        "str_layout": _q_str_layout,
     }
 
 
@@ -5111,6 +5142,71 @@ _SNAP_MATCH_ORACLE_SQL = f"""
     WHERE rk <= 2
     ORDER BY pid, seg_id
 """
+
+# STR-packing twin: plain global row_number (the operator's distributed
+# offset ranking is exact-equal by construction), then the same
+# double-ceil constant derivations (n/16 is exact — 16 is a power of
+# two; the other ceils replay the identical IEEE divide) and exact
+# integer divisions (// on BIGINT).
+_STR_LAYOUT_ORACLE_SQL = """
+    WITH r AS (
+      SELECT doc_id AS rid,
+             (CAST(doc_id*13 % 1000 AS DOUBLE)/10.0) AS xmin,
+             (CAST(doc_id*29 % 1000 AS DOUBLE)/10.0) AS ymin,
+             (CAST(doc_id*13 % 1000 AS DOUBLE)/10.0)
+               + (doc_id % 7 + 1) * 0.7 AS xmax,
+             (CAST(doc_id*29 % 1000 AS DOUBLE)/10.0)
+               + (doc_id % 5 + 1) * 0.9 AS ymax
+      FROM documents
+    ),
+    k AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(ceil(CAST(count(*) AS DOUBLE)/16.0) AS BIGINT) AS n_leaves
+      FROM r
+    ),
+    k2 AS (
+      SELECT n,
+             CAST(ceil(sqrt(CAST(n_leaves AS DOUBLE))) AS BIGINT) AS n_slices
+      FROM k
+    ),
+    k3 AS (
+      SELECT n, n_slices,
+             CAST(ceil(CAST(n AS DOUBLE)/CAST(n_slices AS DOUBLE)) AS BIGINT)
+               AS slice_rows
+      FROM k2
+    ),
+    k4 AS (
+      SELECT slice_rows,
+             CAST(ceil(CAST(slice_rows AS DOUBLE)/16.0) AS BIGINT) AS lps
+      FROM k3
+    ),
+    rx AS (
+      SELECT r.*,
+             row_number() OVER (ORDER BY (xmin+xmax)/2.0, rid) - 1 AS rk
+      FROM r
+    ),
+    sl AS (
+      SELECT rid, xmin, ymin, xmax, ymax, rk // slice_rows AS slice, lps
+      FROM rx, k4
+    ),
+    lf AS (
+      SELECT rid, xmin, ymin, xmax, ymax, slice,
+             slice * lps
+               + (row_number() OVER (PARTITION BY slice
+                                     ORDER BY (ymin+ymax)/2.0, rid) - 1) // 16
+               AS leaf_id
+      FROM sl
+    )
+    SELECT rid, slice, leaf_id,
+           min(xmin) OVER w AS leaf_xmin,
+           min(ymin) OVER w AS leaf_ymin,
+           max(xmax) OVER w AS leaf_xmax,
+           max(ymax) OVER w AS leaf_ymax,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_leaf
+    FROM lf WINDOW w AS (PARTITION BY leaf_id)
+    ORDER BY rid
+"""
+
 
 # host-top-terms twin: count + QUALIFY rank replay on the same host
 # synthesis and the shared whitespace tokenizer.
@@ -7459,4 +7555,5 @@ def oracle_sql() -> dict[str, str]:
         "densify_routes": _DENSIFY_ORACLE_SQL,
         "host_terms": _HOST_TERMS_ORACLE_SQL,
         "ppl_buckets": _PPL_BUCKETS_ORACLE_SQL,
+        "str_layout": _STR_LAYOUT_ORACLE_SQL,
     }

@@ -148,3 +148,121 @@ def bucketed_join(spark, table_a: str, table_b: str, on: list) -> DataFrame:
     broadcast disabled this compiles to a SortMergeJoin whose BOTH sides
     read bucketed scans — no Exchange anywhere in the plan."""
     return spark.table(table_a).join(spark.table(table_b), on=on, how="inner")
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    rank_col: str = "_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 0-based global rank by ``order_cols`` WITHOUT the classic
+    scale-killer (an unpartitioned row_number window funnels the whole
+    table through one task).  The distributed-ranking pattern instead:
+
+    1. range-repartition + sort within partitions on the order key
+       (partition i's keys all precede partition i+1's);
+    2. per-partition row counts to the driver (P integers);
+    3. rank = cumulative offset of the partition + local row_number.
+
+    The order key must be total (append a unique id column to break
+    ties) — with ties straddling a range boundary the rank would depend
+    on the sampled boundaries.  Result is identical to
+    ``row_number() OVER (ORDER BY ...) - 1`` at any scale.
+    """
+    from pyspark.sql import Window
+
+    p = num_partitions or max(2, df.sparkSession.sparkContext.defaultParallelism)
+    d = (
+        df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # pin the (sampled, hence run-specific) range partitioning so the
+    # counts job and the rank job read the SAME layout
+    d = d.localCheckpoint(eager=False)
+    counts = d.groupBy("_pid").count().collect()
+    offs: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offs[int(r["_pid"])] = acc
+        acc += int(r["count"])
+    if offs:
+        mapping = F.create_map(
+            *[x for pid, off in offs.items() for x in (F.lit(pid), F.lit(off))]
+        )
+        off_col = mapping[F.col("_pid")]
+    else:
+        off_col = F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return d.withColumn(
+        rank_col, (F.row_number().over(w) - 1 + off_col).cast("long")
+    ).drop("_pid")
+
+
+def str_pack(
+    rects: DataFrame,
+    *,
+    leaf_capacity: int,
+    id_col: str = "rid",
+    xmin_col: str = "xmin",
+    ymin_col: str = "ymin",
+    xmax_col: str = "xmax",
+    ymax_col: str = "ymax",
+) -> DataFrame:
+    """Sort-Tile-Recursive R-tree bulk packing (Leutenegger et al. 1997)
+    -> every rectangle assigned to a spatially coherent leaf page:
+    ``(*, slice, leaf_id, leaf_xmin..leaf_ymax, n_in_leaf)``.
+
+    The third member of the layout-lever family (zorder_cluster skips
+    scan ranges, write_bucketed kills the join shuffle, str_pack builds
+    the R-tree leaves a spatial index stores): sort by center-x into
+    vertical slices of ~sqrt(N/cap) columns, sort each slice by center-y,
+    cut runs of ``leaf_capacity`` — leaves come out near-square with
+    minimal MBR overlap, the property bulk loading is for.
+
+    Scale shape: the x-ordering uses :func:`global_rank` (range
+    repartition + offsets — no single-partition window); the y-ordering
+    windows are PARTITIONED by slice.  All assignment arithmetic is
+    integer (rank divisions), so the twin replays it exactly.
+    """
+    if leaf_capacity < 1:
+        raise ValueError(f"leaf_capacity must be >= 1, got {leaf_capacity}")
+    import math as _m
+
+    from pyspark.sql import Window
+
+    n = rects.count()
+    if n == 0:
+        raise ValueError("str_pack: empty input")
+    n_leaves = _m.ceil(n / leaf_capacity)
+    n_slices = _m.ceil(_m.sqrt(n_leaves))
+    slice_rows = _m.ceil(n / n_slices)
+    leaves_per_slice = _m.ceil(slice_rows / leaf_capacity)
+
+    cx = (F.col(xmin_col) + F.col(xmax_col)) / F.lit(2.0)
+    cy = (F.col(ymin_col) + F.col(ymax_col)) / F.lit(2.0)
+    d = rects.withColumn("_cx", cx).withColumn("_cy", cy)
+    d = global_rank(d, ["_cx", id_col], rank_col="_rx")
+    # `div` = exact integer division (Spark's `/` on integers is DOUBLE
+    # division — at 10^12 ranks the rounding could cross a boundary)
+    d = d.withColumn("slice", F.expr(f"_rx div {int(slice_rows)}"))
+    wy = Window.partitionBy("slice").orderBy("_cy", id_col)
+    d = d.withColumn("_ry", (F.row_number().over(wy) - 1).cast("long"))
+    d = d.withColumn(
+        "leaf_id",
+        F.col("slice") * F.lit(int(leaves_per_slice))
+        + F.expr(f"_ry div {int(leaf_capacity)}"),
+    ).drop("_ry")
+    wl = Window.partitionBy("leaf_id")
+    return d.select(
+        id_col,
+        "slice",
+        "leaf_id",
+        F.min(xmin_col).over(wl).alias("leaf_xmin"),
+        F.min(ymin_col).over(wl).alias("leaf_ymin"),
+        F.max(xmax_col).over(wl).alias("leaf_xmax"),
+        F.max(ymax_col).over(wl).alias("leaf_ymax"),
+        F.count(F.lit(1)).over(wl).cast("long").alias("n_in_leaf"),
+    )

@@ -150,3 +150,109 @@ def test_bucketed_agg_has_no_exchange(spark):
         assert agg.count() == 97
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_g")
+
+
+# ---------------------------------------------------------- global_rank / STR
+
+
+def test_global_rank_matches_window(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from open_vector_tile_spark.operators.layout import global_rank
+
+    rng = random.Random(59)
+    rows = [(i, rng.uniform(0, 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "rid long, v double").repartition(9)
+    got = {
+        r["rid"]: r["_rank"]
+        for r in global_rank(df, ["v", "rid"], num_partitions=7).collect()
+    }
+    want = {
+        r["rid"]: r["w"] - 1
+        for r in df.withColumn(
+            "w", F.row_number().over(Window.orderBy("v", "rid"))
+        ).collect()
+    }
+    assert got == want
+    # duplicate keys broken by the id tie-break still rank exactly
+    rows2 = [(i, float(i % 3)) for i in range(60)]
+    df2 = spark.createDataFrame(rows2, "rid long, v double")
+    got2 = {
+        r["rid"]: r["_rank"]
+        for r in global_rank(df2, ["v", "rid"], num_partitions=5).collect()
+    }
+    want2 = {
+        rid: rank
+        for rank, (v, rid) in enumerate(sorted((v, rid) for rid, v in rows2))
+    }
+    assert got2 == want2
+
+
+def _py_str_pack(rects, cap):
+    import math
+
+    n = len(rects)
+    n_leaves = math.ceil(n / cap)
+    n_slices = math.ceil(math.sqrt(n_leaves))
+    slice_rows = math.ceil(n / n_slices)
+    leaves_per_slice = math.ceil(slice_rows / cap)
+    by_cx = sorted(rects, key=lambda r: ((r[1] + r[3]) / 2.0, r[0]))
+    out = {}
+    for rank, r in enumerate(by_cx):
+        out[r[0]] = [rank // slice_rows]
+    for s in {v[0] for v in out.values()}:
+        in_slice = sorted(
+            (r for r in rects if out[r[0]][0] == s),
+            key=lambda r: ((r[2] + r[4]) / 2.0, r[0]),
+        )
+        for j, r in enumerate(in_slice):
+            out[r[0]].append(s * leaves_per_slice + j // cap)
+    return {k: tuple(v) for k, v in out.items()}
+
+
+def test_str_pack_parity_and_mbrs(spark):
+    import random
+
+    from open_vector_tile_spark.operators.layout import str_pack
+
+    rng = random.Random(61)
+    rects = []
+    for i in range(180):
+        x, y = rng.uniform(0, 100), rng.uniform(0, 100)
+        rects.append((i, x, y, x + rng.uniform(0.1, 5), y + rng.uniform(0.1, 5)))
+    df = spark.createDataFrame(
+        rects, "rid long, xmin double, ymin double, xmax double, ymax double"
+    ).repartition(7)
+    out = str_pack(df, leaf_capacity=8).collect()
+    want = _py_str_pack(rects, 8)
+    got = {r["rid"]: (r["slice"], r["leaf_id"]) for r in out}
+    assert got == want
+    # every rect inside its leaf MBR; leaf sizes respect capacity
+    by_leaf = {}
+    rd = {r[0]: r for r in rects}
+    for r in out:
+        by_leaf.setdefault(r["leaf_id"], []).append(r)
+        rect = rd[r["rid"]]
+        assert r["leaf_xmin"] <= rect[1] and r["leaf_ymin"] <= rect[2]
+        assert r["leaf_xmax"] >= rect[3] and r["leaf_ymax"] >= rect[4]
+        assert r["n_in_leaf"] <= 8
+    for leaf, rows in by_leaf.items():
+        assert len(rows) == rows[0]["n_in_leaf"]
+
+
+def test_str_pack_validation(spark):
+    import pytest as _pytest
+
+    from open_vector_tile_spark.operators.layout import str_pack
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, 1.0, 1.0)],
+        "rid long, xmin double, ymin double, xmax double, ymax double",
+    )
+    with _pytest.raises(ValueError):
+        str_pack(df, leaf_capacity=0)
+    with _pytest.raises(ValueError):
+        str_pack(df.where("rid < 0"), leaf_capacity=4)
