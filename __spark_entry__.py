@@ -4497,6 +4497,27 @@ def _q_snap_match(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("pid", "seg_id")
 
 
+def _q_bq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-quantization ANN (operators/similarity.py bq_topk): sign-bit
+    codes, popcount Hamming prefilter to a k*refine pool, exact-cosine
+    re-rank.  Deterministic end to end, so the oracle replays the WHOLE
+    pipeline — prefilter included — not just the final ranking."""
+    from open_vector_tile_spark.operators.similarity import bq_topk
+
+    emb = _load(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = bq_topk(emb, q, dim=64, k=5, refine=4)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "hamming",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
 def _q_str_layout(spark: SparkSession, sf: str) -> DataFrame:
     """Sort-Tile-Recursive R-tree bulk packing (operators/layout.py
     str_pack) over the bbox_join rectangle corpus: leaf assignments +
@@ -4963,6 +4984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_terms": _q_host_terms,
         "ppl_buckets": _q_ppl_buckets,
         "str_layout": _q_str_layout,
+        "bq_topk": _q_bq_topk,
     }
 
 
@@ -5142,6 +5164,54 @@ _SNAP_MATCH_ORACLE_SQL = f"""
     WHERE rk <= 2
     ORDER BY pid, seg_id
 """
+
+# binary-quantization twin: the full pipeline replayed — 32-bit sign
+# words (integer sums, order-free), popcount Hamming, the k*refine pool
+# window, then the PROVEN list_dot_product cosine chain for the re-rank.
+_BQ_TOPK_ORACLE_SQL = """
+    WITH codes AS (
+      SELECT vec_id, embedding,
+             CAST(list_sum(list_transform(range(0, 32), i ->
+               CASE WHEN CAST(embedding[i+1] AS DOUBLE) > 0.0
+                    THEN CAST(power(2, i) AS BIGINT) ELSE 0 END))
+               AS BIGINT) AS w0,
+             CAST(list_sum(list_transform(range(32, 64), i ->
+               CASE WHEN CAST(embedding[i+1] AS DOUBLE) > 0.0
+                    THEN CAST(power(2, i - 32) AS BIGINT) ELSE 0 END))
+               AS BIGINT) AS w1
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qe, w0 AS q0, w1 AS q1
+      FROM codes WHERE vec_id < 5
+    ),
+    cand AS (
+      SELECT q.query_id, c.vec_id, c.embedding, q.qe,
+             CAST(bit_count(xor(c.w0, q.q0)) AS BIGINT)
+               + CAST(bit_count(xor(c.w1, q.q1)) AS BIGINT) AS hamming
+      FROM codes c, q
+    ),
+    pool AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, vec_id) AS r1
+      FROM cand
+    ),
+    rr AS (
+      SELECT query_id, vec_id, hamming,
+             list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(qe AS DOUBLE[]),
+                                        CAST(qe AS DOUBLE[])))) AS cos_sim
+      FROM pool WHERE r1 <= 20
+    )
+    SELECT query_id, vec_id, hamming, round(cos_sim, 6) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS INT)
+             AS rank
+    FROM rr QUALIFY rank <= 5 ORDER BY query_id, rank
+"""
+
 
 # STR-packing twin: plain global row_number (the operator's distributed
 # offset ranking is exact-equal by construction), then the same
@@ -7556,4 +7626,5 @@ def oracle_sql() -> dict[str, str]:
         "host_terms": _HOST_TERMS_ORACLE_SQL,
         "ppl_buckets": _PPL_BUCKETS_ORACLE_SQL,
         "str_layout": _STR_LAYOUT_ORACLE_SQL,
+        "bq_topk": _BQ_TOPK_ORACLE_SQL,
     }

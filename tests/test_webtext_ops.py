@@ -863,3 +863,98 @@ def test_sq8_topk_codes_mode_exact_and_dequant_recall(spark):
         for r in sq8_topk(codes, queries, k=1, stats=stats).collect()
     }
     assert dq == exact
+
+
+# --------------------------------------------------------- binary quantization
+
+
+def _py_bq(vectors, queries, dim, k, refine):
+    """Scalar reference: sign codes -> hamming pool -> exact cosine."""
+    import math
+
+    def code_bits(v):
+        return [1 if x > 0 else 0 for x in v[:dim]]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    out = {}
+    for qid, qv in queries:
+        qb = code_bits(qv)
+        cands = sorted(
+            (
+                (sum(b1 != b2 for b1, b2 in zip(code_bits(v), qb)), vid)
+                for vid, v in vectors
+            )
+        )[: k * refine]
+        pool = [(vid, cos(dict(vectors)[vid], qv)) for _, vid in cands]
+        pool.sort(key=lambda t: (-t[1], t[0]))
+        out[qid] = [vid for vid, _ in pool[:k]]
+    return out
+
+
+def test_bq_topk_parity_and_recall(spark):
+    import random
+
+    from open_vector_tile_spark.operators.similarity import (
+        bq_topk,
+        cosine_topk_bruteforce,
+    )
+
+    rng = random.Random(67)
+    dim = 16
+    vectors = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(120)
+    ]
+    vdf = spark.createDataFrame(vectors, "vec_id long, embedding array<float>")
+    queries = [(i, v) for i, v in vectors[:4]]
+    qdf = spark.createDataFrame(queries, "query_id long, embedding array<float>")
+    got = {}
+    for r in bq_topk(vdf, qdf, dim=dim, k=3, refine=6).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    # float32->float64 of the same parquet-free values: createDataFrame
+    # casts to float; reference must see the SAME float32 values
+    import numpy as np
+
+    vec32 = [(i, [float(np.float32(x)) for x in v]) for i, v in vectors]
+    q32 = [(i, [float(np.float32(x)) for x in v]) for i, v in queries]
+    want = _py_bq(vec32, q32, dim, 3, 6)
+    for qid in want:
+        assert [vid for _, vid in sorted(got[qid])] == want[qid], qid
+    # self-match survives the hamming prefilter and ranks first
+    for qid in got:
+        assert sorted(got[qid])[0][1] == qid
+    # with refine covering the whole corpus, BQ == exact brute force
+    full = {}
+    for r in bq_topk(vdf, qdf, dim=dim, k=3, refine=1000).collect():
+        full.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    exact = {}
+    for r in cosine_topk_bruteforce(vdf, qdf, k=3, qid_col="query_id").collect():
+        exact.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    assert {q: sorted(v) for q, v in full.items()} == {
+        q: sorted(v) for q, v in exact.items()
+    }
+
+
+def test_bq_codes_and_validation(spark):
+    from pyspark.sql import functions as F
+
+    from open_vector_tile_spark.operators.similarity import bq_code_cols, bq_topk
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.5, 0.0, 1.0] + [0.0] * 30 + [2.0, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    row = df.select(*bq_code_cols("embedding", 36)).collect()[0]
+    # bits 0 and 3 of word 0 (v[0]>0, v[3]>0); v[2]=0 is NOT positive
+    assert row["bq_w0"] == (1 << 0) + (1 << 3)
+    assert row["bq_w1"] == (1 << 2)  # dim 34 = word1 bit 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bq_code_cols("embedding", 0)
+    with _pytest.raises(ValueError):
+        bq_topk(df, df, dim=4, k=0)
