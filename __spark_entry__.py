@@ -4844,6 +4844,35 @@ def _q_phrase_hits(spark: SparkSession, sf: str) -> DataFrame:
     return phrase_search(docs, "table table").orderBy("doc_id")
 
 
+_BPE_MERGES = 6
+
+
+def _q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): 6 merge
+    rounds over the frequency-weighted word table — corpus scanned once,
+    every round is a vocabulary-sized pair-count partial agg + a 1-row
+    argmax; merges applied as in-array greedy folds (no explode, no
+    shuffle).  Oracle replays all 6 rounds as unrolled CTEs with
+    DuckDB's list_reduce over singleton lists — bit-identical merge
+    table including tie-breaks."""
+    from open_vector_tile_spark.operators.bpe import bpe_train
+
+    docs = _load(spark, sf, "documents")
+    return bpe_train(docs, num_merges=_BPE_MERGES).orderBy("rank")
+
+
+def _q_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus subword vocabulary under the trained BPE merges: the
+    encode half of the tokenizer.  Merges applied to the DISTINCT word
+    table only; corpus occurrence counts are frequency-weighted — the
+    100 TB shape (document bodies are never re-tokenized per merge)."""
+    from open_vector_tile_spark.operators.bpe import bpe_subword_counts, bpe_train
+
+    docs = _load(spark, sf, "documents")
+    merges = [tuple(r) for r in bpe_train(docs, num_merges=_BPE_MERGES).collect()]
+    return bpe_subword_counts(docs, merges).orderBy("subword")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -4985,6 +5014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": _q_ppl_buckets,
         "str_layout": _q_str_layout,
         "bq_topk": _q_bq_topk,
+        "bpe_train": _q_bpe_train,
+        "bpe_vocab": _q_bpe_vocab,
     }
 
 
@@ -5747,6 +5778,88 @@ _PHRASE_HITS_ORACLE_SQL = f"""
            CAST(min(p0) AS BIGINT) AS first_pos
     FROM hits GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def _bpe_ctes(num_merges: int) -> str:
+    """Unrolled BPE training rounds as a CTE chain (w0, p1, b1, w1, ...).
+
+    Each round: pair counts from the previous symbol tables (weighted by
+    word frequency), a 1-row argmax with the (pair_count DESC, lhs, rhs)
+    tie-break, and the greedy left-to-right merge fold.  DuckDB 1.0's
+    ``list_reduce`` has no initial-value form, so the fold runs over
+    SINGLETON lists (element type == accumulator type == VARCHAR[]) —
+    starting from the first element exactly like the Spark fold's empty
+    init + first append.  ``acc[:len(acc)-1]`` is drop-last (DuckDB list
+    slices are end-INCLUSIVE, so Python's ``[:-1]`` spelling keeps the
+    last element).  LEFT JOIN ON TRUE keeps the chain total when a round
+    finds no pair (degenerate corpora): merge rows simply stop."""
+    parts = [
+        f"""w0 AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                 list_transform(generate_series(1, length(word)),
+                                i -> word[i:i]) AS syms
+          FROM (SELECT unnest(list_filter(
+                         regexp_split_to_array(lower(text), '{_SQL_WS_SPLIT}'),
+                         t -> t <> '')) AS word
+                FROM documents)
+          WHERE NOT contains(word, chr(31))
+          GROUP BY word
+        )"""
+    ]
+    for r in range(1, num_merges + 1):
+        parts.append(
+            f"""p{r} AS (
+          SELECT syms[i] AS lhs, syms[i+1] AS rhs,
+                 CAST(sum(freq) AS BIGINT) AS pair_count
+          FROM w{r - 1}, unnest(range(1, len(syms))) rr(i)
+          GROUP BY 1, 2
+        )"""
+        )
+        parts.append(
+            f"""b{r} AS (
+          SELECT lhs, rhs, lhs || rhs AS merged, pair_count
+          FROM p{r} ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+        )"""
+        )
+        parts.append(
+            f"""w{r} AS (
+          SELECT word, freq,
+                 CASE WHEN b{r}.merged IS NULL THEN syms
+                      ELSE list_reduce(
+                             list_transform(syms, s -> [s]),
+                             (acc, x) -> CASE
+                               WHEN len(acc) > 0 AND acc[-1] = b{r}.lhs
+                                    AND x[1] = b{r}.rhs
+                               THEN list_append(acc[:len(acc)-1], b{r}.merged)
+                               ELSE list_concat(acc, x) END)
+                 END AS syms
+          FROM w{r - 1} LEFT JOIN b{r} ON TRUE
+        )"""
+        )
+    return ",\n        ".join(parts)
+
+
+def _bpe_train_oracle_sql() -> str:
+    rows = "\n          UNION ALL ".join(
+        f'SELECT {r} AS "rank", lhs, rhs, merged, pair_count FROM b{r}'
+        for r in range(1, _BPE_MERGES + 1)
+    )
+    return f"""
+        WITH {_bpe_ctes(_BPE_MERGES)}
+        SELECT * FROM (
+          {rows}
+        ) ORDER BY "rank"
+    """
+
+
+def _bpe_vocab_oracle_sql() -> str:
+    return f"""
+        WITH {_bpe_ctes(_BPE_MERGES)}
+        SELECT subword, CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+               CAST(sum(freq) AS BIGINT) AS n_occurrences
+        FROM (SELECT word, freq, unnest(syms) AS subword FROM w{_BPE_MERGES})
+        GROUP BY subword ORDER BY subword
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7627,4 +7740,6 @@ def oracle_sql() -> dict[str, str]:
         "ppl_buckets": _PPL_BUCKETS_ORACLE_SQL,
         "str_layout": _STR_LAYOUT_ORACLE_SQL,
         "bq_topk": _BQ_TOPK_ORACLE_SQL,
+        "bpe_train": _bpe_train_oracle_sql(),
+        "bpe_vocab": _bpe_vocab_oracle_sql(),
     }
