@@ -4844,6 +4844,30 @@ def _q_phrase_hits(spark: SparkSession, sf: str) -> DataFrame:
     return phrase_search(docs, "table table").orderBy("doc_id")
 
 
+def _q_edit_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance similarity join (operators/editjoin.py, Ed-Join
+    shape): recrawl URL variants within Levenshtein 2, found via
+    occurrence-indexed q-gram candidates with rare-gram prefix filtering
+    (q*d+1 rarest elements per string bound the join, hot grams like
+    '://' never join), verified by the JVM levenshtein on candidates
+    only.  URLs synthesized deterministically from doc_id (host, page,
+    variant digits) so single-character neighbors exist; the oracle
+    replays the exact filter chain and DuckDB's native levenshtein."""
+    from open_vector_tile_spark.operators.editjoin import edit_similarity_join
+
+    docs = _load(spark, sf, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://host"), (d % 7).cast("string"),
+        F.lit(".example.com/p/"), F.floor(d / 10).cast("long").cast("string"),
+        F.lit("?v="), (d % 10).cast("string"),
+    )
+    strings = docs.select(d.alias("id"), url.alias("s"))
+    return edit_similarity_join(strings, max_dist=2, q=3).orderBy(
+        "id_l", "id_r"
+    )
+
+
 _BPE_MERGES = 6
 
 
@@ -5016,6 +5040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_topk": _q_bq_topk,
         "bpe_train": _q_bpe_train,
         "bpe_vocab": _q_bpe_vocab,
+        "edit_join": _q_edit_join,
     }
 
 
@@ -5777,6 +5802,49 @@ _PHRASE_HITS_ORACLE_SQL = f"""
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
            CAST(min(p0) AS BIGINT) AS first_pos
     FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+_EDIT_JOIN_ORACLE_SQL = """
+    WITH st AS (
+      SELECT doc_id AS id,
+             'https://host' || CAST(doc_id % 7 AS VARCHAR) ||
+             '.example.com/p/' || CAST(doc_id // 10 AS VARCHAR) ||
+             '?v=' || CAST(doc_id % 10 AS VARCHAR) AS s
+      FROM documents
+    ), sl AS (
+      SELECT id, s, CAST(length(s) AS INT) AS len FROM st
+    ), g AS (
+      SELECT id, len, s[i:i+2] AS gram,
+             row_number() OVER (PARTITION BY id, s[i:i+2] ORDER BY i) AS k
+      FROM sl, unnest(range(1, len - 1)) r(i)
+    ), freq AS (
+      SELECT gram, k, CAST(count(*) AS BIGINT) AS n_elem
+      FROM g GROUP BY 1, 2
+    ), pfx AS (
+      SELECT id, len, gram, k FROM (
+        SELECT g.id, g.len, g.gram, g.k,
+               row_number() OVER (PARTITION BY g.id
+                                  ORDER BY f.n_elem, g.gram, g.k) AS r
+        FROM g JOIN freq f ON g.gram = f.gram AND g.k = f.k
+      ) WHERE r <= 7
+    ), cand AS (
+      SELECT l.id AS id_l, r.id AS id_r
+      FROM pfx l JOIN pfx r ON l.gram = r.gram AND l.k = r.k
+      WHERE l.id < r.id AND abs(l.len - r.len) <= 2
+    ), shorts AS (
+      SELECT l.id AS id_l, r.id AS id_r
+      FROM sl l JOIN sl r
+        ON l.id < r.id AND abs(l.len - r.len) <= 2
+       AND greatest(l.len, r.len) <= 8
+    ), pairs AS (
+      SELECT id_l, id_r FROM cand UNION SELECT id_l, id_r FROM shorts
+    )
+    SELECT p.id_l, p.id_r,
+           CAST(levenshtein(a.s, b.s) AS INT) AS dist
+    FROM pairs p JOIN sl a ON p.id_l = a.id JOIN sl b ON p.id_r = b.id
+    WHERE levenshtein(a.s, b.s) <= 2
+    ORDER BY id_l, id_r
 """
 
 
@@ -7742,4 +7810,5 @@ def oracle_sql() -> dict[str, str]:
         "bq_topk": _BQ_TOPK_ORACLE_SQL,
         "bpe_train": _bpe_train_oracle_sql(),
         "bpe_vocab": _bpe_vocab_oracle_sql(),
+        "edit_join": _EDIT_JOIN_ORACLE_SQL,
     }
