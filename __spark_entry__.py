@@ -4844,6 +4844,25 @@ def _q_phrase_hits(spark: SparkSession, sf: str) -> DataFrame:
     return phrase_search(docs, "table table").orderBy("doc_id")
 
 
+def _q_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance selection (operators/dsir.py): hashed-bigram
+    bucket distributions for the raw corpus vs the English slice, per-doc
+    log-free likelihood-ratio scores (fixed IEEE chain, sorted fold —
+    the PMI->lift precedent applied to Xie et al.'s LLR sum), top-25%
+    kept via the distributed exact global rank.  Oracle replays buckets,
+    smoothing spine, term chain, and sum(term ORDER BY term)."""
+    from open_vector_tile_spark.operators.dsir import dsir_select
+
+    docs = _load(spark, sf, "documents")
+    out = dsir_select(docs, F.col("lang") == "en", n_buckets=64, keep_frac=0.25)
+    return out.select(
+        "id",
+        "score",
+        "rank",
+        F.col("selected").cast("int").alias("selected"),
+    ).orderBy("id")
+
+
 def _q_edit_join(spark: SparkSession, sf: str) -> DataFrame:
     """Edit-distance similarity join (operators/editjoin.py, Ed-Join
     shape): recrawl URL variants within Levenshtein 2, found via
@@ -5041,6 +5060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,
         "bpe_vocab": _q_bpe_vocab,
         "edit_join": _q_edit_join,
+        "dsir_select": _q_dsir,
     }
 
 
@@ -5802,6 +5822,52 @@ _PHRASE_HITS_ORACLE_SQL = f"""
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
            CAST(min(p0) AS BIGINT) AS first_pos
     FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+_DSIR_ORACLE_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             list_filter(regexp_split_to_array(lower(text), '{_SQL_WS_SPLIT}'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, tgt,
+             CAST(CAST('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 8)
+                       AS BIGINT) % 64 AS INT) AS bucket
+      FROM toks, unnest(range(1, len(ts))) r(i)
+    ), doc_bucket AS (
+      SELECT doc_id, tgt, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM grams GROUP BY 1, 2, 3
+    ), dists AS (
+      SELECT sp.bucket,
+             CAST(coalesce(sum(c), 0) + 1 AS BIGINT) AS r_b,
+             CAST(coalesce(sum(c) FILTER (WHERE tgt), 0) + 1 AS BIGINT) AS t_b
+      FROM (SELECT CAST(unnest(range(0, 64)) AS INT) AS bucket) sp
+      LEFT JOIN doc_bucket db ON sp.bucket = db.bucket
+      GROUP BY sp.bucket
+    ), tot AS (
+      SELECT CAST(sum(r_b) AS BIGINT) AS d_r,
+             CAST(sum(t_b) AS BIGINT) AS d_t FROM dists
+    ), terms AS (
+      SELECT doc_id,
+             CAST(c AS DOUBLE) * t_b * d_r / r_b / d_t AS term
+      FROM doc_bucket JOIN dists USING (bucket), tot
+    ), scores AS (
+      SELECT d.doc_id AS id, coalesce(s.score, 0.0) AS score
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, sum(term ORDER BY term) AS score
+        FROM terms GROUP BY doc_id
+      ) s ON d.doc_id = s.doc_id
+    ), ranked AS (
+      SELECT id, score,
+             row_number() OVER (ORDER BY score DESC, id) - 1 AS rk
+      FROM scores
+    )
+    SELECT id, score, CAST(rk AS BIGINT) AS "rank",
+           CAST(rk < CAST(ceil(0.25 * (SELECT count(*) FROM documents))
+                          AS BIGINT) AS INT) AS selected
+    FROM ranked ORDER BY id
 """
 
 
@@ -7811,4 +7877,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_oracle_sql(),
         "bpe_vocab": _bpe_vocab_oracle_sql(),
         "edit_join": _EDIT_JOIN_ORACLE_SQL,
+        "dsir_select": _DSIR_ORACLE_SQL,
     }
