@@ -4844,6 +4844,29 @@ def _q_phrase_hits(spark: SparkSession, sf: str) -> DataFrame:
     return phrase_search(docs, "table table").orderBy("doc_id")
 
 
+def _q_morans_i(spark: SparkSession, sf: str) -> DataFrame:
+    """Global spatial autocorrelation (operators/spatial_stats.py):
+    Moran's I + Geary's C over event counts on a 128x128 lon/lat grid.
+    Integer cell counts make every moment exact; the statistics assemble
+    from SEVEN partial-agg scalars in arbitrary-precision Python with
+    one fixed double chain at the end — the oracle replays the moment
+    expansion in HUGEINT and the identical casts."""
+    from open_vector_tile_spark.operators.spatial_stats import (
+        spatial_autocorrelation,
+    )
+
+    pts = _event_points(_load(spark, sf, "events"))
+    cells = (
+        pts.select(
+            F.floor((F.col("lon") + 180.0) / 360.0 * 128).cast("long").alias("gx"),
+            F.floor((F.col("lat") + 90.0) / 180.0 * 128).cast("long").alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    return spatial_autocorrelation(cells)
+
+
 def _q_dsir(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR-style importance selection (operators/dsir.py): hashed-bigram
     bucket distributions for the raw corpus vs the English slice, per-doc
@@ -5061,6 +5084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": _q_bpe_vocab,
         "edit_join": _q_edit_join,
         "dsir_select": _q_dsir,
+        "morans_i": _q_morans_i,
     }
 
 
@@ -5822,6 +5846,50 @@ _PHRASE_HITS_ORACLE_SQL = f"""
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
            CAST(min(p0) AS BIGINT) AS first_pos
     FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+_MORANS_ORACLE_SQL = f"""
+    WITH cells AS (
+      SELECT CAST(floor((({_SQL_LON_EV}) + 180.0)/360.0*128) AS BIGINT) AS gx,
+             CAST(floor((({_SQL_LAT_EV}) + 90.0)/180.0*128) AS BIGINT) AS gy,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sx,
+             CAST(sum(v*v) AS BIGINT) AS sxx
+      FROM cells
+    ), prs AS (
+      SELECT a.v AS vi, b.v AS vj
+      FROM cells a
+      JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dx, dy) ON TRUE
+      JOIN cells b ON b.gx = a.gx + o.dx AND b.gy = a.gy + o.dy
+    ), pm AS (
+      SELECT CAST(count(*) AS BIGINT) AS w,
+             CAST(coalesce(sum(vi), 0) AS HUGEINT) AS s1,
+             CAST(coalesce(sum(vi*vj), 0) AS HUGEINT) AS sxy,
+             CAST(coalesce(sum((vi-vj)*(vi-vj)), 0) AS HUGEINT) AS sdd
+      FROM prs
+    ), fin AS (
+      SELECT n, w, sdd,
+             CAST(n AS HUGEINT)*n*sxy - 2*CAST(n AS HUGEINT)*sx*s1
+               + CAST(sx AS HUGEINT)*sx*w AS a,
+             CAST(n AS HUGEINT)*n*sxx - CAST(n AS HUGEINT)*sx*sx AS b
+      FROM mom, pm
+    )
+    SELECT n AS n_cells, w AS w_pairs,
+           CASE WHEN n > 1 AND w > 0 AND b <> 0 THEN
+             CAST(a AS DOUBLE) * CAST(n AS DOUBLE)
+               / CAST(w AS DOUBLE) / CAST(b AS DOUBLE)
+           END AS morans_i,
+           CASE WHEN n > 1 AND w > 0 AND b <> 0 THEN
+             CAST(CAST(n-1 AS HUGEINT)*sdd*n*n AS DOUBLE)
+               / CAST(2*CAST(w AS HUGEINT)*b AS DOUBLE)
+           END AS gearys_c,
+           CASE WHEN n > 1 AND w > 0 AND b <> 0 THEN
+             -1.0 / CAST(n-1 AS DOUBLE)
+           END AS expected_i
+    FROM fin
 """
 
 
@@ -7878,4 +7946,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab": _bpe_vocab_oracle_sql(),
         "edit_join": _EDIT_JOIN_ORACLE_SQL,
         "dsir_select": _DSIR_ORACLE_SQL,
+        "morans_i": _MORANS_ORACLE_SQL,
     }
