@@ -4901,7 +4901,7 @@ def _q_edit_join(spark: SparkSession, sf: str) -> DataFrame:
     d = F.col("doc_id")
     url = F.concat(
         F.lit("https://host"), (d % 7).cast("string"),
-        F.lit(".example.com/p/"), F.floor(d / 10).cast("long").cast("string"),
+        F.lit(".example.com/p/"), F.expr("doc_id div 10").cast("string"),
         F.lit("?v="), (d % 10).cast("string"),
     )
     strings = docs.select(d.alias("id"), url.alias("s"))

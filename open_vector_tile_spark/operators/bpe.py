@@ -57,9 +57,15 @@ MERGES_SCHEMA = (
 
 
 def char_symbols(word: Column) -> Column:
-    """Split a word into per-codepoint symbols (the round-0 alphabet)."""
+    """Split a word into per-codepoint symbols (the round-0 alphabet).
+
+    ``(?s)`` makes Java's dot match line terminators (NEL/LS/PS survive
+    whitespace tokenization — WS_SPLIT strips only the ASCII class), so
+    every codepoint gets its sentinel and the split matches the oracle's
+    per-character ``word[i:i]`` exactly.
+    """
     return F.filter(
-        F.split(F.regexp_replace(word, "(.)", "$1" + _SENT), _SENT),
+        F.split(F.regexp_replace(word, "(?s)(.)", "$1" + _SENT), _SENT),
         lambda t: t != "",
     )
 
@@ -136,6 +142,8 @@ def bpe_train(
     """
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    from .graph import _free_checkpoint
+
     spark = docs.sparkSession
     words = _word_freqs(docs, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
@@ -155,10 +163,13 @@ def bpe_train(
             nxt = words.withColumn(
                 "syms", _apply_merge(F.col("syms"), lhs, rhs, merged)
             ).localCheckpoint(eager=True)
-            words.unpersist()
+            # release the superseded round's pinned blocks (plain
+            # unpersist is a no-op on localCheckpoint data) — peak state
+            # is 2 vocabulary-table copies regardless of num_merges
+            _free_checkpoint(words)
             words = nxt
     finally:
-        words.unpersist()
+        _free_checkpoint(words)
     return spark.createDataFrame(merges, schema=MERGES_SCHEMA)
 
 

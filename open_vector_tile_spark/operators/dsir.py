@@ -143,7 +143,10 @@ def dsir_select(
     scored = all_docs.join(scores, "id", "left").select(
         "id", F.coalesce("score", F.lit(0.0)).alias("score")
     )
-    n_docs = scored.count()
+    # count the input directly: scores is grouped by the unique id, so the
+    # left join preserves docs' cardinality — counting `scored` would run
+    # the whole scoring DAG a second time just to learn this number
+    n_docs = docs.select(id_col).count()
     n_keep = math.ceil(n_docs * keep_frac)
     ranked = global_rank(
         scored.withColumn("_neg", -F.col("score")), ["_neg", "id"], rank_col="rank"

@@ -76,7 +76,12 @@ def edit_similarity_join(
         "len",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.col("len") - q + 1, F.lit(0))),
+                # guard: sequence(1, 0) steps DOWN to [1, 0] in Spark, so
+                # sub-q strings must yield an explicitly empty position list
+                F.when(
+                    F.col("len") >= q,
+                    F.sequence(F.lit(1), F.col("len") - q + 1),
+                ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)")),
                 lambda i: F.substring(F.col("s"), i, F.lit(q)),
             )
         ).alias("pos", "gram"),

@@ -55,15 +55,21 @@ def spatial_autocorrelation(
     exist or the variance is zero (constant surface) — both undefined.
     """
     spark = cells.sparkSession
+    # pin the (possibly expensive) upstream cell aggregation: two moment
+    # jobs read it, and the pairs plan probes it twice more
     c = cells.select(
         F.col(x_col).cast("long").alias("gx"),
         F.col(y_col).cast("long").alias("gy"),
         F.col(val_col).cast("long").alias("v"),
-    )
+    ).localCheckpoint(eager=True)
+    # product sums accumulate in DECIMAL so the exactness contract holds
+    # to web-scale magnitudes (int64 sums of int64 products would wrap
+    # before Python's bigints ever saw them; the oracle sums in HUGEINT)
+    vd = F.col("v").cast("decimal(18,0)")
     base = c.agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("v").cast("long").alias("sx"),
-        F.sum(F.col("v") * F.col("v")).cast("long").alias("sxx"),
+        F.sum(vd).alias("sx"),
+        F.sum(vd * F.col("v")).alias("sxx"),
     ).collect()[0]
     nbrs = c.select(
         "gx",
@@ -87,16 +93,17 @@ def spatial_autocorrelation(
         ),
         ["nx", "ny"],
     )
+    vid = F.col("vi").cast("decimal(18,0)")
+    dd = (F.col("vi") - F.col("vj")).cast("decimal(18,0)")
     pm = pairs.agg(
         F.count("*").cast("long").alias("w"),
-        F.sum("vi").cast("long").alias("s1"),
-        F.sum(F.col("vi") * F.col("vj")).cast("long").alias("sxy"),
-        F.sum(
-            (F.col("vi") - F.col("vj")) * (F.col("vi") - F.col("vj"))
-        )
-        .cast("long")
-        .alias("sdd"),
+        F.sum(vid).alias("s1"),
+        F.sum(vid * F.col("vj")).alias("sxy"),
+        F.sum(dd * dd).alias("sdd"),
     ).collect()[0]
+    from .graph import _free_checkpoint
+
+    _free_checkpoint(c)
     n, sx, sxx = int(base["n"]), int(base["sx"] or 0), int(base["sxx"] or 0)
     w = int(pm["w"])
     s1, sxy, sdd = int(pm["s1"] or 0), int(pm["sxy"] or 0), int(pm["sdd"] or 0)
