@@ -4867,6 +4867,25 @@ def _q_morans_i(spark: SparkSession, sf: str) -> DataFrame:
     return spatial_autocorrelation(cells)
 
 
+def _q_hotspot_gi(spark: SparkSession, sf: str) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-scores per grid cell (the LOCAL statistic
+    to morans_i's global): queen+self neighborhood sums in one partial-agg
+    shuffle, global moments as a 1-row broadcast, fixed double/sqrt chain
+    replayed bit-for-bit by the oracle."""
+    from open_vector_tile_spark.operators.spatial_stats import getis_ord_gi
+
+    pts = _event_points(_load(spark, sf, "events"))
+    cells = (
+        pts.select(
+            F.floor((F.col("lon") + 180.0) / 360.0 * 128).cast("long").alias("gx"),
+            F.floor((F.col("lat") + 90.0) / 180.0 * 128).cast("long").alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    return getis_ord_gi(cells).orderBy("gx", "gy")
+
+
 def _q_dsir(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR-style importance selection (operators/dsir.py): hashed-bigram
     bucket distributions for the raw corpus vs the English slice, per-doc
@@ -5085,6 +5104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_join": _q_edit_join,
         "dsir_select": _q_dsir,
         "morans_i": _q_morans_i,
+        "hotspot_gi": _q_hotspot_gi,
     }
 
 
@@ -5890,6 +5910,41 @@ _MORANS_ORACLE_SQL = f"""
              -1.0 / CAST(n-1 AS DOUBLE)
            END AS expected_i
     FROM fin
+"""
+
+
+_HOTSPOT_GI_ORACLE_SQL = f"""
+    WITH cells AS (
+      SELECT CAST(floor((({_SQL_LON_EV}) + 180.0)/360.0*128) AS BIGINT) AS gx,
+             CAST(floor((({_SQL_LAT_EV}) + 90.0)/180.0*128) AS BIGINT) AS gy,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sx,
+             CAST(sum(v*v) AS HUGEINT) AS sxx
+      FROM cells
+    ), hood AS (
+      SELECT a.gx, a.gy, CAST(count(*) AS BIGINT) AS w_i,
+             CAST(sum(b.v) AS BIGINT) AS g_i
+      FROM cells a
+      JOIN (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,0),
+                   (0,1), (1,-1), (1,0), (1,1)) o(dx, dy) ON TRUE
+      JOIN cells b ON b.gx = a.gx + o.dx AND b.gy = a.gy + o.dy
+      GROUP BY a.gx, a.gy
+    ), calc AS (
+      SELECT c.gx, c.gy, c.v, h.w_i, h.g_i, n,
+             CAST(sx AS DOUBLE)/n AS xbar,
+             sqrt(greatest(CAST(sxx AS DOUBLE)/n
+                           - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n),
+                           0.0)) AS s
+      FROM cells c JOIN hood h ON c.gx = h.gx AND c.gy = h.gy, mom
+    )
+    SELECT gx, gy, v, w_i, g_i,
+           CASE WHEN s * sqrt(CAST(n*w_i - w_i*w_i AS DOUBLE)/(n - 1)) > 0.0
+                THEN (CAST(g_i AS DOUBLE) - xbar*w_i)
+                     / (s * sqrt(CAST(n*w_i - w_i*w_i AS DOUBLE)/(n - 1)))
+           END AS z
+    FROM calc ORDER BY gx, gy
 """
 
 
@@ -7947,4 +8002,5 @@ def oracle_sql() -> dict[str, str]:
         "edit_join": _EDIT_JOIN_ORACLE_SQL,
         "dsir_select": _DSIR_ORACLE_SQL,
         "morans_i": _MORANS_ORACLE_SQL,
+        "hotspot_gi": _HOTSPOT_GI_ORACLE_SQL,
     }

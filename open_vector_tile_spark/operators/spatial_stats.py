@@ -34,9 +34,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["spatial_autocorrelation"]
+__all__ = ["spatial_autocorrelation", "getis_ord_gi"]
 
 _OFFSETS = ((1, 0), (-1, 0), (0, 1), (0, -1))
+_QUEEN_SELF = tuple(
+    (dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+)
 
 
 def spatial_autocorrelation(
@@ -122,4 +125,99 @@ def spatial_autocorrelation(
             "n_cells BIGINT, w_pairs BIGINT, morans_i DOUBLE, "
             "gearys_c DOUBLE, expected_i DOUBLE"
         ),
+    )
+
+
+def getis_ord_gi(
+    cells: DataFrame,
+    *,
+    x_col: str = "gx",
+    y_col: str = "gy",
+    val_col: str = "v",
+) -> DataFrame:
+    """Getis-Ord Gi* hot/cold-spot z-score per cell — the LOCAL statistic
+    (Moran's I above is the global one; Gi* says WHERE the clusters are).
+
+    Binary queen weights including self (the * variant) over the observed
+    lattice: for cell i with W_i present neighbors and neighborhood sum
+    G_i,
+
+        z_i = (G_i - xbar*W_i) / (S * sqrt((n*W_i - W_i^2)/(n-1)))
+
+    with xbar = sum(x)/n and S = sqrt(sum(x^2)/n - xbar^2).  Integer
+    inputs keep G_i/W_i and the global moments exact; the double chain is
+    fixed (each multiply/divide/sqrt correctly rounded) so the DuckDB
+    twin reproduces z bit-for-bit.  NULL z where the denominator is zero
+    (constant surface, or W_i == n).
+
+    Scale shape: ONE partial-agg shuffle on the cell key for the
+    neighborhood sums (9-offset explode is map-side), global moments are
+    a 1-row broadcast cross join — no window, no collect.
+
+    Output: ``(gx, gy, v, w_i, g_i, z)``.
+    """
+    c = cells.select(
+        F.col(x_col).cast("long").alias("gx"),
+        F.col(y_col).cast("long").alias("gy"),
+        F.col(val_col).cast("long").alias("v"),
+    )
+    mom = c.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sx"),
+        F.sum(F.col("v").cast("decimal(18,0)") * F.col("v")).alias("sxx"),
+    )
+    probes = c.select(
+        "gx",
+        "gy",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("gx") + dx).alias("nx"),
+                        (F.col("gy") + dy).alias("ny"),
+                    )
+                    for dx, dy in _QUEEN_SELF
+                ]
+            )
+        ).alias("nb"),
+    ).select("gx", "gy", F.col("nb.nx").alias("nx"), F.col("nb.ny").alias("ny"))
+    hood = (
+        probes.join(
+            c.select(
+                F.col("gx").alias("nx"),
+                F.col("gy").alias("ny"),
+                F.col("v").alias("vj"),
+            ),
+            ["nx", "ny"],
+        )
+        .groupBy("gx", "gy")
+        .agg(
+            F.count("*").cast("long").alias("w_i"),
+            F.sum("vj").cast("long").alias("g_i"),
+        )
+    )
+    xbar = F.col("sx").cast("double") / F.col("n")
+    # clamp: sxx/n - xbar^2 can round a hair below zero on a near-constant
+    # surface, and engines disagree on sqrt(<0) (NaN vs error)
+    s = F.sqrt(
+        F.greatest(
+            F.col("sxx").cast("double") / F.col("n") - xbar * xbar, F.lit(0.0)
+        )
+    )
+    num = F.col("g_i").cast("double") - xbar * F.col("w_i")
+    den = s * F.sqrt(
+        (F.col("n") * F.col("w_i") - F.col("w_i") * F.col("w_i")).cast("double")
+        / (F.col("n") - 1)
+    )
+    return (
+        c.join(hood, ["gx", "gy"])
+        .crossJoin(F.broadcast(mom))
+        .select(
+            "gx",
+            "gy",
+            "v",
+            "w_i",
+            "g_i",
+            F.when(den > 0.0, num / den).alias("z"),
+        )
     )

@@ -101,3 +101,80 @@ class TestAutocorrelation:
         a = spatial_autocorrelation(df).collect()[0]
         b = spatial_autocorrelation(df.repartition(9)).collect()[0]
         assert a == b
+
+
+def _py_gi(cells):
+    vals = {(x, y): v for x, y, v in cells}
+    n = len(vals)
+    sx = sum(vals.values())
+    sxx = sum(v * v for v in vals.values())
+    xbar = float(sx) / n
+    s2 = float(sxx) / n - xbar * xbar
+    s = math.sqrt(max(s2, 0.0))
+    out = {}
+    for (x, y), v in vals.items():
+        hood = [
+            vals[(x + dx, y + dy)]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (x + dx, y + dy) in vals
+        ]
+        wi, gi = len(hood), sum(hood)
+        den = s * math.sqrt(float(n * wi - wi * wi) / (n - 1)) if n > 1 else 0.0
+        z = (float(gi) - xbar * wi) / den if den > 0.0 else None
+        out[(x, y)] = (v, wi, gi, z)
+    return out
+
+
+class TestGetisOrd:
+    def test_hotspot_detected(self, spark):
+        from open_vector_tile_spark.operators.spatial_stats import getis_ord_gi
+
+        # flat field with one 3x3 spike block
+        cells = [
+            (x, y, 50 if 3 <= x <= 5 and 3 <= y <= 5 else 1)
+            for x in range(9)
+            for y in range(9)
+        ]
+        df = spark.createDataFrame(cells, "gx LONG, gy LONG, v LONG")
+        got = {(r["gx"], r["gy"]): r for r in getis_ord_gi(df).collect()}
+        want = _py_gi(cells)
+        assert set(got) == set(want)
+        for k, (v, wi, gi, z) in want.items():
+            r = got[k]
+            assert (r["v"], r["w_i"], r["g_i"]) == (v, wi, gi)
+            if z is None:
+                assert r["z"] is None
+            else:
+                assert r["z"] == pytest.approx(z, rel=1e-12)
+        # the spike centre is the hottest cell
+        assert max(got.values(), key=lambda r: r["z"])["gx"] == 4
+        assert got[(4, 4)]["z"] > 2.0
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_randomized_parity(self, spark, seed):
+        from open_vector_tile_spark.operators.spatial_stats import getis_ord_gi
+
+        rng = random.Random(seed)
+        cells = [
+            (x, y, rng.randint(0, 30))
+            for x in range(8)
+            for y in range(8)
+            if rng.random() < 0.8
+        ]
+        df = spark.createDataFrame(cells, "gx LONG, gy LONG, v LONG")
+        got = {(r["gx"], r["gy"]): (r["v"], r["w_i"], r["g_i"], r["z"])
+               for r in getis_ord_gi(df).collect()}
+        want = _py_gi(cells)
+        for k in want:
+            gv, gw, gg, gz = got[k]
+            wv, ww, wg, wz = want[k]
+            assert (gv, gw, gg) == (wv, ww, wg)
+            assert gz == pytest.approx(wz, rel=1e-12)
+
+    def test_constant_surface_null_z(self, spark):
+        from open_vector_tile_spark.operators.spatial_stats import getis_ord_gi
+
+        cells = [(x, y, 5) for x in range(3) for y in range(3)]
+        df = spark.createDataFrame(cells, "gx LONG, gy LONG, v LONG")
+        assert all(r["z"] is None for r in getis_ord_gi(df).collect())
