@@ -4958,6 +4958,68 @@ def _q_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_subword_counts(docs, merges).orderBy("subword")
 
 
+def _q_media_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal metadata projection: typed header fields parsed out of
+    opaque binary blobs entirely JVM-side (substring+hex+conv inside one
+    codegen stage — the prune-before-payload path at 100 TB).  Oracle
+    replays the synthesis spec arithmetic independently, so generator and
+    parser cross-check each other."""
+    from open_vector_tile_spark.operators.media import media_metadata, synth_media
+
+    docs = _load(spark, sf, "documents")
+    meta = media_metadata(synth_media(docs))
+    return (
+        meta.groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("magic_ok").cast("long")).alias("n_magic"),
+            F.sum("width").alias("sum_width"),
+            F.sum("height").alias("sum_height"),
+            F.sum("channels").alias("sum_channels"),
+            F.sum("n_frames").alias("sum_frames"),
+            F.sum("sample_rate").alias("sum_rate"),
+            F.sum("payload_len").alias("sum_payload"),
+            F.sum("blob_len").alias("sum_blob"),
+        )
+        .orderBy("kind")
+    )
+
+
+def _q_media_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-media payload byte stats from the REAL binary: segmented
+    reduceat/prefix-sum over the Arrow-batch-concatenated buffer (no
+    per-row Python).  Oracle regenerates every payload byte from the spec
+    formula — exact int sums, one int/int double division."""
+    from open_vector_tile_spark.operators.media import media_byte_stats, synth_media
+
+    docs = _load(spark, sf, "documents")
+    return media_byte_stats(synth_media(docs)).orderBy("media_id")
+
+
+def _q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame sampling: every 2nd frame sliced out of the payload by
+    header-derived geometry, per-frame checksums via one prefix-sum pass.
+    Non-video rows pruned JVM-side before any Python."""
+    from open_vector_tile_spark.operators.media import frame_sample, synth_media
+
+    docs = _load(spark, sf, "documents")
+    return frame_sample(synth_media(docs), step=2).orderBy("media_id", "frame_idx")
+
+
+def _q_media_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Image width-downsample (keep even pixel columns): masked gather +
+    re-encoded OVM1 blob per image, checksum columns for the oracle.  The
+    keep mask is one vectorized formula over the whole batch buffer."""
+    from open_vector_tile_spark.operators.media import resize_image_width, synth_media
+
+    docs = _load(spark, sf, "documents")
+    return (
+        resize_image_width(synth_media(docs))
+        .select("media_id", "new_width", "new_payload_len", "new_byte_sum")
+        .orderBy("media_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_assign": _q_cell_assign,
@@ -5105,6 +5167,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir,
         "morans_i": _q_morans_i,
         "hotspot_gi": _q_hotspot_gi,
+        "media_meta": _q_media_meta,
+        "media_stats": _q_media_stats,
+        "frame_sample": _q_frame_sample,
+        "media_resize": _q_media_resize,
     }
 
 
@@ -6117,6 +6183,99 @@ def _bpe_vocab_oracle_sql() -> str:
         FROM (SELECT word, freq, unnest(syms) AS subword FROM w{_BPE_MERGES})
         GROUP BY subword ORDER BY subword
     """
+
+
+# OVM1 synthesis spec replayed as SQL — the oracle derives every header
+# field and payload byte from doc_id arithmetic alone, independently of the
+# Spark generator/parser/kernels (media.py docstring is the spec).
+_MEDIA_SPEC_CTE = """
+    m AS (
+      SELECT CAST(doc_id AS BIGINT) AS media_id,
+             CAST(doc_id % 3 AS BIGINT) AS kind,
+             CAST(CASE WHEN doc_id%3=1 THEN 0 ELSE 8 + doc_id%8 END AS BIGINT) AS width,
+             CAST(CASE WHEN doc_id%3=1 THEN 0 ELSE 8 + doc_id%6 END AS BIGINT) AS height,
+             CAST(CASE WHEN doc_id%3=2 THEN 3 ELSE 1 + doc_id%2 END AS BIGINT) AS channels,
+             CAST(CASE WHEN doc_id%3=0 THEN 1
+                       WHEN doc_id%3=2 THEN 2 + doc_id%6
+                       ELSE 0 END AS BIGINT) AS n_frames,
+             CAST(CASE WHEN doc_id%3=1 THEN 8000*(1 + doc_id%4) ELSE 0 END AS BIGINT) AS sample_rate,
+             CAST(CASE WHEN doc_id%3=1
+                       THEN (256 + (doc_id%16)*16) * (1 + doc_id%2)
+                       ELSE (8 + doc_id%8) * (8 + doc_id%6)
+                            * (CASE WHEN doc_id%3=2 THEN 3 ELSE 1 + doc_id%2 END)
+                            * (CASE WHEN doc_id%3=0 THEN 1 ELSE 2 + doc_id%6 END)
+                  END AS BIGINT) AS payload_len
+      FROM documents
+    )
+"""
+
+_MEDIA_META_ORACLE_SQL = f"""
+    WITH {_MEDIA_SPEC_CTE}
+    SELECT kind,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_magic,
+           CAST(sum(width) AS BIGINT) AS sum_width,
+           CAST(sum(height) AS BIGINT) AS sum_height,
+           CAST(sum(channels) AS BIGINT) AS sum_channels,
+           CAST(sum(n_frames) AS BIGINT) AS sum_frames,
+           CAST(sum(sample_rate) AS BIGINT) AS sum_rate,
+           CAST(sum(payload_len) AS BIGINT) AS sum_payload,
+           CAST(sum(payload_len + 20) AS BIGINT) AS sum_blob
+    FROM m GROUP BY kind ORDER BY kind
+"""
+
+_MEDIA_STATS_ORACLE_SQL = f"""
+    WITH {_MEDIA_SPEC_CTE},
+    b AS (
+      SELECT media_id, payload_len,
+             CAST((media_id*131 + i.i*31 + 7) % 256 AS BIGINT) AS byte
+      FROM m, unnest(range(0, payload_len)) i(i)
+    )
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS payload_len,
+           CAST(sum(byte) AS BIGINT) AS byte_sum,
+           CAST(min(byte) AS DOUBLE) AS byte_min,
+           CAST(max(byte) AS DOUBLE) AS byte_max,
+           CAST(sum(byte) AS DOUBLE) / count(*) AS mean_byte
+    FROM b GROUP BY media_id ORDER BY media_id
+"""
+
+_FRAME_SAMPLE_ORACLE_SQL = f"""
+    WITH {_MEDIA_SPEC_CTE},
+    v AS (
+      SELECT media_id, width*height*channels AS flen, n_frames
+      FROM m WHERE kind = 2 AND n_frames > 0
+    ),
+    fr AS (
+      SELECT media_id, CAST(f.f AS BIGINT) AS frame_idx,
+             CAST(flen*f.f AS BIGINT) AS frame_off,
+             CAST(flen AS BIGINT) AS frame_len
+      FROM v, unnest(range(0, n_frames, 2)) f(f)
+    )
+    SELECT fr.media_id, frame_idx, frame_off, frame_len,
+           CAST(sum((fr.media_id*131 + i.i*31 + 7) % 256) AS BIGINT) AS frame_sum
+    FROM fr, unnest(range(frame_off, frame_off + frame_len)) i(i)
+    GROUP BY fr.media_id, frame_idx, frame_off, frame_len
+    ORDER BY fr.media_id, frame_idx
+"""
+
+_MEDIA_RESIZE_ORACLE_SQL = f"""
+    WITH {_MEDIA_SPEC_CTE},
+    img AS (
+      SELECT media_id, width, channels, payload_len FROM m WHERE kind = 0
+    ),
+    kept AS (
+      SELECT media_id, CAST((media_id*131 + i.i*31 + 7) % 256 AS BIGINT) AS byte
+      FROM img, unnest(range(0, payload_len)) i(i)
+      WHERE ((i.i // channels) % width) % 2 = 0
+    )
+    SELECT img.media_id,
+           CAST((width + 1) // 2 AS BIGINT) AS new_width,
+           CAST(count(*) AS BIGINT) AS new_payload_len,
+           CAST(sum(byte) AS BIGINT) AS new_byte_sum
+    FROM img JOIN kept USING (media_id)
+    GROUP BY img.media_id, width ORDER BY img.media_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8003,4 +8162,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _DSIR_ORACLE_SQL,
         "morans_i": _MORANS_ORACLE_SQL,
         "hotspot_gi": _HOTSPOT_GI_ORACLE_SQL,
+        "media_meta": _MEDIA_META_ORACLE_SQL,
+        "media_stats": _MEDIA_STATS_ORACLE_SQL,
+        "frame_sample": _FRAME_SAMPLE_ORACLE_SQL,
+        "media_resize": _MEDIA_RESIZE_ORACLE_SQL,
     }
