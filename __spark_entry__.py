@@ -4958,6 +4958,33 @@ def _q_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_subword_counts(docs, merges).orderBy("subword")
 
 
+def _q_link_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted multi-source shortest paths (operators/graph.py
+    shortest_paths) over the synthesized link graph with deterministic
+    integer edge costs — the weighted upgrade of `crawl_radius` (crawl
+    cost / trust decay where hops aren't equal).  Frontier-pruned
+    Bellman-Ford relaxes min-over-<=k-edge paths per round; the oracle
+    re-walks every bounded path with a recursive CTE and takes min(d)."""
+    from open_vector_tile_spark.operators.graph import shortest_paths
+
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    d = F.col("id")
+    chain = docs.filter(d % 7 <= 4).select(d.alias("src"), (d + 1).alias("dst"))
+    hub = docs.filter(d % 50 != 0).select(d.alias("src"), (d - d % 50).alias("dst"))
+    cross = docs.filter(d % 11 == 0).select(d.alias("src"), (d + 13).alias("dst"))
+    edges = (
+        chain.union(hub)
+        .union(cross)
+        .join(docs.select(d.alias("dst")), on="dst")
+        .withColumn("w", 1 + (F.col("src") * 7 + F.col("dst") * 13) % 9)
+    )
+    seeds = docs.filter(d % 89 == 0).select(d.alias("node"))
+    out = shortest_paths(edges, seeds, max_rounds=6)
+    return out.select(F.col("node").alias("doc_id"), "dist").orderBy("doc_id")
+
+
 def _q_media_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal metadata projection: typed header fields parsed out of
     opaque binary blobs entirely JVM-side (substring+hex+conv inside one
@@ -5167,6 +5194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir,
         "morans_i": _q_morans_i,
         "hotspot_gi": _q_hotspot_gi,
+        "link_distance": _q_link_distance,
         "media_meta": _q_media_meta,
         "media_stats": _q_media_stats,
         "frame_sample": _q_frame_sample,
@@ -6184,6 +6212,34 @@ def _bpe_vocab_oracle_sql() -> str:
         GROUP BY subword ORDER BY subword
     """
 
+
+# weighted-SSSP twin: same edge synthesis as crawl_radius plus the integer
+# edge-cost formula; every <=6-edge walk re-enumerated, min total weight.
+_LINK_DISTANCE_ORACLE_SQL = """
+    WITH RECURSIVE ids AS (
+      SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+    ), e0 AS (
+      SELECT id AS s, id + 1 AS t FROM ids WHERE id % 7 <= 4
+      UNION ALL
+      SELECT id, id - id % 50 FROM ids WHERE id % 50 <> 0
+      UNION ALL
+      SELECT id, id + 13 FROM ids WHERE id % 11 = 0
+    ), e AS (
+      SELECT DISTINCT s, t FROM e0 JOIN ids n ON n.id = e0.t
+    ), ew AS (
+      SELECT s, t, 1 + (s*7 + t*13) % 9 AS w FROM e
+    ), seeds AS (
+      SELECT id AS node FROM ids WHERE id % 89 = 0
+    ), walk(node, d, hop) AS (
+      SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+      UNION
+      SELECT ew.t, walk.d + ew.w, walk.hop + 1
+      FROM walk JOIN ew ON walk.node = ew.s
+      WHERE walk.hop < 6
+    )
+    SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS dist
+    FROM walk GROUP BY node ORDER BY doc_id
+"""
 
 # OVM1 synthesis spec replayed as SQL — the oracle derives every header
 # field and payload byte from doc_id arithmetic alone, independently of the
@@ -8162,6 +8218,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": _DSIR_ORACLE_SQL,
         "morans_i": _MORANS_ORACLE_SQL,
         "hotspot_gi": _HOTSPOT_GI_ORACLE_SQL,
+        "link_distance": _LINK_DISTANCE_ORACLE_SQL,
         "media_meta": _MEDIA_META_ORACLE_SQL,
         "media_stats": _MEDIA_STATS_ORACLE_SQL,
         "frame_sample": _FRAME_SAMPLE_ORACLE_SQL,

@@ -473,3 +473,90 @@ def bfs_hops(
     if frontier is not visited:
         _free_checkpoint(frontier)
     return visited
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Multi-source weighted shortest paths -> (node, dist): minimum total
+    edge weight from ANY seed over paths of at most ``max_rounds`` edges.
+
+    The weighted upgrade of :func:`bfs_hops` — link-distance features where
+    hops aren't equal (crawl cost, latency maps, trust decay with per-edge
+    penalties).  Weights are non-negative LONGS: integer-only state, so
+    results are exact and engine-independent (no float-sum reassociation).
+
+    Frontier-pruned Bellman-Ford: after round k, dist(v) is exactly the
+    min over paths with <= k edges (the textbook invariant — pruning only
+    skips relaxations that cannot improve, since any improving path at
+    round k extends a node improved at round k-1).  Each round is two
+    shuffles — frontier-edge join, then a groupBy(dst).min partial-agg
+    (map-side combine keeps hub fan-in off one reducer) — joined back
+    against the dist table to keep strict improvements only.  Dist and
+    frontier are localCheckpoint-ed per round and stale copies freed, so
+    lineage stays flat and peak pinned state is one dist + one frontier
+    table; drained frontier early-exits.  Parallel edges collapse to their
+    cheapest weight up front.  Unlike the recursive-CTE oracle (which
+    re-walks and UNION-dedupes every (node, dist, hop) state), total work
+    is O(rounds x E) regardless of path multiplicity.
+    """
+    if max_rounds < 0:
+        raise ValueError(f"max_rounds must be >= 0, got {max_rounds}")
+    e = (
+        edges.select(
+            F.col(src_col).alias("_s"),
+            F.col(dst_col).alias("_t"),
+            F.col(weight_col).cast("long").alias("_w"),
+        )
+        .filter(
+            F.col("_s").isNotNull()
+            & F.col("_t").isNotNull()
+            & (F.col("_w") >= 0)
+        )
+        .groupBy("_s", "_t")
+        .agg(F.min("_w").alias("_w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(int(max_rounds)):
+        cand = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_t").alias("node"), (F.col("dist") + F.col("_w")).alias("_cand"))
+            .groupBy("node")
+            .agg(F.min("_cand").alias("_cand"))
+        )
+        improved = (
+            cand.join(dist, "node", "left")
+            .where(F.col("dist").isNull() | (F.col("_cand") < F.col("dist")))
+            .select("node", F.col("_cand").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            _free_checkpoint(improved)
+            break
+        new_dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        _free_checkpoint(dist)
+        if frontier is not dist:
+            _free_checkpoint(frontier)
+        dist, frontier = new_dist, improved
+    _free_checkpoint(e)
+    if frontier is not dist:
+        _free_checkpoint(frontier)
+    return dist

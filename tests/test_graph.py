@@ -427,3 +427,82 @@ def test_bfs_validation_and_nulls(spark):
     assert got == {1: 0}  # null endpoints dropped, early exit
     with _pytest.raises(ValueError):
         bfs_hops(e, s, max_hops=-1)
+
+
+# ---------------------------------------------------------------------------
+# shortest_paths (weighted multi-source SSSP)
+# ---------------------------------------------------------------------------
+
+
+def _py_bounded_sssp(edges, seeds, max_rounds):
+    """Reference Bellman-Ford: min weight over paths with <= r edges."""
+    dist = {s: 0 for s in seeds}
+    for _ in range(max_rounds):
+        nxt = dict(dist)
+        for s, t, w in edges:
+            if s in dist and dist[s] + w < nxt.get(t, float("inf")):
+                nxt[t] = dist[s] + w
+        dist = nxt
+    return dist
+
+
+def test_sssp_known(spark):
+    from open_vector_tile_spark.operators.graph import shortest_paths
+
+    # expensive direct edge loses to a cheap two-hop path; cycle present
+    edges = [(1, 2, 10), (1, 3, 1), (3, 2, 2), (2, 4, 1), (4, 1, 1), (5, 6, 7)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in shortest_paths(e, seeds).collect()}
+    assert got == {1: 0, 3: 1, 2: 3, 4: 4}  # 5/6 unreachable, omitted
+
+
+def test_sssp_bounded_rounds_semantics(spark):
+    from open_vector_tile_spark.operators.graph import shortest_paths
+
+    # cheap path needs 3 edges; with max_rounds=2 only the pricey one counts
+    edges = [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 9)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got2 = {r.node: r.dist for r in shortest_paths(e, seeds, max_rounds=2).collect()}
+    assert got2[4] == 9
+    got3 = {r.node: r.dist for r in shortest_paths(e, seeds, max_rounds=3).collect()}
+    assert got3[4] == 3
+
+
+def test_sssp_randomized_parity_and_partitioning(spark):
+    from open_vector_tile_spark.operators.graph import shortest_paths
+
+    rng = random.Random(20260819)
+    n = 60
+    edges = [
+        (rng.randrange(n), rng.randrange(n), rng.randrange(0, 12))
+        for _ in range(240)
+    ]
+    # duplicate some parallel edges with different weights
+    edges += [(s, t, w + 5) for (s, t, w) in edges[:20]]
+    seeds = [0, 7, 13]
+    want = _py_bounded_sssp(edges, seeds, 8)
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    for parts in (1, 7):
+        got = {
+            r.node: r.dist
+            for r in shortest_paths(e.repartition(parts), sdf).collect()
+        }
+        assert got == want
+
+
+def test_sssp_validation_and_nulls(spark):
+    from open_vector_tile_spark.operators.graph import shortest_paths
+
+    e = spark.createDataFrame(
+        [(1, 2, 3), (None, 4, 1), (2, None, 1), (2, 3, -5), (2, 3, 4)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in shortest_paths(e, seeds).collect()}
+    # null endpoints and the negative edge are dropped
+    assert got == {1: 0, 2: 3, 3: 7}
+    with pytest.raises(ValueError):
+        shortest_paths(e, seeds, max_rounds=-1)
