@@ -4958,6 +4958,41 @@ def _q_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_subword_counts(docs, merges).orderBy("subword")
 
 
+def _segments(spark: SparkSession, sf: str) -> DataFrame:
+    """documents -> two crossing road families on a ~1000x1000 grid:
+    even ids run near-horizontal, odd ids near-vertical (a pure lattice
+    family never crosses itself).  Non-negative integer coords — the
+    cell/div math contract."""
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("seg_id")
+    )
+    s = F.col("seg_id")
+    x1 = 10 + (s * 37) % 880
+    y1 = 10 + (s * 53) % 880
+    run = 40 + s % 50
+    drift = s % 9 - 4
+    horiz = s % 2 == 0
+    return docs.select(
+        "seg_id",
+        x1.alias("x1"),
+        y1.alias("y1"),
+        (x1 + F.when(horiz, run).otherwise(drift)).alias("x2"),
+        (y1 + F.when(horiz, drift).otherwise(run)).alias("y2"),
+    )
+
+
+def _q_segment_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact segment-intersection self-join (operators/geometry.py
+    segment_intersection_join): grid-cell cover prefilter, report-cell
+    dedup (no distinct shuffle), integer orientation predicate.  The
+    oracle runs the SAME predicate over the full cross join — pinning the
+    cell prefilter as loss-free."""
+    from open_vector_tile_spark.operators.geometry import segment_intersection_join
+
+    out = segment_intersection_join(_segments(spark, sf), cell_size=32)
+    return out.orderBy("seg_a", "seg_b")
+
+
 def _q_link_distance(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted multi-source shortest paths (operators/graph.py
     shortest_paths) over the synthesized link graph with deterministic
@@ -5195,6 +5230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i": _q_morans_i,
         "hotspot_gi": _q_hotspot_gi,
         "link_distance": _q_link_distance,
+        "segment_join": _q_segment_join,
         "media_meta": _q_media_meta,
         "media_stats": _q_media_stats,
         "frame_sample": _q_frame_sample,
@@ -6212,6 +6248,46 @@ def _bpe_vocab_oracle_sql() -> str:
         GROUP BY subword ORDER BY subword
     """
 
+
+# segment-join twin: full length-bounded cross join + the identical integer
+# orientation predicate — no cell logic, independently pinning the Spark
+# prefilter as loss-free.
+_SEGMENT_JOIN_ORACLE_SQL = """
+    WITH s AS (
+      SELECT CAST(doc_id AS BIGINT) AS seg_id,
+             CAST(10 + (doc_id*37) % 880 AS BIGINT) AS x1,
+             CAST(10 + (doc_id*53) % 880 AS BIGINT) AS y1,
+             CAST(10 + (doc_id*37) % 880
+                  + CASE WHEN doc_id%2=0 THEN 40 + doc_id%50
+                         ELSE doc_id%9 - 4 END AS BIGINT) AS x2,
+             CAST(10 + (doc_id*53) % 880
+                  + CASE WHEN doc_id%2=0 THEN doc_id%9 - 4
+                         ELSE 40 + doc_id%50 END AS BIGINT) AS y2
+      FROM documents
+    ),
+    p AS (
+      SELECT a.seg_id AS seg_a, b.seg_id AS seg_b,
+             (b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1) AS d1,
+             (b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1) AS d2,
+             (a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1) AS d3,
+             (a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1) AS d4,
+             a.x1 AS ax, a.y1 AS ay, a.x2 AS bx, a.y2 AS by,
+             b.x1 AS cx, b.y1 AS cy, b.x2 AS dx, b.y2 AS dy
+      FROM s a JOIN s b ON a.seg_id < b.seg_id
+    )
+    SELECT seg_a, seg_b FROM p
+    WHERE ( ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+        AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)) )
+       OR (d1 = 0 AND ax BETWEEN least(cx,dx) AND greatest(cx,dx)
+                  AND ay BETWEEN least(cy,dy) AND greatest(cy,dy))
+       OR (d2 = 0 AND bx BETWEEN least(cx,dx) AND greatest(cx,dx)
+                  AND by BETWEEN least(cy,dy) AND greatest(cy,dy))
+       OR (d3 = 0 AND cx BETWEEN least(ax,bx) AND greatest(ax,bx)
+                  AND cy BETWEEN least(ay,by) AND greatest(ay,by))
+       OR (d4 = 0 AND dx BETWEEN least(ax,bx) AND greatest(ax,bx)
+                  AND dy BETWEEN least(ay,by) AND greatest(ay,by))
+    ORDER BY seg_a, seg_b
+"""
 
 # weighted-SSSP twin: same edge synthesis as crawl_radius plus the integer
 # edge-cost formula; every <=6-edge walk re-enumerated, min total weight.
@@ -8219,6 +8295,7 @@ def oracle_sql() -> dict[str, str]:
         "morans_i": _MORANS_ORACLE_SQL,
         "hotspot_gi": _HOTSPOT_GI_ORACLE_SQL,
         "link_distance": _LINK_DISTANCE_ORACLE_SQL,
+        "segment_join": _SEGMENT_JOIN_ORACLE_SQL,
         "media_meta": _MEDIA_META_ORACLE_SQL,
         "media_stats": _MEDIA_STATS_ORACLE_SQL,
         "frame_sample": _FRAME_SAMPLE_ORACLE_SQL,

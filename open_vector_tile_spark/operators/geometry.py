@@ -410,3 +410,98 @@ def group_convex_hull(
         return res
 
     return sel.groupBy(*group_cols).applyInPandas(_hull, out_schema)
+
+
+def _orient(
+    ax: Column, ay: Column, bx: Column, by: Column, px: Column, py: Column
+) -> Column:
+    """Sign-carrying integer cross product (b-a) x (p-a) — exact orientation."""
+    return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+
+def segment_intersection_join(
+    segs: DataFrame,
+    *,
+    cell_size: int = 32,
+    id_col: str = "seg_id",
+    coords: tuple[str, str, str, str] = ("x1", "y1", "x2", "y2"),
+) -> DataFrame:
+    """All intersecting segment pairs ``(seg_a, seg_b)`` with seg_a < seg_b
+    — endpoint touching and collinear overlap count as intersecting.
+
+    The road-network / boundary-conflation primitive (where do two layers'
+    linework cross?), done as a relational self-join — no sweep line, no
+    UDF, no R-tree build:
+
+    1. each segment explodes to its bbox's grid-cell cover (two bounded
+       ``sequence`` generators — map-side, whole-stage codegen);
+    2. candidate pairs come from ONE equi-join on the cell key — the only
+       shuffle, hash-partitioned and AQE-skew-splittable;
+    3. a pair sharing several cells is kept exactly once WITHOUT a
+       distinct shuffle: only the report cell — the smallest cell of the
+       two bboxes' intersection, ``(max(min_cx), max(min_cy))``, which
+       both sides can compute locally — emits the pair;
+    4. the exact test is the classic integer orientation predicate
+       (cross-product signs + collinear bbox-overlap fallback) — exact in
+       int64 for quantized coords, identical arithmetic on any engine.
+
+    The DuckDB oracle runs the SAME predicate over the full length-bounded
+    cross join, independently pinning the cell prefilter as loss-free.
+    Coordinates must be non-negative longs (tile-grid quantized) so the
+    floor/div cell math agrees across engines.
+    """
+    if cell_size <= 0:
+        raise ValueError(f"cell_size must be positive, got {cell_size}")
+    x1, y1, x2, y2 = [F.col(c).cast("long") for c in coords]
+    cs = F.lit(int(cell_size))
+    lo_x, hi_x = F.least(x1, x2), F.greatest(x1, x2)
+    lo_y, hi_y = F.least(y1, y2), F.greatest(y1, y2)
+    base = segs.select(
+        F.col(id_col).alias("_id"),
+        x1.alias("_x1"), y1.alias("_y1"), x2.alias("_x2"), y2.alias("_y2"),
+        (lo_x / cs).cast("long").alias("_cx0"),
+        (hi_x / cs).cast("long").alias("_cx1"),
+        (lo_y / cs).cast("long").alias("_cy0"),
+        (hi_y / cs).cast("long").alias("_cy1"),
+    )
+    cells = base.withColumn(
+        "_cx", F.explode(F.sequence(F.col("_cx0"), F.col("_cx1")))
+    ).withColumn("_cy", F.explode(F.sequence(F.col("_cy0"), F.col("_cy1"))))
+    a = cells.select(*[F.col(c).alias(f"a{c}") for c in cells.columns])
+    b = cells.select(*[F.col(c).alias(f"b{c}") for c in cells.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_cx") == F.col("b_cx"))
+        & (F.col("a_cy") == F.col("b_cy"))
+        & (F.col("a_id") < F.col("b_id"))
+        # report-cell dedup: both sides know their bbox min cell, so the
+        # smallest shared candidate cell is computable without a distinct
+        & (F.col("a_cx") == F.greatest("a_cx0", "b_cx0"))
+        & (F.col("a_cy") == F.greatest("a_cy0", "b_cy0")),
+    )
+    ax, ay, bx, by = (F.col("a_x1"), F.col("a_y1"), F.col("a_x2"), F.col("a_y2"))
+    cx, cy, dx, dy = (F.col("b_x1"), F.col("b_y1"), F.col("b_x2"), F.col("b_y2"))
+    d1 = _orient(cx, cy, dx, dy, ax, ay)
+    d2 = _orient(cx, cy, dx, dy, bx, by)
+    d3 = _orient(ax, ay, bx, by, cx, cy)
+    d4 = _orient(ax, ay, bx, by, dx, dy)
+    proper = (
+        (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+        & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+    )
+
+    def _on_seg(px, py, qx, qy, rx, ry):
+        return (
+            (F.least(px, qx) <= rx) & (rx <= F.greatest(px, qx))
+            & (F.least(py, qy) <= ry) & (ry <= F.greatest(py, qy))
+        )
+
+    touch = (
+        ((d1 == 0) & _on_seg(cx, cy, dx, dy, ax, ay))
+        | ((d2 == 0) & _on_seg(cx, cy, dx, dy, bx, by))
+        | ((d3 == 0) & _on_seg(ax, ay, bx, by, cx, cy))
+        | ((d4 == 0) & _on_seg(ax, ay, bx, by, dx, dy))
+    )
+    return pairs.where(proper | touch).select(
+        F.col("a_id").alias("seg_a"), F.col("b_id").alias("seg_b")
+    )
