@@ -4958,6 +4958,18 @@ def _q_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_subword_counts(docs, merges).orderBy("subword")
 
 
+def _q_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse all-pairs tf/df cosine join (operators/similarity.py
+    sparse_cosine_pairs): inverted-index postings self-join with a df cap
+    bounding per-term work — the Bayardo all-pairs shape, no dense
+    vectors.  Sorted folds keep both engines bit-identical."""
+    from open_vector_tile_spark.operators.similarity import sparse_cosine_pairs
+
+    docs = _load(spark, sf, "documents")
+    out = sparse_cosine_pairs(docs, df_cap=100, min_cos=0.4)
+    return out.orderBy("doc_a", "doc_b")
+
+
 def _segments(spark: SparkSession, sf: str) -> DataFrame:
     """documents -> two crossing road families on a ~1000x1000 grid:
     even ids run near-horizontal, odd ids near-vertical (a pure lattice
@@ -5231,6 +5243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_gi": _q_hotspot_gi,
         "link_distance": _q_link_distance,
         "segment_join": _q_segment_join,
+        "cosine_pairs": _q_cosine_pairs,
         "media_meta": _q_media_meta,
         "media_stats": _q_media_stats,
         "frame_sample": _q_frame_sample,
@@ -6248,6 +6261,44 @@ def _bpe_vocab_oracle_sql() -> str:
         GROUP BY subword ORDER BY subword
     """
 
+
+# sparse cosine twin: same tokenizer, tf/df weights, df-cap vocabulary,
+# sorted folds (sum(x ORDER BY x)) for the two order-sensitive sums.
+_COSINE_PAIRS_ORACLE_SQL = f"""
+    WITH toks AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc,
+             unnest(list_filter(regexp_split_to_array(lower(text), '{_SQL_WS_SPLIT}'),
+                                t -> t <> '')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks GROUP BY doc, term
+    ),
+    dfq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+      HAVING count(*) BETWEEN 2 AND 100
+    ),
+    w AS (
+      SELECT doc, tf.term, tf / df AS w FROM tf JOIN dfq USING (term)
+    ),
+    norms AS (
+      SELECT doc, sqrt(sum(w*w ORDER BY w*w)) AS norm
+      FROM w GROUP BY doc HAVING sqrt(sum(w*w ORDER BY w*w)) > 0
+    ),
+    dots AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             sum(a.w * b.w ORDER BY a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b, dot / (na.norm * nb.norm) AS cos
+    FROM dots
+    JOIN norms na ON na.doc = doc_a
+    JOIN norms nb ON nb.doc = doc_b
+    WHERE dot / (na.norm * nb.norm) >= 0.4
+    ORDER BY doc_a, doc_b
+"""
 
 # segment-join twin: full length-bounded cross join + the identical integer
 # orientation predicate — no cell logic, independently pinning the Spark
@@ -8296,6 +8347,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_gi": _HOTSPOT_GI_ORACLE_SQL,
         "link_distance": _LINK_DISTANCE_ORACLE_SQL,
         "segment_join": _SEGMENT_JOIN_ORACLE_SQL,
+        "cosine_pairs": _COSINE_PAIRS_ORACLE_SQL,
         "media_meta": _MEDIA_META_ORACLE_SQL,
         "media_stats": _MEDIA_STATS_ORACLE_SQL,
         "frame_sample": _FRAME_SAMPLE_ORACLE_SQL,

@@ -958,3 +958,75 @@ def bq_topk(
         .where(F.col("rank") <= int(k))
         .select(qid_col, id_col, "hamming", "cos_sim", "rank")
     )
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int = 100,
+    min_cos: float = 0.5,
+) -> DataFrame:
+    """All document pairs with tf/df-weighted cosine >= ``min_cos``:
+    ``(doc_a, doc_b, cos)`` — the sparse all-pairs similarity join
+    (Bayardo et al., WWW'07 shape) done relationally through an inverted
+    index, with no dense vectors and no O(n^2) candidate step.
+
+    Weighting: w(doc, term) = tf/df over the KEPT vocabulary — terms with
+    2 <= df <= ``df_cap``.  The df cap is the scale lever: a term in k
+    documents contributes k^2 candidate partials, so stopword-ish terms
+    would dominate the postings self-join; capping df bounds per-term work
+    at df_cap^2 and drops exactly the terms with no discriminative weight
+    (idf ~ 0).  Similarity is DEFINED on the pruned space — the cap is
+    part of the semantics, not an approximation knob.
+
+    Determinism contract: tf/df division, products, sqrt and the final
+    division are single IEEE ops (bit-stable on any engine); the two
+    order-sensitive sums — the norm and the pair dot product — use the
+    repo's sorted-fold pattern (DuckDB twin: ``sum(x ORDER BY x)``).
+
+    Shape: tokenize+tf is one partial-agg shuffle, df one more, the
+    postings self-join shuffles on term (AQE-skew-splittable; bounded by
+    the cap), and the pair reduction is one final partial agg on
+    (doc_a, doc_b).
+    """
+    from open_vector_tile_spark.functions.text import ws_tokens
+    from open_vector_tile_spark.operators.graph import _fold_sum
+
+    if df_cap < 2:
+        raise ValueError(f"df_cap must be >= 2, got {df_cap}")
+    tf = (
+        docs.select(F.col(id_col).alias("doc"), F.explode(ws_tokens(text_col)).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df")).where(
+        (F.col("df") >= 2) & (F.col("df") <= int(df_cap))
+    )
+    w = tf.join(dfreq, "term").select(
+        "doc", "term", (F.col("tf") / F.col("df")).alias("w")
+    )
+    norms = (
+        w.groupBy("doc")
+        .agg(F.sqrt(_fold_sum(F.col("w") * F.col("w"))).alias("norm"))
+        .where(F.col("norm") > 0)
+    )
+    a = w.select(F.col("doc").alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc").alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(_fold_sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("norm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos")
+        )
+        .where(F.col("cos") >= float(min_cos))
+    )
