@@ -1585,6 +1585,30 @@ def _q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_hilbert_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Hilbert-curve layout key (operators/layout.py with_hilbert_key):
+    the continuous space-filling curve behind hilbert_cluster's writes —
+    strictly fewer key-range seams per bbox than Z-order, so parquet
+    min/max skipping prunes more row groups for the same single shuffle.
+    Each curve level is a staged projection (CollapseProject keeps the
+    plan linear in the order); all arithmetic is 64-bit integer, and the
+    oracle CTE chain is GENERATED from the same per-level recipe
+    (hilbert_sql_ctes), so the two engines cannot drift."""
+    from open_vector_tile_spark.operators.layout import with_hilbert_key
+
+    docs = _load(spark, sf, "documents")
+    base = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * 37) % 3600).cast("long").alias("hx"),
+        ((F.col("doc_id") * 53) % 1600).cast("long").alias("hy"),
+    )
+    return (
+        with_hilbert_key(base, "hx", "hy", order=16, key_col="hkey")
+        .select("doc_id", "hx", "hy", "hkey")
+        .orderBy("doc_id")
+    )
+
+
 def _q_clip_lines(spark: SparkSession, sf: str) -> DataFrame:
     """Tile clipping (operators/clip.py segment_clip_cols): Liang–Barsky
     segment clipping to tile+buffer windows as PURE column expressions —
@@ -5161,6 +5185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_merge": _q_kmv_merge,
         "bm25": _q_bm25,
         "zorder_layout": _q_zorder_layout,
+        "hilbert_layout": _q_hilbert_layout,
         "clip_lines": _q_clip_lines,
         "clip_polygon_rect": _q_clip_polygon_rect,
         "simplify_collapse": _q_simplify_collapse,
@@ -6461,6 +6486,22 @@ _MEDIA_RESIZE_ORACLE_SQL = f"""
 """
 
 
+def _hilbert_layout_oracle() -> str:
+    """The Hilbert oracle CTE chain is GENERATED by the same per-level
+    recipe as the Spark plan (operators/layout.py hilbert_sql_ctes) — the
+    strongest possible no-drift guarantee for a 16-level bit walk."""
+    from open_vector_tile_spark.operators.layout import hilbert_sql_ctes
+
+    ctes = hilbert_sql_ctes("hbase", "doc_id", order=16)
+    return (
+        "WITH hbase AS (SELECT doc_id, CAST((doc_id * 37) % 3600 AS BIGINT) AS hx,"
+        " CAST((doc_id * 53) % 1600 AS BIGINT) AS hy FROM documents),\n"
+        + ctes
+        + "\nSELECT b.doc_id, b.hx, b.hy, f.hkey FROM hbase b JOIN hfin f"
+        " USING (doc_id) ORDER BY b.doc_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     ty_ev = _sql_ty(_SQL_LAT_EV)
     tx_ev = _sql_tx(_SQL_LON_EV)
@@ -7612,6 +7653,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sx | (sy << 1) AS BIGINT) AS zkey
             FROM a4 ORDER BY doc_id
         """,
+        "hilbert_layout": _hilbert_layout_oracle(),
         "clip_lines": f"""
             WITH seg AS (
               SELECT doc_id,

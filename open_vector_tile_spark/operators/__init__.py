@@ -14,7 +14,13 @@ from .events import asof_join, sessionize  # noqa: F401
 from .graph import connected_components, dedup_components  # noqa: F401
 from .gridding import grid_aggregate, grid_tiles  # noqa: F401
 from .knn import knn_broadcast, knn_cell_ring  # noqa: F401
-from .layout import zorder_cluster, zorder_key  # noqa: F401
+from .layout import (  # noqa: F401
+    hilbert_cluster,
+    hilbert_d_py,
+    with_hilbert_key,
+    zorder_cluster,
+    zorder_key,
+)
 from .merge import extract_layers, merge_tilesets  # noqa: F401
 from .packing import distributed_cumsum, pack_sequences  # noqa: F401
 from .pipeline import run_pipeline  # noqa: F401

@@ -256,3 +256,127 @@ def test_str_pack_validation(spark):
         str_pack(df, leaf_capacity=0)
     with _pytest.raises(ValueError):
         str_pack(df.where("rid < 0"), leaf_capacity=4)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve
+# ---------------------------------------------------------------------------
+
+
+def test_hilbert_python_reference_is_a_hilbert_curve():
+    from open_vector_tile_spark.operators.layout import hilbert_d_py
+
+    # order-1 base case: the U shape
+    assert [hilbert_d_py(x, y, 1) for x, y in [(0, 0), (0, 1), (1, 1), (1, 0)]] == [
+        0,
+        1,
+        2,
+        3,
+    ]
+    # bijective on the full order-4 grid ...
+    inv = {hilbert_d_py(x, y, 4): (x, y) for x in range(16) for y in range(16)}
+    assert sorted(inv) == list(range(256))
+    # ... and CONTINUOUS: consecutive keys are grid neighbors (the property
+    # Z-order lacks — this is the whole point of the operator)
+    for d in range(255):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_spark_matches_python(spark):
+    import numpy as np
+
+    from open_vector_tile_spark.operators.layout import (
+        hilbert_d_py,
+        with_hilbert_key,
+    )
+
+    rng = np.random.default_rng(11)
+    xs = rng.integers(0, 65536, 300)
+    ys = rng.integers(0, 65536, 300)
+    df = spark.createDataFrame(
+        [(i, int(a), int(b)) for i, (a, b) in enumerate(zip(xs, ys))],
+        ["id", "x", "y"],
+    )
+    out = with_hilbert_key(df, "x", "y", order=16, key_col="hkey")
+    got = {r["id"]: r["hkey"] for r in out.collect()}
+    want = {i: hilbert_d_py(int(a), int(b), 16) for i, (a, b) in enumerate(zip(xs, ys))}
+    assert got == want
+    # corners at full order
+    corner = spark.createDataFrame(
+        [(0, 0, 0), (1, 0, 65535), (2, 65535, 65535), (3, 65535, 0)],
+        ["id", "x", "y"],
+    )
+    vals = {
+        r["id"]: r["hkey"]
+        for r in with_hilbert_key(corner, "x", "y", key_col="hkey").collect()
+    }
+    assert vals[0] == 0 and vals[3] == 2**32 - 1  # start and end of the curve
+
+    # staged projections: the plan must stay LINEAR in the order, not
+    # exponential (CollapseProject must not re-inline the per-level CASEs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 200_000
+
+
+def test_hilbert_order_validation(spark):
+    import pytest as _pytest
+
+    from open_vector_tile_spark.operators.layout import with_hilbert_key
+
+    df = spark.range(1).selectExpr("id AS x", "id AS y")
+    with _pytest.raises(ValueError):
+        with_hilbert_key(df, "x", "y", order=0)
+    with _pytest.raises(ValueError):
+        with_hilbert_key(df, "x", "y", order=32)
+
+
+def test_hilbert_cluster_skips_row_groups_and_fewer_runs_than_zorder(
+    spark, tmp_path
+):
+    from open_vector_tile_spark.operators.layout import hilbert_cluster
+
+    n = 40000
+    df = spark.range(n).select(
+        ((F.col("id") * 7919) % 36000 / 100.0 - 180.0).alias("lon"),
+        ((F.col("id") * 104729) % 18000 / 100.0 - 90.0).alias("lat"),
+    )
+    hz = str(tmp_path / "hilbert")
+    hilbert_cluster(df, "lon", "lat", num_partitions=16).write.parquet(hz)
+    bbox = (10.0, 30.0, 10.0, 30.0)
+    hit_h, total_h = _files_hit(hz, *bbox)
+    assert total_h >= 16
+    assert hit_h <= total_h // 4  # clustered: most row groups skipped
+    # permutation, not transformation
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, spark.read.parquet(hz).drop("_hkey").collect()))
+    assert a == b
+
+    # locality: a bbox covers no more key-runs on the Hilbert curve than on
+    # the Z curve (the continuity advantage), measured exactly at order 6
+    from open_vector_tile_spark.codec.kernels import weave2d
+    import numpy as np
+
+    from open_vector_tile_spark.operators.layout import hilbert_d_py
+
+    def runs(keys):
+        ks = sorted(keys)
+        return 1 + sum(1 for a_, b_ in zip(ks, ks[1:]) if b_ != a_ + 1)
+
+    rng = np.random.default_rng(3)
+    worse = 0
+    for _ in range(40):
+        x0, y0 = rng.integers(0, 48, 2)
+        w, h = rng.integers(4, 16, 2)
+        cells = [
+            (x, y)
+            for x in range(x0, min(64, x0 + w))
+            for y in range(y0, min(64, y0 + h))
+        ]
+        hk = [hilbert_d_py(x, y, 6) for x, y in cells]
+        zk = [
+            int(weave2d(np.array([x]), np.array([y]))[0]) for x, y in cells
+        ]
+        if runs(hk) > runs(zk):
+            worse += 1
+    assert worse <= 8  # hilbert ties-or-wins on the overwhelming majority
