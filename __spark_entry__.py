@@ -4868,6 +4868,29 @@ def _q_phrase_hits(spark: SparkSession, sf: str) -> DataFrame:
     return phrase_search(docs, "table table").orderBy("doc_id")
 
 
+def _q_hillshade(spark: SparkSession, sf: str) -> DataFrame:
+    """Terrain derivatives (operators/gridding.py terrain_derivatives):
+    Horn slope + analytic hillshade over an integer raster — here the
+    64x64 event-count grid as a 'web-activity DEM'.  One explode + one
+    partial-agg shuffle scatters position-weighted (z·wx, z·wy)
+    contributions; elevations are integers so both sums are exact, and
+    the single double chain that follows (one division, N·L over a
+    plan-time sun vector, sqrt — no trig at runtime) is replayed
+    bit-for-bit by the oracle."""
+    from open_vector_tile_spark.operators.gridding import terrain_derivatives
+
+    pts = _event_points(_load(spark, sf, "events"))
+    cells = (
+        pts.select(
+            F.floor((F.col("lon") + 180.0) / 360.0 * 64).cast("long").alias("gx"),
+            F.floor((F.col("lat") + 90.0) / 180.0 * 64).cast("long").alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count("*").cast("long").alias("elev"))
+    )
+    return terrain_derivatives(cells, z_col="elev").orderBy("x", "y")
+
+
 def _q_morans_i(spark: SparkSession, sf: str) -> DataFrame:
     """Global spatial autocorrelation (operators/spatial_stats.py):
     Moran's I + Geary's C over event counts on a 128x128 lon/lat grid.
@@ -5264,6 +5287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": _q_bpe_vocab,
         "edit_join": _q_edit_join,
         "dsir_select": _q_dsir,
+        "hillshade": _q_hillshade,
         "morans_i": _q_morans_i,
         "hotspot_gi": _q_hotspot_gi,
         "link_distance": _q_link_distance,
@@ -6035,6 +6059,47 @@ _PHRASE_HITS_ORACLE_SQL = f"""
            CAST(min(p0) AS BIGINT) AS first_pos
     FROM hits GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def _hillshade_oracle() -> str:
+    """Replays the terrain chain: same offset/weight table (generated by
+    the identical comprehension), same integer scatter sums, same fixed
+    double chain with the same plan-time sun-vector literals."""
+    import math as _m
+
+    az = _m.radians(315.0)
+    alt = _m.radians(45.0)
+    lx, ly, lz = _m.cos(alt) * _m.sin(az), _m.cos(alt) * _m.cos(az), _m.sin(alt)
+    offs = ", ".join(
+        f"({dx}, {dy}, {dx * (2 if dy == 0 else 1)}, {dy * (2 if dx == 0 else 1)})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    )
+    return f"""
+    WITH cells AS (
+      SELECT CAST(floor((({_SQL_LON_EV}) + 180.0)/360.0*64) AS BIGINT) AS gx,
+             CAST(floor((({_SQL_LAT_EV}) + 90.0)/180.0*64) AS BIGINT) AS gy,
+             CAST(count(*) AS BIGINT) AS elev
+      FROM events GROUP BY 1, 2
+    ), sc AS (
+      SELECT a.gx - o.dx AS tx, a.gy - o.dy AS ty,
+             CAST(sum(a.elev * o.wx) AS BIGINT) AS px8,
+             CAST(sum(a.elev * o.wy) AS BIGINT) AS py8,
+             count(*) AS n8
+      FROM cells a JOIN (VALUES {offs}) o(dx, dy, wx, wy) ON TRUE
+      GROUP BY 1, 2
+    ), pin AS (
+      SELECT c.gx AS x, c.gy AS y,
+             CAST(px8 AS DOUBLE)/8.0 AS p, CAST(py8 AS DOUBLE)/8.0 AS q
+      FROM cells c JOIN sc ON sc.tx = c.gx AND sc.ty = c.gy AND sc.n8 = 8
+    )
+    SELECT x, y, p, q, sqrt(p*p + q*q) AS slope,
+           CAST(floor(255.0 * greatest(0.0,
+                 (({lz!r} - p*{lx!r}) - q*{ly!r})
+                   / sqrt((1.0 + p*p) + q*q)) + 0.5) AS INT) AS hillshade
+    FROM pin ORDER BY x, y
+    """
 
 
 _MORANS_ORACLE_SQL = f"""
@@ -8385,6 +8450,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab": _bpe_vocab_oracle_sql(),
         "edit_join": _EDIT_JOIN_ORACLE_SQL,
         "dsir_select": _DSIR_ORACLE_SQL,
+        "hillshade": _hillshade_oracle(),
         "morans_i": _MORANS_ORACLE_SQL,
         "hotspot_gi": _HOTSPOT_GI_ORACLE_SQL,
         "link_distance": _LINK_DISTANCE_ORACLE_SQL,

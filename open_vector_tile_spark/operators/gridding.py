@@ -411,3 +411,124 @@ def idw_grid(
         .otherwise(F.col("_swv") / F.col("_sw"))
         .alias("est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# terrain derivatives: Horn slope + analytic hillshade
+# ---------------------------------------------------------------------------
+
+
+def terrain_derivatives(
+    grid: DataFrame,
+    *,
+    x_col: str = "gx",
+    y_col: str = "gy",
+    z_col: str = "elev",
+    cellsize: float = 1.0,
+    z_factor: float = 1.0,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+) -> DataFrame:
+    """Slope + hillshade over an INTEGER elevation raster (the terrain-tile
+    classic: DEM grid in, shaded-relief grid out, ready for the grid/image
+    tile sinks).  Returns interior cells only (all 8 neighbors present) as
+    ``(x, y, p, q, slope, hillshade)`` where p/q are Horn's dz/dx, dz/dy,
+    ``slope = sqrt(p²+q²)`` (the tangent of the slope angle) and
+    ``hillshade`` is the classic 0-255 shaded-relief byte.
+
+    Scale shape: Horn's 3×3 stencil is position-weighted, so unlike the
+    Gi*/Moran neighborhood SUM it can't reuse a single undirected
+    neighbor join — instead each cell scatter-contributes ``(z·wx, z·wy)``
+    to its 8 neighbors through ONE explode + ONE partial-agg shuffle on
+    the cell key (8 rows in-flight per cell, combined map-side), then an
+    equi-join back to the grid keeps true interior cells.  Elevations are
+    integers, so both weighted sums are EXACT on any partitioning and the
+    one double chain that follows is fixed:
+
+        p  = px / (8·cell·zf⁻¹…)             (one division each)
+        hs = ((lz − p·lx) − q·ly) / sqrt((1 + p·p) + q·q)   (N·L, trig-free)
+
+    The light vector (lx, ly, lz) is computed from azimuth/altitude in
+    plan-time Python — the trig never executes in EITHER engine, so the
+    driver oracle replays the whole thing bit-for-bit (same literals, same
+    association, IEEE sqrt in both).  hillshade = floor(255·max(0,hs)+0.5).
+    """
+    import math as _m
+
+    if cellsize <= 0:
+        raise ValueError(f"cellsize must be > 0, got {cellsize}")
+    az = _m.radians(azimuth_deg)
+    alt = _m.radians(altitude_deg)
+    # sun unit vector; x east, y north (grid +y = north), z up
+    lx = _m.cos(alt) * _m.sin(az)
+    ly = _m.cos(alt) * _m.cos(az)
+    lz = _m.sin(alt)
+    denom = 8.0 * float(cellsize) / float(z_factor)
+
+    # Horn weights by the SOURCE's offset relative to the target cell
+    offs = [
+        (dx, dy, dx * (2 if dy == 0 else 1), dy * (2 if dx == 0 else 1))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)
+    ]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(wx).alias("wx"),
+                F.lit(wy).alias("wy"),
+            )
+            for dx, dy, wx, wy in offs
+        ]
+    )
+    z = F.col(z_col).cast("long")
+    scattered = (
+        grid.select(
+            F.col(x_col).cast("long").alias("_sx"),
+            F.col(y_col).cast("long").alias("_sy"),
+            z.alias("_sz"),
+            F.explode(pairs).alias("_o"),
+        )
+        .select(
+            # the source must sit at target + (dx, dy) to carry weight
+            # w(dx, dy): target = source - offset
+            (F.col("_sx") - F.col("_o.dx")).alias("_tx"),
+            (F.col("_sy") - F.col("_o.dy")).alias("_ty"),
+            (F.col("_sz") * F.col("_o.wx")).alias("_cx"),
+            (F.col("_sz") * F.col("_o.wy")).alias("_cy"),
+        )
+        .groupBy("_tx", "_ty")
+        .agg(
+            F.sum("_cx").alias("_px8"),
+            F.sum("_cy").alias("_py8"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") == 8)
+    )
+    cells = grid.select(
+        F.col(x_col).cast("long").alias("x"), F.col(y_col).cast("long").alias("y")
+    )
+    j = cells.join(
+        scattered,
+        (F.col("x") == F.col("_tx")) & (F.col("y") == F.col("_ty")),
+        "inner",
+    )
+    p = F.col("_px8").cast("double") / F.lit(denom)
+    q = F.col("_py8").cast("double") / F.lit(denom)
+    d = j.select("x", "y", p.alias("p"), q.alias("q"))
+    slope = F.sqrt(F.col("p") * F.col("p") + F.col("q") * F.col("q"))
+    hs = (
+        (F.lit(lz) - F.col("p") * F.lit(lx)) - F.col("q") * F.lit(ly)
+    ) / F.sqrt((F.lit(1.0) + F.col("p") * F.col("p")) + F.col("q") * F.col("q"))
+    return d.select(
+        "x",
+        "y",
+        "p",
+        "q",
+        slope.alias("slope"),
+        F.floor(F.lit(255.0) * F.greatest(F.lit(0.0), hs) + F.lit(0.5))
+        .cast("int")
+        .alias("hillshade"),
+    )
