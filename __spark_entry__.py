@@ -4868,6 +4868,33 @@ def _q_phrase_hits(spark: SparkSession, sf: str) -> DataFrame:
     return phrase_search(docs, "table table").orderBy("doc_id")
 
 
+def _q_hausdorff_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Trajectory-similarity self-join (operators/matching.py
+    hausdorff_join): symmetric Hausdorff <= 12 over event-derived tracks
+    (60 tracks on an 8x8 grid of 40-unit base cells, integer jitter —
+    even track 2k and odd 2k+1 share a base, so near-pairs exist by
+    construction).  Three exact prefilters (bbox agg, cell equi-join,
+    mutual t-expanded containment) bound the exact stage; min/max over
+    exact integer squared distances make it bit-stable.  The oracle is
+    the BRUTE-FORCE all-pairs twin — independent of the prefilter
+    strategy, so a lossy prune would fail the row count."""
+    from open_vector_tile_spark.operators.matching import hausdorff_join
+
+    ev = _load(spark, sf, "events")
+    pts = ev.select(
+        (F.col("event_id") % 60).cast("long").alias("track_id"),
+        F.expr(
+            "CAST(((event_id % 60) div 2) % 8 * 40 + (event_id div 60) % 9"
+            " AS DOUBLE)"
+        ).alias("x"),
+        F.expr(
+            "CAST(((event_id % 60) div 16) % 8 * 40 + (event_id div 540) % 9"
+            " AS DOUBLE)"
+        ).alias("y"),
+    )
+    return hausdorff_join(pts, max_dist=12.0).orderBy("id_a", "id_b")
+
+
 def _q_hillshade(spark: SparkSession, sf: str) -> DataFrame:
     """Terrain derivatives (operators/gridding.py terrain_derivatives):
     Horn slope + analytic hillshade over an integer raster — here the
@@ -5287,6 +5314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": _q_bpe_vocab,
         "edit_join": _q_edit_join,
         "dsir_select": _q_dsir,
+        "hausdorff_pairs": _q_hausdorff_pairs,
         "hillshade": _q_hillshade,
         "morans_i": _q_morans_i,
         "hotspot_gi": _q_hotspot_gi,
@@ -6058,6 +6086,36 @@ _PHRASE_HITS_ORACLE_SQL = f"""
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
            CAST(min(p0) AS BIGINT) AS first_pos
     FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+_HAUSDORFF_ORACLE_SQL = """
+    WITH pts AS (
+      SELECT DISTINCT CAST(event_id % 60 AS BIGINT) AS tid,
+             CAST(((event_id % 60) // 2) % 8 * 40 + (event_id // 60) % 9
+                  AS DOUBLE) AS px,
+             CAST(((event_id % 60) // 16) % 8 * 40 + (event_id // 540) % 9
+                  AS DOUBLE) AS py
+      FROM events
+    ), dd AS (
+      SELECT a.tid AS id_a, b.tid AS id_b, a.px AS ax, a.py AS ay,
+             b.px AS bx, b.py AS by,
+             (a.px - b.px)*(a.px - b.px) + (a.py - b.py)*(a.py - b.py) AS d2
+      FROM pts a JOIN pts b ON a.tid < b.tid
+    ), mab AS (
+      SELECT id_a, id_b, ax, ay, min(d2) AS md FROM dd GROUP BY 1, 2, 3, 4
+    ), hab AS (
+      SELECT id_a, id_b, max(md) AS h2ab FROM mab GROUP BY 1, 2
+    ), mba AS (
+      SELECT id_a, id_b, bx, by, min(d2) AS md FROM dd GROUP BY 1, 2, 3, 4
+    ), hba AS (
+      SELECT id_a, id_b, max(md) AS h2ba FROM mba GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, sqrt(h2ab) AS h_ab, sqrt(h2ba) AS h_ba,
+           greatest(sqrt(h2ab), sqrt(h2ba)) AS hausdorff
+    FROM hab JOIN hba USING (id_a, id_b)
+    WHERE greatest(h2ab, h2ba) <= 144.0
+    ORDER BY id_a, id_b
 """
 
 
@@ -8450,6 +8508,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab": _bpe_vocab_oracle_sql(),
         "edit_join": _EDIT_JOIN_ORACLE_SQL,
         "dsir_select": _DSIR_ORACLE_SQL,
+        "hausdorff_pairs": _HAUSDORFF_ORACLE_SQL,
         "hillshade": _hillshade_oracle(),
         "morans_i": _MORANS_ORACLE_SQL,
         "hotspot_gi": _HOTSPOT_GI_ORACLE_SQL,
