@@ -712,6 +712,37 @@ def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _q_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.py containment_pairs):
+    C(A,B) = |S(A)∩S(B)| / |S(A)| finds sub-documents Jaccard misses —
+    here a planted snippet slice (first 15 words of every 25th doc,
+    union'd in with offset ids, the fingerprint-query trick).  Pure
+    Catalyst: one posting explode + one gram equi-join with partial-agg
+    intersection counts; integer counts + fixed divisions replay exactly
+    in the DuckDB list-comprehension twin."""
+    from open_vector_tile_spark.operators.dedup import containment_pairs
+
+    docs = _load(spark, sf, "documents").select("doc_id", "text")
+    snippets = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 15)
+        ).alias("text"),
+    )
+    corpus = docs.unionAll(snippets)
+    out = containment_pairs(corpus, threshold=0.9)
+    return out.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "size_a",
+        "size_b",
+        F.round("c_ab", 6).alias("c_ab"),
+        F.round("c_ba", 6).alias("c_ba"),
+        F.round("containment", 6).alias("containment"),
+    ).orderBy("id_a", "id_b")
+
+
 def _q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Text analysis: document fingerprint (xxhash64 of normalized text).
     The hash itself has no DuckDB twin, but its collision-group-size
@@ -5199,6 +5230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "near_dup_embeddings": _q_near_dup_embeddings,
         "ngram_jaccard": _q_ngram_jaccard,
+        "containment_dups": _q_containment,
         "fingerprint": _q_fingerprint,
         "s2json_roundtrip": _q_s2json_roundtrip,
         "corpus_filter": _q_corpus_filter,
@@ -6874,6 +6906,49 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                          / len(list_distinct(a.s || b.s)), 6) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+            ORDER BY id_a, id_b
+        """,
+        "containment_dups": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     array_to_string(
+                       string_split_regex(trim(text), '\s+')[1:15], ' ') AS text
+              FROM documents WHERE doc_id % 25 = 0
+            ), sh0 AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                              FOR i IN range(1, len(w) - 1)])
+                     END AS s
+              FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                    FROM corpus)
+            ), sh AS (
+              SELECT doc_id, [g FOR g IN s IF g <> ''] AS s FROM sh0
+            ), shf AS (
+              SELECT doc_id, s FROM sh WHERE len(s) > 0
+            ), po AS (
+              SELECT doc_id, unnest(s) AS gram FROM shf
+            ), pr AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM po a JOIN po b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), wsz AS (
+              SELECT pr.id_a, pr.id_b, pr.inter,
+                     CAST(sa.sz AS BIGINT) AS size_a,
+                     CAST(sb.sz AS BIGINT) AS size_b,
+                     CAST(pr.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS c_ab,
+                     CAST(pr.inter AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS c_ba
+              FROM pr
+              JOIN (SELECT doc_id, len(s) AS sz FROM shf) sa ON sa.doc_id = pr.id_a
+              JOIN (SELECT doc_id, len(s) AS sz FROM shf) sb ON sb.doc_id = pr.id_b
+            )
+            SELECT id_a, id_b, inter, size_a, size_b,
+                   round(c_ab, 6) AS c_ab, round(c_ba, 6) AS c_ba,
+                   round(greatest(c_ab, c_ba), 6) AS containment
+            FROM wsz WHERE greatest(c_ab, c_ba) >= 0.9
             ORDER BY id_a, id_b
         """,
         "fingerprint": r"""

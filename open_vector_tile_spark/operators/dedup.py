@@ -975,3 +975,89 @@ def cdc_chunks(
     if keep_text:
         cols.append(F.col("chunk_text"))
     return agg.select(*cols)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT:
+    ``C(A,B) = |S(A) ∩ S(B)| / |S(A)|`` — the measure Jaccard misses.  A
+    tweet quoted inside an article, a page embedded in a boilerplate
+    wrapper, a snippet feed of a long post: Jaccard is tiny (the union is
+    huge) but containment of the smaller doc is ~1.0.  Broder's original
+    resemblance paper defines both; LLM-corpus pipelines dedup on
+    containment to drop sub-documents.
+
+    Returns ``(id_a, id_b, inter, size_a, size_b, c_ab, c_ba,
+    containment)`` for pairs with ``max(c_ab, c_ba) >= threshold``,
+    ``id_a < id_b``.
+
+    Scale shape: pure Catalyst — word-n-gram shingle arrays (the shared
+    :func:`shingles` kernel, let-bound tokenization), ONE posting explode,
+    ONE gram equi-join with map-side partial-agg intersection counts, two
+    broadcast-size joins for the per-doc set sizes.  ``max_df`` drops
+    grams appearing in more than that many docs before the self-join (the
+    cosine_pairs df-cap: hot boilerplate grams like 'terms of service'
+    would otherwise quadratically dominate) — with a cap, containment is
+    a LOWER bound; leave None for exact semantics.  Intersection counts
+    are integers, divisions are single fixed ops: bit-stable on any
+    partitioning and replayed verbatim by the driver oracle.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = docs.select(
+        F.col(id_col).alias("_cid"),
+        F.filter(shingles(F.col(text_col), n), lambda g: g != F.lit("")).alias(
+            "_s"
+        ),
+    ).filter(F.size("_s") > 0)
+    sizes = sh.select("_cid", F.size("_s").cast("long").alias("_sz"))
+    po = sh.select("_cid", F.explode("_s").alias("_gram"))
+    if max_df is not None:
+        hot = (
+            po.groupBy("_gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > int(max_df))
+            .select("_gram")
+        )
+        po = po.join(F.broadcast(hot), "_gram", "left_anti")
+    a = po.select(F.col("_cid").alias("id_a"), "_gram")
+    b = po.select(F.col("_cid").alias("id_b"), "_gram")
+    inter = (
+        a.join(b, "_gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("_cid").alias("id_a"), F.col("_sz").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_cid").alias("id_b"), F.col("_sz").alias("size_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "size_a",
+            "size_b",
+            (F.col("inter").cast("double") / F.col("size_a").cast("double")).alias(
+                "c_ab"
+            ),
+            (F.col("inter").cast("double") / F.col("size_b").cast("double")).alias(
+                "c_ba"
+            ),
+        )
+        .withColumn("containment", F.greatest("c_ab", "c_ba"))
+        .filter(F.col("containment") >= F.lit(float(threshold)))
+    )
+    return out
