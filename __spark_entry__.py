@@ -712,6 +712,21 @@ def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _q_textrank(spark: SparkSession, sf: str) -> DataFrame:
+    """TextRank keywords (operators/retrieval.py textrank_keywords):
+    per-doc PageRank over the word-adjacency graph, ALL docs iterating
+    simultaneously keyed by (doc, word) — graph-evidence keywords next
+    to extract_keywords' tf-idf.  Deterministic sorted-fold mode; the
+    oracle unrolls all 4 rounds as CTEs with sum(x ORDER BY x) folds —
+    bit-identical scores."""
+    from open_vector_tile_spark.operators.retrieval import textrank_keywords
+
+    docs = _load(spark, sf, "documents")
+    return textrank_keywords(
+        docs, k=3, n_iter=4, deterministic=True
+    ).orderBy("doc_id", "rank")
+
+
 def _q_containment(spark: SparkSession, sf: str) -> DataFrame:
     """Asymmetric containment dedup (operators/dedup.py containment_pairs):
     C(A,B) = |S(A)∩S(B)| / |S(A)| finds sub-documents Jaccard misses —
@@ -5231,6 +5246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embeddings": _q_near_dup_embeddings,
         "ngram_jaccard": _q_ngram_jaccard,
         "containment_dups": _q_containment,
+        "textrank": _q_textrank,
         "fingerprint": _q_fingerprint,
         "s2json_roundtrip": _q_s2json_roundtrip,
         "corpus_filter": _q_corpus_filter,
@@ -6121,6 +6137,64 @@ _PHRASE_HITS_ORACLE_SQL = f"""
 """
 
 
+def _textrank_oracle(*, damping: float = 0.85, n_iter: int = 4, k: int = 3) -> str:
+    """Unrolled-CTE TextRank twin: same edge construction (DuckDB struct
+    list comprehension for the adjacency), same per-round chain with
+    sum(x ORDER BY x) matching the Spark sorted fold."""
+    base = 1.0 - damping
+    rounds = []
+    prev = "s0"
+    for r in range(1, n_iter + 1):
+        rounds.append(
+            f"""i{r} AS (
+              SELECT e.doc_id, e.t AS term,
+                     sum(p.score / CAST(p.deg AS DOUBLE)
+                         ORDER BY p.score / CAST(p.deg AS DOUBLE)) AS infl
+              FROM edges e
+              JOIN {prev} p ON p.doc_id = e.doc_id AND p.term = e.s AND p.deg > 0
+              GROUP BY 1, 2
+            ), s{r} AS (
+              SELECT s.doc_id, s.term, s.deg,
+                     {base!r} + {damping!r} * coalesce(i.infl, 0.0) AS score
+              FROM {prev} s
+              LEFT JOIN i{r} i ON i.doc_id = s.doc_id AND i.term = s.term
+            )"""
+        )
+        prev = f"s{r}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+    WITH tbase AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents
+    ), prs AS (
+      SELECT doc_id,
+             unnest([struct_pack(a := ws[i], b := ws[i+1])
+                     FOR i IN range(1, len(ws))]) AS p
+      FROM tbase
+    ), dirx AS (
+      SELECT DISTINCT doc_id, p.a AS s, p.b AS t FROM prs
+      WHERE p.a <> p.b AND p.a <> '' AND p.b <> ''
+    ), edges AS (
+      SELECT doc_id, s, t FROM dirx UNION SELECT doc_id, t AS s, s AS t FROM dirx
+    ), deg AS (
+      SELECT doc_id, s, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1, 2
+    ), nodes AS (
+      SELECT DISTINCT doc_id, w AS term
+      FROM (SELECT doc_id, unnest(ws) AS w FROM tbase) WHERE w <> ''
+    ), s0 AS (
+      SELECT n.doc_id, n.term, coalesce(d.deg, 0) AS deg, 1.0 AS score
+      FROM nodes n LEFT JOIN deg d ON d.doc_id = n.doc_id AND d.s = n.term
+    ),
+    {rounds_sql}
+    SELECT doc_id, term, score,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS INT) AS rank
+    FROM {prev}
+    QUALIFY rank <= {k}
+    ORDER BY doc_id, rank
+    """
+
+
 _HAUSDORFF_ORACLE_SQL = """
     WITH pts AS (
       SELECT DISTINCT CAST(event_id % 60 AS BIGINT) AS tid,
@@ -6908,6 +6982,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
             ORDER BY id_a, id_b
         """,
+        "textrank": _textrank_oracle(),
         "containment_dups": r"""
             WITH corpus AS (
               SELECT doc_id, text FROM documents

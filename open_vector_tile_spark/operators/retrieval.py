@@ -412,3 +412,122 @@ def phrase_search(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         F.min("p0").cast("long").alias("first_pos"),
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    damping: float = 0.85,
+    n_iter: int = 4,
+    deterministic: bool = False,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): per-document
+    PageRank over the word co-occurrence graph — the GRAPH-evidence
+    keyword scorer next to extract_keywords' tf-idf frequency evidence
+    (a term that bridges many distinct contexts outranks one repeated in
+    a single phrase).  -> (id, term, score, rank) with the top ``k``
+    terms per document, ties broken on term.
+
+    Model: nodes = distinct words of the doc, undirected unweighted edges
+    between ADJACENT words (window 2, self-pairs dropped), fixed-round
+    power iteration of ``S(v) = (1-d) + d * sum_{u~v} S(u)/deg(u)`` from
+    ``S=1`` (the paper's formulation — no 1/N normalization).  Isolated
+    words (one-word docs) converge to ``1-d``.
+
+    Scale shape: this is NOT a per-doc loop — ALL documents iterate
+    simultaneously, keyed by (doc, word).  Edges are one positional
+    self-join (pos+1 equi-join) + distinct; each round is one
+    edge-with-state join and one partial-agg inflow shuffle; state is
+    localCheckpoint-ed per round with the previous round's blocks freed
+    (the pagerank discipline — peak state is two copies, not O(rounds)).
+    ``deterministic=True`` switches inflow to the repo's sorted-fold sum
+    so the DuckDB twin (``sum(x ORDER BY x)``, rounds unrolled as CTEs)
+    replays every score bit-for-bit.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if n_iter < 1 or k < 1:
+        raise ValueError(f"n_iter and k must be >= 1, got {n_iter}, {k}")
+    from .graph import _fold_sum, _free_checkpoint
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT)).alias(
+            "_pos", "_term"
+        ),
+    ).where(F.col("_term") != "")
+    t2 = toks.select(
+        F.col("_id"), (F.col("_pos") - 1).alias("_pos"), F.col("_term").alias("_nxt")
+    )
+    directed = (
+        toks.join(t2, ["_id", "_pos"])
+        .filter(F.col("_term") != F.col("_nxt"))
+        .select("_id", F.col("_term").alias("_src"), F.col("_nxt").alias("_dst"))
+    )
+    edges = (
+        directed.union(
+            directed.select("_id", F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("_id", "_src").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    nodes = toks.select("_id", "_term").distinct()
+    state = (
+        nodes.join(
+            deg.select("_id", F.col("_src").alias("_term"), "_deg"),
+            ["_id", "_term"],
+            "left",
+        )
+        .select(
+            "_id",
+            "_term",
+            F.coalesce("_deg", F.lit(0)).cast("long").alias("_deg"),
+            F.lit(1.0).alias("_score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    fold = _fold_sum if deterministic else F.sum
+    base = 1.0 - damping
+    for _ in range(n_iter):
+        contrib = edges.join(
+            state.select(
+                "_id", F.col("_term").alias("_src"), "_deg", "_score"
+            ).filter(F.col("_deg") > 0),
+            ["_id", "_src"],
+        ).select(
+            "_id",
+            F.col("_dst").alias("_term"),
+            (F.col("_score") / F.col("_deg").cast("double")).alias("_c"),
+        )
+        inflow = contrib.groupBy("_id", "_term").agg(fold(F.col("_c")).alias("_in"))
+        prev = state
+        state = (
+            state.select("_id", "_term", "_deg")
+            .join(inflow, ["_id", "_term"], "left")
+            .select(
+                "_id",
+                "_term",
+                "_deg",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
+                ).alias("_score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _free_checkpoint(prev)
+    w = Window.partitionBy("_id").orderBy(F.col("_score").desc(), F.col("_term"))
+    return (
+        state.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_term").alias("term"),
+            F.col("_score").alias("score"),
+            "rank",
+        )
+    )
