@@ -4914,6 +4914,58 @@ def _q_phrase_hits(spark: SparkSession, sf: str) -> DataFrame:
     return phrase_search(docs, "table table").orderBy("doc_id")
 
 
+def _q_polyline_codec(spark: SparkSession, sf: str) -> DataFrame:
+    """Google Encoded Polyline round-trip (functions/geo.py
+    encode_polyline/decode_polyline): event tracks -> polyline5 strings ->
+    decoded quantized ints, all pure column expressions (HOF folds, no
+    Python).  The oracle NEVER runs the codec: it derives the decoded
+    integer sums analytically (quantize + window cumsum is identity) and
+    the encoded byte length from the zigzag chunk-count CASE — an
+    independent formula that fails if the encoder mis-chunks or the
+    decoder mis-accumulates anywhere."""
+    from open_vector_tile_spark.functions.geo import (
+        decode_polyline,
+        encode_polyline,
+    )
+
+    ev = _load(spark, sf, "events")
+    pts = ev.select(
+        (F.col("event_id") % 50).cast("long").alias("track_id"),
+        "event_id",
+        (((F.col("event_id") * 53) % 1600) / 10.0 - 80.0).alias("lat"),
+        (((F.col("event_id") * 37) % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    tracks = pts.groupBy("track_id").agg(
+        F.sort_array(F.collect_list(F.struct("event_id", "lat", "lon"))).alias(
+            "_a"
+        )
+    )
+    tracks = tracks.select(
+        "track_id",
+        F.transform("_a", lambda x: x["lat"]).alias("lats"),
+        F.transform("_a", lambda x: x["lon"]).alias("lons"),
+    )
+    enc = tracks.select(
+        "track_id", encode_polyline(F.col("lats"), F.col("lons")).alias("pl")
+    )
+    dec = enc.select(
+        "track_id",
+        F.length("pl").cast("long").alias("plen"),
+        decode_polyline(F.col("pl")).alias("pts"),
+    )
+    return dec.select(
+        "track_id",
+        F.size("pts").cast("long").alias("n_pts"),
+        "plen",
+        F.aggregate(
+            "pts", F.lit(0).cast("long"), lambda a, x: a + x["ilat"]
+        ).alias("lat_sum"),
+        F.aggregate(
+            "pts", F.lit(0).cast("long"), lambda a, x: a + x["ilon"]
+        ).alias("lon_sum"),
+    ).orderBy("track_id")
+
+
 def _q_hausdorff_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Trajectory-similarity self-join (operators/matching.py
     hausdorff_join): symmetric Hausdorff <= 12 over event-derived tracks
@@ -5363,6 +5415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_join": _q_edit_join,
         "dsir_select": _q_dsir,
         "hausdorff_pairs": _q_hausdorff_pairs,
+        "polyline_codec": _q_polyline_codec,
         "hillshade": _q_hillshade,
         "morans_i": _q_morans_i,
         "hotspot_gi": _q_hotspot_gi,
@@ -6134,6 +6187,44 @@ _PHRASE_HITS_ORACLE_SQL = f"""
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
            CAST(min(p0) AS BIGINT) AS first_pos
     FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+_POLYLINE_ORACLE_SQL = """
+    WITH pts AS (
+      SELECT CAST(event_id % 50 AS BIGINT) AS track_id, event_id,
+             CAST(floor((((event_id * 53) % 1600) / 10.0 - 80.0) * 1e5 + 0.5)
+                  AS BIGINT) AS ilat,
+             CAST(floor((((event_id * 37) % 3600) / 10.0 - 180.0) * 1e5 + 0.5)
+                  AS BIGINT) AS ilon
+      FROM events
+    ), dl AS (
+      SELECT track_id, ilat, ilon,
+             ilat - coalesce(lag(ilat) OVER w, 0) AS dlat,
+             ilon - coalesce(lag(ilon) OVER w, 0) AS dlon
+      FROM pts WINDOW w AS (PARTITION BY track_id ORDER BY event_id)
+    ), zz AS (
+      SELECT track_id, ilat, ilon,
+             CASE WHEN dlat < 0 THEN -2*dlat - 1 ELSE 2*dlat END AS zlat,
+             CASE WHEN dlon < 0 THEN -2*dlon - 1 ELSE 2*dlon END AS zlon
+      FROM dl
+    ), ln AS (
+      SELECT track_id, ilat, ilon,
+             CASE WHEN zlat < 32 THEN 1 WHEN zlat < 1024 THEN 2
+                  WHEN zlat < 32768 THEN 3 WHEN zlat < 1048576 THEN 4
+                  WHEN zlat < 33554432 THEN 5 WHEN zlat < 1073741824 THEN 6
+                  ELSE 7 END
+             + CASE WHEN zlon < 32 THEN 1 WHEN zlon < 1024 THEN 2
+                  WHEN zlon < 32768 THEN 3 WHEN zlon < 1048576 THEN 4
+                  WHEN zlon < 33554432 THEN 5 WHEN zlon < 1073741824 THEN 6
+                  ELSE 7 END AS nchars
+      FROM zz
+    )
+    SELECT track_id, CAST(count(*) AS BIGINT) AS n_pts,
+           CAST(sum(nchars) AS BIGINT) AS plen,
+           CAST(sum(ilat) AS BIGINT) AS lat_sum,
+           CAST(sum(ilon) AS BIGINT) AS lon_sum
+    FROM ln GROUP BY track_id ORDER BY track_id
 """
 
 
@@ -8659,6 +8750,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_join": _EDIT_JOIN_ORACLE_SQL,
         "dsir_select": _DSIR_ORACLE_SQL,
         "hausdorff_pairs": _HAUSDORFF_ORACLE_SQL,
+        "polyline_codec": _POLYLINE_ORACLE_SQL,
         "hillshade": _hillshade_oracle(),
         "morans_i": _MORANS_ORACLE_SQL,
         "hotspot_gi": _HOTSPOT_GI_ORACLE_SQL,

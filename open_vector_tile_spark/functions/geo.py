@@ -592,3 +592,163 @@ if _HAS_SPARK:
             ).alias("lat"),
             anti.alias("degenerate"),
         )
+
+
+# ---------------------------------------------------------------------------
+# Google Encoded Polyline (precision 5): the web's route wire format
+# ---------------------------------------------------------------------------
+#
+# The interchange format web pages actually carry GPS routes in (Google
+# Maps / OSRM / Valhalla URLs and JSON payloads): quantize to 1e-5 deg,
+# delta-encode, zigzag, emit little-endian 5-bit chunks as printable ASCII
+# (+63, 0x20 continuation bit).  Same coding ideas as the OVT geometry
+# stream (delta + zigzag; reference src/util.ts zigzag/zagzig) on a
+# text-safe alphabet.  Both directions are PURE column expressions —
+# higher-order array functions, no Python, no shuffle; decode returns the
+# QUANTIZED integers (exact; divide by 1e5 only at the edge).
+
+
+def _let_col(expr, body):
+    """Evaluate ``expr`` once, pass to ``body`` as a lambda variable (the
+    1-element-transform let-binding from operators/dedup.py)."""
+    from pyspark.sql import functions as F
+
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
+def _polyline_chunks(v):
+    """Non-negative zigzagged value -> its 5-bit-chunk ASCII string.
+    Seven unrolled chunk slots cover |delta| < 2^34 (lat/lon deltas fit in
+    28 bits); slot i emits iff it is slot 0 or bits remain at/above it."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for i in range(7):
+        rem = F.shiftright(v, 5 * i)
+        chunk = rem.bitwiseAND(F.lit(31))
+        more = F.shiftright(v, 5 * (i + 1)) > 0
+        code = F.when(more, chunk.bitwiseOR(F.lit(32))).otherwise(chunk) + F.lit(63)
+        emit = (rem > 0) if i else F.lit(True)
+        parts.append(F.when(emit, F.char(code)).otherwise(F.lit("")))
+    return F.concat(*parts)
+
+
+def _zigzag64(d):
+    from pyspark.sql import functions as F
+
+    return F.shiftleft(d, 1).bitwiseXOR(F.shiftright(d, 63))
+
+
+def encode_polyline(lats, lons):
+    """(array<double> lats, array<double> lons) -> polyline5 string.
+    Quantization is JS ``Math.round`` (floor(x*1e5 + 0.5)) for parity with
+    the canonical encoder."""
+    from pyspark.sql import functions as F
+
+    def q(arr):
+        return F.transform(
+            arr, lambda x: F.floor(x * F.lit(1e5) + F.lit(0.5)).cast("long")
+        )
+
+    def deltas(arr):
+        # d_i = a_i - a_{i-1} (a_{-1} = 0); element_at is 1-based, the
+        # transform index 0-based, so element_at(arr, i) IS the previous
+        return F.transform(
+            arr,
+            lambda x, i: x
+            - F.when(i > 0, F.element_at(arr, i)).otherwise(F.lit(0).cast("long")),
+        )
+
+    def enc_arr(arr):
+        return F.transform(deltas(arr), lambda d: _polyline_chunks(_zigzag64(d)))
+
+    return _let_col(
+        q(lats),
+        lambda qla: _let_col(
+            q(lons),
+            lambda qlo: F.array_join(
+                F.zip_with(enc_arr(qla), enc_arr(qlo), lambda a, b: F.concat(a, b)),
+                "",
+            ),
+        ),
+    )
+
+
+def decode_polyline(s):
+    """polyline5 string -> array<struct<ilat: long, ilon: long>> of the
+    QUANTIZED coordinates (multiply by 1e-5 for degrees).  A stateful
+    scan expressed as F.aggregate over the character codes: accumulate
+    5-bit chunks until a byte without the 0x20 continuation bit closes a
+    value, un-zigzag, then a second fold interleave-cumsums the deltas."""
+    from pyspark.sql import functions as F
+
+    codes = F.filter(
+        F.transform(F.split(s, ""), lambda c: F.ascii(c) - F.lit(63)),
+        lambda c: c >= 0,  # drops the '' artifact of splitting empty input
+    )
+    # chunk slots are disjoint bit ranges, so OR == ADD: track a running
+    # multiplier (1, 32, 1024, ...) instead of a shift count — shiftleft
+    # needs a literal bit count, a multiplier stays pure column math
+    vals = F.aggregate(
+        codes,
+        F.struct(
+            F.array().cast("array<long>").alias("vals"),
+            F.lit(0).cast("long").alias("cur"),
+            F.lit(1).cast("long").alias("mult"),
+        ),
+        lambda acc, c: _let_col(
+            acc["cur"] + c.bitwiseAND(F.lit(31)).cast("long") * acc["mult"],
+            lambda cur2: F.when(
+                c >= 32,
+                F.struct(
+                    acc["vals"].alias("vals"),
+                    cur2.alias("cur"),
+                    (acc["mult"] * F.lit(32)).alias("mult"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.concat(
+                        acc["vals"],
+                        F.array(
+                            F.shiftrightunsigned(cur2, 1).bitwiseXOR(
+                                -cur2.bitwiseAND(F.lit(1))
+                            )
+                        ),
+                    ).alias("vals"),
+                    F.lit(0).cast("long").alias("cur"),
+                    F.lit(1).cast("long").alias("mult"),
+                )
+            ),
+        ),
+        lambda acc: acc["vals"],
+    )
+    # interleaved deltas [dlat0, dlon0, dlat1, ...] -> de-interleave (filter
+    # by index) -> per-point prefix sums.  The slice+fold cumsum is O(n^2)
+    # per route — routes are short (10^2-10^3 points); a 10^6-point
+    # monster belongs in the events/track operators, not a polyline.
+    def cumsum_at(arr, i):
+        return F.aggregate(
+            F.slice(arr, F.lit(1), i), F.lit(0).cast("long"), lambda a, x: a + x
+        )
+
+    return _let_col(
+        vals,
+        lambda v: _let_col(
+            F.filter(v, lambda x, i: i % 2 == 0),
+            lambda latd: _let_col(
+                F.filter(v, lambda x, i: i % 2 == 1),
+                lambda lond: F.when(
+                    F.size(latd) == 0,
+                    F.array().cast("array<struct<ilat:bigint,ilon:bigint>>"),
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(latd)),
+                        lambda i: F.struct(
+                            cumsum_at(latd, i).alias("ilat"),
+                            cumsum_at(lond, i).alias("ilon"),
+                        ),
+                    )
+                ),
+            ),
+        ),
+    )
