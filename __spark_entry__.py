@@ -2837,6 +2837,47 @@ def _q_redirect_resolve(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("url", "canonical_url", "n_hops", "is_cycle").orderBy("url")
 
 
+def _synth_doc_graph(spark: SparkSession, sf: str):
+    """Shared deterministic doc-id link graph for pagerank/trust_rank (and
+    their oracles): forward chains (d -> d+1 for d%7<=4), section hubs
+    (d -> d - d%50, the in-degree skew case), sparse cross links
+    (d -> d+13 for d%11==0); dst joined to existing ids so boundary docs
+    go dangling naturally.  -> (ids_df, edges_df)."""
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    d = F.col("id")
+    chain = docs.filter(d % 7 <= 4).select(d.alias("src"), (d + 1).alias("dst"))
+    hub = docs.filter(d % 50 != 0).select(d.alias("src"), (d - d % 50).alias("dst"))
+    cross = docs.filter(d % 11 == 0).select(d.alias("src"), (d + 13).alias("dst"))
+    edges = (
+        chain.union(hub).union(cross).join(docs.select(d.alias("dst")), on="dst")
+    )
+    return docs, edges
+
+
+def _q_trust_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank / TrustRank (operators/graph.py
+    personalized_pagerank): teleport AND dangling mass land only on the
+    seed set (doc_id % 100 == 0) — the webspam defense; nodes unreachable
+    from seeds converge to exactly 0.0.  Same shared synthetic graph as
+    `pagerank`; deterministic sorted-fold mode, oracle unrolls all 5
+    rounds with ordered-aggregate sums — bit-identical ranks."""
+    from open_vector_tile_spark.operators.graph import personalized_pagerank
+
+    docs, edges = _synth_doc_graph(spark, sf)
+    seeds = docs.filter(F.col("id") % 100 == 0)
+    pr = personalized_pagerank(
+        edges, seeds, damping=0.85, n_iter=5, nodes=docs, deterministic=True
+    )
+    return pr.select(
+        F.col("id").alias("doc_id"),
+        F.col("outdeg").cast("int").alias("outdeg"),
+        "rank",
+        "is_seed",
+    ).orderBy("doc_id")
+
+
 def _q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank (operators/graph.py pagerank): the web-graph authority score
     behind crawl prioritization — 5 power-iteration rounds with uniform
@@ -2849,16 +2890,7 @@ def _q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     dst joined to existing ids, so boundary docs go dangling naturally."""
     from open_vector_tile_spark.operators.graph import pagerank
 
-    docs = _load(spark, sf, "documents").select(
-        F.col("doc_id").cast("long").alias("id")
-    )
-    d = F.col("id")
-    chain = docs.filter(d % 7 <= 4).select(d.alias("src"), (d + 1).alias("dst"))
-    hub = docs.filter(d % 50 != 0).select(d.alias("src"), (d - d % 50).alias("dst"))
-    cross = docs.filter(d % 11 == 0).select(d.alias("src"), (d + 13).alias("dst"))
-    edges = (
-        chain.union(hub).union(cross).join(docs.select(d.alias("dst")), on="dst")
-    )
+    docs, edges = _synth_doc_graph(spark, sf)
     pr = pagerank(edges, damping=0.85, n_iter=5, nodes=docs, deterministic=True)
     return pr.select(
         F.col("id").alias("doc_id"),
@@ -2903,6 +2935,57 @@ def _pagerank_iters_sql(n_iter: int = 5, damping: str = "0.85") -> str:
           SELECT ids.id, coalesce(deg.outdeg, 0) AS outdeg, 1.0 / nn.nd AS rank
           FROM ids LEFT JOIN deg USING (id) CROSS JOIN nn
         ),{",".join(its)}"""
+
+
+def _ppr_oracle_sql(n_iter: int = 5, damping: str = "0.85") -> str:
+    """TrustRank twin: same graph CTEs as the pagerank oracle, rank chain
+    ``(1-d)*sv + d*(inflow + dm*sv)`` with the seed vector carried through
+    every round; ordered-aggregate sums match the Spark sorted fold."""
+    its = []
+    for k in range(1, n_iter + 1):
+        p = f"p{k - 1}"
+        its.append(f"""
+        j{k} AS (
+          SELECT e.t AS id,
+                 sum(r.rank / r.outdeg ORDER BY r.rank / r.outdeg) AS inflow
+          FROM e JOIN {p} r ON r.id = e.s GROUP BY e.t
+        ), m{k} AS (
+          SELECT coalesce(sum(rank ORDER BY rank), 0.0) AS dm
+          FROM {p} WHERE outdeg = 0
+        ), p{k} AS (
+          SELECT n.id, n.outdeg, n.is_seed, n.sv,
+                 (1.0 - CAST({damping} AS DOUBLE)) * n.sv
+                 + CAST({damping} AS DOUBLE)
+                   * (coalesce(j.inflow, 0.0) + m.dm * n.sv) AS rank
+          FROM {p} n LEFT JOIN j{k} j USING (id) CROSS JOIN m{k} m
+        )""")
+    return f"""
+        WITH ids AS (
+          SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+        ), e0 AS (
+          SELECT id AS s, id + 1 AS t FROM ids WHERE id % 7 <= 4
+          UNION ALL
+          SELECT id, id - id % 50 FROM ids WHERE id % 50 <> 0
+          UNION ALL
+          SELECT id, id + 13 FROM ids WHERE id % 11 = 0
+        ), e AS (
+          SELECT DISTINCT s, t FROM e0 JOIN ids n ON n.id = e0.t WHERE s <> t
+        ), sds AS (
+          SELECT id FROM ids WHERE id % 100 = 0
+        ), ns AS (
+          SELECT CAST(count(*) AS DOUBLE) AS nd FROM sds
+        ), degp AS (
+          SELECT s AS id, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY s
+        ), p0 AS (
+          SELECT ids.id, coalesce(degp.outdeg, 0) AS outdeg,
+                 sds.id IS NOT NULL AS is_seed,
+                 CASE WHEN sds.id IS NOT NULL THEN 1.0 / ns.nd ELSE 0.0 END AS sv,
+                 CASE WHEN sds.id IS NOT NULL THEN 1.0 / ns.nd ELSE 0.0 END AS rank
+          FROM ids LEFT JOIN degp USING (id) LEFT JOIN sds USING (id) CROSS JOIN ns
+        ),{",".join(its)}
+        SELECT id AS doc_id, CAST(outdeg AS INT) AS outdeg, rank, is_seed
+        FROM p{n_iter} ORDER BY doc_id
+    """
 
 
 def _pagerank_oracle_sql(n_iter: int = 5) -> str:
@@ -5372,6 +5455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": _q_crawl_schedule,
         "redirect_resolve": _q_redirect_resolve,
         "pagerank": _q_pagerank,
+        "trust_rank": _q_trust_rank,
         "link_extract": _q_link_extract,
         "host_rank": _q_host_rank,
         "spatial_cluster": _q_spatial_cluster,
@@ -8707,6 +8791,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY url
         """,
         "pagerank": _pagerank_oracle_sql(),
+        "trust_rank": _ppr_oracle_sql(),
         "link_extract": _link_extract_oracle_sql(),
         "host_rank": _host_rank_oracle_sql(),
         "spatial_cluster": _SPATIAL_CLUSTER_ORACLE_SQL,

@@ -560,3 +560,114 @@ def shortest_paths(
     if frontier is not dist:
         _free_checkpoint(frontier)
     return dist
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 5,
+    nodes: DataFrame | None = None,
+    deterministic: bool = False,
+) -> DataFrame:
+    """Personalized PageRank / TrustRank (Gyöngyi et al. 2004): PageRank
+    whose teleport lands ONLY on a trusted seed set — the webspam defense
+    (a link farm can inflate plain PageRank but cannot buy proximity to
+    curated seeds) and the topic-sensitive authority score for crawl
+    prioritization.  -> (id, outdeg, rank, is_seed).
+
+    Model: ``v_i = 1/|S|`` for seeds else 0; ``rank0 = v``;
+    ``rank_{k+1} = (1-d)·v + d·(inflow + dangling_mass·v)`` — both the
+    teleport AND the dangling redistribution follow ``v`` (mass stays in
+    the seed neighborhood; non-seed sink mass flows back to seeds), so
+    ranks keep summing to 1.  Nodes unreachable from any seed converge to
+    exactly 0.0 and stay bit-exactly 0 — prune-able downstream.
+
+    Same 100 TB shape as :func:`pagerank` (one edge-state join + one
+    partial-agg inflow per round, 1-row dangling broadcast, per-round
+    localCheckpoint + free); ``deterministic=True`` switches the float
+    sums to the sorted fold for the bit-exact oracle replay.  Seeds not
+    present in the graph still teleport (they join the node set); demands
+    one integral seed column, mirroring the ``nodes`` contract.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if len(seeds.columns) != 1:
+        raise ValueError(
+            f"seeds must have exactly one id column, got {seeds.columns}"
+        )
+    sdt = seeds.schema[seeds.columns[0]].dataType.simpleString()
+    if sdt not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"seeds id column must be integral, got {sdt} "
+            "(hash string ids to int64 first, e.g. xxhash64)"
+        )
+    e = edges.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("t")
+    )
+    e = e.filter(F.col("s") != F.col("t")).distinct().localCheckpoint(eager=True)
+    sd = seeds.select(F.col(seeds.columns[0]).cast("long").alias("id")).distinct()
+    n_seeds = sd.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: empty seed set")
+    ids = e.select(F.col("s").alias("id")).union(e.select(F.col("t").alias("id")))
+    ids = ids.union(sd.select("id"))
+    if nodes is not None:
+        if len(nodes.columns) != 1:
+            raise ValueError(
+                f"nodes must have exactly one id column, got {nodes.columns}"
+            )
+        ids = ids.union(
+            nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
+        )
+    ids = ids.distinct()
+    deg = e.groupBy(F.col("s").alias("id")).agg(F.count("*").alias("outdeg"))
+    sv = 1.0 / float(n_seeds)
+    state = (
+        ids.join(deg, on="id", how="left")
+        .join(sd.withColumn("_isseed", F.lit(True)), on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+            F.coalesce("_isseed", F.lit(False)).alias("is_seed"),
+            F.when(F.col("_isseed"), F.lit(sv)).otherwise(F.lit(0.0)).alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    fold = _fold_sum if deterministic else F.sum
+    base = 1.0 - damping
+    for _ in range(n_iter):
+        contrib = e.join(
+            state.select(F.col("id").alias("s"), "rank", "outdeg"), on="s"
+        ).select(F.col("t").alias("id"), (F.col("rank") / F.col("outdeg")).alias("c"))
+        inflow = contrib.groupBy("id").agg(fold(F.col("c")).alias("inflow"))
+        dang = state.filter(F.col("outdeg") == 0).agg(
+            fold(F.col("rank")).alias("dm")
+        )
+        seed_mass = F.when(F.col("is_seed"), F.lit(sv)).otherwise(F.lit(0.0))
+        new_state = (
+            state.crossJoin(F.broadcast(dang))
+            .join(inflow, on="id", how="left")
+            .select(
+                "id",
+                "outdeg",
+                "is_seed",
+                (
+                    F.lit(base) * seed_mass
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.coalesce("dm", F.lit(0.0)) * seed_mass
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _free_checkpoint(state)
+        state = new_state
+    _free_checkpoint(e)
+    return state.select("id", "outdeg", "rank", "is_seed")
