@@ -4819,6 +4819,42 @@ def _q_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     return boilerplate_filter(synth).orderBy("doc_id")
 
 
+_MC_NAV = '<div><a href="/">Home</a> <a href="/b">Blog</a> <a href="/f">FAQ</a></div>'
+_MC_RAIL = (
+    '<div><a href="/1">One</a> <a href="/2">Two</a> <a href="/3">Three</a>'
+    ' <a href="/4">Four</a> <a href="/5">Five</a> rails</div>'
+)
+
+
+def _q_main_content(spark: SparkSession, sf: str) -> DataFrame:
+    """Main-content extraction by link-density islands (functions/text.py
+    main_content): documents re-cut into a synthetic page — nav block, two
+    adjacent paragraphs (words 1-6 / 7-12), a link rail, and the tail
+    paragraph — then the extractor picks the contiguous content-block run
+    with the most words.  Short docs keep the front island, long docs flip
+    to the tail: the comparison branch is exercised both ways.  The whole
+    operator is one map-side F.aggregate fold; the oracle replays it with
+    an INDEPENDENT algorithm (SQL gaps-and-islands windows)."""
+    from open_vector_tile_spark.functions.text import main_content
+
+    docs = _load(spark, sf, "documents")
+    ts = F.split(F.col("text"), " ")
+    html = F.concat(
+        F.lit(_MC_NAV),
+        F.lit("<p>"), F.array_join(F.slice(ts, 1, 6), " "), F.lit("</p>"),
+        F.lit("<p>"), F.array_join(F.slice(ts, 7, 6), " "), F.lit("</p>"),
+        F.lit(_MC_RAIL),
+        F.lit("<p>"),
+        F.array_join(F.slice(ts, 13, F.greatest(F.size(ts), F.lit(1))), " "),
+        F.lit("</p>"),
+    )
+    return (
+        docs.select("doc_id", main_content(html).alias("m"))
+        .select("doc_id", "m.*")
+        .orderBy("doc_id")
+    )
+
+
 def _q_adaptive_tiles(spark: SparkSession, sf: str) -> DataFrame:
     """Adaptive quadtree tiling (operators/adaptive.py): document points
     cut into leaf tiles by recursive overfull-tile subdivision (cap 12,
@@ -5488,6 +5524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hull_extract": _q_hull_extract,
         "adaptive_tiles": _q_adaptive_tiles,
         "boilerplate": _q_boilerplate,
+        "main_content": _q_main_content,
         "idw_surface": _q_idw_surface,
         "densify_routes": _q_densify_routes,
         "host_terms": _q_host_terms,
@@ -5971,6 +6008,93 @@ def _boilerplate_oracle_sql() -> str:
            CAST(len(kp) AS BIGINT) AS n_kept,
            coalesce(array_to_string(kp, chr(10)||chr(10)), '') AS clean_text
     FROM sel ORDER BY doc_id
+"""
+
+
+def _main_content_oracle_sql() -> str:
+    """Independent replay of the link-density island extractor: the same
+    synthetic page (nav + words 1-6 / 7-12 paragraphs + rail + tail), the
+    same per-block features, but island selection via SQL gaps-and-islands
+    (idx - row_number() grouping + a rank window with the first-on-tie
+    order) instead of Spark's F.aggregate fold — a fold bug and a window
+    bug cannot cancel.  The Spark op's script/style/comment strips are
+    no-ops on this synthetic input and are elided here."""
+    block_re = (
+        "(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|section|article"
+        "|header|footer|nav|blockquote)(?:\\s[^>]*)?>"
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(text, ' ') AS ws FROM documents
+    ),
+    synth AS (
+      SELECT doc_id,
+        '{_MC_NAV}'
+        || '<p>' || coalesce(array_to_string(ws[1:6], ' '), '') || '</p>'
+        || '<p>' || coalesce(array_to_string(ws[7:12], ' '), '') || '</p>'
+        || '{_MC_RAIL}'
+        || '<p>' || coalesce(array_to_string(ws[13:len(ws)], ' '), '')
+        || '</p>' AS html
+      FROM w
+    ),
+    rawb AS (
+      SELECT doc_id, regexp_split_to_array(html, '{block_re}') AS bs
+      FROM synth
+    ),
+    feat0 AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             trim(regexp_replace(bs[CAST(i AS INT)], '(?s)<[^>]*>', '', 'g'))
+               AS text,
+             -- array_to_string of an EMPTY list is NULL in DuckDB (Spark's
+             -- array_join is '') — a NULL here would poison the content
+             -- flag into NULL (= dropped by WHERE) for every anchor-free
+             -- block
+             regexp_replace(
+               coalesce(array_to_string(
+                 regexp_extract_all(bs[CAST(i AS INT)],
+                                    '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1), ''),
+                 ''),
+               '(?s)<[^>]*>', '', 'g') AS atext
+      FROM rawb, unnest(range(1, len(bs) + 1)) r(i)
+    ),
+    feat AS (
+      SELECT doc_id, pos, text,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS idx,
+             len(regexp_split_to_array(text, '\\s+')) AS words,
+             (len(regexp_split_to_array(text, '\\s+')) >= 5
+              AND len(atext) * 1.0 / len(text) <= 0.33) AS content
+      FROM feat0 WHERE text <> ''
+    ),
+    isl AS (
+      SELECT *,
+             idx - row_number() OVER (PARTITION BY doc_id, content
+                                      ORDER BY idx) AS grp
+      FROM feat
+    ),
+    island AS (
+      SELECT doc_id, min(idx) AS istart, CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(words) AS BIGINT) AS wsum,
+             string_agg(text, ' ' ORDER BY idx) AS body
+      FROM isl WHERE content GROUP BY doc_id, grp
+    ),
+    best AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY wsum DESC, istart ASC) AS rk
+      FROM island
+    ),
+    nall AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks
+      FROM feat GROUP BY doc_id
+    )
+    SELECT n.doc_id,
+           n.n_blocks,
+           CAST(coalesce(b.istart, -1) AS BIGINT) AS best_start,
+           CAST(coalesce(b.nb, 0) AS BIGINT) AS best_nblocks,
+           CAST(coalesce(b.wsum, 0) AS BIGINT) AS content_words,
+           coalesce(b.body, '') AS content
+    FROM nall n LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+    ORDER BY doc_id
 """
 
 
@@ -8824,6 +8948,7 @@ def oracle_sql() -> dict[str, str]:
         "hull_extract": _HULL_EXTRACT_ORACLE_SQL,
         "adaptive_tiles": _adaptive_oracle_sql(),
         "boilerplate": _boilerplate_oracle_sql(),
+        "main_content": _main_content_oracle_sql(),
         "idw_surface": _IDW_ORACLE_SQL,
         "densify_routes": _DENSIFY_ORACLE_SQL,
         "host_terms": _HOST_TERMS_ORACLE_SQL,

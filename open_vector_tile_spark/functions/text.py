@@ -431,3 +431,140 @@ def boilerplate_filter(
         F.size(kept).cast("long").alias("n_kept"),
         F.array_join(kept, "\n\n").alias("clean_text"),
     )
+
+
+_BLOCK_SPLIT = r"(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|section|article|header|footer|nav|blockquote)(?:\s[^>]*)?>"
+_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+
+
+def main_content(
+    html: Column,
+    *,
+    min_words: int = 5,
+    max_link_density: float = 0.33,
+) -> Column:
+    """Main-content extraction by LINK-DENSITY islands (the Arc90 /
+    boilerpipe heuristic, next to boilerplate_filter's C4 word rules):
+    split the page into block-level segments, score each block by word
+    count and anchor-chars/total-chars, and keep the contiguous run of
+    content blocks with the most words — navs, footers, and related-link
+    rails are link-dense and fall away even when they pass word-count
+    rules.
+
+    -> ``struct(n_blocks, best_start, best_nblocks, content_words,
+    content)`` (``best_start`` is the 0-based block index; no-content
+    pages give ``(-1, 0, 0, '')``).
+
+    Entirely map-side: ONE regexp split into the block array, per-block
+    features as array transforms, and the maximal-island scan as a single
+    F.aggregate fold (running island vs best-so-far; strict ``>`` keeps
+    the FIRST island on word ties).  No shuffle, no Python; the oracle
+    replays it with an INDEPENDENT algorithm — SQL gaps-and-islands
+    windows over the unnested blocks — so a fold bug and a window bug
+    cannot cancel.
+    """
+    s = html.cast("string")
+    s = F.regexp_replace(s, r"(?is)<script\b[^>]*>.*?</script\s*>", "")
+    s = F.regexp_replace(s, r"(?is)<style\b[^>]*>.*?</style\s*>", "")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", "")
+
+    def block_feat(b: Column) -> Column:
+        text = F.trim(F.regexp_replace(b, r"(?s)<[^>]*>", ""))
+        atext = F.regexp_replace(
+            F.array_join(F.regexp_extract_all(b, F.lit(_ANCHOR_RE), 1), ""),
+            r"(?s)<[^>]*>",
+            "",
+        )
+        words = F.when(text == "", F.lit(0)).otherwise(
+            F.size(F.split(text, r"\s+"))
+        )
+        tlen = F.length(text)
+        dens = F.when(tlen == 0, F.lit(1.0)).otherwise(
+            F.length(atext).cast("double") / tlen.cast("double")
+        )
+        content = (words >= F.lit(int(min_words))) & (
+            dens <= F.lit(float(max_link_density))
+        )
+        return F.struct(
+            text.alias("text"),
+            words.cast("long").alias("words"),
+            content.alias("content"),
+        )
+
+    def body(blocks: Column) -> Column:
+        acc0 = F.struct(
+            F.lit(0).cast("int").alias("i"),
+            F.lit(0).cast("int").alias("cur_start"),
+            F.lit(0).cast("long").alias("cur_words"),
+            F.lit(0).cast("int").alias("cur_nb"),
+            F.lit(-1).cast("int").alias("best_start"),
+            F.lit(0).cast("long").alias("best_words"),
+            F.lit(0).cast("int").alias("best_nb"),
+        )
+
+        def step(acc, b):
+            opened = F.when(acc["cur_nb"] == 0, acc["i"]).otherwise(
+                acc["cur_start"]
+            )
+            cw = acc["cur_words"] + b["words"]
+            cn = acc["cur_nb"] + 1
+            better = cw > acc["best_words"]
+            return F.when(
+                b["content"],
+                F.struct(
+                    (acc["i"] + 1).alias("i"),
+                    opened.alias("cur_start"),
+                    cw.alias("cur_words"),
+                    cn.alias("cur_nb"),
+                    F.when(better, opened)
+                    .otherwise(acc["best_start"])
+                    .alias("best_start"),
+                    F.when(better, cw).otherwise(acc["best_words"]).alias(
+                        "best_words"
+                    ),
+                    F.when(better, cn).otherwise(acc["best_nb"]).alias("best_nb"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (acc["i"] + 1).alias("i"),
+                    F.lit(0).cast("int").alias("cur_start"),
+                    F.lit(0).cast("long").alias("cur_words"),
+                    F.lit(0).cast("int").alias("cur_nb"),
+                    acc["best_start"].alias("best_start"),
+                    acc["best_words"].alias("best_words"),
+                    acc["best_nb"].alias("best_nb"),
+                )
+            )
+
+        best = F.aggregate(blocks, acc0, step)
+        content = F.when(
+            best["best_nb"] > 0,
+            F.array_join(
+                F.transform(
+                    F.slice(blocks, best["best_start"] + 1, best["best_nb"]),
+                    lambda x: x["text"],
+                ),
+                " ",
+            ),
+        ).otherwise(F.lit(""))
+        return F.struct(
+            F.size(blocks).cast("long").alias("n_blocks"),
+            best["best_start"].cast("long").alias("best_start"),
+            best["best_nb"].cast("long").alias("best_nblocks"),
+            best["best_words"].cast("long").alias("content_words"),
+            content.alias("content"),
+        )
+
+    from ..operators.dedup import _let
+
+    # drop text-empty segments (the '' between adjacent tags) BEFORE island
+    # detection — they are structure, not content evidence, and would
+    # otherwise split every multi-paragraph island; indices/counts are over
+    # the remaining REAL blocks
+    return _let(
+        F.filter(
+            F.transform(F.split(s, _BLOCK_SPLIT), block_feat),
+            lambda b: b["text"] != "",
+        ),
+        body,
+    )
