@@ -927,6 +927,51 @@ def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar resampling + LOCF gap fill (operators/events.py
+    resample_fill): hourly per-user buckets spanning each user's first to
+    last event, gap rows emitted with n_obs = 0 and the last observed
+    value carried forward.  Values are fixed at integer cent ticks BEFORE
+    the operator so every aggregate is integer-exact (hash-stable across
+    engines); the oracle replays buckets/LOCF with an independent
+    algorithm (row_number last-pick + IGNORE NULLS window)."""
+    from open_vector_tile_spark.operators.events import resample_fill
+
+    ev = _load(spark, sf, "events").withColumn(
+        "v", F.round(F.col("value") * 100).cast("long")
+    )
+    out = resample_fill(ev, value_col="v", step_seconds=3600)
+    return out.select(
+        "user_id",
+        # integer micros, not a raw timestamp: hash-compare type stability
+        F.unix_micros(F.col("bucket_ts")).alias("bucket_us"),
+        "n_obs",
+        F.col("v_sum").cast("long").alias("sum_ticks"),
+        F.col("v_last").cast("long").alias("last_ticks"),
+        F.col("v_fill").cast("long").alias("fill_ticks"),
+    ).orderBy("user_id", "bucket_us")
+
+
+def _q_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 30-minute RANGE-frame stats per user (operators/events.py
+    rolling_stats): for every event, count/sum/mean/min/max of value over
+    [ts-30min, ts] of the same user.  One shuffle; integer-tick sums make
+    the doubles bit-replayable; the oracle is DuckDB's native RANGE
+    BETWEEN frame — an independent window implementation."""
+    from open_vector_tile_spark.operators.events import (
+        epoch_us_col,
+        rolling_stats,
+    )
+
+    ev = _load(spark, sf, "events")
+    out = rolling_stats(ev, window_seconds=1800)
+    return out.select(
+        "user_id",
+        epoch_us_col(out, "ts").alias("ts_us"),
+        "value", "n_win", "sum_win", "mean_win", "min_win", "max_win",
+    ).orderBy("user_id", "ts_us", "value")
+
+
 def _q_det_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic content-hash sampling (reproducible across runs/cluster
     sizes/engines — md5 prefix threshold, no rand())."""
@@ -5425,6 +5470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "asof_forward": _q_asof_forward,
         "sessionize": _q_sessionize,
+        "resample": _q_resample,
+        "rolling": _q_rolling,
         "det_sample": _q_det_sample,
         "dataset_split": _q_dataset_split,
         "corpus_stats": _q_corpus_stats,
@@ -6008,6 +6055,79 @@ def _boilerplate_oracle_sql() -> str:
            CAST(len(kp) AS BIGINT) AS n_kept,
            coalesce(array_to_string(kp, chr(10)||chr(10)), '') AS clean_text
     FROM sel ORDER BY doc_id
+"""
+
+
+_RESAMPLE_ORACLE_SQL = """
+    -- independent replay of resample_fill: last-per-bucket via a
+    -- row_number pick (not a struct max), LOCF via last_value IGNORE
+    -- NULLS (not a coalesce fold); integer cent ticks keep every sum
+    -- engine-exact
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             epoch_us(ts) // 3600000000 AS bucket,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    obs AS (
+      SELECT user_id, bucket,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(v) AS BIGINT) AS sum_ticks,
+             max(CASE WHEN rn = 1 THEN v END) AS last_ticks
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                                     ORDER BY us DESC, v DESC) AS rn
+        FROM e
+      ) GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM e GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM bounds
+    ),
+    j AS (
+      SELECT s.user_id, s.bucket,
+             coalesce(o.n_obs, 0) AS n_obs,
+             coalesce(o.sum_ticks, 0) AS sum_ticks,
+             o.last_ticks
+      FROM spine s LEFT JOIN obs o USING (user_id, bucket)
+    )
+    SELECT user_id,
+           CAST(bucket * 3600000000 AS BIGINT) AS bucket_us,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(sum_ticks AS BIGINT) AS sum_ticks,
+           CAST(last_ticks AS BIGINT) AS last_ticks,
+           CAST(last_value(last_ticks IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS BIGINT) AS fill_ticks
+    FROM j
+    ORDER BY user_id, bucket_us
+"""
+
+
+_ROLLING_ORACLE_SQL = """
+    -- DuckDB's native RANGE frame is the independent twin of Spark's
+    -- rangeBetween; identical integer-tick chain makes doubles bit-equal
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, value,
+             CAST(round(value * 100) AS BIGINT) AS t
+      FROM events
+    )
+    SELECT user_id,
+           CAST(us AS BIGINT) AS ts_us,
+           value,
+           CAST(count(*) OVER w AS BIGINT) AS n_win,
+           CAST(sum(t) OVER w AS DOUBLE) / 100.0 AS sum_win,
+           CAST(sum(t) OVER w AS DOUBLE)
+             / CAST(count(*) OVER w AS DOUBLE) / 100.0 AS mean_win,
+           CAST(min(t) OVER w AS DOUBLE) / 100.0 AS min_win,
+           CAST(max(t) OVER w AS DOUBLE) / 100.0 AS max_win
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts_us, value
 """
 
 
@@ -8949,6 +9069,8 @@ def oracle_sql() -> dict[str, str]:
         "adaptive_tiles": _adaptive_oracle_sql(),
         "boilerplate": _boilerplate_oracle_sql(),
         "main_content": _main_content_oracle_sql(),
+        "resample": _RESAMPLE_ORACLE_SQL,
+        "rolling": _ROLLING_ORACLE_SQL,
         "idw_surface": _IDW_ORACLE_SQL,
         "densify_routes": _DENSIFY_ORACLE_SQL,
         "host_terms": _HOST_TERMS_ORACLE_SQL,

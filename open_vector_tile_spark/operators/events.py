@@ -26,6 +26,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def epoch_us_col(df: DataFrame, ts_col: str) -> F.Column:
+    """Wall-clock microseconds since 1970-01-01 00:00:00, in the column's
+    OWN type: for TIMESTAMP_NTZ the diff is tz-free by construction; for
+    TIMESTAMP the epoch literal is parsed in the session tz, so the diff
+    is the same wall-clock measure (``unix_micros`` alone would reject
+    NTZ columns — parquet event tables are NTZ — and would shift bucket
+    boundaries by the session-tz offset)."""
+    t = dict(df.dtypes)[ts_col]
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast(t), F.col(ts_col)
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -307,3 +320,139 @@ def track_speed(
         | ((F.col("_dt_us") == 0) & (F.col("dist_m") > 0.0))
     )
     return out.withColumn("implausible", implausible).drop("_dt_us")
+
+
+def resample_fill(
+    events: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Calendar resampling with gap fill: bucket each key's events onto a
+    fixed ``step_seconds`` grid, emit EVERY bucket between the key's first
+    and last event (gaps included), and carry the last observed value
+    forward (LOCF) across the gaps.
+
+    The recrawl/metrics counterpart of ``sessionize``: crawl telemetry and
+    per-host fetch rates arrive irregularly, but budget models and change-
+    rate estimators (operators/crawl.py) want a dense regular series.  The
+    reference engine has no temporal operators — this extends the engine
+    the way the other event primitives do, Spark-first.
+
+    Plan shape, scale-first: per-key bucket bounds are ONE partial-agg
+    shuffle on the key; the dense spine is ``sequence() + explode`` on the
+    executors (output-proportional, never driver-side); observed buckets
+    are a second partial agg; spine←observed is an equi-join on
+    (key, bucket) — co-partitioned, AQE-broadcastable when keys are few;
+    LOCF is one ordered window over the same key partitioning.  Bucket
+    arithmetic is exact integer microseconds (wall-clock epoch floor-div),
+    so every row replays bit-for-bit in a SQL twin.  The per-bucket "last
+    observed" pick is the lexicographic max of ``(ts, value)`` — ties on
+    ts resolve deterministically by value, engine-independent.
+
+    Output: one row per (key, bucket) — ``bucket_ts`` (bucket start as
+    timestamp), ``n_obs`` (0 on gap rows), ``v_sum`` (0.0 on gaps),
+    ``v_last`` (null on gaps), ``v_fill`` (LOCF; null before the key's
+    first observation — which cannot happen here since the spine starts at
+    the first event, but holds for pre-extended spines).
+    """
+    if step_seconds <= 0:
+        raise ValueError(f"step_seconds must be > 0, got {step_seconds}")
+    step_us = int(step_seconds) * 1_000_000
+    key = [F.col(c) for c in key_cols]
+    us = epoch_us_col(events, ts_col)
+    # exact integer floor-div: subtract the remainder first so the double
+    # division is of an exact multiple (always bit-exact), rather than
+    # trusting double rounding of us/step near bucket boundaries
+    bucket = ((us - F.pmod(us, F.lit(step_us))) / F.lit(step_us)).cast("long")
+
+    obs = events.groupBy(*key, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.col(value_col)).alias("v_sum"),
+        F.max(F.struct(F.col(ts_col).alias("ts"), F.col(value_col).alias("v")))[
+            "v"
+        ].alias("v_last"),
+    )
+    spine = (
+        events.groupBy(*key)
+        .agg(F.min(bucket).alias("b0"), F.max(bucket).alias("b1"))
+        .select(*key, F.explode(F.sequence("b0", "b1")).alias("bucket"))
+    )
+    joined = spine.join(obs, [*key_cols, "bucket"], "left")
+    locf = (
+        Window.partitionBy(*key)
+        .orderBy(F.col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *key,
+        F.timestamp_micros(F.col("bucket") * F.lit(step_us)).alias("bucket_ts"),
+        F.coalesce(F.col("n_obs"), F.lit(0).cast("long")).alias("n_obs"),
+        F.coalesce(F.col("v_sum"), F.lit(0.0)).alias("v_sum"),
+        F.col("v_last"),
+        F.last(F.col("v_last"), ignorenulls=True).over(locf).alias("v_fill"),
+    )
+
+
+def rolling_stats(
+    events: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+    scale: int = 100,
+) -> DataFrame:
+    """Trailing time-range window aggregates: for every event, count / sum /
+    mean / min / max of ``value_col`` over the SAME key's events in
+    ``[ts - window_seconds, ts]`` (inclusive both ends — RANGE frame
+    semantics: all peers of the boundary timestamps are in).
+
+    The burst/rate detector of the event family (crawl-rate spikes, host
+    error bursts) — a true range frame, not row-count lookback, so
+    irregular arrival density is handled exactly.
+
+    Plan shape: ONE shuffle on the key; the range frame streams each
+    sorted partition with state proportional to the window span, never
+    the partition.  The frame is ordered by exact integer microseconds.
+    Sums are made order-independent by fixing values at ``scale`` decimal
+    ticks (``round(value*scale)`` as long) — integer addition commutes,
+    so the float-summation-order difference between engines vanishes;
+    the mean is ONE double division at the end.  Ties in ts: RANGE frames
+    include all equal-key peers in both engines by definition.
+
+    Output: input key/ts plus ``n_win, sum_win, mean_win, min_win,
+    max_win`` (sums/extrema in original value units).
+    """
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be > 0, got {window_seconds}")
+    if scale <= 0:
+        raise ValueError(f"scale must be > 0, got {scale}")
+    win_us = int(window_seconds) * 1_000_000
+    key = [F.col(c) for c in key_cols]
+    ticks = F.round(F.col(value_col) * F.lit(int(scale))).cast("long")
+    w = (
+        Window.partitionBy(*key)
+        .orderBy(epoch_us_col(events, ts_col))
+        .rangeBetween(-win_us, 0)
+    )
+    n = F.count(F.lit(1)).over(w).cast("long")
+    s = F.sum(ticks).over(w)
+    return events.select(
+        *key,
+        F.col(ts_col),
+        F.col(value_col),
+        n.alias("n_win"),
+        (s.cast("double") / F.lit(float(scale))).alias("sum_win"),
+        (
+            s.cast("double") / n.cast("double") / F.lit(float(scale))
+        ).alias("mean_win"),
+        (F.min(ticks).over(w).cast("double") / F.lit(float(scale))).alias(
+            "min_win"
+        ),
+        (F.max(ticks).over(w).cast("double") / F.lit(float(scale))).alias(
+            "max_win"
+        ),
+    )
