@@ -972,6 +972,70 @@ def _q_rolling(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("user_id", "ts_us", "value")
 
 
+# mojibake fixture pieces (built with chr() so the source stays ASCII):
+# cp1252-glyph-flavoured corruptions of é “ — € plus their clean forms
+_MJ_E = chr(0xC3) + chr(0xA9)                       # 'Ã©'  <- é
+_MJ_LQ = chr(0xE2) + chr(0x20AC) + chr(0x153)       # 'â€œ' <- U+201C
+_MJ_DA = chr(0xE2) + chr(0x20AC) + chr(0x201D)      # 'â€”' <- U+2014
+_MJ_EU = chr(0xE2) + chr(0x201A) + chr(0xAC)        # 'â‚¬' <- U+20AC
+_MJ_TAIL = " " + _MJ_LQ + " " + _MJ_DA + " " + _MJ_EU
+_CL_TAIL = " " + chr(0x201C) + " " + chr(0x2014) + " " + chr(0x20AC)
+_MJ_BAD = " " + chr(0xC2) + chr(0xBF) + chr(0xC3) + "Q"   # mark, invalid utf8
+_MJ_ACCENT = " d" + chr(0xE9) + "j" + chr(0xE0)           # legit ' déjà'
+
+
+def _q_mojibake(spark: SparkSession, sf: str) -> DataFrame:
+    """Mojibake repair (functions/text.py fix_mojibake): documents re-cut
+    into synthetic corrupted pages — a varying count of 'cafÃ©' artifacts
+    plus glyph-flavoured quote/dash/euro mojibake — with two poison
+    branches: an invalid-UTF-8 mark (must be kept verbatim) and a
+    legitimate accented word (must never be 'repaired').  The operator is
+    one translate + one validation regexp + a branch-gated encode/decode,
+    all JVM.  The oracle NEVER runs a decoder: it predicts every output
+    analytically from the synthesis recipe (clean forms + mark counts)."""
+    from open_vector_tile_spark.functions.text import fix_mojibake
+
+    docs = _load(spark, sf, "documents")
+    ts = F.split(F.col("text"), " ")
+    base = F.array_join(F.slice(ts, 1, 4), " ")
+    k = (F.col("n_chars") % 3 + 1).cast("int")
+    moji = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(base, F.lit(_MJ_BAD)))
+        .when(F.col("doc_id") % 7 == 3, F.concat(base, F.lit(_MJ_ACCENT)))
+        .otherwise(
+            F.concat(base, F.repeat(F.lit(" caf" + _MJ_E), k), F.lit(_MJ_TAIL))
+        )
+    )
+    out = docs.select(
+        "doc_id", fix_mojibake(moji).alias("m")
+    ).select("doc_id", "m.*")
+    return out.orderBy("doc_id")
+
+
+def _mojibake_oracle_sql() -> str:
+    """Analytic twin: replays the synthesis recipe and predicts n_marks /
+    repaired / text_fixed per branch without running any charset code."""
+    return f"""
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             coalesce(array_to_string(
+               (regexp_split_to_array(text, ' '))[1:4], ' '), '') AS base,
+             n_chars % 3 + 1 AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1
+                     WHEN doc_id % 7 = 3 THEN 0
+                     ELSE k + 3 END AS BIGINT) AS n_marks,
+           (doc_id % 5 <> 0 AND doc_id % 7 <> 3) AS repaired,
+           CASE WHEN doc_id % 5 = 0 THEN base || '{_MJ_BAD}'
+                WHEN doc_id % 7 = 3 THEN base || '{_MJ_ACCENT}'
+                ELSE base || repeat(' caf' || chr(233), k) || '{_CL_TAIL}'
+           END AS text_fixed
+    FROM w ORDER BY doc_id
+"""
+
+
 def _q_det_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic content-hash sampling (reproducible across runs/cluster
     sizes/engines — md5 prefix threshold, no rand())."""
@@ -5572,6 +5636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_tiles": _q_adaptive_tiles,
         "boilerplate": _q_boilerplate,
         "main_content": _q_main_content,
+        "mojibake": _q_mojibake,
         "idw_surface": _q_idw_surface,
         "densify_routes": _q_densify_routes,
         "host_terms": _q_host_terms,
@@ -9070,6 +9135,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate": _boilerplate_oracle_sql(),
         "main_content": _main_content_oracle_sql(),
         "resample": _RESAMPLE_ORACLE_SQL,
+        "mojibake": _mojibake_oracle_sql(),
         "rolling": _ROLLING_ORACLE_SQL,
         "idw_surface": _IDW_ORACLE_SQL,
         "densify_routes": _DENSIFY_ORACLE_SQL,

@@ -568,3 +568,99 @@ def main_content(
         ),
         body,
     )
+
+
+# Windows-1252 byte -> Unicode glyph for 0x80-0x9F (the 5 undefined bytes
+# 0x81 0x8D 0x8F 0x90 0x9D stay as C1 control codepoints, the "sloppy
+# cp1252" convention).  The INVERSE of this table turns glyph-flavoured
+# mojibake (\u00e2\u20ac\u2122 for an apostrophe) back into byte-flavoured
+# mojibake so one latin-1 re-encode recovers the original UTF-8 bytes.
+_CP1252_GLYPHS = "".join(
+    chr(c)
+    for c in (
+        0x20AC, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021, 0x02C6,
+        0x2030, 0x0160, 0x2039, 0x0152, 0x017D, 0x2018, 0x2019, 0x201C,
+        0x201D, 0x2022, 0x2013, 0x2014, 0x02DC, 0x2122, 0x0161, 0x203A,
+        0x0153, 0x017E, 0x0178,
+    )
+)
+_CP1252_BYTES = "".join(
+    chr(c)
+    for c in (
+        0x80, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x8B,
+        0x8C, 0x8E, 0x91, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99,
+        0x9A, 0x9B, 0x9C, 0x9E, 0x9F,
+    )
+)
+# a mojibake "mark": a UTF-8 lead byte seen as a latin-1/cp1252 char
+# (\u00c2=C2, \u00c3=C3, \u00e2=E2) followed by a plausible continuation
+# char — either a raw 0x80-0xBF codepoint or its cp1252 glyph rendering
+_MOJI_MARK_RE = (
+    "[" + chr(0xC2) + chr(0xC3) + chr(0xE2) + "]"
+    "[" + chr(0x80) + "-" + chr(0xBF) + _CP1252_GLYPHS + "]"
+)
+
+
+_UTF8_VALID_RE = (
+    "^(?:[\\x00-\\x7F]"
+    "|[\\xC2-\\xDF][\\x80-\\xBF]"
+    "|\\xE0[\\xA0-\\xBF][\\x80-\\xBF]"
+    "|[\\xE1-\\xEC][\\x80-\\xBF]{2}"
+    "|\\xED[\\x80-\\x9F][\\x80-\\xBF]"
+    "|[\\xEE-\\xEF][\\x80-\\xBF]{2}"
+    "|\\xF0[\\x90-\\xBF][\\x80-\\xBF]{2}"
+    "|[\\xF1-\\xF3][\\x80-\\xBF]{3}"
+    "|\\xF4[\\x80-\\x8F][\\x80-\\xBF]{2})*+$"
+)
+
+
+def fix_mojibake(text: Column, *, min_marks: int = 1) -> Column:
+    """UTF-8-read-as-latin-1/cp1252 detection and repair (the ftfy step of
+    a webtext pipeline): normalize cp1252 glyph artifacts back to their
+    byte codepoints with ONE ``translate``, re-encode as ISO-8859-1 (an
+    exact inverse for codepoints <= 0xFF), and re-decode as UTF-8 —
+    entirely JVM built-ins, no Python, no shuffle.
+
+    A repair is ACCEPTED only when all of:
+    - the text shows >= ``min_marks`` mojibake marks (a lead-byte char
+      C2/C3/E2 followed by a continuation-range char or its cp1252 glyph);
+    - after glyph normalization every codepoint is <= 0xFF (otherwise the
+      latin-1 encode would '?'-corrupt — the text was never latin-1-round-
+      tripped UTF-8);
+    - the UTF-8 re-decode produced no U+FFFD replacement char (legitimate
+      accented latin-1 text like 'd\u00e9j\u00e0' fails UTF-8 validation
+      and is kept verbatim);
+    - the repair strictly shrank the string (every multi-byte UTF-8
+      sequence collapses; equal length == pure ASCII == nothing to fix).
+
+    Rejected rows keep their text byte-identical — the pipeline's
+    text-integrity invariant.  Returns ``struct(n_marks, repaired,
+    text_fixed)``.  Single pass: doubly-encoded mojibake needs two
+    applications (compose the operator; each pass is independently safe).
+    """
+    if min_marks < 1:
+        raise ValueError(f"min_marks must be >= 1, got {min_marks}")
+    norm = F.translate(text, _CP1252_GLYPHS, _CP1252_BYTES)
+    # strict structural UTF-8 validation over the latin-1 codepoints BEFORE
+    # any decode: Spark 4's decode() THROWS on malformed input
+    # (MALFORMED_CHARACTER_CODING), so validity must gate the branch, and
+    # CaseWhen's per-row lazy branch evaluation keeps invalid rows from
+    # ever reaching the decoder.  The class also enforces codepoint <= 0xFF
+    # (anything above can't have come from a latin-1 read) and rejects
+    # overlongs (C0/C1), surrogates (ED A0-BF), and > U+10FFFF (F4 90+) —
+    # exactly python's strict utf-8 decode.
+    valid = norm.rlike(_UTF8_VALID_RE)
+    redecoded = F.when(valid, F.decode(F.encode(norm, "ISO-8859-1"), "UTF-8"))
+    n_marks = F.size(F.regexp_extract_all(text, F.lit(_MOJI_MARK_RE), 0))
+    accepted = (
+        (n_marks >= F.lit(int(min_marks)))
+        & valid
+        & (F.length(redecoded) < F.length(text))
+    )
+    return F.struct(
+        n_marks.cast("long").alias("n_marks"),
+        F.coalesce(accepted, F.lit(False)).alias("repaired"),
+        F.when(
+            F.coalesce(accepted, F.lit(False)), redecoded
+        ).otherwise(text).alias("text_fixed"),
+    )
