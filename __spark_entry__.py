@@ -4903,6 +4903,115 @@ def _q_idw_surface(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("gx", "gy")
 
 
+def _q_line_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Polyline stitching (operators/geometry.py line_merge): documents
+    become road segments — ten-segment chains per group, every fifth
+    group closed into a ring (flagged, not ranked), every fourth group
+    given a junction spur that breaks its chain at degree 3.  The
+    operator resolves chains with directed half-edge pointer doubling
+    (log-rounds self-joins); the oracle walks the SAME state graph with a
+    bounded recursive CTE — the prefix-enumerating strategy the operator
+    avoids at scale — then replays the seg-local head/rank math."""
+    from open_vector_tile_spark.operators.geometry import line_merge
+
+    docs = _load(spark, sf, "documents").select("doc_id")
+    g = (F.col("doc_id") / 10).cast("long")
+    p = F.col("doc_id") % 10
+    base = docs.select(
+        F.col("doc_id").alias("seg_id"),
+        g.alias("ax"),
+        p.alias("ay"),
+        g.alias("bx"),
+        F.when(g % 5 == 3, (p + 1) % 10).otherwise(p + 1).alias("by"),
+    )
+    spurs = docs.filter((p == 0) & (g % 4 == 0)).select(
+        (F.lit(1000000) + g).alias("seg_id"),
+        g.alias("ax"),
+        F.lit(5).cast("long").alias("ay"),
+        (F.lit(1000000) + g).alias("bx"),
+        F.lit(0).cast("long").alias("by"),
+    )
+    out = line_merge(base.unionByName(spurs), max_chain_len=64)
+    return out.orderBy("seg_id")
+
+
+_LINE_MERGE_ORACLE_SQL = """
+    -- independent replay: the weld/state construction in integer-key form
+    -- (min/max over seg*2+e instead of struct ordering), the walk as a
+    -- bounded RECURSIVE CTE enumerating every prefix (the strategy the
+    -- operator's pointer doubling exists to avoid), then the identical
+    -- seg-local flip/min rank math
+    WITH RECURSIVE segs AS (
+      SELECT doc_id AS seg_id, doc_id // 10 AS g, doc_id % 10 AS p
+      FROM documents
+    ),
+    base AS (
+      SELECT seg_id, g AS ax, p AS ay, g AS bx,
+             CASE WHEN g % 5 = 3 THEN (p + 1) % 10 ELSE p + 1 END AS by
+      FROM segs
+      UNION ALL
+      SELECT 1000000 + g, g, 5, 1000000 + g, 0
+      FROM segs WHERE p = 0 AND g % 4 = 0
+    ),
+    ends AS (
+      SELECT seg_id AS seg, 0 AS e, ax || ',' || ay AS node FROM base
+      UNION ALL
+      SELECT seg_id, 1, bx || ',' || by FROM base
+    ),
+    pairs AS (
+      SELECT min(seg * 2 + e) AS lo, max(seg * 2 + e) AS hi
+      FROM ends GROUP BY node
+      HAVING count(*) = 2 AND min(seg * 2 + e) // 2 <> max(seg * 2 + e) // 2
+    ),
+    succ AS (
+      SELECT (lo // 2) * 2 + (1 - lo % 2) AS st, (hi // 2) * 2 + hi % 2 AS nx
+      FROM pairs
+      UNION ALL
+      SELECT (hi // 2) * 2 + (1 - hi % 2), (lo // 2) * 2 + lo % 2 FROM pairs
+    ),
+    states AS (
+      SELECT seg_id * 2 AS st FROM base
+      UNION ALL
+      SELECT seg_id * 2 + 1 FROM base
+    ),
+    walk AS (
+      SELECT st, st AS cur, 0 AS d FROM states
+      UNION ALL
+      SELECT w.st, s.nx, w.d + 1 FROM walk w JOIN succ s ON s.st = w.cur
+      WHERE w.d < 64
+    ),
+    term AS (
+      SELECT w.st, w.cur AS term, w.d AS d
+      FROM walk w LEFT JOIN succ s ON s.st = w.cur
+      WHERE s.st IS NULL
+    ),
+    per_seg AS (
+      SELECT s.st // 2 AS seg,
+             max(CASE WHEN s.st % 2 = 0 THEN t.term END) AS t0,
+             max(CASE WHEN s.st % 2 = 0 THEN t.d END) AS d0,
+             max(CASE WHEN s.st % 2 = 1 THEN t.term END) AS t1,
+             max(CASE WHEN s.st % 2 = 1 THEN t.d END) AS d1,
+             bool_or(s.st % 2 = 0 AND t.st IS NULL)
+               OR bool_or(s.st % 2 = 1 AND t.st IS NULL) AS is_ring
+      FROM states s LEFT JOIN term t USING (st)
+      GROUP BY 1
+    )
+    SELECT seg AS seg_id,
+           CASE WHEN is_ring THEN NULL
+                ELSE CAST(least(xor(t1, 1), xor(t0, 1)) // 2 AS BIGINT)
+           END AS chain_id,
+           CASE WHEN is_ring THEN NULL
+                WHEN xor(t1, 1) <= xor(t0, 1) THEN CAST(d1 AS BIGINT)
+                ELSE CAST(d0 AS BIGINT)
+           END AS pos,
+           CASE WHEN is_ring THEN NULL
+                ELSE CAST(d0 + d1 + 1 AS BIGINT)
+           END AS chain_len,
+           is_ring
+    FROM per_seg ORDER BY seg_id
+"""
+
+
 def _q_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style paragraph boilerplate removal: documents re-cut into three
     deterministic paragraphs (word slices joined by blank lines), then the
@@ -5637,6 +5746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": _q_boilerplate,
         "main_content": _q_main_content,
         "mojibake": _q_mojibake,
+        "line_merge": _q_line_merge,
         "idw_surface": _q_idw_surface,
         "densify_routes": _q_densify_routes,
         "host_terms": _q_host_terms,
@@ -9136,6 +9246,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": _main_content_oracle_sql(),
         "resample": _RESAMPLE_ORACLE_SQL,
         "mojibake": _mojibake_oracle_sql(),
+        "line_merge": _LINE_MERGE_ORACLE_SQL,
         "rolling": _ROLLING_ORACLE_SQL,
         "idw_surface": _IDW_ORACLE_SQL,
         "densify_routes": _DENSIFY_ORACLE_SQL,

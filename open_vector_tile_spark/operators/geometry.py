@@ -505,3 +505,159 @@ def segment_intersection_join(
     return pairs.where(proper | touch).select(
         F.col("a_id").alias("seg_a"), F.col("b_id").alias("seg_b")
     )
+
+
+
+def line_merge(
+    segments: DataFrame,
+    *,
+    seg_col: str = "seg_id",
+    ax: str = "ax",
+    ay: str = "ay",
+    bx: str = "bx",
+    by: str = "by",
+    max_chain_len: int = 1 << 16,
+) -> DataFrame:
+    """ST_LineMerge analogue: stitch touching 2-point segments into maximal
+    chains.  Two segment ends WELD when their shared endpoint has degree
+    exactly 2 (and the two ends belong to different segments); junctions
+    (degree >= 3), free ends, and self-loops all break chains.  Closed
+    rings — components where every end welds — are FLAGGED, not ranked
+    (``is_ring = true``, null chain columns): a ring has no canonical
+    head, and downstream tiling usually wants rings routed to the polygon
+    path anyway.
+
+    -> one row per segment: ``(seg_id, chain_id, pos, chain_len,
+    is_ring)`` where ``chain_id`` is the head segment's id, ``pos`` is the
+    0-based rank along the chain from the head, and the head is the
+    direction start with the smallest (seg_id, end) key — deterministic
+    across runs, partitionings, and engines.
+
+    Algorithm — directed half-edge pointer doubling, no per-chain walk:
+    a traversal STATE is (segment, entry_end); its successor is the state
+    entered through the weld at the exit end.  Chains of length L resolve
+    in ceil(log2 L) self-join rounds (the redirect-resolution recipe,
+    operators/redirects.py), each ONE shuffle on the jump key with
+    per-round localCheckpoint + free.  The rank math is then SEG-LOCAL:
+    for a segment's two states u0/u1 with terminal states t0/t1 and
+    distances d0/d1, the two direction heads are flip(t1)/flip(t0)
+    (flip = XOR 1 on the state key), the canonical head is their min,
+    pos = the OPPOSITE state's distance, and chain_len = d0 + d1 + 1 —
+    no join against a chain table at all.  State count is exactly 2 rows
+    per segment; payloads never travel.
+
+    The reference's tile pipeline has no cross-feature geometry assembly
+    (features are encoded independently — open-vector-tile
+    writeOVLayer path); this operator extends the engine for the
+    generalization step a 100 TB road/boundary corpus needs before
+    per-zoom simplification.
+    """
+    if max_chain_len < 1:
+        raise ValueError(f"max_chain_len must be >= 1, got {max_chain_len}")
+    import math
+
+    from .graph import _free_checkpoint
+
+    seg = F.col(seg_col).cast("long")
+    node0 = F.concat_ws(",", F.col(ax), F.col(ay))
+    node1 = F.concat_ws(",", F.col(bx), F.col(by))
+    ends = segments.select(
+        seg.alias("seg"), F.lit(0).alias("e"), node0.alias("node")
+    ).unionByName(
+        segments.select(
+            seg.alias("seg"), F.lit(1).alias("e"), node1.alias("node")
+        )
+    )
+    # weld nodes: exactly two incident ends, from two DIFFERENT segments
+    # (a self-loop contributes both its ends; min.seg == max.seg kills it)
+    pairs = (
+        ends.groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("deg"),
+            F.min(F.struct("seg", "e")).alias("lo"),
+            F.max(F.struct("seg", "e")).alias("hi"),
+        )
+        .filter((F.col("deg") == 2) & (F.col("lo.seg") != F.col("hi.seg")))
+    )
+    # state key = seg*2 + entry_end; the state EXITING at end e of seg s is
+    # s*2 + (1-e), and it continues into the weld partner entered at ITS end
+    succ = pairs.select(
+        (F.col("lo.seg") * 2 + (1 - F.col("lo.e"))).alias("st"),
+        (F.col("hi.seg") * 2 + F.col("hi.e")).alias("succ"),
+    ).unionByName(
+        pairs.select(
+            (F.col("hi.seg") * 2 + (1 - F.col("hi.e"))).alias("st"),
+            (F.col("lo.seg") * 2 + F.col("lo.e")).alias("succ"),
+        )
+    )
+    states = (
+        segments.select(F.explode(F.array(seg * 2, seg * 2 + 1)).alias("st"))
+        .join(succ, on="st", how="left")
+        .select(
+            "st",
+            F.col("succ").alias("nxt"),
+            F.when(F.col("succ").isNull(), F.col("st")).alias("term"),
+            F.when(F.col("succ").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rounds = max(1, math.ceil(math.log2(max(2, max_chain_len)))) + 1
+    for _ in range(rounds):
+        hop = states.select(
+            F.col("st").alias("nxt"),
+            F.col("nxt").alias("_n2"),
+            F.col("term").alias("_t2"),
+            F.col("d").alias("_d2"),
+        )
+        stepped = (
+            states.join(hop, on="nxt", how="left")
+            .select(
+                "st",
+                F.when(F.col("term").isNotNull(), F.lit(None).cast("long"))
+                .otherwise(F.col("_n2"))
+                .alias("nxt"),
+                F.coalesce(F.col("term"), F.col("_t2")).alias("term"),
+                F.when(F.col("term").isNotNull(), F.col("d"))
+                .otherwise(F.col("d") + F.coalesce(F.col("_d2"), F.lit(0)))
+                .alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        pending = stepped.filter(F.col("term").isNull()).count()
+        _free_checkpoint(states)
+        states = stepped
+        if pending == 0:
+            break
+    # ring states never resolve within the budget: term stays null.  Seg
+    # assembly: pivot the two states onto one row, then pure column math.
+    per_seg = (
+        states.groupBy((F.col("st") / 2).cast("long").alias("seg"))
+        .agg(
+            F.max(F.when(F.col("st") % 2 == 0, F.col("term"))).alias("t0"),
+            F.max(F.when(F.col("st") % 2 == 0, F.col("d"))).alias("d0"),
+            F.max(F.when(F.col("st") % 2 == 1, F.col("term"))).alias("t1"),
+            F.max(F.when(F.col("st") % 2 == 1, F.col("d"))).alias("d1"),
+            F.max(F.when(F.col("st") % 2 == 0, F.col("term").isNull())).alias(
+                "r0"
+            ),
+            F.max(F.when(F.col("st") % 2 == 1, F.col("term").isNull())).alias(
+                "r1"
+            ),
+        )
+    )
+    f0 = F.col("t1").bitwiseXOR(F.lit(1))  # head state of direction 0
+    f1 = F.col("t0").bitwiseXOR(F.lit(1))  # head state of direction 1
+    is_ring = F.col("r0") | F.col("r1")
+    head = F.least(f0, f1)
+    return per_seg.select(
+        F.col("seg").alias(seg_col),
+        F.when(~is_ring, (head / 2).cast("long")).alias("chain_id"),
+        F.when(
+            ~is_ring, F.when(f0 <= f1, F.col("d1")).otherwise(F.col("d0"))
+        ).alias("pos"),
+        F.when(~is_ring, F.col("d0") + F.col("d1") + 1).alias("chain_len"),
+        is_ring.alias("is_ring"),
+    )

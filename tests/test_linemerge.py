@@ -1,0 +1,195 @@
+"""line_merge: python-reference parity (independent chain walker), chain
+ordering and head choice, junction/ring/self-loop semantics, repartition
+invariance."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from open_vector_tile_spark.operators.geometry import line_merge
+
+
+def _ref(segs):
+    """Independent reference: explicit endpoint maps + sequential walks."""
+    ends = {}  # node -> [(seg, e)]
+    for s, (a, b) in segs.items():
+        ends.setdefault(a, []).append((s, 0))
+        ends.setdefault(b, []).append((s, 1))
+
+    def weld(node):
+        inc = ends[node]
+        return len(inc) == 2 and inc[0][0] != inc[1][0]
+
+    def partner(seg, e, node):
+        for s2, e2 in ends[node]:
+            if (s2, e2) != (seg, e):
+                return (s2, e2)
+        raise AssertionError
+
+    out = {}
+    visited = set()
+    for s in sorted(segs):
+        if s in visited:
+            continue
+        # walk both directions from s to find the full chain / detect ring
+        chain = [(s, None)]
+        ring = False
+        for direction in (0, 1):  # extend past end `direction`
+            cur, exit_e = s, direction
+            while True:
+                node = segs[cur][exit_e]
+                if not weld(node):
+                    break
+                nseg, nent = partner(cur, exit_e, node)
+                if nseg == s:  # wrapped around
+                    ring = True
+                    break
+                if direction == 0:
+                    chain.insert(0, (nseg, None))
+                else:
+                    chain.append((nseg, None))
+                cur, exit_e = nseg, 1 - nent
+            if ring:
+                break
+        if ring:
+            comp = {c for c, _ in chain}
+            # re-walk to collect every ring member
+            cur, exit_e = s, 0
+            while True:
+                node = segs[cur][exit_e]
+                nseg, nent = partner(cur, exit_e, node)
+                comp.add(nseg)
+                if nseg == s:
+                    break
+                cur, exit_e = nseg, 1 - nent
+            for c in comp:
+                out[c] = (None, None, None, True)
+                visited.add(c)
+            continue
+        members = [c for c, _ in chain]
+        # canonical head: direction start with the smaller (seg, entry-end)
+        # state key; the start's entry end is its FREE end
+        def start_key(idx, other_idx):
+            seg_ = members[idx]
+            a, b = segs[seg_]
+            # free end = the end NOT welded toward the chain interior
+            if len(members) == 1:
+                return seg_ * 2  # entry end 0 by the min-state rule
+            nxt = members[other_idx]
+            shared = {a, b} & set(segs[nxt])
+            inner = shared.pop()
+            free_e = 0 if segs[seg_][1] == inner else 1
+            return seg_ * 2 + free_e
+
+        k_front = start_key(0, 1) if len(members) > 1 else members[0] * 2
+        k_back = (
+            start_key(len(members) - 1, len(members) - 2)
+            if len(members) > 1
+            else members[0] * 2 + 1
+        )
+        ordered = members if k_front <= k_back else members[::-1]
+        head = ordered[0]
+        for pos, c in enumerate(ordered):
+            out[c] = (head, pos, len(members), False)
+            visited.add(c)
+    return out
+
+
+def _run(spark, segs, npart=None):
+    rows = [(s, a[0], a[1], b[0], b[1]) for s, (a, b) in segs.items()]
+    df = spark.createDataFrame(rows, ["seg_id", "ax", "ay", "bx", "by"])
+    if npart:
+        df = df.repartition(npart)
+    return {
+        r["seg_id"]: (r["chain_id"], r["pos"], r["chain_len"], r["is_ring"])
+        for r in line_merge(df).collect()
+    }
+
+
+def test_simple_chain_ordered(spark):
+    segs = {0: ((0, 0), (1, 0)), 1: ((1, 0), (2, 0)), 2: ((2, 0), (3, 0))}
+    got = _run(spark, segs)
+    assert got == {
+        0: (0, 0, 3, False),
+        1: (0, 1, 3, False),
+        2: (0, 2, 3, False),
+    }
+
+
+def test_reversed_and_shuffled_orientations(spark):
+    # same chain, mixed a/b orientation and non-contiguous ids
+    segs = {7: ((1, 0), (0, 0)), 3: ((2, 0), (1, 0)), 9: ((2, 0), (3, 0))}
+    got = _run(spark, segs)
+    assert got == _ref(segs)
+    lens = {v[2] for v in got.values()}
+    assert lens == {3}
+
+
+def test_junction_breaks_chain(spark):
+    segs = {
+        0: ((0, 0), (1, 0)),
+        1: ((1, 0), (2, 0)),
+        2: ((2, 0), (3, 0)),
+        3: ((2, 0), (2, 1)),  # T-junction at (2,0): degree 3
+    }
+    got = _run(spark, segs)
+    assert got[0][2] == 2 and got[1][2] == 2  # chain {0,1}
+    assert got[2][2] == 1 and got[3][2] == 1  # singletons past the junction
+    assert got == _ref(segs)
+
+
+def test_ring_flagged(spark):
+    segs = {
+        0: ((0, 0), (1, 0)),
+        1: ((1, 0), (1, 1)),
+        2: ((1, 1), (0, 1)),
+        3: ((0, 1), (0, 0)),
+    }
+    got = _run(spark, segs)
+    for s in segs:
+        assert got[s] == (None, None, None, True)
+
+
+def test_self_loop_and_isolated(spark):
+    segs = {0: ((5, 5), (5, 5)), 1: ((9, 9), (10, 9))}
+    got = _run(spark, segs)
+    assert got[0] == (0, 0, 1, False)
+    assert got[1] == (1, 0, 1, False)
+
+
+def test_parallel_pair_is_ring(spark):
+    segs = {0: ((0, 0), (1, 0)), 1: ((1, 0), (0, 0))}
+    got = _run(spark, segs)
+    assert got[0][3] and got[1][3]
+
+
+def test_matches_reference_randomized(spark):
+    rng = np.random.default_rng(41)
+    segs = {}
+    sid = 0
+    for g in range(12):
+        n = int(rng.integers(1, 9))
+        closed = rng.random() < 0.25 and n >= 3
+        perm = rng.permutation(n)
+        for p in perm:
+            a, b = (g, int(p)), (g, int((p + 1) % n if closed else p + 1))
+            if rng.random() < 0.5:
+                a, b = b, a
+            segs[sid] = (a, b)
+            sid += 3  # non-contiguous ids
+        if rng.random() < 0.4 and not closed and n >= 4:
+            segs[sid] = ((g, 2), (g + 100, 0))  # junction spur
+            sid += 3
+    got = _run(spark, segs, npart=7)
+    assert got == _ref(segs)
+
+
+def test_repartition_invariance(spark):
+    segs = {i: ((i // 6, i % 6), (i // 6, i % 6 + 1)) for i in range(36)}
+    assert _run(spark, segs, 2) == _run(spark, segs, 19)
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(0, 0, 0, 1, 0)], ["seg_id", "ax", "ay", "bx", "by"])
+    with pytest.raises(ValueError):
+        line_merge(df, max_chain_len=0)
