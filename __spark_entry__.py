@@ -4932,7 +4932,12 @@ def _q_line_merge(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(0).cast("long").alias("by"),
     )
     out = line_merge(base.unionByName(spurs), max_chain_len=64)
-    return out.orderBy("seg_id")
+    return out.withColumn(
+        # rings have no orientation; pin to false so the hash compare never
+        # sees a nullable boolean (pandas None-vs-NaN divergence)
+        "forward",
+        F.coalesce(F.col("forward"), F.lit(False)),
+    ).orderBy("seg_id")
 
 
 _LINE_MERGE_ORACLE_SQL = """
@@ -5007,7 +5012,10 @@ _LINE_MERGE_ORACLE_SQL = """
            CASE WHEN is_ring THEN NULL
                 ELSE CAST(d0 + d1 + 1 AS BIGINT)
            END AS chain_len,
-           is_ring
+           is_ring,
+           CASE WHEN is_ring THEN FALSE
+                ELSE xor(t1, 1) <= xor(t0, 1)
+           END AS forward
     FROM per_seg ORDER BY seg_id
 """
 

@@ -660,4 +660,73 @@ def line_merge(
         ).alias("pos"),
         F.when(~is_ring, F.col("d0") + F.col("d1") + 1).alias("chain_len"),
         is_ring.alias("is_ring"),
+        # canonical-direction state of this seg: direction 0 iff its head is
+        # the canonical one — direction 0 enters at end 0, i.e. traverses
+        # a->b; null for rings
+        F.when(~is_ring, f0 <= f1).alias("forward"),
+    )
+
+
+def merge_chain_points(
+    segments: DataFrame,
+    merged: DataFrame,
+    *,
+    seg_col: str = "seg_id",
+    ax: str = "ax",
+    ay: str = "ay",
+    bx: str = "bx",
+    by: str = "by",
+) -> DataFrame:
+    """Materialize ``line_merge`` chains as ordered vertex arrays:
+    -> (chain_id, n_segs, xs, ys) with each segment contributing its
+    points in traversal orientation (``forward`` a->b, else b->a) and the
+    shared weld vertex deduplicated, so a chain of n segments yields
+    n + 1 vertices.  Ring-flagged segments are excluded (no canonical
+    order to materialize).
+
+    ONE shuffle on chain_id; the per-chain sort is a sorted partial
+    aggregation (array_sort over (pos, points) structs), so chains never
+    hit a window or a driver loop.
+    """
+    j = merged.filter(~F.col("is_ring")).join(
+        segments.select(
+            F.col(seg_col).cast("long").alias(seg_col),
+            F.col(ax).alias("_ax"),
+            F.col(ay).alias("_ay"),
+            F.col(bx).alias("_bx"),
+            F.col(by).alias("_by"),
+        ),
+        on=seg_col,
+    )
+    first = F.when(F.col("forward"), F.struct(F.col("_ax").alias("x"), F.col("_ay").alias("y"))).otherwise(
+        F.struct(F.col("_bx").alias("x"), F.col("_by").alias("y"))
+    )
+    second = F.when(F.col("forward"), F.struct(F.col("_bx").alias("x"), F.col("_by").alias("y"))).otherwise(
+        F.struct(F.col("_ax").alias("x"), F.col("_ay").alias("y"))
+    )
+    rows = j.select(
+        "chain_id",
+        F.col("pos"),
+        # the head segment contributes both vertices; every later segment
+        # only its EXIT vertex (its entry equals the previous exit)
+        F.when(
+            F.col("pos") == 0, F.array(first, second)
+        ).otherwise(F.array(second)).alias("pts"),
+    )
+    agg = rows.groupBy("chain_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("pts")))
+                ),
+                lambda s: s["pts"],
+            )
+        ).alias("_pts"),
+    )
+    return agg.select(
+        "chain_id",
+        "n_segs",
+        F.transform(F.col("_pts"), lambda p: p["x"]).alias("xs"),
+        F.transform(F.col("_pts"), lambda p: p["y"]).alias("ys"),
     )

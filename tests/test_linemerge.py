@@ -193,3 +193,51 @@ def test_validation(spark):
     df = spark.createDataFrame([(0, 0, 0, 1, 0)], ["seg_id", "ax", "ay", "bx", "by"])
     with pytest.raises(ValueError):
         line_merge(df, max_chain_len=0)
+
+
+def test_forward_orientation_and_assembly(spark):
+    from open_vector_tile_spark.operators.geometry import merge_chain_points
+
+    # chain with mixed physical orientation: 1 is reversed (b->a order)
+    segs = {0: ((0, 0), (1, 0)), 1: ((2, 0), (1, 0)), 2: ((2, 0), (3, 0))}
+    rows = [(s, a[0], a[1], b[0], b[1]) for s, (a, b) in segs.items()]
+    df = spark.createDataFrame(rows, ["seg_id", "ax", "ay", "bx", "by"])
+    from open_vector_tile_spark.operators.geometry import line_merge
+
+    merged = line_merge(df)
+    fwd = {r["seg_id"]: r["forward"] for r in merged.collect()}
+    assert fwd == {0: True, 1: False, 2: True}
+    out = merge_chain_points(df, merged).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_segs"] == 3
+    assert list(zip(r["xs"], r["ys"])) == [(0, 0), (1, 0), (2, 0), (3, 0)]
+
+
+def test_assembly_excludes_rings_and_handles_many_chains(spark):
+    from open_vector_tile_spark.operators.geometry import (
+        line_merge,
+        merge_chain_points,
+    )
+
+    segs = {}
+    for i in range(4):  # square ring
+        segs[i] = ((i % 2, i // 2), ((i + 1) % 2 if i < 2 else i % 2, 1 - i // 2))
+    # clean ring: 4 explicit edges of the unit square
+    segs = {
+        0: ((0, 0), (1, 0)),
+        1: ((1, 0), (1, 1)),
+        2: ((1, 1), (0, 1)),
+        3: ((0, 1), (0, 0)),
+        # open 2-chain elsewhere
+        10: ((5, 5), (6, 5)),
+        11: ((6, 5), (7, 5)),
+    }
+    rows = [(s, a[0], a[1], b[0], b[1]) for s, (a, b) in segs.items()]
+    df = spark.createDataFrame(rows, ["seg_id", "ax", "ay", "bx", "by"])
+    merged = line_merge(df)
+    out = merge_chain_points(df, merged).collect()
+    assert len(out) == 1  # ring excluded
+    r = out[0]
+    assert r["chain_id"] == 10 and r["n_segs"] == 2
+    assert list(zip(r["xs"], r["ys"])) == [(5, 5), (6, 5), (7, 5)]
