@@ -5020,6 +5020,87 @@ _LINE_MERGE_ORACLE_SQL = """
 """
 
 
+def _q_fix_winding(spark: SparkSession, sf: str) -> DataFrame:
+    """Polygon ring hygiene (operators/geometry.py fix_winding): documents
+    become w-by-h rectangle rings with planted defects — CW orientation on
+    even ids, a duplicated vertex on ids % 3 == 0, an explicit closing
+    vertex on ids % 4 == 0, hole role on ids % 5 == 0, and a degenerate
+    2-vertex ring on ids % 9 == 5.  The operator repairs everything in one
+    map-side array pass; the oracle is fully ANALYTIC — it predicts the
+    repaired vertex strings, exact 2x signed area, and every flag straight
+    from the synthesis recipe without any geometry code."""
+    from open_vector_tile_spark.operators.geometry import fix_winding
+
+    docs = _load(spark, sf, "documents")
+    w = (F.col("n_chars") % 5 + 1).cast("long")
+    h = (F.col("doc_id") % 3 + 1).cast("long")
+    z = F.lit(0).cast("long")
+    cw = F.col("doc_id") % 2 == 0
+    dup = F.col("doc_id") % 3 == 0
+    closed = F.col("doc_id") % 4 == 0
+    deg = F.col("doc_id") % 9 == 5
+    xs0 = F.array(z, w, w, z)
+    ys0 = F.when(cw, F.array(h, h, z, z)).otherwise(F.array(z, z, h, h))
+
+    def plant(a):
+        a1 = F.when(
+            dup, F.concat(F.slice(a, 1, 2), F.slice(a, 2, 1), F.slice(a, 3, 2))
+        ).otherwise(a)
+        return F.when(closed, F.concat(a1, F.slice(a1, 1, 1))).otherwise(a1)
+
+    synth = docs.select(
+        "doc_id",
+        F.when(deg, F.array(z, w)).otherwise(plant(xs0)).alias("xs"),
+        F.when(deg, F.array(z, z)).otherwise(plant(ys0)).alias("ys"),
+        (F.col("doc_id") % 5 == 0).alias("hole"),
+    )
+    out = fix_winding(synth, hole_col="hole")
+    return out.select(
+        "doc_id",
+        F.concat_ws(",", F.col("xs_fixed")).alias("xs_str"),
+        F.concat_ws(",", F.col("ys_fixed")).alias("ys_str"),
+        "area2",
+        "reversed",
+        "n_dropped",
+        "degenerate",
+    ).orderBy("doc_id")
+
+
+_FIX_WINDING_ORACLE_SQL = """
+    -- analytic twin: every output predicted from the synthesis recipe.
+    -- final xs is always [0,w,w,0]; final ys is the CCW form for outers
+    -- and the CW form for holes; reversed = built-CW XOR hole; area2 =
+    -- +-2wh by role; drops = planted dup + planted closure
+    WITH w AS (
+      SELECT doc_id,
+             n_chars % 5 + 1 AS w,
+             doc_id % 3 + 1 AS h,
+             doc_id % 2 = 0 AS cw,
+             doc_id % 3 = 0 AS dup,
+             doc_id % 4 = 0 AS closed,
+             doc_id % 5 = 0 AS hole,
+             doc_id % 9 = 5 AS deg
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN deg THEN '0,' || w
+                ELSE '0,' || w || ',' || w || ',0' END AS xs_str,
+           CASE WHEN deg THEN '0,0'
+                WHEN hole THEN h || ',' || h || ',0,0'
+                ELSE '0,0,' || h || ',' || h END AS ys_str,
+           CAST(CASE WHEN deg THEN 0
+                     WHEN hole THEN -2 * w * h
+                     ELSE 2 * w * h END AS BIGINT) AS area2,
+           CASE WHEN deg THEN FALSE ELSE cw <> hole END AS reversed,
+           CAST(CASE WHEN deg THEN 0
+                     ELSE CASE WHEN dup THEN 1 ELSE 0 END
+                        + CASE WHEN closed THEN 1 ELSE 0 END
+                END AS BIGINT) AS n_dropped,
+           deg AS degenerate
+    FROM w ORDER BY doc_id
+"""
+
+
 def _q_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style paragraph boilerplate removal: documents re-cut into three
     deterministic paragraphs (word slices joined by blank lines), then the
@@ -5755,6 +5836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": _q_main_content,
         "mojibake": _q_mojibake,
         "line_merge": _q_line_merge,
+        "fix_winding": _q_fix_winding,
         "idw_surface": _q_idw_surface,
         "densify_routes": _q_densify_routes,
         "host_terms": _q_host_terms,
@@ -9255,6 +9337,7 @@ def oracle_sql() -> dict[str, str]:
         "resample": _RESAMPLE_ORACLE_SQL,
         "mojibake": _mojibake_oracle_sql(),
         "line_merge": _LINE_MERGE_ORACLE_SQL,
+        "fix_winding": _FIX_WINDING_ORACLE_SQL,
         "rolling": _ROLLING_ORACLE_SQL,
         "idw_surface": _IDW_ORACLE_SQL,
         "densify_routes": _DENSIFY_ORACLE_SQL,

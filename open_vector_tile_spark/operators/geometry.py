@@ -730,3 +730,96 @@ def merge_chain_points(
         F.transform(F.col("_pts"), lambda p: p["x"]).alias("xs"),
         F.transform(F.col("_pts"), lambda p: p["y"]).alias("ys"),
     )
+
+
+
+def fix_winding(
+    df: DataFrame,
+    *,
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+    hole_col: str | None = None,
+    outer_positive: bool = True,
+) -> DataFrame:
+    """Polygon ring hygiene before tiling (the reference encoder assumes
+    sane rings — classifyRings/signedArea, reference codec/mvt paths):
+    normalize each ring row in ONE map-side pass, no shuffle, no Python.
+
+    Three repairs, in order:
+    1. drop an explicit closing vertex (last == first) — rings are stored
+       open, closure is implicit;
+    2. drop consecutive duplicate vertices (simplification/clip residue);
+    3. reverse the ring when its signed area has the wrong sign for its
+       role: outers must satisfy ``area2 > 0`` when ``outer_positive``
+       (shoelace, y-up; pass False for y-down tile space), holes the
+       opposite.  ``hole_col`` names an optional boolean column; absent
+       means every row is an outer.  Zero-area (collinear) rings are
+       never reversed.
+
+    Appends ``xs_fixed, ys_fixed, area2, reversed, n_dropped,
+    degenerate`` (degenerate = fewer than 3 distinct vertices after
+    cleaning; such rings are returned cleaned but unreversed).  ``area2``
+    is TWICE the signed area after repair — exact integer arithmetic for
+    integer coordinates.
+    """
+    is_hole = F.col(hole_col) if hole_col else F.lit(False)
+
+    def body(pts0: Column) -> Column:
+        n0 = F.size(pts0)
+        # 1. explicit closure: drop the last vertex when it equals the first
+        closed = (n0 >= 2) & (
+            F.element_at(pts0, -1) == F.element_at(pts0, 1)
+        )
+        opened = F.when(closed, F.slice(pts0, 1, n0 - 1)).otherwise(pts0)
+
+        def dedup(pts: Column) -> Column:
+            # keep index 0 and every vertex different from its predecessor;
+            # the when() guard keeps element_at(pts, 0) (an ANSI error —
+            # SQL arrays are 1-based) from ever evaluating on the first
+            # element
+            return F.filter(
+                pts,
+                lambda p, i: F.when(i == F.lit(0), F.lit(True)).otherwise(
+                    p != F.element_at(pts, i)
+                ),
+            )
+
+        clean = dedup(opened)
+        n = F.size(clean)
+        # cyclic shoelace: pair each vertex with its cyclic successor
+        # greatest() guard: slice length must be >= 0 under ANSI even for
+        # empty rings
+        succ = F.concat(
+            F.slice(clean, 2, F.greatest(n - 1, F.lit(0))),
+            F.slice(clean, 1, 1),
+        )
+        area2 = F.aggregate(
+            F.zip_with(
+                clean,
+                succ,
+                lambda a, b: a["x"] * b["y"] - b["x"] * a["y"],
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        degenerate = F.size(F.array_distinct(clean)) < 3
+        want_pos = F.lit(bool(outer_positive)) != is_hole  # XOR
+        wrong = F.when(want_pos, area2 < 0).otherwise(area2 > 0)
+        rev = ~degenerate & wrong
+        fixed = F.when(rev, F.reverse(clean)).otherwise(clean)
+        return F.struct(
+            F.transform(fixed, lambda p: p["x"]).alias("xs_fixed"),
+            F.transform(fixed, lambda p: p["y"]).alias("ys_fixed"),
+            F.when(rev, -area2).otherwise(area2).alias("area2"),
+            rev.alias("reversed"),
+            (n0 - n).cast("long").alias("n_dropped"),
+            degenerate.alias("degenerate"),
+        )
+
+    pts0 = F.zip_with(
+        F.col(xs_col).cast("array<long>"),
+        F.col(ys_col).cast("array<long>"),
+        lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+    )
+    tmp = df.withColumn("_fw", body(pts0))
+    return tmp.select("*", "_fw.*").drop("_fw")
