@@ -1036,6 +1036,52 @@ def _mojibake_oracle_sql() -> str:
 """
 
 
+def _q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase (operators/events.py
+    funnel): one pre-shuffle type filter, ONE groupBy on the user, the
+    funnel automaton as a sorted-array F.aggregate fold.  The oracle
+    computes the same greedy chain with an INDEPENDENT algorithm —
+    sequential min-over-join CTEs (t1 = min view, t2 = min click >= t1,
+    t3 = min purchase >= t2)."""
+    from open_vector_tile_spark.operators.events import funnel
+
+    ev = _load(spark, sf, "events")
+    return funnel(ev, ["view", "click", "purchase"]).orderBy("user_id")
+
+
+_FUNNEL_ORACLE_SQL = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_type AS t FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (
+      SELECT user_id, min(us) AS t1 FROM e WHERE t = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+      WHERE t = 'click' AND us >= t1 GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+      WHERE t = 'purchase' AND us >= t2 GROUP BY 1
+    ),
+    keys AS (SELECT DISTINCT user_id FROM e)
+    SELECT k.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS depth,
+           CAST(t1 AS BIGINT) AS ts1_us,
+           CAST(t2 AS BIGINT) AS ts2_us,
+           CAST(t3 AS BIGINT) AS ts3_us
+    FROM keys k
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    ORDER BY user_id
+"""
+
+
 def _q_det_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic content-hash sampling (reproducible across runs/cluster
     sizes/engines — md5 prefix threshold, no rand())."""
@@ -5734,6 +5780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "resample": _q_resample,
         "rolling": _q_rolling,
+        "funnel": _q_funnel,
         "det_sample": _q_det_sample,
         "dataset_split": _q_dataset_split,
         "corpus_stats": _q_corpus_stats,
@@ -9339,6 +9386,7 @@ def oracle_sql() -> dict[str, str]:
         "line_merge": _LINE_MERGE_ORACLE_SQL,
         "fix_winding": _FIX_WINDING_ORACLE_SQL,
         "rolling": _ROLLING_ORACLE_SQL,
+        "funnel": _FUNNEL_ORACLE_SQL,
         "idw_surface": _IDW_ORACLE_SQL,
         "densify_routes": _DENSIFY_ORACLE_SQL,
         "host_terms": _HOST_TERMS_ORACLE_SQL,

@@ -456,3 +456,83 @@ def rolling_stats(
             "max_win"
         ),
     )
+
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each key, walk the step sequence
+    ``steps`` (e.g. view -> click -> purchase) and record the timestamp at
+    which each step was FIRST reached at-or-after the previous step's
+    time (``>=`` — a same-microsecond pair counts, ties broken by step
+    order).  The chain is anchored greedily at the EARLIEST step-1 event —
+    the standard product-analytics convention; no lookback restarts.
+
+    -> one row per key with at least one funnel-relevant event:
+    ``(*key, depth, ts1_us..tsk_us)`` — depth = number of steps reached,
+    ``tsi_us`` = wall-clock epoch micros of step i (null past depth).
+
+    Plan shape: events are FILTERED to the step types before the shuffle
+    (k types, pushdown-friendly), then ONE groupBy on the key collects
+    each key's (ts, step-idx) pairs, array_sort makes the order canonical,
+    and the funnel automaton is a single F.aggregate fold — no joins, no
+    windows, no Python.  Per-key state is the key's own funnel events
+    only; at 10^12 events the shuffle is hash-partitioned on the key and
+    hot keys are bounded by their funnel-event count (cap upstream if a
+    key can exceed executor memory).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    key = [F.col(c) for c in key_cols]
+    idx = None
+    for i, s in enumerate(steps):
+        cond = F.when(F.col(type_col) == F.lit(s), F.lit(i))
+        idx = cond if idx is None else idx.when(
+            F.col(type_col) == F.lit(s), F.lit(i)
+        )
+    ev = events.withColumn("_sidx", idx).filter(F.col("_sidx").isNotNull())
+    us = epoch_us_col(ev, ts_col)
+    rows = ev.select(
+        *key,
+        F.struct(us.alias("ts"), F.col("_sidx").cast("int").alias("i")).alias(
+            "_e"
+        ),
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("int").alias("nxt"),
+        F.array().cast("array<long>").alias("hits"),
+    )
+
+    def step_fn(acc, e):
+        advance = F.struct(
+            (acc["nxt"] + 1).alias("nxt"),
+            F.concat(acc["hits"], F.array(e["ts"])).alias("hits"),
+        )
+        return (
+            F.when(e["i"] != acc["nxt"], acc)
+            .when(acc["nxt"] == 0, advance)
+            # lazy when-chain: element_at only evaluates once nxt >= 1
+            .when(e["ts"] >= F.element_at(acc["hits"], acc["nxt"]), advance)
+            .otherwise(acc)
+        )
+
+    agg = rows.groupBy(*key).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("_e")), acc0, step_fn
+        ).alias("_f")
+    )
+    out_cols = [
+        F.try_element_at(F.col("_f.hits"), F.lit(i + 1)).alias(
+            f"ts{i + 1}_us"
+        )
+        for i in range(len(steps))
+    ]
+    return agg.select(
+        *key, F.col("_f.nxt").cast("long").alias("depth"), *out_cols
+    )
