@@ -1082,6 +1082,64 @@ _FUNNEL_ORACLE_SQL = """
 """
 
 
+def _q_cohort(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily cohort retention matrix (operators/events.py
+    cohort_retention): three partial-agg shuffles, integer-exact period
+    arithmetic; the oracle is the plain relational replay."""
+    from open_vector_tile_spark.operators.events import cohort_retention
+
+    ev = _load(spark, sf, "events")
+    return cohort_retention(ev, period_seconds=86400).orderBy(
+        "cohort_p", "offset"
+    )
+
+
+_COHORT_ORACLE_SQL = """
+    WITH act AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS p FROM events
+    ),
+    firstp AS (SELECT user_id, min(p) AS c FROM act GROUP BY 1),
+    sizes AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS cohort_size FROM firstp GROUP BY 1
+    ),
+    cells AS (
+      SELECT c AS cohort_p, p - c AS "offset",
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM act JOIN firstp USING (user_id) GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_p AS BIGINT) AS cohort_p,
+           CAST("offset" AS BIGINT) AS "offset",
+           n_active, cohort_size
+    FROM cells JOIN sizes ON sizes.c = cells.cohort_p
+    ORDER BY cohort_p, "offset"
+"""
+
+
+def _q_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order event-type transition counts (operators/events.py
+    event_transitions): one lead window on the user key, one pair agg;
+    oracle is DuckDB's own lead window — independent implementation."""
+    from open_vector_tile_spark.operators.events import event_transitions
+
+    ev = _load(spark, sf, "events")
+    return event_transitions(ev).orderBy("src_type", "dst_type")
+
+
+_TRANSITIONS_ORACLE_SQL = """
+    WITH o AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    )
+    SELECT event_type AS src_type, nxt AS dst_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM o WHERE nxt IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _q_det_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic content-hash sampling (reproducible across runs/cluster
     sizes/engines — md5 prefix threshold, no rand())."""
@@ -5781,6 +5839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample": _q_resample,
         "rolling": _q_rolling,
         "funnel": _q_funnel,
+        "cohort": _q_cohort,
+        "transitions": _q_transitions,
         "det_sample": _q_det_sample,
         "dataset_split": _q_dataset_split,
         "corpus_stats": _q_corpus_stats,
@@ -9387,6 +9447,8 @@ def oracle_sql() -> dict[str, str]:
         "fix_winding": _FIX_WINDING_ORACLE_SQL,
         "rolling": _ROLLING_ORACLE_SQL,
         "funnel": _FUNNEL_ORACLE_SQL,
+        "cohort": _COHORT_ORACLE_SQL,
+        "transitions": _TRANSITIONS_ORACLE_SQL,
         "idw_surface": _IDW_ORACLE_SQL,
         "densify_routes": _DENSIFY_ORACLE_SQL,
         "host_terms": _HOST_TERMS_ORACLE_SQL,

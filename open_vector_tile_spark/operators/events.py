@@ -536,3 +536,79 @@ def funnel(
     return agg.select(
         *key, F.col("_f.nxt").cast("long").alias("depth"), *out_cols
     )
+
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    period_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """Cohort retention matrix: cohort(key) = the period of the key's
+    FIRST event; for every (cohort, offset) cell, how many of the
+    cohort's keys were active ``offset`` periods after joining.
+
+    -> ``(cohort_p, offset, n_active, cohort_size)`` — offset 0 rows
+    equal the cohort size by construction (every key is active in its
+    joining period).  Rates are left to the caller (n_active /
+    cohort_size) so the table stays integer-exact.
+
+    Plan shape: ONE partial-agg shuffle for first-seen per key, one
+    distinct over (key, period) for activity, an equi-join on the key
+    (co-partitioned with the distinct's hash), and a final (cohort,
+    offset) partial agg.  Period arithmetic is the remainder-subtracted
+    integer-micros floor division — bit-exact at boundaries.  At 10^12
+    events everything is keyed on the user or on (cohort, offset); no
+    skew beyond real cohort sizes.
+    """
+    if period_seconds <= 0:
+        raise ValueError(f"period_seconds must be > 0, got {period_seconds}")
+    step_us = int(period_seconds) * 1_000_000
+    key = list(key_cols)
+    us = epoch_us_col(events, ts_col)
+    period = ((us - F.pmod(us, F.lit(step_us))) / F.lit(step_us)).cast("long")
+    act = events.select(*key, period.alias("p")).distinct()
+    first = act.groupBy(*key).agg(F.min("p").alias("cohort_p"))
+    sizes = first.groupBy("cohort_p").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cells = (
+        act.join(first, on=key)
+        .groupBy("cohort_p", (F.col("p") - F.col("cohort_p")).alias("offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return cells.join(sizes, on="cohort_p").select(
+        "cohort_p", "offset", "n_active", "cohort_size"
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """First-order Markov transition counts over each key's event stream:
+    for every consecutive pair (by ``ts``, ties broken by ``order_cols``),
+    count (src_type, dst_type) across all keys — the navigation-model /
+    anomaly-detection primitive over crawl or interaction logs.
+
+    -> ``(src_type, dst_type, n)``.  Plan shape: ONE shuffle on the key
+    for the lead window (sorted-run streaming, state = one row), then a
+    (src, dst) partial agg over the tiny type-pair domain.  Determinism:
+    the window order is total, so tie pairs are engine-stable.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        F.col(ts_col), *[F.col(c) for c in order_cols]
+    )
+    nxt = F.lead(F.col(type_col)).over(w)
+    return (
+        events.select(F.col(type_col).alias("src_type"), nxt.alias("dst_type"))
+        .filter(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

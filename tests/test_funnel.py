@@ -128,3 +128,97 @@ def test_validation(spark):
     df = spark.createDataFrame([(1, _ts(0), "view")], ["user_id", "ts", "event_type"])
     with pytest.raises(ValueError):
         funnel(df, [])
+
+
+def test_cohort_retention_basic(spark):
+    from open_vector_tile_spark.operators.events import cohort_retention
+
+    rows = [
+        (1, _ts(0), "view"),            # cohort p0
+        (1, _ts(7 * 86400 + 5), "view"),  # active p1
+        (2, _ts(10), "click"),          # cohort p0, only p0
+        (3, _ts(7 * 86400 + 9), "view"),  # cohort p1
+        (3, _ts(21 * 86400), "view"),   # active p3 -> offset 2
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        (r["cohort_p"], r["offset"]): (r["n_active"], r["cohort_size"])
+        for r in cohort_retention(df).collect()
+    }
+    p0 = _us(_ts(0)) // (7 * 86400 * 1_000_000)
+    assert got[(p0, 0)] == (2, 2)
+    assert got[(p0, 1)] == (1, 2)
+    assert got[(p0 + 1, 0)] == (1, 1)
+    assert got[(p0 + 1, 2)] == (1, 1)
+    assert (p0, 2) not in got
+
+
+def test_cohort_retention_reference_randomized(spark):
+    from open_vector_tile_spark.operators.events import cohort_retention
+
+    rng = np.random.default_rng(71)
+    rows = [
+        (int(rng.integers(0, 12)), _ts(int(rng.integers(0, 40 * 86400))), "x")
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"]).repartition(7)
+    got = {
+        (r["cohort_p"], r["offset"]): (r["n_active"], r["cohort_size"])
+        for r in cohort_retention(df).collect()
+    }
+    # reference
+    per = {}
+    for u, ts, _ in rows:
+        per.setdefault(u, set()).add(_us(ts) // (7 * 86400 * 1_000_000))
+    ref = {}
+    sizes = {}
+    for u, ps in per.items():
+        c = min(ps)
+        sizes[c] = sizes.get(c, 0) + 1
+    for u, ps in per.items():
+        c = min(ps)
+        for p in ps:
+            k = (c, p - c)
+            ref[k] = ref.get(k, (0,))[0] + 1, 0
+    ref = {k: (n, sizes[k[0]]) for k, (n, _) in ref.items()}
+    assert got == ref
+
+
+def test_event_transitions(spark):
+    from open_vector_tile_spark.operators.events import event_transitions
+
+    rows = [
+        (1, 1, _ts(0), "view"),
+        (1, 2, _ts(1), "click"),
+        (1, 3, _ts(2), "view"),
+        (2, 4, _ts(0), "view"),
+        (2, 5, _ts(1), "click"),
+        (3, 6, _ts(0), "error"),  # single event: no transition
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+    got = {
+        (r["src_type"], r["dst_type"]): r["n"]
+        for r in event_transitions(df).collect()
+    }
+    assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_event_transitions_tie_order_deterministic(spark):
+    from open_vector_tile_spark.operators.events import event_transitions
+
+    t = _ts(5)
+    rows = [(1, 10, t, "a"), (1, 11, t, "b"), (1, 12, t, "c")]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+    got = {
+        (r["src_type"], r["dst_type"]): r["n"]
+        for r in event_transitions(df).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_cohort_validation(spark):
+    from open_vector_tile_spark.operators.events import cohort_retention
+
+    df = spark.createDataFrame([(1, _ts(0), "x")], ["user_id", "ts", "event_type"])
+    with pytest.raises(ValueError):
+        cohort_retention(df, period_seconds=0)
