@@ -3091,6 +3091,60 @@ def _q_trust_rank(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic label propagation (operators/graph.py
+    label_propagation) over the shared synthetic doc graph: 3 synchronous
+    rounds, most-frequent neighbor label with min-label ties — fully
+    engine-replayable.  Oracle unrolls every round as CTEs with a
+    row_number argmax (independent of Spark's struct-min argmax)."""
+    from open_vector_tile_spark.operators.graph import label_propagation
+
+    docs, edges = _synth_doc_graph(spark, sf)
+    out = label_propagation(edges, n_rounds=3, nodes=docs)
+    return out.select(F.col("id").alias("doc_id"), "comm").orderBy("doc_id")
+
+
+def _communities_oracle_sql(n_rounds: int = 3) -> str:
+    rounds = []
+    for k in range(1, n_rounds + 1):
+        rounds.append(f""",
+    c{k} AS (
+      SELECT s.b AS id, l.comm, count(*) AS c
+      FROM sym s JOIN l{k - 1} l ON l.id = s.a GROUP BY 1, 2
+    ),
+    w{k} AS (
+      SELECT id, comm FROM (
+        SELECT id, comm,
+               row_number() OVER (PARTITION BY id ORDER BY c DESC, comm ASC)
+                 AS rn
+        FROM c{k}
+      ) WHERE rn = 1
+    ),
+    l{k} AS (
+      SELECT p.id, coalesce(w.comm, p.comm) AS comm
+      FROM l{k - 1} p LEFT JOIN w{k} w USING (id)
+    )""")
+    return f"""
+    WITH ids AS (
+      SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+    ), e0 AS (
+      SELECT id AS s, id + 1 AS t FROM ids WHERE id % 7 <= 4
+      UNION ALL
+      SELECT id, id - id % 50 FROM ids WHERE id % 50 <> 0
+      UNION ALL
+      SELECT id, id + 13 FROM ids WHERE id % 11 = 0
+    ), e AS (
+      SELECT DISTINCT s, t FROM e0 JOIN ids n ON n.id = e0.t WHERE s <> t
+    ), sym AS (
+      SELECT s AS a, t AS b FROM e UNION SELECT t, s FROM e
+    ), l0 AS (
+      SELECT id, id AS comm FROM ids
+    ){''.join(rounds)}
+    SELECT id AS doc_id, CAST(comm AS BIGINT) AS comm
+    FROM l{n_rounds} ORDER BY doc_id
+"""
+
+
 def _q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank (operators/graph.py pagerank): the web-graph authority score
     behind crawl prioritization — 5 power-iteration rounds with uniform
@@ -5907,6 +5961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": _q_crawl_schedule,
         "redirect_resolve": _q_redirect_resolve,
         "pagerank": _q_pagerank,
+        "communities": _q_communities,
         "trust_rank": _q_trust_rank,
         "link_extract": _q_link_extract,
         "host_rank": _q_host_rank,
@@ -9449,6 +9504,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _FUNNEL_ORACLE_SQL,
         "cohort": _COHORT_ORACLE_SQL,
         "transitions": _TRANSITIONS_ORACLE_SQL,
+        "communities": _communities_oracle_sql(),
         "idw_surface": _IDW_ORACLE_SQL,
         "densify_routes": _DENSIFY_ORACLE_SQL,
         "host_terms": _HOST_TERMS_ORACLE_SQL,

@@ -671,3 +671,72 @@ def personalized_pagerank(
         state = new_state
     _free_checkpoint(e)
     return state.select("id", "outdeg", "rank", "is_seed")
+
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    n_rounds: int = 4,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic synchronous label propagation -> (id, comm): every
+    node starts as its own community; each round it adopts the most
+    frequent label among its neighbors, ties broken by SMALLEST label —
+    no randomness, no update-order dependence, so a fixed round count
+    replays bit-for-bit in any engine (the classic async LPA is
+    order-dependent by construction; this is the deterministic variant,
+    the same trade made for pagerank/textrank's sorted folds).
+
+    Undirected: edges are symmetrized + deduped, self-loops dropped.
+    ``nodes`` (a df with ``id``) unions in isolated nodes, which keep
+    their own label.  Fixed ``n_rounds`` synchronous rounds — bipartite
+    structures may oscillate rather than converge; callers wanting a
+    fixpoint can compare consecutive rounds themselves.
+
+    Scale shape: each round is ONE join of the label table to the
+    symmetric edge list (shuffle on the node key) + a (node, label)
+    partial agg + an argmax partial agg — state is (id, comm) only,
+    payloads never travel; per-round localCheckpoint with immediate
+    free keeps lineage flat.  Hub skew is the partial agg's problem, not
+    a window's: counts combine map-side.
+    """
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ids = sym.select(F.col("a").alias("id")).distinct()
+    if nodes is not None:
+        ids = ids.unionByName(
+            nodes.select(F.col("id").cast("long").alias("id"))
+        ).distinct()
+    labels = ids.withColumn("comm", F.col("id")).localCheckpoint(eager=True)
+    for _ in range(int(n_rounds)):
+        counts = (
+            sym.join(labels.withColumnRenamed("id", "a"), on="a")
+            .groupBy(F.col("b").alias("id"), F.col("comm"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        winners = counts.groupBy("id").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("comm").alias("comm")))[
+                "comm"
+            ].alias("w")
+        )
+        stepped = (
+            labels.join(winners, on="id", how="left")
+            .select("id", F.coalesce("w", "comm").alias("comm"))
+            .localCheckpoint(eager=True)
+        )
+        _free_checkpoint(labels)
+        labels = stepped
+    _free_checkpoint(sym)
+    return labels

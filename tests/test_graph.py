@@ -506,3 +506,79 @@ def test_sssp_validation_and_nulls(spark):
     assert got == {1: 0, 2: 3, 3: 7}
     with pytest.raises(ValueError):
         shortest_paths(e, seeds, max_rounds=-1)
+
+
+def test_label_propagation_two_cliques(spark):
+    from open_vector_tile_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by one bridge edge
+    edges = []
+    for base in (0, 10):
+        ids = [base + i for i in range(4)]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    edges.append((3, 10))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["comm"] for r in label_propagation(df, n_rounds=4).collect()}
+    # each clique collapses to its min id; the bridge does not merge them
+    assert {got[i] for i in (0, 1, 2, 3)} == {0}
+    assert {got[i] for i in (10, 11, 12, 13)} == {10}
+
+
+def test_label_propagation_matches_reference(spark):
+    from open_vector_tile_spark.operators.graph import label_propagation
+    import numpy as np
+
+    rng = np.random.default_rng(83)
+    edges = set()
+    for g in range(5):  # noisy clusters of 6
+        ids = list(range(g * 6, g * 6 + 6))
+        for a in ids:
+            for b in ids:
+                if a < b and rng.random() < 0.7:
+                    edges.add((a, b))
+        if g:
+            edges.add((g * 6 - 1, g * 6))  # sparse inter-cluster bridge
+    edges = sorted(edges)
+
+    def ref(n_rounds):
+        nbrs = {}
+        for a, b in edges:
+            nbrs.setdefault(a, []).append(b)
+            nbrs.setdefault(b, []).append(a)
+        lab = {v: v for v in nbrs}
+        for _ in range(n_rounds):
+            new = {}
+            for v in nbrs:
+                cnt = {}
+                for u in nbrs[v]:
+                    cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+                best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                new[v] = best
+            lab = new
+        return lab
+
+    df = spark.createDataFrame(edges, ["src", "dst"]).repartition(5)
+    for rounds in (1, 3):
+        got = {
+            r["id"]: r["comm"]
+            for r in label_propagation(df, n_rounds=rounds).collect()
+        }
+        assert got == ref(rounds), rounds
+
+
+def test_label_propagation_isolated_nodes_and_validation(spark):
+    from open_vector_tile_spark.operators.graph import label_propagation
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    nodes = spark.createDataFrame([(1,), (2,), (99,)], ["id"])
+    got = {
+        r["id"]: r["comm"]
+        for r in label_propagation(df, n_rounds=2, nodes=nodes).collect()
+    }
+    # a single edge is bipartite: synchronous rounds swap labels, so after
+    # an EVEN round count each node is back to its own label (documented
+    # oscillation semantics); the isolated node always keeps its own
+    assert got == {1: 1, 2: 2, 99: 99}
+    with _pt.raises(ValueError):
+        label_propagation(df, n_rounds=0)
