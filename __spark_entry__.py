@@ -5259,6 +5259,90 @@ _FIX_WINDING_ORACLE_SQL = """
 """
 
 
+def _q_chain_assembly(spark: SparkSession, sf: str) -> DataFrame:
+    """Chain vertex assembly (operators/geometry.py merge_chain_points)
+    over the same synthetic segment corpus as `line_merge`: each stitched
+    chain materialized as its ordered vertex arrays (orientation-corrected,
+    weld vertices deduplicated; n segments -> n+1 vertices).  The oracle
+    extends the recursive-CTE walk with a per-chain ordered string_agg —
+    an independent assembly mechanism (window-ordered aggregation vs
+    Spark's array_sort-inside-aggregate)."""
+    from open_vector_tile_spark.operators.geometry import (
+        line_merge,
+        merge_chain_points,
+    )
+
+    docs = _load(spark, sf, "documents").select("doc_id")
+    g = (F.col("doc_id") / 10).cast("long")
+    p = F.col("doc_id") % 10
+    base = docs.select(
+        F.col("doc_id").alias("seg_id"),
+        g.alias("ax"),
+        p.alias("ay"),
+        g.alias("bx"),
+        F.when(g % 5 == 3, (p + 1) % 10).otherwise(p + 1).alias("by"),
+    )
+    spurs = docs.filter((p == 0) & (g % 4 == 0)).select(
+        (F.lit(1000000) + g).alias("seg_id"),
+        g.alias("ax"),
+        F.lit(5).cast("long").alias("ay"),
+        (F.lit(1000000) + g).alias("bx"),
+        F.lit(0).cast("long").alias("by"),
+    )
+    segs = base.unionByName(spurs)
+    merged = line_merge(segs, max_chain_len=64)
+    out = merge_chain_points(segs, merged)
+    return out.select(
+        "chain_id",
+        "n_segs",
+        F.concat_ws(",", F.col("xs")).alias("xs_str"),
+        F.concat_ws(",", F.col("ys")).alias("ys_str"),
+    ).orderBy("chain_id")
+
+
+def _chain_assembly_oracle_sql() -> str:
+    """The line_merge oracle chain + per-chain ordered assembly: head
+    vertex from the pos-0 segment's entry end, every segment's exit
+    vertex in pos order via string_agg(... ORDER BY pos)."""
+    walk = _LINE_MERGE_ORACLE_SQL
+    # reuse everything up to per_seg, then assemble
+    prefix = walk.split("SELECT seg AS seg_id,")[0].rstrip()
+    return f"""{prefix},
+    merged AS (
+      SELECT seg,
+             least(xor(t1, 1), xor(t0, 1)) // 2 AS chain_id,
+             CASE WHEN xor(t1, 1) <= xor(t0, 1) THEN d1 ELSE d0 END AS pos,
+             xor(t1, 1) <= xor(t0, 1) AS fwd
+      FROM per_seg WHERE NOT is_ring
+    ),
+    j AS (
+      SELECT m.chain_id, m.pos, m.fwd, b.ax, b.ay, b.bx, b.by
+      FROM merged m JOIN base b ON b.seg_id = m.seg
+    )
+    SELECT chain_id,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CASE WHEN min(CASE WHEN pos = 0 THEN
+                      CAST(CASE WHEN fwd THEN ax ELSE bx END AS VARCHAR)
+                    END) IS NULL THEN ''
+                ELSE min(CASE WHEN pos = 0 THEN
+                      CAST(CASE WHEN fwd THEN ax ELSE bx END AS VARCHAR) END)
+                  || ',' END
+             || string_agg(CAST(CASE WHEN fwd THEN bx ELSE ax END AS VARCHAR),
+                           ',' ORDER BY pos) AS xs_str,
+           CASE WHEN min(CASE WHEN pos = 0 THEN
+                      CAST(CASE WHEN fwd THEN ay ELSE by END AS VARCHAR)
+                    END) IS NULL THEN ''
+                ELSE min(CASE WHEN pos = 0 THEN
+                      CAST(CASE WHEN fwd THEN ay ELSE by END AS VARCHAR) END)
+                  || ',' END
+             || string_agg(CAST(CASE WHEN fwd THEN by ELSE ay END AS VARCHAR),
+                           ',' ORDER BY pos) AS ys_str
+    FROM j
+    GROUP BY chain_id
+    ORDER BY chain_id
+"""
+
+
 def _q_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style paragraph boilerplate removal: documents re-cut into three
     deterministic paragraphs (word slices joined by blank lines), then the
@@ -5999,6 +6083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake": _q_mojibake,
         "line_merge": _q_line_merge,
         "fix_winding": _q_fix_winding,
+        "chain_assembly": _q_chain_assembly,
         "idw_surface": _q_idw_surface,
         "densify_routes": _q_densify_routes,
         "host_terms": _q_host_terms,
@@ -9500,6 +9585,7 @@ def oracle_sql() -> dict[str, str]:
         "mojibake": _mojibake_oracle_sql(),
         "line_merge": _LINE_MERGE_ORACLE_SQL,
         "fix_winding": _FIX_WINDING_ORACLE_SQL,
+        "chain_assembly": _chain_assembly_oracle_sql(),
         "rolling": _ROLLING_ORACLE_SQL,
         "funnel": _FUNNEL_ORACLE_SQL,
         "cohort": _COHORT_ORACLE_SQL,
