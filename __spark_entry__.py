@@ -5178,6 +5178,63 @@ _LINE_MERGE_ORACLE_SQL = """
 """
 
 
+def _q_areal(spark: SparkSession, sf: str) -> DataFrame:
+    """Areal-weighted interpolation (operators/clip.py areal_interpolate):
+    documents become w-by-h rectangles allocated onto the 4-unit grid via
+    the EXACT clipped intersection area (the tiler's Sutherland-Hodgman
+    kernel inside one Arrow batch).  Rect inputs make every area an exact
+    integer, so the oracle can be fully ANALYTIC: closed-form interval
+    overlaps, no geometry code at all — the clip kernel is value-checked
+    end-to-end against arithmetic."""
+    from open_vector_tile_spark.operators.clip import areal_interpolate
+
+    docs = _load(spark, sf, "documents")
+    x0 = (F.col("doc_id") % 7).cast("long")
+    y0 = (F.col("doc_id") % 5).cast("long")
+    w = (F.col("n_chars") % 6 + 1).cast("long")
+    h = (F.col("doc_id") % 4 + 2).cast("long")
+    polys = docs.select(
+        F.col("doc_id").alias("poly_id"),
+        F.array(x0, x0 + w, x0 + w, x0).cast("array<double>").alias("xs"),
+        F.array(y0, y0, y0 + h, y0 + h).cast("array<double>").alias("ys"),
+        F.col("n_chars").cast("double").alias("value"),
+    )
+    out = areal_interpolate(polys, cell_size=4)
+    return out.orderBy("poly_id", "cell_x", "cell_y")
+
+
+_AREAL_ORACLE_SQL = """
+    WITH p AS (
+      SELECT doc_id, doc_id % 7 AS x0, doc_id % 5 AS y0,
+             n_chars % 6 + 1 AS w, doc_id % 4 + 2 AS h,
+             CAST(n_chars AS DOUBLE) AS value
+      FROM documents
+    ),
+    cx AS (
+      SELECT *, unnest(range(x0 // 4, (x0 + w) // 4 + 1)) AS cell_x FROM p
+    ),
+    cxy AS (
+      SELECT *, unnest(range(y0 // 4, (y0 + h) // 4 + 1)) AS cell_y FROM cx
+    ),
+    ar AS (
+      SELECT doc_id AS poly_id, cell_x, cell_y, value, w, h,
+             CAST(greatest(0, least(x0 + w, cell_x * 4 + 4)
+                              - greatest(x0, cell_x * 4))
+                * greatest(0, least(y0 + h, cell_y * 4 + 4)
+                              - greatest(y0, cell_y * 4)) AS DOUBLE) AS area
+      FROM cxy
+    )
+    SELECT poly_id,
+           CAST(cell_x AS BIGINT) AS cell_x,
+           CAST(cell_y AS BIGINT) AS cell_y,
+           area,
+           area / CAST(w * h AS DOUBLE) AS weight,
+           value * (area / CAST(w * h AS DOUBLE)) AS alloc
+    FROM ar WHERE area > 0
+    ORDER BY poly_id, cell_x, cell_y
+"""
+
+
 def _q_fix_winding(spark: SparkSession, sf: str) -> DataFrame:
     """Polygon ring hygiene (operators/geometry.py fix_winding): documents
     become w-by-h rectangle rings with planted defects — CW orientation on
@@ -6084,6 +6141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_merge": _q_line_merge,
         "fix_winding": _q_fix_winding,
         "chain_assembly": _q_chain_assembly,
+        "areal_interp": _q_areal,
         "idw_surface": _q_idw_surface,
         "densify_routes": _q_densify_routes,
         "host_terms": _q_host_terms,
@@ -9586,6 +9644,7 @@ def oracle_sql() -> dict[str, str]:
         "line_merge": _LINE_MERGE_ORACLE_SQL,
         "fix_winding": _FIX_WINDING_ORACLE_SQL,
         "chain_assembly": _chain_assembly_oracle_sql(),
+        "areal_interp": _AREAL_ORACLE_SQL,
         "rolling": _ROLLING_ORACLE_SQL,
         "funnel": _FUNNEL_ORACLE_SQL,
         "cohort": _COHORT_ORACLE_SQL,

@@ -255,3 +255,97 @@ def clip_rings_np(
         if len(c) >= 3:
             out.append(c)
     return out
+
+
+
+def areal_interpolate(
+    polys,
+    *,
+    id_col: str = "poly_id",
+    xs_col: str = "xs",
+    ys_col: str = "ys",
+    value_col: str = "value",
+    cell_size: int = 4,
+):
+    """Areal-weighted interpolation (the dasymetric/zonal reaggregation
+    step): allocate each polygon's value onto the grid cells it overlaps,
+    proportionally to the EXACT intersection area — the standard answer to
+    "re-aggregate census polygons onto the tile grid".
+
+    -> one row per (polygon, overlapped cell): ``(id, cell_x, cell_y,
+    area, weight, alloc)`` with ``weight = area / sum(area over the
+    polygon)`` (weights sum to exactly 1 per polygon — normalizing by the
+    clipped-area total, not the analytic polygon area, keeps holes and
+    numeric dust out of the denominator) and ``alloc = value * weight``.
+
+    Plan shape: candidate cells come from the polygon's own bbox — two
+    ``sequence()`` explodes, output-proportional, no join; the exact
+    intersection is ``clip_ring_np`` (the tiler's vectorized
+    Sutherland-Hodgman) + shoelace inside ONE Arrow-batched pandas UDF;
+    the only shuffle is the per-polygon normalization window.  Zero-area
+    boundary cells are filtered AFTER clipping, so touching-but-disjoint
+    cells never emit.  At 10^12 polygons the fan-out is bbox-bounded and
+    the hot key is the polygon id — no global state anywhere.
+    """
+    if cell_size <= 0:
+        raise ValueError(f"cell_size must be > 0, got {cell_size}")
+    import pandas as pd
+    from pyspark.sql import Window
+
+    cs = int(cell_size)
+
+    @F.pandas_udf("double")
+    def _clip_area(xs, ys, cx, cy):
+        out = np.zeros(len(xs), dtype=np.float64)
+        cxv = cx.to_numpy()
+        cyv = cy.to_numpy()
+        for i in range(len(xs)):
+            ring = np.column_stack(
+                [np.asarray(xs[i], dtype=np.float64), np.asarray(ys[i], dtype=np.float64)]
+            )
+            if len(ring) < 3:
+                continue
+            c = clip_ring_np(
+                ring,
+                cxv[i] * cs, cyv[i] * cs,
+                (cxv[i] + 1) * cs, (cyv[i] + 1) * cs,
+            )
+            if len(c) < 3:
+                continue
+            x, y = c[:, 0], c[:, 1]
+            out[i] = abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) / 2.0
+        return pd.Series(out)
+
+    xs, ys = F.col(xs_col), F.col(ys_col)
+    cands = (
+        polys.withColumn(
+            "_cx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.array_min(xs) / cs).cast("long"),
+                    F.floor(F.array_max(xs) / cs).cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "_cy",
+            F.explode(
+                F.sequence(
+                    F.floor(F.array_min(ys) / cs).cast("long"),
+                    F.floor(F.array_max(ys) / cs).cast("long"),
+                )
+            ),
+        )
+        .withColumn("area", _clip_area(xs, ys, F.col("_cx"), F.col("_cy")))
+        .filter(F.col("area") > 0.0)
+    )
+    w = Window.partitionBy(id_col)
+    weight = F.col("area") / F.sum("area").over(w)
+    return cands.select(
+        F.col(id_col),
+        F.col("_cx").alias("cell_x"),
+        F.col("_cy").alias("cell_y"),
+        "area",
+        weight.alias("weight"),
+        (F.col(value_col) * weight).alias("alloc"),
+    )
