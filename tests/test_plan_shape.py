@@ -170,3 +170,52 @@ def test_kmv_windows_are_partitioned(spark):
     toks = docs.select("lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
     p = plan_of(kmv_distinct(toks, ["lang"], "t", k=32))
     assert "SinglePartition" not in p, p
+
+
+def test_rolling_and_funnel_single_exchange(spark):
+    """The session-12 event operators keep their one-shuffle promise:
+    rolling_stats (range-frame window) and funnel (groupBy + fold) each
+    plan exactly ONE Exchange on the user key; event_transitions likewise
+    one for the window plus one for the tiny pair agg."""
+    import datetime as dt
+
+    from open_vector_tile_spark.operators.events import (
+        event_transitions,
+        funnel,
+        rolling_stats,
+    )
+
+    rows = [
+        (u, 100 + i, dt.datetime(2024, 1, 1, 0, i % 60), ["view", "click"][i % 2], 1.0)
+        for u in range(4)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts", "event_type", "value"]
+    )
+
+    p = plan_of(rolling_stats(df))
+    nodes = re.findall(r"^\(\d+\) (\w+)", p, re.MULTILINE)
+    assert nodes.count("Exchange") == 1, p
+
+    p = plan_of(funnel(df, ["view", "click"]))
+    nodes = re.findall(r"^\(\d+\) (\w+)", p, re.MULTILINE)
+    assert nodes.count("Exchange") == 1, p
+
+    p = plan_of(event_transitions(df))
+    nodes = re.findall(r"^\(\d+\) (\w+)", p, re.MULTILINE)
+    assert nodes.count("Exchange") == 2, p  # window key + pair partial agg
+
+
+def test_main_content_and_mojibake_no_shuffle_no_python(spark):
+    """The text extractors are pure map-side column expressions: zero
+    Exchanges, zero Python/Arrow stages."""
+    from open_vector_tile_spark.functions.text import fix_mojibake, main_content
+
+    df = spark.createDataFrame([(1, "<p>a b c d e f</p>")], ["id", "h"])
+    for expr in (main_content(F.col("h")), fix_mojibake(F.col("h"))):
+        p = plan_of(df.select(expr.alias("o")))
+        assert "Exchange" not in p, p
+        # the ExistingRDD scan of the local fixture mentions Python in its
+        # details; the real UDF nodes are ArrowEvalPython / BatchEvalPython
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
