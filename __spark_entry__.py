@@ -5400,6 +5400,94 @@ def _chain_assembly_oracle_sql() -> str:
 """
 
 
+def _q_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence segmentation (functions/text.py split_sentences):
+    documents re-punctuated into four sentences with planted 'Dr.' and
+    'e.g.' abbreviation traps; the operator protects them with a replace
+    chain and splits on terminal-punctuation runs — RE2-compatible by
+    construction, so the oracle replays the WHOLE operator verbatim in
+    DuckDB (replace chain, extract, restore, trim, filter)."""
+    from open_vector_tile_spark.functions.text import split_sentences
+
+    docs = _load(spark, sf, "documents")
+    ts = F.split(F.col("text"), " ")
+
+    def j(a, b):
+        return F.array_join(F.slice(ts, a, b), " ")
+
+    synth = F.concat(
+        F.lit("Dr. "), j(1, 3), F.lit(". "), j(4, 3),
+        F.lit("! See e.g. "), j(7, 3), F.lit("? "),
+        F.array_join(
+            F.slice(ts, 10, F.greatest(F.size(ts), F.lit(1))), " "
+        ),
+    )
+    out = docs.select(
+        "doc_id", F.posexplode(split_sentences(synth)).alias("pos", "s")
+    )
+    return out.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("sent_idx"),
+        F.col("s.sent").alias("sent"),
+        F.col("s.words").cast("long").alias("words"),
+    ).orderBy("doc_id", "sent_idx")
+
+
+def _sentences_oracle_sql() -> str:
+    mark = chr(0x00A7)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(text, ' ') AS ws FROM documents
+    ),
+    synth AS (
+      SELECT doc_id,
+        'Dr. ' || coalesce(array_to_string(ws[1:3], ' '), '')
+        || '. ' || coalesce(array_to_string(ws[4:6], ' '), '')
+        || '! See e.g. ' || coalesce(array_to_string(ws[7:9], ' '), '')
+        || '? ' || coalesce(array_to_string(ws[10:len(ws)], ' '), '') AS t
+      FROM w
+    ),
+    -- only Dr. and e.g. occur in this synthesis (document words carry no
+    -- dots), so the operator's full abbreviation chain reduces to these
+    prot AS (
+      SELECT doc_id,
+             replace(replace(t, 'Dr.', 'Dr{mark}'), 'e.g.',
+                     'e{mark}g{mark}') AS t
+      FROM synth
+    ),
+    parts AS (
+      SELECT doc_id,
+             regexp_extract_all(t, '[^.!?]+(?:[.!?]+|$)') AS ps
+      FROM prot
+    ),
+    frags AS (
+      SELECT doc_id,
+             unnest(ps) AS frag,
+             unnest(range(1, len(ps) + 1)) AS i
+      FROM parts
+    ),
+    feat AS (
+      SELECT doc_id, i,
+             trim(replace(frag, '{mark}', '.')) AS sent
+      FROM frags
+    ),
+    f2 AS (
+      SELECT doc_id, i, sent,
+             CASE WHEN sent = '' THEN 0
+                  ELSE len(regexp_split_to_array(sent, '\\s+'))
+             END AS words
+      FROM feat
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                AS BIGINT) AS sent_idx,
+           sent,
+           CAST(words AS BIGINT) AS words
+    FROM f2 WHERE words >= 1
+    ORDER BY doc_id, sent_idx
+"""
+
+
 def _q_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style paragraph boilerplate removal: documents re-cut into three
     deterministic paragraphs (word slices joined by blank lines), then the
@@ -6137,6 +6225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_tiles": _q_adaptive_tiles,
         "boilerplate": _q_boilerplate,
         "main_content": _q_main_content,
+        "sentences": _q_sentences,
         "mojibake": _q_mojibake,
         "line_merge": _q_line_merge,
         "fix_winding": _q_fix_winding,
@@ -9639,6 +9728,7 @@ def oracle_sql() -> dict[str, str]:
         "adaptive_tiles": _adaptive_oracle_sql(),
         "boilerplate": _boilerplate_oracle_sql(),
         "main_content": _main_content_oracle_sql(),
+        "sentences": _sentences_oracle_sql(),
         "resample": _RESAMPLE_ORACLE_SQL,
         "mojibake": _mojibake_oracle_sql(),
         "line_merge": _LINE_MERGE_ORACLE_SQL,

@@ -664,3 +664,48 @@ def fix_mojibake(text: Column, *, min_marks: int = 1) -> Column:
             F.coalesce(accepted, F.lit(False)), redecoded
         ).otherwise(text).alias("text_fixed"),
     )
+
+
+
+_ABBREV = ("Dr.", "Mr.", "Mrs.", "Ms.", "Prof.", "St.", "e.g.", "i.e.",
+           "etc.", "vs.", "No.", "Fig.")
+_ABBREV_MARK = chr(0x00A7)  # section sign: survives both engines verbatim
+
+
+def split_sentences(text: Column, *, min_words: int = 1) -> Column:
+    """Sentence segmentation for webtext pipelines: split on terminal
+    punctuation runs ([.!?]+) while protecting a fixed abbreviation list
+    (Dr., e.g., etc.) so titles and latinisms do not cut sentences.
+
+    RE2-compatible by construction — NO lookbehind anywhere: protection
+    is a deterministic replace chain (each abbreviation's dot swapped for
+    a marker char, restored after the split), and extraction is one
+    ``regexp_extract_all`` of ``[^.!?]+(?:[.!?]+|$)`` — so a SQL oracle
+    can replay the whole operator verbatim in DuckDB.  Entirely map-side:
+    no shuffle, no Python.
+
+    -> ``array<struct<sent string, words int>>`` of trimmed sentences
+    with at least ``min_words`` whitespace words (empty/short fragments
+    dropped).
+    """
+    if min_words < 1:
+        raise ValueError(f"min_words must be >= 1, got {min_words}")
+    s = text
+    for a in _ABBREV:
+        # protect EVERY dot in the abbreviation (e.g. has an internal one)
+        s = F.replace(s, F.lit(a), F.lit(a.replace(".", _ABBREV_MARK)))
+    parts = F.regexp_extract_all(s, F.lit(r"[^.!?]+(?:[.!?]+|$)"), 0)
+
+    def feat(p: Column) -> Column:
+        restored = F.trim(F.replace(p, F.lit(_ABBREV_MARK), F.lit(".")))
+        words = F.when(restored == "", F.lit(0)).otherwise(
+            F.size(F.split(restored, r"\s+"))
+        )
+        return F.struct(
+            restored.alias("sent"), words.cast("int").alias("words")
+        )
+
+    return F.filter(
+        F.transform(parts, feat),
+        lambda t: t["words"] >= F.lit(int(min_words)),
+    )

@@ -125,3 +125,45 @@ def test_main_content_empty_and_linkonly(spark):
     got = _run(spark, {1: "", 2: '<div><a href="/x">just a link here</a></div>'})
     assert got[1] == (0, -1, 0, 0, "")
     assert got[2][1] == -1 and got[2][4] == ""
+
+
+def test_split_sentences_basic(spark):
+    from open_vector_tile_spark.functions.text import split_sentences
+
+    df = spark.createDataFrame(
+        [(1, "Dr. Smith arrived. He was late! Was it raining? yes")],
+        ["id", "t"],
+    )
+    out = df.select(split_sentences(F.col("t")).alias("s")).collect()[0]["s"]
+    sents = [r["sent"] for r in out]
+    assert sents == [
+        "Dr. Smith arrived.",
+        "He was late!",
+        "Was it raining?",
+        "yes",
+    ]
+    assert [r["words"] for r in out] == [3, 3, 3, 1]
+
+
+def test_split_sentences_abbrev_and_min_words(spark):
+    from open_vector_tile_spark.functions.text import split_sentences
+
+    df = spark.createDataFrame(
+        [(1, "See e.g. the chart vs. last week. Done. a")], ["id", "t"]
+    )
+    out = df.select(split_sentences(F.col("t"), min_words=2).alias("s")).collect()[
+        0
+    ]["s"]
+    assert [r["sent"] for r in out] == ["See e.g. the chart vs. last week."]
+
+
+def test_split_sentences_punct_runs_and_empty(spark):
+    from open_vector_tile_spark.functions.text import split_sentences
+
+    df = spark.createDataFrame([(1, "Wow!!! Really?!  "), (2, "")], ["id", "t"])
+    rows = {
+        r["id"]: [x["sent"] for x in r["s"]]
+        for r in df.select("id", split_sentences(F.col("t")).alias("s")).collect()
+    }
+    assert rows[1] == ["Wow!!!", "Really?!"]
+    assert rows[2] == []
