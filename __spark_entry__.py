@@ -5235,6 +5235,44 @@ _AREAL_ORACLE_SQL = """
 """
 
 
+def _q_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto front (operators/skyline.py): documents mapped to three
+    integer criteria, dominated rows pruned with the two-phase
+    local-front / gathered-survivors plan — never the quadratic
+    self-join the ORACLE deliberately uses (NOT EXISTS dominance), which
+    is an honest independent strategy precisely because the operator
+    exists to avoid it at scale."""
+    from open_vector_tile_spark.operators.skyline import skyline
+
+    docs = _load(spark, sf, "documents")
+    pts = docs.select(
+        "doc_id",
+        (F.col("n_chars") % 101).cast("long").alias("c0"),
+        (F.col("doc_id") * 13 % 97).cast("long").alias("c1"),
+        ((F.col("doc_id") * 7 + F.col("n_chars")) % 89).cast("long").alias("c2"),
+    )
+    return skyline(pts, ["c0", "c1", "c2"]).orderBy("doc_id")
+
+
+_SKYLINE_ORACLE_SQL = """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(n_chars % 101 AS BIGINT) AS c0,
+             CAST(doc_id * 13 % 97 AS BIGINT) AS c1,
+             CAST((doc_id * 7 + n_chars) % 89 AS BIGINT) AS c2
+      FROM documents
+    )
+    SELECT a.doc_id, a.c0, a.c1, a.c2
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.c0 <= a.c0 AND b.c1 <= a.c1 AND b.c2 <= a.c2
+        AND (b.c0 < a.c0 OR b.c1 < a.c1 OR b.c2 < a.c2)
+    )
+    ORDER BY a.doc_id
+"""
+
+
 def _q_fix_winding(spark: SparkSession, sf: str) -> DataFrame:
     """Polygon ring hygiene (operators/geometry.py fix_winding): documents
     become w-by-h rectangle rings with planted defects — CW orientation on
@@ -6231,6 +6269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_winding": _q_fix_winding,
         "chain_assembly": _q_chain_assembly,
         "areal_interp": _q_areal,
+        "skyline": _q_skyline,
         "idw_surface": _q_idw_surface,
         "densify_routes": _q_densify_routes,
         "host_terms": _q_host_terms,
@@ -9735,6 +9774,7 @@ def oracle_sql() -> dict[str, str]:
         "fix_winding": _FIX_WINDING_ORACLE_SQL,
         "chain_assembly": _chain_assembly_oracle_sql(),
         "areal_interp": _AREAL_ORACLE_SQL,
+        "skyline": _SKYLINE_ORACLE_SQL,
         "rolling": _ROLLING_ORACLE_SQL,
         "funnel": _FUNNEL_ORACLE_SQL,
         "cohort": _COHORT_ORACLE_SQL,
