@@ -5235,6 +5235,77 @@ _AREAL_ORACLE_SQL = """
 """
 
 
+def _q_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion (operators/retrieval.py rrf_fuse): two
+    deterministic permutation rankings over documents (top-100 each)
+    fused with k=60, top-25 kept.  Two lists means the score is ONE IEEE
+    addition — commutative, so bit-stable across engines and
+    partitionings; the oracle replays rankings, fusion, and the tie-total
+    rank window in plain SQL."""
+    from pyspark.sql import Window as W
+
+    from open_vector_tile_spark.operators.retrieval import rrf_fuse
+
+    docs = _load(spark, sf, "documents")
+    ra = docs.select(
+        F.lit(0).cast("long").alias("query_id"),
+        "doc_id",
+        F.row_number()
+        .over(
+            W.orderBy(
+                (F.col("n_chars") * 31 + F.col("doc_id")) % 1009, F.col("doc_id")
+            )
+        )
+        .alias("rank"),
+    ).filter(F.col("rank") <= 100)
+    rb = docs.select(
+        F.lit(0).cast("long").alias("query_id"),
+        "doc_id",
+        F.row_number()
+        .over(
+            W.orderBy(
+                (F.col("doc_id") * 57 + F.col("n_chars")) % 997, F.col("doc_id")
+            )
+        )
+        .alias("rank"),
+    ).filter(F.col("rank") <= 100)
+    return rrf_fuse([ra, rb], k=60, top_n=25).orderBy("fused_rank")
+
+
+_RRF_ORACLE_SQL = """
+    WITH a AS (
+      SELECT CAST(0 AS BIGINT) AS query, doc_id AS doc,
+             row_number() OVER (
+               ORDER BY (n_chars * 31 + doc_id) % 1009, doc_id
+             ) AS r
+      FROM documents QUALIFY r <= 100
+    ),
+    b AS (
+      SELECT CAST(0 AS BIGINT) AS query, doc_id AS doc,
+             row_number() OVER (
+               ORDER BY (doc_id * 57 + n_chars) % 997, doc_id
+             ) AS r
+      FROM documents QUALIFY r <= 100
+    ),
+    u AS (
+      SELECT query, doc, 1.0 / (60.0 + CAST(r AS DOUBLE)) AS c FROM a
+      UNION ALL
+      SELECT query, doc, 1.0 / (60.0 + CAST(r AS DOUBLE)) AS c FROM b
+    ),
+    s AS (
+      SELECT query, doc, CAST(count(*) AS BIGINT) AS n_lists,
+             sum(c) AS rrf
+      FROM u GROUP BY 1, 2
+    )
+    SELECT query, doc, n_lists, rrf,
+           CAST(row_number() OVER (
+             PARTITION BY query ORDER BY rrf DESC, doc ASC
+           ) AS BIGINT) AS fused_rank
+    FROM s QUALIFY fused_rank <= 25
+    ORDER BY fused_rank
+"""
+
+
 def _q_skyline(spark: SparkSession, sf: str) -> DataFrame:
     """Pareto front (operators/skyline.py): documents mapped to three
     integer criteria, dominated rows pruned with the two-phase
@@ -6270,6 +6341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_assembly": _q_chain_assembly,
         "areal_interp": _q_areal,
         "skyline": _q_skyline,
+        "rrf_fusion": _q_rrf,
         "idw_surface": _q_idw_surface,
         "densify_routes": _q_densify_routes,
         "host_terms": _q_host_terms,
@@ -9775,6 +9847,7 @@ def oracle_sql() -> dict[str, str]:
         "chain_assembly": _chain_assembly_oracle_sql(),
         "areal_interp": _AREAL_ORACLE_SQL,
         "skyline": _SKYLINE_ORACLE_SQL,
+        "rrf_fusion": _RRF_ORACLE_SQL,
         "rolling": _ROLLING_ORACLE_SQL,
         "funnel": _FUNNEL_ORACLE_SQL,
         "cohort": _COHORT_ORACLE_SQL,

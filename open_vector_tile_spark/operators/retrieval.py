@@ -531,3 +531,59 @@ def textrank_keywords(
             "rank",
         )
     )
+
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    *,
+    k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) — the standard hybrid-search
+    combiner for lexical (bm25_topk) and vector (cosine/IVF/PQ top-k)
+    rankings: ``rrf = sum over lists of 1 / (k + rank)``, a document
+    missing from a list contributing nothing.
+
+    -> ``(query, doc, n_lists, rrf, fused_rank)`` — ``fused_rank`` by
+    descending score with ascending-id ties (total order, engine-stable).
+
+    Plan shape: one union of the (already small) top-k lists, ONE partial-
+    agg shuffle on (query, doc), and a rank window on the same key —
+    co-partitioned, no second exchange.  Determinism note: IEEE addition
+    is commutative but not associative, so the score is bit-stable across
+    partitionings for up to TWO lists (one addition); with three or more,
+    low-bit drift between engines is possible — round or rank-only
+    compare in oracles there.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    parts = [
+        r.select(
+            F.col(query_col).alias("query"),
+            F.col(id_col).alias("doc"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                "_c"
+            ),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scores = u.groupBy("query", "doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.sum("_c").alias("rrf"),
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("rrf").desc(), F.col("doc").asc()
+    )
+    out = scores.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+    if top_n is not None:
+        out = out.filter(F.col("fused_rank") <= int(top_n))
+    return out

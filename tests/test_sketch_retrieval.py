@@ -503,3 +503,53 @@ def test_lexical_stats_matches_python(spark):
         assert r["entropy"] == pytest.approx(h, abs=1e-12)
     assert got[0]["entropy"] == 0.0
     assert got[1]["entropy"] == pytest.approx(math.log(4))
+
+
+def test_rrf_fuse_reference_and_semantics(spark):
+    from open_vector_tile_spark.operators.retrieval import rrf_fuse
+    import pytest as _pt
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1)],
+        ["query_id", "doc_id", "rank"],
+    )
+    b = spark.createDataFrame(
+        [(0, 12, 1), (0, 10, 2), (0, 13, 3)], ["query_id", "doc_id", "rank"]
+    )
+    got = {
+        (r["query"], r["doc"]): (r["n_lists"], r["rrf"], r["fused_rank"])
+        for r in rrf_fuse([a, b], k=60).collect()
+    }
+    # python reference
+    import collections
+
+    ref = collections.defaultdict(float)
+    nl = collections.Counter()
+    for rows in ([(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1)],
+                 [(0, 12, 1), (0, 10, 2), (0, 13, 3)]):
+        for q, d, rk in rows:
+            ref[(q, d)] += 1.0 / (60 + rk)
+            nl[(q, d)] += 1
+    for key, score in ref.items():
+        assert got[key][0] == nl[key]
+        assert got[key][1] == _pt.approx(score, abs=0)
+    # doc 12 (ranks 3+1) and doc 10 (1+2) fuse above single-list docs
+    order = sorted(
+        ((v[2], d) for (q, d), v in got.items() if q == 0)
+    )
+    assert [d for _, d in order][:2] in ([10, 12], [12, 10])
+    with _pt.raises(ValueError):
+        rrf_fuse([])
+    with _pt.raises(ValueError):
+        rrf_fuse([a], k=0)
+
+
+def test_rrf_fuse_top_n_and_single_list(spark):
+    from open_vector_tile_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, d, d + 1) for d in range(10)], ["query_id", "doc_id", "rank"]
+    )
+    got = rrf_fuse([a], top_n=3).collect()
+    assert sorted(r["doc"] for r in got) == [0, 1, 2]
+    assert all(r["n_lists"] == 1 for r in got)
