@@ -1082,6 +1082,46 @@ _FUNNEL_ORACLE_SQL = """
 """
 
 
+def _q_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event exponential smoothing (operators/events.py ewma): the
+    sequential recurrence runs as a sorted F.aggregate fold whose order
+    and arithmetic chain are fixed, so DuckDB's list_reduce (same left
+    fold, same first-element seed) replays every double bit-for-bit.
+    NOTE the oracle writes the decay as (1.0 - 0.3), not 0.7 — the
+    subtraction result differs from the 0.7 literal by one ulp."""
+    from open_vector_tile_spark.operators.events import ewma
+
+    ev = _load(spark, sf, "events")
+    out = ewma(ev, alpha=0.3)
+    return out.orderBy("user_id", "ts_us", "value")
+
+
+_EWMA_ORACLE_SQL = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, value FROM events
+    ),
+    l AS (
+      SELECT user_id,
+             list(value ORDER BY us, value) AS vs,
+             list(us ORDER BY us, value) AS uss
+      FROM e GROUP BY 1
+    ),
+    per AS (
+      SELECT user_id, vs,
+             unnest(uss) AS ts_us,
+             unnest(vs) AS value,
+             unnest(range(1, len(vs) + 1)) AS i
+      FROM l
+    )
+    SELECT user_id,
+           CAST(ts_us AS BIGINT) AS ts_us,
+           value,
+           list_reduce(vs[1:CAST(i AS INT)],
+                       (s, x) -> 0.3 * x + (1.0 - 0.3) * s) AS ewma
+    FROM per ORDER BY user_id, ts_us, value
+"""
+
+
 def _q_cohort(spark: SparkSession, sf: str) -> DataFrame:
     """Daily cohort retention matrix (operators/events.py
     cohort_retention): three partial-agg shuffles, integer-exact period
@@ -6232,6 +6272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling": _q_rolling,
         "funnel": _q_funnel,
         "cohort": _q_cohort,
+        "ewma": _q_ewma,
         "transitions": _q_transitions,
         "det_sample": _q_det_sample,
         "dataset_split": _q_dataset_split,
@@ -9851,6 +9892,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling": _ROLLING_ORACLE_SQL,
         "funnel": _FUNNEL_ORACLE_SQL,
         "cohort": _COHORT_ORACLE_SQL,
+        "ewma": _EWMA_ORACLE_SQL,
         "transitions": _TRANSITIONS_ORACLE_SQL,
         "communities": _communities_oracle_sql(),
         "idw_surface": _IDW_ORACLE_SQL,

@@ -612,3 +612,70 @@ def event_transitions(
         .groupBy("src_type", "dst_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+
+def ewma(
+    events: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-event exponential smoothing: for each key's time-ordered stream,
+    ``s_1 = x_1`` and ``s_t = alpha * x_t + (1 - alpha) * s_{t-1}`` — the
+    crawl-rate / host-latency smoother.
+
+    A sequential recurrence has no window form, so it runs as the repo's
+    sorted-fold: ONE groupBy on the key collects (ts, value), array_sort
+    canonicalizes the order (ties by value — total, engine-stable), and a
+    single F.aggregate fold appends each running state to an array that
+    posexplodes back to one row per event.  The fold order and the
+    ``alpha*x + (1-alpha)*s`` chain are fixed, so every double replays
+    bit-for-bit in a DuckDB ``list_reduce`` twin (same left fold, same
+    first-element seed).  Per-key state is the key's own events (the
+    funnel trade; cap hot keys upstream).
+
+    -> ``(*key, ts_us, value, ewma)``.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    key = [F.col(c) for c in key_cols]
+    us = epoch_us_col(events, ts_col)
+    rows = events.select(
+        *key,
+        F.struct(
+            us.alias("ts"), F.col(value_col).cast("double").alias("v")
+        ).alias("_e"),
+    )
+    a = F.lit(float(alpha))
+
+    def step(acc, e):
+        nxt = F.when(
+            F.size(acc) == 0, e["v"]
+        ).otherwise(a * e["v"] + (F.lit(1.0) - a) * F.element_at(acc, -1))
+        return F.concat(acc, F.array(nxt))
+
+    agg = rows.groupBy(*key).agg(
+        F.array_sort(F.collect_list("_e")).alias("_es")
+    )
+    folded = agg.select(
+        *key,
+        F.col("_es"),
+        F.aggregate(
+            F.col("_es"), F.array().cast("array<double>"), step
+        ).alias("_sm"),
+    )
+    ex = folded.select(
+        *key,
+        F.posexplode(F.arrays_zip(F.col("_es"), F.col("_sm"))).alias(
+            "_i", "_z"
+        ),
+    )
+    return ex.select(
+        *key,
+        F.col("_z._es.ts").alias("ts_us"),
+        F.col("_z._es.v").alias("value"),
+        F.col("_z._sm").alias("ewma"),
+    )

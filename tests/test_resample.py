@@ -207,3 +207,46 @@ def test_validation(spark):
         rolling_stats(df, window_seconds=-1)
     with pytest.raises(ValueError):
         rolling_stats(df, scale=0)
+
+
+def test_ewma_matches_reference(spark):
+    from open_vector_tile_spark.operators.events import ewma
+
+    rng = np.random.default_rng(101)
+    rows = [
+        (
+            int(rng.integers(0, 4)),
+            _ts(int(rng.integers(0, 500)), int(rng.integers(0, 60))),
+            float(np.round(rng.uniform(-3, 9), 2)),
+        )
+        for _ in range(250)
+    ]
+    got = {
+        (r["user_id"], r["ts_us"], r["value"]): r["ewma"]
+        for r in ewma(_ev(spark, rows, 7), alpha=0.3).collect()
+    }
+    per = {}
+    for u, ts, v in rows:
+        us = (ts - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+        per.setdefault(u, []).append((us, v))
+    n_checked = 0
+    for u, evs in per.items():
+        evs.sort()
+        s = None
+        for us, v in evs:
+            s = v if s is None else 0.3 * v + 0.7 * s
+            assert got[(u, us, v)] == s, (u, us, v)  # bit-exact
+            n_checked += 1
+    assert n_checked == len(rows)
+
+
+def test_ewma_single_event_and_alpha_one(spark):
+    from open_vector_tile_spark.operators.events import ewma
+
+    rows = [(1, _ts(0), 5.0), (1, _ts(10), 7.0)]
+    got = sorted(
+        (r["ts_us"], r["ewma"]) for r in ewma(_ev(spark, rows), alpha=1.0).collect()
+    )
+    assert [v for _, v in got] == [5.0, 7.0]  # alpha=1: no smoothing
+    with pytest.raises(ValueError):
+        ewma(_ev(spark, rows), alpha=0.0)
