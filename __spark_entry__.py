@@ -1122,6 +1122,45 @@ _EWMA_ORACLE_SQL = """
 """
 
 
+def _q_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Median/MAD robust outlier gate per source (operators/classify.py
+    robust_outliers) over document lengths.  Integer inputs keep both
+    engines' interpolated medians exact on the 0.5 grid, so the summary
+    matches bit-for-bit with NO rounding fudge (unlike mean/stddev
+    chains).  Oracle: DuckDB quantile_cont twin of the same two-pass
+    median-of-deviations."""
+    from open_vector_tile_spark.operators.classify import robust_outliers
+
+    docs = _load(spark, sf, "documents")
+    return robust_outliers(docs).orderBy("source")
+
+
+_OUTLIERS_ORACLE_SQL = """
+    WITH m AS (
+      SELECT source, quantile_cont(n_chars, 0.5) AS med
+      FROM documents GROUP BY 1
+    ),
+    d AS (
+      SELECT doc.source, m.med, abs(doc.n_chars - m.med) AS dev
+      FROM documents doc JOIN m USING (source)
+    ),
+    md AS (
+      SELECT source, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n,
+           any_value(d.med) AS med,
+           any_value(md.mad) AS mad,
+           CAST(sum(CASE
+                 WHEN md.mad = 0.0 THEN CASE WHEN dev > 0.0 THEN 1 ELSE 0 END
+                 WHEN dev > 3.0 * 1.4826 * md.mad THEN 1 ELSE 0
+               END) AS BIGINT) AS n_out
+    FROM d JOIN md USING (source)
+    GROUP BY d.source
+    ORDER BY d.source
+"""
+
+
 def _q_cohort(spark: SparkSession, sf: str) -> DataFrame:
     """Daily cohort retention matrix (operators/events.py
     cohort_retention): three partial-agg shuffles, integer-exact period
@@ -6273,6 +6312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "cohort": _q_cohort,
         "ewma": _q_ewma,
+        "robust_outliers": _q_outliers,
         "transitions": _q_transitions,
         "det_sample": _q_det_sample,
         "dataset_split": _q_dataset_split,
@@ -9893,6 +9933,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _FUNNEL_ORACLE_SQL,
         "cohort": _COHORT_ORACLE_SQL,
         "ewma": _EWMA_ORACLE_SQL,
+        "robust_outliers": _OUTLIERS_ORACLE_SQL,
         "transitions": _TRANSITIONS_ORACLE_SQL,
         "communities": _communities_oracle_sql(),
         "idw_surface": _IDW_ORACLE_SQL,

@@ -153,3 +153,54 @@ def score_logreg(
     return feats.withColumn("score", score).withColumn(
         "keep", F.col("score") >= F.lit(float(threshold))
     )
+
+
+
+def robust_outliers(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD robust outlier gate per group — the curation filter that
+    survives heavy-tailed web data where mean/stddev gates do not:
+    a row is an outlier when ``|x - median| > k * 1.4826 * MAD`` (1.4826
+    scales MAD to sigma under normality).  When MAD is 0 (over half the
+    group identical) any deviation at all is flagged.
+
+    -> one summary row per group: ``(group, n, med, mad, n_out)``.
+
+    Exactness: with INTEGER values both engines' interpolated medians are
+    exact doubles on the 0.5 grid (a + (b-a)*0.5 carries no rounding for
+    ints below 2^52), deviations stay on that grid, and the threshold is
+    one fixed multiply chain — so the oracle matches bit-for-bit with no
+    rounding fudge.  Plan shape: two partial-agg passes (median, then MAD
+    of deviations) with broadcast joins of the tiny per-group tables —
+    group cardinality rows, never data rows, travel twice.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    g = F.col(group_col)
+    v = F.col(value_col)
+    med = df.groupBy(group_col).agg(
+        F.percentile(v, F.lit(0.5)).alias("med")
+    )
+    dev = df.join(F.broadcast(med), on=group_col).select(
+        group_col, v.alias("_v"), F.abs(v - F.col("med")).alias("_dev"),
+        "med",
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.percentile(F.col("_dev"), F.lit(0.5)).alias("mad")
+    )
+    thr = F.lit(float(k)) * F.lit(1.4826) * F.col("mad")
+    flagged = dev.join(F.broadcast(mad), on=group_col).select(
+        group_col, "med", "mad", "_dev",
+        F.when(F.col("mad") == 0.0, F.col("_dev") > 0.0)
+        .otherwise(F.col("_dev") > thr)
+        .alias("_out"),
+    )
+    return flagged.groupBy(group_col, "med", "mad").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_out").cast("long")).cast("long").alias("n_out"),
+    ).select(group_col, "n", "med", "mad", "n_out")

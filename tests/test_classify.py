@@ -135,3 +135,56 @@ def test_validation(spark):
         train_logreg(df.where("id < 0"), label_col="y", feature_cols=["x1"])
     with pytest.raises(ValueError):
         score_logreg(df, [0.0, 0.0, 0.0], feature_cols=["x1"])
+
+
+def test_robust_outliers_reference(spark):
+    import numpy as np
+
+    from open_vector_tile_spark.operators.classify import robust_outliers
+
+    rng = np.random.default_rng(107)
+    rows = []
+    for gsrc in ("a", "b", "c"):
+        base = int(rng.integers(50, 200))
+        for _ in range(40):
+            rows.append((gsrc, base + int(rng.integers(-10, 11))))
+        rows.append((gsrc, base + 500))  # planted outlier
+    df = spark.createDataFrame(rows, ["source", "n_chars"]).repartition(5)
+    got = {
+        r["source"]: (r["n"], r["med"], r["mad"], r["n_out"])
+        for r in robust_outliers(df).collect()
+    }
+
+    def ref_med(vals):
+        s = sorted(vals)
+        n = len(s)
+        return (
+            float(s[n // 2])
+            if n % 2
+            else s[n // 2 - 1] + (s[n // 2] - s[n // 2 - 1]) * 0.5
+        )
+
+    per = {}
+    for gsrc, v in rows:
+        per.setdefault(gsrc, []).append(v)
+    for gsrc, vals in per.items():
+        med = ref_med(vals)
+        devs = [abs(v - med) for v in vals]
+        mad = ref_med(devs)
+        thr = 3.0 * 1.4826 * mad
+        nout = sum(1 for d in devs if (d > 0 if mad == 0 else d > thr))
+        assert got[gsrc] == (len(vals), med, mad, nout), gsrc
+        assert got[gsrc][3] >= 1  # the planted outlier is caught
+
+
+def test_robust_outliers_mad_zero_and_validation(spark):
+    import pytest as _pt
+
+    from open_vector_tile_spark.operators.classify import robust_outliers
+
+    rows = [("z", 5)] * 9 + [("z", 6)]
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    got = robust_outliers(df).collect()[0]
+    assert got["mad"] == 0.0 and got["n_out"] == 1
+    with _pt.raises(ValueError):
+        robust_outliers(df, k=0)
