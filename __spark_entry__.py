@@ -1161,6 +1161,61 @@ _OUTLIERS_ORACLE_SQL = """
 """
 
 
+def _q_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sided CUSUM drift detection (operators/events.py cusum): both
+    recurrences are SCALAR folds, so the oracle replays each per-event
+    prefix with DuckDB list_reduce over the increment list with a
+    prepended 0.0 seed (list_reduce has no init-value form) — bit-exact
+    including the exact-tick mean chain."""
+    from open_vector_tile_spark.operators.events import cusum
+
+    ev = _load(spark, sf, "events")
+    return cusum(ev, slack=1.0, threshold=5.0).orderBy(
+        "user_id", "ts_us", "value"
+    )
+
+
+_CUSUM_ORACLE_SQL = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, value,
+             CAST(round(value * 100) AS BIGINT) AS t
+      FROM events
+    ),
+    l AS (
+      SELECT user_id,
+             list(value ORDER BY us, value) AS vs,
+             list(us ORDER BY us, value) AS uss,
+             CAST(sum(t) AS DOUBLE) / 100.0
+               / CAST(count(*) AS DOUBLE) AS mu
+      FROM e GROUP BY 1
+    ),
+    per AS (
+      SELECT user_id, vs, mu,
+             unnest(uss) AS ts_us,
+             unnest(vs) AS value,
+             unnest(range(1, len(vs) + 1)) AS i
+      FROM l
+    ),
+    f AS (
+      SELECT user_id, CAST(ts_us AS BIGINT) AS ts_us, value,
+             list_reduce(
+               list_prepend(0.0,
+                 list_transform(vs[1:CAST(i AS INT)],
+                                x -> x - mu - 1.0)),
+               (s, d) -> greatest(0.0, s + d)) AS cusum_hi,
+             list_reduce(
+               list_prepend(0.0,
+                 list_transform(vs[1:CAST(i AS INT)],
+                                x -> mu - x - 1.0)),
+               (s, d) -> greatest(0.0, s + d)) AS cusum_lo
+      FROM per
+    )
+    SELECT user_id, ts_us, value, cusum_hi, cusum_lo,
+           (cusum_hi > 5.0 OR cusum_lo > 5.0) AS alarm
+    FROM f ORDER BY user_id, ts_us, value
+"""
+
+
 def _q_cohort(spark: SparkSession, sf: str) -> DataFrame:
     """Daily cohort retention matrix (operators/events.py
     cohort_retention): three partial-agg shuffles, integer-exact period
@@ -6313,6 +6368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort": _q_cohort,
         "ewma": _q_ewma,
         "robust_outliers": _q_outliers,
+        "cusum": _q_cusum,
         "transitions": _q_transitions,
         "det_sample": _q_det_sample,
         "dataset_split": _q_dataset_split,
@@ -9934,6 +9990,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort": _COHORT_ORACLE_SQL,
         "ewma": _EWMA_ORACLE_SQL,
         "robust_outliers": _OUTLIERS_ORACLE_SQL,
+        "cusum": _CUSUM_ORACLE_SQL,
         "transitions": _TRANSITIONS_ORACLE_SQL,
         "communities": _communities_oracle_sql(),
         "idw_surface": _IDW_ORACLE_SQL,

@@ -679,3 +679,97 @@ def ewma(
         F.col("_z._es.v").alias("value"),
         F.col("_z._sm").alias("ewma"),
     )
+
+
+
+def cusum(
+    events: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    slack: float = 1.0,
+    threshold: float = 5.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per key: against the key's
+    own mean mu, the classic recurrences
+
+        hi_t = max(0, hi_{t-1} + (x_t - mu - slack))
+        lo_t = max(0, lo_{t-1} + (mu - x_t - slack))
+
+    with an alarm whenever either side exceeds ``threshold`` — the
+    crawl-telemetry drift detector (fetch-latency regressions, host error
+    shifts) next to ewma's smoother.
+
+    Two passes: mu per key from ONE exact partial agg (values fixed at
+    ``scale`` ticks, so the mean is an integer-sum / count double chain),
+    then the sorted fold appending each running state (the ewma recipe);
+    both sides are SCALAR folds, so a DuckDB list_reduce twin replays
+    them bit-for-bit without struct-accumulator workarounds.
+
+    -> per event: ``(*key, ts_us, value, cusum_hi, cusum_lo, alarm)``.
+    """
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    if scale <= 0:
+        raise ValueError(f"scale must be > 0, got {scale}")
+    key = [F.col(c) for c in key_cols]
+    us = epoch_us_col(events, ts_col)
+    ticks = F.round(F.col(value_col) * F.lit(int(scale))).cast("long")
+    rows = events.select(
+        *key,
+        F.struct(
+            us.alias("ts"), F.col(value_col).cast("double").alias("v")
+        ).alias("_e"),
+        ticks.alias("_t"),
+    )
+    agg = rows.groupBy(*key).agg(
+        F.array_sort(F.collect_list("_e")).alias("_es"),
+        (
+            F.sum("_t").cast("double")
+            / F.lit(float(scale))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_mu"),
+    )
+    sl = F.lit(float(slack))
+
+    def fold(sign: float):
+        def step(acc, e):
+            inc = (
+                (e["v"] - F.col("_mu") - sl)
+                if sign > 0
+                else (F.col("_mu") - e["v"] - sl)
+            )
+            prev = F.when(F.size(acc) == 0, F.lit(0.0)).otherwise(
+                F.element_at(acc, -1)
+            )
+            return F.concat(
+                acc, F.array(F.greatest(F.lit(0.0), prev + inc))
+            )
+
+        return F.aggregate(
+            F.col("_es"), F.array().cast("array<double>"), step
+        )
+
+    folded = agg.select(
+        *key,
+        F.col("_es"),
+        fold(1.0).alias("_hi"),
+        fold(-1.0).alias("_lo"),
+    )
+    ex = folded.select(
+        *key,
+        F.posexplode(
+            F.arrays_zip(F.col("_es"), F.col("_hi"), F.col("_lo"))
+        ).alias("_i", "_z"),
+    )
+    thr = F.lit(float(threshold))
+    return ex.select(
+        *key,
+        F.col("_z._es.ts").alias("ts_us"),
+        F.col("_z._es.v").alias("value"),
+        F.col("_z._hi").alias("cusum_hi"),
+        F.col("_z._lo").alias("cusum_lo"),
+        ((F.col("_z._hi") > thr) | (F.col("_z._lo") > thr)).alias("alarm"),
+    )

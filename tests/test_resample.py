@@ -250,3 +250,49 @@ def test_ewma_single_event_and_alpha_one(spark):
     assert [v for _, v in got] == [5.0, 7.0]  # alpha=1: no smoothing
     with pytest.raises(ValueError):
         ewma(_ev(spark, rows), alpha=0.0)
+
+
+def test_cusum_matches_reference_and_detects_shift(spark):
+    from open_vector_tile_spark.operators.events import cusum
+
+    rng = np.random.default_rng(113)
+    rows = []
+    for u in range(3):
+        for i in range(60):
+            # level shift of +4 halfway through for user 1
+            base = 10.0 + (4.0 if (u == 1 and i >= 30) else 0.0)
+            rows.append(
+                (u, _ts(i * 5), float(np.round(base + rng.uniform(-1, 1), 2)))
+            )
+    got = {
+        (r["user_id"], r["ts_us"]): (r["cusum_hi"], r["cusum_lo"], r["alarm"])
+        for r in cusum(_ev(spark, rows, 7), slack=1.0, threshold=5.0).collect()
+    }
+    # python reference (exact-tick mean, same chains)
+    per = {}
+    for u, ts, v in rows:
+        us = (ts - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1)
+        per.setdefault(u, []).append((us, v))
+    for u, evs in per.items():
+        evs.sort()
+        mu = sum(round(v * 100) for _, v in evs) / 100.0 / len(evs)
+        hi = lo = 0.0
+        for us, v in evs:
+            hi = max(0.0, hi + (v - mu - 1.0))
+            lo = max(0.0, lo + (mu - v - 1.0))
+            g = got[(u, us)]
+            assert g[0] == hi and g[1] == lo, (u, us)  # bit-exact
+            assert g[2] == (hi > 5.0 or lo > 5.0)
+    # the shifted user alarms, the stable users never do
+    assert any(a for (u, _), (_, _, a) in got.items() if u == 1)
+    assert not any(a for (u, _), (_, _, a) in got.items() if u != 1)
+
+
+def test_cusum_validation(spark):
+    from open_vector_tile_spark.operators.events import cusum
+
+    df = _ev(spark, [(1, _ts(0), 1.0)])
+    with pytest.raises(ValueError):
+        cusum(df, threshold=0)
+    with pytest.raises(ValueError):
+        cusum(df, scale=0)
