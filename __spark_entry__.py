@@ -1274,6 +1274,34 @@ _TRANSITIONS_ORACLE_SQL = """
 """
 
 
+def _q_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled mixing weights (functions/sampling.py
+    mix_weights) over document sources at alpha = 0.5 — one IEEE sqrt
+    per group (correctly rounded in any engine) and the sorted-fold
+    normalizer, so every double is bit-exact.  Oracle: the same chain
+    with DuckDB's ordered-aggregate sum."""
+    from open_vector_tile_spark.functions.sampling import mix_weights
+
+    docs = _load(spark, sf, "documents")
+    return mix_weights(docs, alpha=0.5).orderBy("source")
+
+
+_MIX_WEIGHTS_ORACLE_SQL = """
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
+    b AS (
+      SELECT source, n, CAST(n AS DOUBLE) / tot AS p,
+             sqrt(CAST(n AS DOUBLE) / tot) AS s
+      FROM c, t
+    ),
+    z AS (SELECT sum(s ORDER BY s) AS Z FROM b)
+    SELECT source, n, p, s / Z AS w, s / Z / p AS boost
+    FROM b, z ORDER BY source
+"""
+
+
 def _q_det_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic content-hash sampling (reproducible across runs/cluster
     sizes/engines — md5 prefix threshold, no rand())."""
@@ -6369,6 +6397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": _q_ewma,
         "robust_outliers": _q_outliers,
         "cusum": _q_cusum,
+        "mix_weights": _q_mix_weights,
         "transitions": _q_transitions,
         "det_sample": _q_det_sample,
         "dataset_split": _q_dataset_split,
@@ -9991,6 +10020,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma": _EWMA_ORACLE_SQL,
         "robust_outliers": _OUTLIERS_ORACLE_SQL,
         "cusum": _CUSUM_ORACLE_SQL,
+        "mix_weights": _MIX_WEIGHTS_ORACLE_SQL,
         "transitions": _TRANSITIONS_ORACLE_SQL,
         "communities": _communities_oracle_sql(),
         "idw_surface": _IDW_ORACLE_SQL,

@@ -206,3 +206,56 @@ def epoch_shuffle(
     return global_rank(keyed, ["_eh", "_ekey", "_erow"], "_ebkt", out_col=out_col).drop(
         "_eh", "_ebkt", "_ekey", "_erow"
     )
+
+
+
+def mix_weights(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled data-mixing weights (the UniMax/multilingual-
+    sampling recipe): per-group share ``p_i = n_i / N``, tempered weight
+    ``w_i = p_i^alpha / sum_j p_j^alpha``, and the sampling ``boost =
+    w_i / p_i`` a pipeline multiplies into per-group keep rates —
+    alpha < 1 up-samples small sources, alpha = 1 is proportional.
+
+    -> ``(group, n, p, w, boost)``.  Determinism: with the default
+    ``alpha = 0.5`` the power is ONE IEEE sqrt (correctly rounded in any
+    engine); the normalizer is the repo's order-deterministic sorted fold
+    (DuckDB twin ``sum(x ORDER BY x)``), so every double replays
+    bit-for-bit.  Other alphas go through pow(), whose low bits are
+    implementation-defined — documented, compare ranks or round there.
+
+    Plan: one partial-agg count per group, one 1-row normalizer broadcast
+    back — group-cardinality rows only.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    from ..operators.graph import _fold_sum
+
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").cast("double").alias("_N"),
+    )
+    base = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("n").cast("double") / F.col("_N")
+    )
+    s = (
+        F.sqrt(F.col("p"))
+        if float(alpha) == 0.5
+        else F.pow(F.col("p"), F.lit(float(alpha)))
+    )
+    scored = base.withColumn("_s", s)
+    z = scored.agg(_fold_sum(F.col("_s")).alias("_Z"))
+    out = scored.crossJoin(F.broadcast(z))
+    return out.select(
+        group_col,
+        "n",
+        "p",
+        (F.col("_s") / F.col("_Z")).alias("w"),
+        (F.col("_s") / F.col("_Z") / F.col("p")).alias("boost"),
+    )

@@ -170,3 +170,33 @@ def test_epoch_shuffle_is_deterministic_permutation(spark):
 
     want = {k: r for r, k in enumerate(sorted(range(1000), key=lambda k: (h(3, k), k)))}
     assert a.set_index("doc_id")["epoch_rank"].to_dict() == want
+
+
+def test_mix_weights_reference_and_properties(spark):
+    import math
+
+    import pytest as _pt
+
+    from open_vector_tile_spark.functions.sampling import mix_weights
+
+    rows = [("a",)] * 80 + [("b",)] * 15 + [("c",)] * 5
+    df = spark.createDataFrame(rows, ["source"]).repartition(5)
+    got = {
+        r["source"]: (r["n"], r["p"], r["w"], r["boost"])
+        for r in mix_weights(df, alpha=0.5).collect()
+    }
+    ns = {"a": 80, "b": 15, "c": 5}
+    N = 100.0
+    ss = {k: math.sqrt(n / N) for k, n in ns.items()}
+    Z = 0.0
+    for v in sorted(ss.values()):
+        Z = Z + v
+    for k, n in ns.items():
+        p = n / N
+        w = ss[k] / Z
+        assert got[k] == (n, p, w, w / p), k  # bit-exact
+    # tempering up-samples the tail and down-samples the head
+    assert got["c"][3] > 1.0 > got["a"][3]
+    assert sum(v[2] for v in got.values()) == _pt.approx(1.0)
+    with _pt.raises(ValueError):
+        mix_weights(df, alpha=0)
