@@ -1161,6 +1161,31 @@ _OUTLIERS_ORACLE_SQL = """
 """
 
 
+def _q_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """3-step navigation paths (operators/events.py event_paths): one
+    shared lead-window pass + a path-domain partial agg; oracle is
+    DuckDB's own lead windows — independent implementation."""
+    from open_vector_tile_spark.operators.events import event_paths
+
+    ev = _load(spark, sf, "events")
+    return event_paths(ev, n=3).orderBy("path")
+
+
+_PATHS_ORACLE_SQL = """
+    WITH o AS (
+      SELECT event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS path,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM o WHERE t3 IS NOT NULL
+    GROUP BY 1 ORDER BY path
+"""
+
+
 def _q_cusum(spark: SparkSession, sf: str) -> DataFrame:
     """Two-sided CUSUM drift detection (operators/events.py cusum): both
     recurrences are SCALAR folds, so the oracle replays each per-event
@@ -6398,6 +6423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": _q_outliers,
         "cusum": _q_cusum,
         "mix_weights": _q_mix_weights,
+        "event_paths": _q_paths,
         "transitions": _q_transitions,
         "det_sample": _q_det_sample,
         "dataset_split": _q_dataset_split,
@@ -10021,6 +10047,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_outliers": _OUTLIERS_ORACLE_SQL,
         "cusum": _CUSUM_ORACLE_SQL,
         "mix_weights": _MIX_WEIGHTS_ORACLE_SQL,
+        "event_paths": _PATHS_ORACLE_SQL,
         "transitions": _TRANSITIONS_ORACLE_SQL,
         "communities": _communities_oracle_sql(),
         "idw_surface": _IDW_ORACLE_SQL,

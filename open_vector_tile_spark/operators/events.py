@@ -773,3 +773,42 @@ def cusum(
         F.col("_z._lo").alias("cusum_lo"),
         ((F.col("_z._hi") > thr) | (F.col("_z._lo") > thr)).alias("alarm"),
     )
+
+
+
+def event_paths(
+    events: DataFrame,
+    *,
+    n: int = 3,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_cols: Sequence[str] = ("event_id",),
+    sep: str = ">",
+) -> DataFrame:
+    """n-step navigation paths: count every run of ``n`` CONSECUTIVE
+    events of the same key (by ``ts``, ties via ``order_cols``) as a
+    ``sep``-joined type path — the order-(n-1) generalization of
+    ``event_transitions`` for funnel discovery and anomaly mining.
+
+    -> ``(path, cnt)``.  Plan shape: ONE shuffle on the key for the lead
+    windows (all n-1 leads share one window frame — a single sorted-run
+    pass), then a partial agg over the small path domain.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        F.col(ts_col), *[F.col(c) for c in order_cols]
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(F.col(type_col), i).over(w) for i in range(1, int(n))
+    ]
+    last = steps[-1]
+    return (
+        events.select(
+            F.concat_ws(sep, *steps).alias("path"), last.alias("_last")
+        )
+        .filter(F.col("_last").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

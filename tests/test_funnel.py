@@ -222,3 +222,21 @@ def test_cohort_validation(spark):
     df = spark.createDataFrame([(1, _ts(0), "x")], ["user_id", "ts", "event_type"])
     with pytest.raises(ValueError):
         cohort_retention(df, period_seconds=0)
+
+
+def test_event_paths_trigrams(spark):
+    from open_vector_tile_spark.operators.events import event_paths
+    import pytest as _pt
+
+    rows = [
+        (1, 1, _ts(0), "a"), (1, 2, _ts(1), "b"), (1, 3, _ts(2), "c"),
+        (1, 4, _ts(3), "a"),
+        (2, 5, _ts(0), "a"), (2, 6, _ts(1), "b"),  # too short for n=3
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+    got = {r["path"]: r["cnt"] for r in event_paths(df, n=3).collect()}
+    assert got == {"a>b>c": 1, "b>c>a": 1}
+    got2 = {r["path"]: r["cnt"] for r in event_paths(df, n=2).collect()}
+    assert got2 == {"a>b": 2, "b>c": 1, "c>a": 1}
+    with _pt.raises(ValueError):
+        event_paths(df, n=1)
