@@ -6377,88 +6377,42 @@ def _q_media_resize(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "cell_assign": _q_cell_assign,
-        "tile_assignment": _q_tile_assignment,
-        "agg_pushdown": _q_agg_pushdown,
-        "dict_freq": _q_dict_freq,
-        "topk_window": _q_topk_window,
-        "broadcast_join": _q_broadcast_join,
-        "anti_join": _q_anti_join,
-        "semi_join": _q_semi_join,
-        "quantize": _q_quantize,
-        "gridding": _q_gridding,
-        "grid_remap": _q_grid_remap,
-        "exact_dedup": _q_exact_dedup,
-        "token_count": _q_token_count,
-        "quality": _q_quality,
-        "cosine_topk": _q_cosine_topk,
-        "knn_haversine": _q_knn_haversine,
-        "minhash_near_dups": _q_minhash_near_dups,
-        "simhash": _q_simhash,
-        "lsh_topk": _q_lsh_topk,
-        "lang_id": _q_lang_id,
-        "elevation": _q_elevation,
-        "zigzag_cmd": _q_zigzag_cmd,
-        "bbox_agg": _q_bbox_agg,
-        "tile_roundtrip": _q_tile_roundtrip,
-        "tile_roundtrip_full": _q_tile_roundtrip_full,
-        "knn_cell_ring": _q_knn_cell_ring,
-        "ivf_topk": _q_ivf_topk,
-        "near_dup_embeddings": _q_near_dup_embeddings,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "containment_dups": _q_containment,
-        "textrank": _q_textrank,
-        "fingerprint": _q_fingerprint,
-        "s2json_roundtrip": _q_s2json_roundtrip,
-        "corpus_filter": _q_corpus_filter,
-        "extract_text": _q_extract_text,
-        "asof_join": _q_asof_join,
-        "asof_forward": _q_asof_forward,
-        "sessionize": _q_sessionize,
-        "resample": _q_resample,
-        "rolling": _q_rolling,
-        "funnel": _q_funnel,
-        "cohort": _q_cohort,
-        "ewma": _q_ewma,
-        "robust_outliers": _q_outliers,
-        "cusum": _q_cusum,
-        "mix_weights": _q_mix_weights,
-        "event_paths": _q_paths,
-        "transitions": _q_transitions,
-        "det_sample": _q_det_sample,
-        "dataset_split": _q_dataset_split,
-        "corpus_stats": _q_corpus_stats,
-        "pq_topk": _q_pq_topk,
-        "pq_topk_exact": _q_pq_topk_exact,
+        # Registration order = driver-sweep priority: the driver oracles a
+        # prefix of this dict each round, so not-yet-driver-verified queries
+        # come first and the thrice-green codec/join/agg core is rotated to
+        # the back (VERDICT.md round-3 ask #1).
         "tile_pyramid": _q_tile_pyramid,
-        "merge_overlay": _q_merge_overlay,
-        "polygon_ingest_dist": _q_polygon_ingest_dist,
         "tileset_scan": _q_tileset_scan,
         "spatial_join_dist": _q_spatial_join_dist,
-        "repetition": _q_repetition,
+        "merge_overlay": _q_merge_overlay,
+        "polygon_ingest_dist": _q_polygon_ingest_dist,
+        "hex_assign": _q_hex_assign,
+        "bbox_join": _q_bbox_join,
+        "pagerank": _q_pagerank,
+        "bm25": _q_bm25,
+        "semantic_dedup": _q_semantic_dedup,
         "dedup_clusters": _q_dedup_clusters,
-        "dedup_apply": _q_dedup_apply,
         "pack_sequences": _q_pack_sequences,
+        "pii_redact": _q_pii_redact,
+        "decontaminate": _q_decontaminate,
+        "repetition": _q_repetition,
+        "dedup_apply": _q_dedup_apply,
         "line_dedup": _q_line_dedup,
         "span_dedup": _q_span_dedup,
         "latest_crawl": _q_latest_crawl,
         "blocklist": _q_blocklist,
-        "pii_redact": _q_pii_redact,
         "gopher_filter": _q_gopher_filter,
         "url_dedup": _q_url_dedup,
-        "decontaminate": _q_decontaminate,
         "weighted_sample": _q_weighted_sample,
         "corpus_pipeline": _q_corpus_pipeline,
         "mix_sample": _q_mix_sample,
         "kmv_distinct": _q_kmv_distinct,
         "kmv_merge": _q_kmv_merge,
-        "bm25": _q_bm25,
         "zorder_layout": _q_zorder_layout,
         "hilbert_layout": _q_hilbert_layout,
         "clip_lines": _q_clip_lines,
         "clip_polygon_rect": _q_clip_polygon_rect,
         "simplify_collapse": _q_simplify_collapse,
-        "hex_assign": _q_hex_assign,
         "hex_smooth": _q_hex_smooth,
         "hex_knn": _q_hex_knn,
         "hll_distinct": _q_hll_distinct,
@@ -6475,9 +6429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodesic_area": _q_geodesic_area,
         "chunk_emit": _q_chunk_emit,
         "epoch_shuffle": _q_epoch_shuffle,
-        "semantic_dedup": _q_semantic_dedup,
         "distance_join": _q_distance_join,
-        "bbox_join": _q_bbox_join,
         "polygon_metrics": _q_polygon_metrics,
         "hist_quantile": _q_hist_quantile,
         "tile_diff": _q_tile_diff,
@@ -6490,7 +6442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_fallback": _q_geo_fallback,
         "crawl_schedule": _q_crawl_schedule,
         "redirect_resolve": _q_redirect_resolve,
-        "pagerank": _q_pagerank,
         "communities": _q_communities,
         "trust_rank": _q_trust_rank,
         "link_extract": _q_link_extract,
@@ -6556,6 +6507,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _q_media_stats,
         "frame_sample": _q_frame_sample,
         "media_resize": _q_media_resize,
+        "pq_topk": _q_pq_topk,
+        "pq_topk_exact": _q_pq_topk_exact,
+        "cell_assign": _q_cell_assign,
+        "tile_assignment": _q_tile_assignment,
+        "agg_pushdown": _q_agg_pushdown,
+        "dict_freq": _q_dict_freq,
+        "topk_window": _q_topk_window,
+        "broadcast_join": _q_broadcast_join,
+        "anti_join": _q_anti_join,
+        "semi_join": _q_semi_join,
+        "quantize": _q_quantize,
+        "gridding": _q_gridding,
+        "grid_remap": _q_grid_remap,
+        "exact_dedup": _q_exact_dedup,
+        "token_count": _q_token_count,
+        "quality": _q_quality,
+        "cosine_topk": _q_cosine_topk,
+        "knn_haversine": _q_knn_haversine,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash": _q_simhash,
+        "lsh_topk": _q_lsh_topk,
+        "lang_id": _q_lang_id,
+        "elevation": _q_elevation,
+        "zigzag_cmd": _q_zigzag_cmd,
+        "bbox_agg": _q_bbox_agg,
+        "tile_roundtrip": _q_tile_roundtrip,
+        "tile_roundtrip_full": _q_tile_roundtrip_full,
+        "knn_cell_ring": _q_knn_cell_ring,
+        "ivf_topk": _q_ivf_topk,
+        "near_dup_embeddings": _q_near_dup_embeddings,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "containment_dups": _q_containment,
+        "textrank": _q_textrank,
+        "fingerprint": _q_fingerprint,
+        "s2json_roundtrip": _q_s2json_roundtrip,
+        "corpus_filter": _q_corpus_filter,
+        "extract_text": _q_extract_text,
+        "asof_join": _q_asof_join,
+        "asof_forward": _q_asof_forward,
+        "sessionize": _q_sessionize,
+        "resample": _q_resample,
+        "rolling": _q_rolling,
+        "funnel": _q_funnel,
+        "cohort": _q_cohort,
+        "ewma": _q_ewma,
+        "robust_outliers": _q_outliers,
+        "cusum": _q_cusum,
+        "mix_weights": _q_mix_weights,
+        "event_paths": _q_paths,
+        "transitions": _q_transitions,
+        "det_sample": _q_det_sample,
+        "dataset_split": _q_dataset_split,
+        "corpus_stats": _q_corpus_stats,
     }
 
 
