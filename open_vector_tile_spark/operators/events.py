@@ -74,6 +74,18 @@ def asof_join(
     ]
     out_right = [f"{c}{suffix}" for c in right_cols]
     lpay = [c for c in left.columns if c not in on and c != left_ts]
+    # Suffixed right columns and the window internals land in the same
+    # namespace as the left payload — a silent collision would produce
+    # duplicate/ambiguous output columns.
+    taken = set(on) | set(lpay) | {left_ts}
+    clash = (set(out_right) & taken) | (
+        {"_ats", "_aside", "_rpack", "_rtie"} & set(left.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"asof_join output name collision: {sorted(clash)} — rename the "
+            f"left columns or pass a different suffix (current {suffix!r})"
+        )
 
     # Pack the WHOLE right payload (match ts + every right column) into ONE
     # struct so the window picks an entire right row atomically.  Filling each
@@ -177,6 +189,10 @@ def interval_join(
     back ``suffix``-renamed.  Bounds are numeric (cast timestamps to epoch
     units first); chunk ids go through a double-precision floor, exact for
     |bound| < 2^53 — epoch micros until year ~2255."""
+    if chunk <= 0:
+        # chunk=0 would null the floor-division, null the sequence, and
+        # explode to zero rows — an empty result instead of a loud failure.
+        raise ValueError(f"chunk must be a positive width, got {chunk}")
     lcols = left.columns
     r_renamed = right.select(
         *[F.col(c).alias(f"{c}{suffix}") for c in right.columns]
@@ -489,6 +505,10 @@ def funnel(
     """
     if not steps:
         raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        # the when-chain maps each event type to its FIRST step index, so a
+        # funnel like view>click>view could never advance past the repeat
+        raise ValueError(f"funnel steps must be distinct, got {list(steps)}")
     key = [F.col(c) for c in key_cols]
     idx = None
     for i, s in enumerate(steps):
@@ -804,6 +824,11 @@ def event_paths(
         F.lead(F.col(type_col), i).over(w) for i in range(1, int(n))
     ]
     last = steps[-1]
+    # concat_ws silently skips NULLs: a (a, NULL, c) triple would emit 'a>c'
+    # and masquerade as a real 2-step path.  Null event types carry no path
+    # information, so drop them before the window (also keeps lead() from
+    # straddling the gap).
+    events = events.filter(F.col(type_col).isNotNull())
     return (
         events.select(
             F.concat_ws(sep, *steps).alias("path"), last.alias("_last")

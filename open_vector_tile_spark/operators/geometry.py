@@ -459,10 +459,13 @@ def segment_intersection_join(
     base = segs.select(
         F.col(id_col).alias("_id"),
         x1.alias("_x1"), y1.alias("_y1"), x2.alias("_x2"), y2.alias("_y2"),
-        (lo_x / cs).cast("long").alias("_cx0"),
-        (hi_x / cs).cast("long").alias("_cx1"),
-        (lo_y / cs).cast("long").alias("_cy0"),
-        (hi_y / cs).cast("long").alias("_cy1"),
+        # floor, not cast-truncation: a cast rounds toward zero, so negative
+        # coordinates would land one cell too high and intersecting pairs
+        # straddling the origin would be silently missed
+        F.floor(lo_x / cs).cast("long").alias("_cx0"),
+        F.floor(hi_x / cs).cast("long").alias("_cx1"),
+        F.floor(lo_y / cs).cast("long").alias("_cy0"),
+        F.floor(hi_y / cs).cast("long").alias("_cy1"),
     )
     cells = base.withColumn(
         "_cx", F.explode(F.sequence(F.col("_cx0"), F.col("_cx1")))

@@ -300,3 +300,31 @@ def test_interval_join_single_shuffle_per_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(_chunk") <= 2
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_zero_chunk_rejected(spark):
+    from open_vector_tile_spark.operators.events import interval_join
+
+    df = spark.createDataFrame([(1, 0, 10)], "id long, start long, end long")
+    with pytest.raises(ValueError, match="chunk"):
+        interval_join(df, df, chunk=0)
+
+
+def test_asof_join_suffix_collision_rejected(spark):
+    """A left column named like a suffixed right output (or a window
+    internal) would silently produce duplicate output columns."""
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 9.0)], ["k", "ts", "v_r"]
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)], ["k", "ts", "v"]
+    )
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left, right, on=["k"])
+    left2 = left.withColumnRenamed("v_r", "_rpack")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left2, right, on=["k"])
+    # non-colliding suffix still works
+    assert asof_join(
+        left.withColumnRenamed("v_r", "w"), right, on=["k"]
+    ).count() == 1

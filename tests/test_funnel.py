@@ -240,3 +240,27 @@ def test_event_paths_trigrams(spark):
     assert got2 == {"a>b": 2, "b>c": 1, "c>a": 1}
     with _pt.raises(ValueError):
         event_paths(df, n=1)
+
+
+def test_funnel_repeated_steps_rejected(spark):
+    """A repeated step type can never advance past the repeat (the when-chain
+    maps each type to its FIRST index), so it must fail loudly."""
+    df = spark.createDataFrame([(1, _ts(0), "view")], ["user_id", "ts", "event_type"])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel(df, ["view", "click", "view"])
+
+
+def test_event_paths_null_types_dropped(spark):
+    """concat_ws skips NULLs: without the up-front filter a (a, NULL, c)
+    run would emit 'a>c' and be indistinguishable from a real 2-step path."""
+    from open_vector_tile_spark.operators.events import event_paths
+
+    rows = [
+        (1, 1, _ts(0), "a"), (1, 2, _ts(1), None), (1, 3, _ts(2), "c"),
+        (2, 4, _ts(0), "a"), (2, 5, _ts(1), "c"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "event_type"])
+    got = {r["path"]: r["cnt"] for r in event_paths(df, n=2).collect()}
+    # user 1's null row contributes no path; only user 2's real a>c and
+    # user 1's a..c-with-null-removed (a>c after the drop) remain
+    assert got == {"a>c": 2}

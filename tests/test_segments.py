@@ -108,3 +108,19 @@ def test_partitioning_invariance_and_validation(spark):
     assert one == many == _brute(segs)
     with pytest.raises(ValueError):
         segment_intersection_join(df, cell_size=0)
+
+
+def test_negative_coordinates_floor_cells(spark):
+    """Cell ids must floor (not truncate toward zero): two segments crossing
+    at the origin land in cell -1 vs 0 under truncation and the pair is
+    silently missed."""
+    segs = [(-5, -5, 5, 5), (-5, 5, 5, -5), (-9, -9, -1, -1), (-9, -1, -1, -9)]
+    df = spark.createDataFrame(
+        [(i, *s) for i, s in enumerate(segs)],
+        "seg_id long, x1 long, y1 long, x2 long, y2 long",
+    )
+    got = sorted(
+        (r.seg_a, r.seg_b)
+        for r in segment_intersection_join(df, cell_size=4).collect()
+    )
+    assert got == _brute(segs)
