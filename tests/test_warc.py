@@ -205,3 +205,13 @@ def test_corrupt_gzip_member_flagged_not_fatal(spark):
     assert len(ok[ok["blob_id"] == 0]) == n_pages  # good members all parsed
     assert len(ok[ok["blob_id"] == 1]) == n_pages
     assert pdf[pdf["malformed"]]["blob_id"].tolist() == [0]  # one flagged row
+
+
+def test_gzip_member_bytes_match_stdlib():
+    """The hand-framed raw-zlib member must stay byte-identical to
+    gzip.compress(data, compresslevel=6, mtime=0) — the format every
+    external Common-Crawl reader expects."""
+    from open_vector_tile_spark.sources.warc import _gzip_member
+
+    for data in (b"", b"x", b"hello world " * 1000, bytes(range(256)) * 37):
+        assert _gzip_member(data) == gzip.compress(data, compresslevel=6, mtime=0)
