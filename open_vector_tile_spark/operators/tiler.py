@@ -587,8 +587,9 @@ def polygons_to_features(
     are dropped like classifyRings does (src/mapbox/vectorFeature.ts:357-381)
     unless ``drop_degenerate=False``.
 
-    Runs driver-side (DECLARED dim-table helper — fine for dim-sized layers
-    only); the corpus-scale path is :func:`polygons_to_features_dist`, which
+    Runs driver-side (DECLARED dim-table helper — fine below ~10^4 geometries;
+    above that, use the scale twin); the corpus-scale path is
+    :func:`polygons_to_features_dist`, which
     produces identical rows from a Spark DataFrame with no driver
     materialization.  Returns a Spark DataFrame ready to union with point
     feature rows for multi-layer tiles.
@@ -651,8 +652,9 @@ def lines_to_features(
     """Line layer (pandas with line_id, xy flat lon/lat list, optional offset,
     optional mvals (per-vertex dict list), props columns) -> type-2 feature
     rows, tile-assigned by bbox covering.  M-values ride as mvals_json
-    (FIXTURES.md §6).  DECLARED driver-side dim-table helper; the
-    corpus-scale twin is :func:`lines_to_features_dist`."""
+    (FIXTURES.md §6).  DECLARED driver-side dim-table helper — fine below
+    ~10^4 geometries; the corpus-scale twin is
+    :func:`lines_to_features_dist`."""
     import json as _json
 
     from ..functions.geo import cover_bbox_np, merc_x_np, merc_y_np
@@ -712,7 +714,8 @@ def lines3d_to_features(
     by bbox covering.  x/y quantize like P13; z quantizes by ``z_scale`` with
     the same JS half-up rounding (reference 3D read/write:
     src/open/vectorFeature.ts:376-587).  DECLARED driver-side dim-table
-    helper; scale twin: ``lines_to_features_dist(dims=3)``."""
+    helper — fine below ~10^4 geometries; scale twin:
+    ``lines_to_features_dist(dims=3)``."""
     import json as _json
 
     from ..functions.geo import cover_bbox_np, merc_x_np, merc_y_np
@@ -773,7 +776,7 @@ def polygons3d_to_features(
     rings), props columns) -> type-6 feature rows.  Mirrors
     polygons_to_features for the 3D wire type; M-values ride as mvals_json
     (the encoder distributes them per ring via ring_lens).  DECLARED
-    driver-side dim-table helper; scale twin:
+    driver-side dim-table helper — fine below ~10^4 geometries; scale twin:
     ``polygons_to_features_dist(dims=3)``."""
     import json as _json
 
