@@ -6341,14 +6341,18 @@ def _q_media_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_media_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-media payload byte stats from the REAL binary: segmented
-    reduceat/prefix-sum over the Arrow-batch-concatenated buffer (no
-    per-row Python).  Oracle regenerates every payload byte from the spec
-    formula — exact int sums, one int/int double division."""
-    from open_vector_tile_spark.operators.media import media_byte_stats, synth_media
+    """Per-media pixel stats with automatic codec dispatch
+    (operators/media.py:media_pixel_stats): OVM1 blobs take the segmented
+    reduceat/prefix-sum byte-kernel over the Arrow-batch-concatenated
+    buffer (payload bytes ARE the pixels — no per-row Python); real image
+    containers route through Pillow when it is importable.  In this
+    codec-less container every row is OVM1, so the oracle regenerates
+    every payload byte from the spec formula — exact int sums, one
+    int/int double division."""
+    from open_vector_tile_spark.operators.media import media_pixel_stats, synth_media
 
     docs = _load(spark, sf, "documents")
-    return media_byte_stats(synth_media(docs)).orderBy("media_id")
+    return media_pixel_stats(synth_media(docs)).orderBy("media_id")
 
 
 def _q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:

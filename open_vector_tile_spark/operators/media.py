@@ -57,6 +57,8 @@ __all__ = [
     "media_byte_stats",
     "frame_sample",
     "resize_image_width",
+    "media_pixel_stats",
+    "pillow_module",
     "decode_image_real",
 ]
 
@@ -198,6 +200,37 @@ def _concat_payloads(blobs: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarr
     return buf, starts, lens
 
 
+def _segment_stats_frame(
+    media_ids: np.ndarray, buf: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> pd.DataFrame:
+    """Vectorized per-segment stats over one concatenated uint8 buffer:
+    ``(media_id, payload_len, byte_sum, byte_min, byte_max, mean_byte)``."""
+    nonempty = lens > 0
+    wide = buf.astype(np.int64)
+    csum = np.concatenate(([0], np.cumsum(wide)))
+    bsum = csum[starts + lens] - csum[starts]
+    # sentinel-extended buffers make len(buf) a VALID reduceat
+    # index (empty trailing segments would otherwise force a clip
+    # that corrupts the preceding row's boundary); the sentinel can
+    # only land in the LAST segment, and its value (huge for min,
+    # -1 for max) never beats a real byte — empty rows mask to NaN
+    lo = np.concatenate((wide, [np.int64(1) << 62]))
+    hi = np.concatenate((wide, [np.int64(-1)]))
+    bmin = np.where(nonempty, np.minimum.reduceat(lo, starts), np.nan)
+    bmax = np.where(nonempty, np.maximum.reduceat(hi, starts), np.nan)
+    mean = np.where(nonempty, bsum / np.maximum(lens, 1), np.nan)
+    return pd.DataFrame(
+        {
+            "media_id": media_ids,
+            "payload_len": lens,
+            "byte_sum": bsum,
+            "byte_min": bmin,
+            "byte_max": bmax,
+            "mean_byte": mean,
+        }
+    )
+
+
 def media_byte_stats(media: DataFrame, blob_col: str = "blob") -> DataFrame:
     """Per-media payload stats: ``(media_id, payload_len, byte_sum,
     byte_min, byte_max, mean_byte)``.
@@ -213,29 +246,8 @@ def media_byte_stats(media: DataFrame, blob_col: str = "blob") -> DataFrame:
             if not len(pdf):
                 continue
             buf, starts, lens = _concat_payloads(pdf[blob_col])
-            nonempty = lens > 0
-            wide = buf.astype(np.int64)
-            csum = np.concatenate(([0], np.cumsum(wide)))
-            bsum = csum[starts + lens] - csum[starts]
-            # sentinel-extended buffers make len(buf) a VALID reduceat
-            # index (empty trailing segments would otherwise force a clip
-            # that corrupts the preceding row's boundary); the sentinel can
-            # only land in the LAST segment, and its value (huge for min,
-            # -1 for max) never beats a real byte — empty rows mask to NaN
-            lo = np.concatenate((wide, [np.int64(1) << 62]))
-            hi = np.concatenate((wide, [np.int64(-1)]))
-            bmin = np.where(nonempty, np.minimum.reduceat(lo, starts), np.nan)
-            bmax = np.where(nonempty, np.maximum.reduceat(hi, starts), np.nan)
-            mean = np.where(nonempty, bsum / np.maximum(lens, 1), np.nan)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].to_numpy(np.int64),
-                    "payload_len": lens,
-                    "byte_sum": bsum,
-                    "byte_min": bmin,
-                    "byte_max": bmax,
-                    "mean_byte": mean,
-                }
+            yield _segment_stats_frame(
+                pdf["media_id"].to_numpy(np.int64), buf, starts, lens
             )
 
     return media.select("media_id", blob_col).mapInPandas(
@@ -378,23 +390,90 @@ def resize_image_width(media: DataFrame, blob_col: str = "blob") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# real-codec decode — deliberately stubbed (no media libs in this env)
+# real-codec decode — auto-dispatched; Pillow path used when importable
 # ---------------------------------------------------------------------------
 
 
-def decode_image_real(blob: bytes) -> "np.ndarray":
-    """Decode a REAL image codec (JPEG/PNG) to an HxWxC array.
-
-    The container plumbing above is format-agnostic; this is the one step
-    that needs an actual codec library.  Gated on Pillow: raises
-    ``NotImplementedError`` in environments (like this one) without it.
-    """
+def pillow_module():
+    """Import-probe for a real image codec (Pillow).  Returns the
+    ``PIL.Image`` module or ``None`` — callers dispatch on the result so
+    environments with codecs get actual pixel decode and this container
+    (no codec libs) keeps the deterministic OVM1 byte-kernel path."""
     try:
         from PIL import Image  # noqa: PLC0415
-    except ImportError as exc:  # pragma: no cover - env-dependent
+    except ImportError:
+        return None
+    return Image
+
+
+def decode_image_real(blob: bytes, pillow=None) -> "np.ndarray":
+    """Decode a REAL image codec (JPEG/PNG/WebP) to an HxWxC array.
+
+    The container plumbing above is format-agnostic; this is the one step
+    that needs an actual codec library.  Raises ``NotImplementedError``
+    when Pillow is absent (like this container).
+    """
+    pillow = pillow or pillow_module()
+    if pillow is None:
         raise NotImplementedError(
             "real image decode needs Pillow; OVM1 synthetic media needs no codec"
-        ) from exc
+        )
     import io  # noqa: PLC0415
 
-    return np.asarray(Image.open(io.BytesIO(blob)))  # pragma: no cover
+    return np.asarray(pillow.open(io.BytesIO(blob)))
+
+
+def _pixel_stats_frame(pdf: pd.DataFrame, blob_col: str, pillow) -> pd.DataFrame:
+    """One Arrow batch of media rows -> per-media PIXEL stats, dispatching
+    per row: OVM1 blobs take the vectorized byte-kernel (the payload bytes
+    ARE the pixels — identical numbers to media_byte_stats, no codec);
+    anything else is a real codec container decoded with Pillow, its stats
+    computed over every channel byte of the decoded array."""
+    is_ovm = np.fromiter(
+        (bytes(b[:4]) == MAGIC for b in pdf[blob_col]), dtype=bool, count=len(pdf)
+    )
+    parts = []
+    if is_ovm.any():
+        sub = pdf[is_ovm]
+        buf, starts, lens = _concat_payloads(sub[blob_col])
+        parts.append(
+            _segment_stats_frame(sub["media_id"].to_numpy(np.int64), buf, starts, lens)
+        )
+    if (~is_ovm).any():
+        sub = pdf[~is_ovm]
+        pixel_rows = [
+            decode_image_real(bytes(b), pillow).ravel().astype(np.uint8)
+            for b in sub[blob_col]
+        ]
+        lens = np.fromiter((p.size for p in pixel_rows), dtype=np.int64, count=len(pixel_rows))
+        buf = (
+            np.concatenate(pixel_rows)
+            if lens.sum()
+            else np.empty(0, dtype=np.uint8)
+        )
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        parts.append(
+            _segment_stats_frame(sub["media_id"].to_numpy(np.int64), buf, starts, lens)
+        )
+    return pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+
+
+def media_pixel_stats(media: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Per-media PIXEL stats — same columns as :func:`media_byte_stats`,
+    but the values are over decoded pixels, with the codec path chosen
+    automatically per row (OVM1 byte-kernel vs Pillow; see
+    :func:`_pixel_stats_frame`).  On OVM1 synthetic media the two operators
+    agree bit-for-bit, which is what keeps the driver oracle exact in
+    codec-less environments while real deployments get true pixel stats."""
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pillow = pillow_module()  # probed once per worker, not per row
+        for pdf in it:
+            if len(pdf):
+                yield _pixel_stats_frame(pdf, blob_col, pillow)
+
+    return media.select("media_id", blob_col).mapInPandas(
+        stats,
+        "media_id long, payload_len long, byte_sum long,"
+        " byte_min double, byte_max double, mean_byte double",
+    )

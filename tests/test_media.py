@@ -193,3 +193,74 @@ def test_decode_stub_raises():
         pass
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG...")
+
+
+def test_pixel_stats_ovm1_path_matches_byte_stats(media_df):
+    """media_pixel_stats on OVM1 blobs must agree bit-for-bit with
+    media_byte_stats (payload bytes ARE the pixels) — this is the
+    codec-less fallback path the driver oracle rides."""
+    from open_vector_tile_spark.operators.media import media_pixel_stats
+
+    a = sorted(map(tuple, media_pixel_stats(media_df).collect()))
+    b = sorted(map(tuple, media_byte_stats(media_df).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_pixel_stats_real_codec_branch_dispatch():
+    """Pin the Pillow branch of the per-batch kernel with an injected fake
+    codec module (local-mode executors can't see a monkeypatched import,
+    so the kernel is exercised directly): non-OVM1 blobs must route
+    through pillow.open and produce stats over the decoded array, mixed
+    with OVM1 rows in one batch."""
+    import numpy as np
+    import pandas as pd
+
+    from open_vector_tile_spark.operators.media import (
+        HEADER_LEN,
+        MAGIC,
+        _pixel_stats_frame,
+    )
+
+    class FakeImage:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def __array__(self, dtype=None, copy=None):
+            return self.arr
+
+    decoded = {}
+
+    class FakePillow:
+        @staticmethod
+        def open(fp):
+            data = fp.read()
+            arr = np.frombuffer(data[4:], dtype=np.uint8).reshape(-1, 2)
+            decoded[data[:4]] = True
+            return FakeImage(arr)
+
+    ovm_payload = bytes([5, 10, 15, 20])
+    ovm_blob = MAGIC + bytes(HEADER_LEN - 4) + ovm_payload
+    png_blob = b"PNG0" + bytes([1, 2, 3, 4, 250, 6])
+    pdf = pd.DataFrame({"media_id": [1, 2], "blob": [ovm_blob, png_blob]})
+    out = (
+        _pixel_stats_frame(pdf, "blob", FakePillow)
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert decoded == {b"PNG0": True}  # the codec really ran
+    assert out["payload_len"].tolist() == [4, 6]
+    assert out["byte_sum"].tolist() == [50, 266]
+    assert out["byte_min"].tolist() == [5.0, 1.0]
+    assert out["byte_max"].tolist() == [20.0, 250.0]
+
+
+def test_pixel_stats_no_codec_raises_loudly():
+    """A real-codec blob in a codec-less environment must fail with the
+    named missing dependency, not silently misread bytes."""
+    import pandas as pd
+
+    from open_vector_tile_spark.operators.media import _pixel_stats_frame
+
+    pdf = pd.DataFrame({"media_id": [7], "blob": [b"\x89PNG\r\n" + bytes(20)]})
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        _pixel_stats_frame(pdf, "blob", None)
