@@ -455,6 +455,63 @@ def _scale_measure(cores: int) -> dict:
                     )
                 )
             pts = geoparse(src)
+            if path == "pipeline":
+                # FLAGSHIP end-to-end north-star job: geoparse -> cell
+                # assign + two-phase polygon join -> kNN POI anchors ->
+                # columnar featurize -> bulk OVT encode -> tileset shard
+                # write.  One number per parallelism level for the whole
+                # pipeline, not per-query minima.
+                import shutil
+
+                from open_vector_tile_spark.operators.knn import knn_broadcast
+                from open_vector_tile_spark.operators.spatial_join import spatial_join
+                from open_vector_tile_spark.sources import pois_pdf, polygons_pdf
+                from open_vector_tile_spark.sources.tileset import (
+                    OvtTilesetDataSource,
+                )
+
+                spark.dataSource.register(OvtTilesetDataSource)
+                joined = spatial_join(pts, polygons_pdf(), zoom=6)
+                nn = knn_broadcast(joined, pois_pdf(200), k=1, key="url").select(
+                    "url", F.col("poi_id").alias("near_poi")
+                )
+                enriched = joined.join(nn, "url").withColumn(
+                    "near_poi", F.col("near_poi").cast("string")
+                )
+                feats, meta = points_to_features_columnar(
+                    enriched,
+                    zoom=10,
+                    layer="pages",
+                    extent=4096,
+                    props_cols=["url", "lang", "near_poi"],
+                )
+                tiles = encode_point_tiles(feats, meta, partitions=3 * cores)
+                out_dir = f"{_SCALING_BASE}/ovt_pipeline_out_{cores}"
+                shutil.rmtree(out_dir, ignore_errors=True)
+
+                class _PipelineJob:
+                    """Write is the action; report rows from the written set."""
+
+                    def collect(self):
+                        (
+                            tiles.select("zoom", "tile_x", "tile_y", "tile")
+                            .write.format("ovt_tileset")
+                            .option("path", out_dir)
+                            .option("layout", "shard")
+                            .mode("append")
+                            .save()
+                        )
+                        back = (
+                            spark.read.format("ovt_tileset")
+                            .option("path", out_dir)
+                            .load()
+                            .agg(F.count("*").alias("tiles"))
+                            .collect()
+                        )
+                        n_rows = src.count()
+                        return [{"rows": n_rows, "tiles": back[0]["tiles"]}]
+
+                return _PipelineJob()
             if path in ("fast", "verify"):
                 feats, meta = points_to_features_columnar(
                     pts, zoom=10, layer="pages", extent=4096, props_cols=["url", "lang"]
