@@ -53,6 +53,7 @@ def _run(spark, pts, **kw):
     }
 
 
+@pytest.mark.slow
 def test_known_split(spark):
     # 30 points clustered in one z2 tile + 3 lone points elsewhere
     pts = [(10.0 + i * 0.001, 50.0 + i * 0.001) for i in range(30)]
@@ -82,6 +83,7 @@ def test_no_split_needed(spark):
     assert all(z == 3 for z, _, _ in got)
 
 
+@pytest.mark.slow
 def test_randomized_parity_and_determinism(spark):
     rng = random.Random(41)
     pts = []

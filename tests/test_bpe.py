@@ -102,6 +102,7 @@ class TestBpeTrain:
         # round 1 merges exist only between... all words are single chars
         assert got == []
 
+    @pytest.mark.slow
     def test_repartition_invariance(self, spark):
         from open_vector_tile_spark.operators.bpe import bpe_train
 

@@ -88,6 +88,7 @@ def test_training_parity_bitexact(spark):
         assert a == pytest.approx(b, rel=1e-9)
 
 
+@pytest.mark.slow
 def test_learns_separable_task(spark):
     rng = random.Random(9)
     rows = []

@@ -124,6 +124,7 @@ def test_randomized_matches_reference(spark):
     assert got == _ref(pts, cell_deg=1.0, min_pts=4)
 
 
+@pytest.mark.slow
 def test_repartition_invariant_and_negative_coords(spark):
     rng = random.Random(7)
     pts = [

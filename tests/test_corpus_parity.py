@@ -99,6 +99,7 @@ def _geom_tuples(f):
     return [[[tuple(p) for p in ln.points] for ln in poly] for poly in f.geometry]
 
 
+@pytest.mark.slow
 def test_corpus_parity_and_size():
     files = _corpus_files()
     assert files

@@ -60,6 +60,7 @@ def test_cc_chain_star_and_singleton_edge(spark):
     assert 300 not in out  # pure self-loop: no symmetric edge survives
 
 
+@pytest.mark.slow
 def test_cc_random_graph_matches_union_find(spark):
     rng = random.Random(7)
     edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(220)]
@@ -390,6 +391,7 @@ def test_bfs_known(spark):
     assert got3 == {1: 0, 3: 0, 2: 1, 4: 1, 5: 1}
 
 
+@pytest.mark.slow
 def test_bfs_randomized_and_determinism(spark):
     import random
 
@@ -470,6 +472,7 @@ def test_sssp_bounded_rounds_semantics(spark):
     assert got3[4] == 3
 
 
+@pytest.mark.slow
 def test_sssp_randomized_parity_and_partitioning(spark):
     from open_vector_tile_spark.operators.graph import shortest_paths
 

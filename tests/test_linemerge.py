@@ -163,6 +163,7 @@ def test_parallel_pair_is_ring(spark):
     assert got[0][3] and got[1][3]
 
 
+@pytest.mark.slow
 def test_matches_reference_randomized(spark):
     rng = np.random.default_rng(41)
     segs = {}
@@ -214,6 +215,7 @@ def test_forward_orientation_and_assembly(spark):
     assert list(zip(r["xs"], r["ys"])) == [(0, 0), (1, 0), (2, 0), (3, 0)]
 
 
+@pytest.mark.slow
 def test_assembly_excludes_rings_and_handles_many_chains(spark):
     from open_vector_tile_spark.operators.geometry import (
         line_merge,

@@ -134,6 +134,7 @@ def test_knn_cell_ring_agrees_with_broadcast(spark, pages):
     assert ka == kb
 
 
+@pytest.mark.slow
 def test_knn_cell_ring_single_base_scan(spark, pages):
     """The iterative ring expansion must NOT re-derive the base lineage per
     round: pending is localCheckpoint-ed, so the source scan + cell
@@ -326,6 +327,7 @@ def test_tilestore_time_travel_and_change_feed(spark, tmp_path):
     assert all(v0.get(k) != latest[k] for k in changed)
 
 
+@pytest.mark.slow
 def test_snapshot_order_numeric_past_ten(spark, tmp_path):
     """Latest-wins must hold from the 11th commit on: lexicographic dir
     order puts snapshot=9 after snapshot=10/11 and would resurrect stale
