@@ -66,6 +66,7 @@ def test_known_split(spark):
     assert sum(got.values()) == len(pts)  # every point in exactly one leaf
 
 
+@pytest.mark.slow
 def test_zmax_cap_exceeded(spark):
     # identical points can never split apart: leaf at z_max over cap
     pts = [(0.5, 0.5)] * 40

@@ -75,6 +75,7 @@ class TestEditJoin:
         got = _run(spark, rows, max_dist=1, q=3)
         assert got == {(1, 3, 0)}
 
+    @pytest.mark.slow
     def test_repartition_invariance(self, spark):
         from open_vector_tile_spark.operators.editjoin import edit_similarity_join
 

@@ -333,6 +333,7 @@ def test_hits_no_edges_and_validation(spark):
         hits(empty, n_iter=1, nodes=bad)
 
 
+@pytest.mark.slow
 def test_hits_deterministic_mode_stable_across_partitioning(spark):
     from open_vector_tile_spark.operators.graph import hits
 

@@ -43,6 +43,7 @@ def _run(spark, tracks, t, **kw):
     }
 
 
+@pytest.mark.slow
 def test_hausdorff_matches_bruteforce_randomized(spark):
     rng = np.random.default_rng(17)
     tracks = {}

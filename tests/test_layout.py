@@ -283,6 +283,7 @@ def test_hilbert_python_reference_is_a_hilbert_curve():
         assert abs(x1 - x2) + abs(y1 - y2) == 1
 
 
+@pytest.mark.slow
 def test_hilbert_spark_matches_python(spark):
     import numpy as np
 

@@ -69,6 +69,7 @@ def test_endpoint_fractions(spark):
     assert (b["x"], b["y"]) == (4.0, 5.0)
 
 
+@pytest.mark.slow
 def test_randomized_parity_and_determinism(spark):
     rng = random.Random(21)
     rows = []

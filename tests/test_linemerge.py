@@ -185,6 +185,7 @@ def test_matches_reference_randomized(spark):
     assert got == _ref(segs)
 
 
+@pytest.mark.slow
 def test_repartition_invariance(spark):
     segs = {i: ((i // 6, i % 6), (i // 6, i % 6 + 1)) for i in range(36)}
     assert _run(spark, segs, 2) == _run(spark, segs, 19)

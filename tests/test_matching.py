@@ -65,6 +65,7 @@ def test_zero_length_segment(spark):
     assert rows[0]["dist"] == pytest.approx(5.0, abs=1e-12)
 
 
+@pytest.mark.slow
 def test_randomized_parity_and_determinism(spark):
     rng = random.Random(7)
     points = [

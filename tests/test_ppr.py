@@ -75,6 +75,7 @@ def test_ppr_isolated_seed_and_validation(spark):
         _run(spark, [(0, 1)], [0], damping=1.5)
 
 
+@pytest.mark.slow
 def test_ppr_repartition_invariant(spark):
     rng = np.random.default_rng(43)
     edges = [(int(a), int(b)) for a, b in rng.integers(0, 25, (80, 2))]

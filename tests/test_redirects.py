@@ -68,6 +68,7 @@ def test_max_hops_budget_flags_long_chains(spark):
     assert got["u0"] == (None, None, True)
 
 
+@pytest.mark.slow
 def test_randomized_vs_python_walk_and_determinism(spark):
     rng = random.Random(23)
     mapping = {}

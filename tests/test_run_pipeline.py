@@ -32,6 +32,7 @@ def _tiles_map(tiles_df):
     }
 
 
+@pytest.mark.slow
 def test_tiles_deterministic_across_partitionings(spark, pages):
     polys = polygons_pdf()
     a = _tiles_map(run_pipeline(pages, polys, None, zoom=ZOOM))

@@ -2,6 +2,7 @@
 
 import hashlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from open_vector_tile_spark.functions.sampling import (
@@ -145,6 +146,7 @@ def test_weighted_sample_underfull_excludes_nonpositive(spark):
     assert len(outg) == 4 and all(r["w"] > 0 for r in outg)
 
 
+@pytest.mark.slow
 def test_epoch_shuffle_is_deterministic_permutation(spark):
     from open_vector_tile_spark.functions.sampling import epoch_shuffle
 

@@ -96,6 +96,7 @@ def test_textrank_validation(spark):
         _run(spark, df_args, n_iter=0)
 
 
+@pytest.mark.slow
 def test_textrank_repartition_invariant(spark):
     rng = np.random.default_rng(19)
     texts = {

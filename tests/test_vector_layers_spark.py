@@ -117,6 +117,7 @@ def test_mvt_sink_flavor(spark):
     assert total == 200
 
 
+@pytest.mark.slow
 def test_streaming_available_now(spark, tmp_path):
     from open_vector_tile_spark.operators.resume import TileStore
     from open_vector_tile_spark.streaming import stream_pages_to_tiles

@@ -529,6 +529,7 @@ def test_repetition_stats_match_bruteforce(spark):
         assert got[i] == (want_d, want_b), (i, got[i], (want_d, want_b))
 
 
+@pytest.mark.slow
 def test_dedup_lines_matches_bruteforce_and_hash_mode(spark):
     """dedup_lines vs per-corpus python reference; hash-keyed and exact
     string-keyed modes must agree; within-doc repeats survive; all-
