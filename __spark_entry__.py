@@ -12,7 +12,9 @@ compute bit-identical doubles (verified: 0 mismatches over sf0.01).
 
 from __future__ import annotations
 
+import json
 import math
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -6419,12 +6421,56 @@ def _q_media_resize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _driver_sweep_order(reg: dict) -> dict:
+    """Self-rotating driver-sweep priority (VERDICT.md round-3 ask #1).
+
+    The driver oracles a PREFIX of this dict each round, so ordering is
+    evidence policy: queries the driver has never FULLY verified (no
+    rows+schema green CORRECTNESS row in any committed artifact — rows with
+    an ``err`` such as ``no_oracle`` don't count) come first, then ascending
+    by the round of their most recent green row, so the capped sweep rotates
+    through the whole registry across rounds instead of re-verifying the
+    same green core.  Reads the committed ``CORRECTNESS_r*.json`` artifacts
+    at call time — no manual reordering needed next round.  Stable within a
+    verification tier (hand-tuned literal order below is the tiebreak)."""
+    import glob as _glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_round: dict[str, int] = {}
+    for path in _glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = _re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            green = (
+                isinstance(row, dict)
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("err") in (None, "")
+            )
+            if green:
+                last_round[name] = max(last_round.get(name, -1), rnd)
+    names = sorted(
+        reg, key=lambda n: last_round.get(n, -1)
+    )  # sorted() is stable: registration order breaks ties
+    return {n: reg[n] for n in names}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # Registration order = driver-sweep priority: the driver oracles a
-        # prefix of this dict each round, so not-yet-driver-verified queries
-        # come first and the thrice-green codec/join/agg core is rotated to
-        # the back (VERDICT.md round-3 ask #1).
+    reg = {
+        # Literal order = tiebreak priority inside each verification tier;
+        # the actual driver-sweep order is computed by _driver_sweep_order
+        # from the committed CORRECTNESS artifacts (never-verified first).
+        "pq_topk": _q_pq_topk,
         "tile_pyramid": _q_tile_pyramid,
         "tileset_scan": _q_tileset_scan,
         "spatial_join_dist": _q_spatial_join_dist,
@@ -6551,7 +6597,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _q_media_stats,
         "frame_sample": _q_frame_sample,
         "media_resize": _q_media_resize,
-        "pq_topk": _q_pq_topk,
         "pq_topk_exact": _q_pq_topk_exact,
         "cell_assign": _q_cell_assign,
         "tile_assignment": _q_tile_assignment,
@@ -6605,6 +6650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "corpus_stats": _q_corpus_stats,
     }
+    return _driver_sweep_order(reg)
 
 
 def _sql_polygon_ingest_dist() -> str:
