@@ -6557,34 +6557,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heatmap": _q_heatmap,
         "lexical_stats": _q_lexical,
         "lm_perplexity": _q_lm_perplexity,
+        # LLM-pipeline ops outrank specialty geo-stats in the tiebreak: with
+        # ~50 driver rows per round, the tail of this tier may never get an
+        # oracle row, and the charter grades pipeline ops first-class.
+        "rrf_fusion": _q_rrf,
+        "bpe_train": _q_bpe_train,
+        "bpe_vocab": _q_bpe_vocab,
+        "edit_join": _q_edit_join,
+        "dsir_select": _q_dsir,
+        "cosine_pairs": _q_cosine_pairs,
+        "host_terms": _q_host_terms,
+        "ppl_buckets": _q_ppl_buckets,
         "snap_match": _q_snap_match,
         "phrase_hits": _q_phrase_hits,
         "quality_classifier": _q_quality_classifier,
+        "boilerplate": _q_boilerplate,
+        "main_content": _q_main_content,
+        "sentences": _q_sentences,
+        "mojibake": _q_mojibake,
         "track_gate": _q_track_gate,
         "line_anchor": _q_line_anchor,
         "crawl_radius": _q_crawl_radius,
         "hull_extract": _q_hull_extract,
         "adaptive_tiles": _q_adaptive_tiles,
-        "boilerplate": _q_boilerplate,
-        "main_content": _q_main_content,
-        "sentences": _q_sentences,
-        "mojibake": _q_mojibake,
         "line_merge": _q_line_merge,
         "fix_winding": _q_fix_winding,
         "chain_assembly": _q_chain_assembly,
         "areal_interp": _q_areal,
         "skyline": _q_skyline,
-        "rrf_fusion": _q_rrf,
         "idw_surface": _q_idw_surface,
         "densify_routes": _q_densify_routes,
-        "host_terms": _q_host_terms,
-        "ppl_buckets": _q_ppl_buckets,
         "str_layout": _q_str_layout,
         "bq_topk": _q_bq_topk,
-        "bpe_train": _q_bpe_train,
-        "bpe_vocab": _q_bpe_vocab,
-        "edit_join": _q_edit_join,
-        "dsir_select": _q_dsir,
         "hausdorff_pairs": _q_hausdorff_pairs,
         "polyline_codec": _q_polyline_codec,
         "hillshade": _q_hillshade,
@@ -6592,7 +6596,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_gi": _q_hotspot_gi,
         "link_distance": _q_link_distance,
         "segment_join": _q_segment_join,
-        "cosine_pairs": _q_cosine_pairs,
         "media_meta": _q_media_meta,
         "media_stats": _q_media_stats,
         "frame_sample": _q_frame_sample,
