@@ -42,6 +42,13 @@ def main() -> None:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        # executor python workers do NOT inherit the launcher's env (unlike
+        # local mode): unpinned, every numpy worker spawns cpu_count BLAS
+        # threads — N workers x M threads oversubscription measured at 2x
+        # on the wide level of the round-4 local-cluster scaling runs
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .getOrCreate()
     )
     from open_vector_tile_spark.operators.resume import TileStore
