@@ -433,8 +433,14 @@ def _scale_measure(cores: int) -> dict:
         pages = spark.read.parquet(SCALING_DATA)
 
         path = os.environ.get("SPARK_GRAFT_SCALING_PATH", "generic")
+        # Input cardinality is invariant across passes and parallelism
+        # levels — count it ONCE outside the timed region so the pipeline
+        # path's measured seconds contain only pipeline work (rows basis
+        # for this path = input pages pushed end-to-end; the per-query
+        # paths report output features instead, by design).
+        pipeline_rows = pages.count() if path == "pipeline" else None
 
-        def job(src):
+        def job(src, n_rows=None):
             if path == "cpuspark":
                 # pure-CPU Spark control: JVM sha2 chain over a range — no
                 # shuffle, no parquet, ~zero memory traffic.  If THIS scales
@@ -508,52 +514,16 @@ def _scale_measure(cores: int) -> dict:
                             .agg(F.count("*").alias("tiles"))
                             .collect()
                         )
-                        n_rows = src.count()
-                        return [{"rows": n_rows, "tiles": back[0]["tiles"]}]
+                        got = n_rows if n_rows is not None else src.count()
+                        return [{"rows": got, "tiles": back[0]["tiles"]}]
 
                 return _PipelineJob()
             if path in ("fast", "verify"):
-                feats, meta = points_to_features_columnar(
-                    pts, zoom=10, layer="pages", extent=4096, props_cols=["url", "lang"]
-                )
-                tiles = encode_point_tiles(feats, meta, partitions=3 * cores)
-                if path == "verify":
-                    # CPU-dense variant: encode, then decode-WALK every tile
-                    # (full feature + geometry read) and REDUCE inside the
-                    # same Python pass — raises arithmetic intensity per
-                    # shuffled byte without shipping decoded rows back over
-                    # Arrow (feature-row egress is memory-bandwidth-bound on
-                    # this box and inverts the scaling signal; see BENCH.md)
-                    import pandas as _pd
+                # shared with tools/submit_scaling.py — one job definition
+                # for both scaling tools (BENCH.md compares their numbers)
+                from open_vector_tile_spark.benchjobs import build_tile_bench_job
 
-                    from open_vector_tile_spark.codec import VectorTile
-
-                    def decode_verify(batches):
-                        for pdf in batches:
-                            n = 0
-                            csum = 0
-                            for blob in pdf["tile"].tolist():
-                                vt = VectorTile(bytes(blob))
-                                for layer in vt.layers.values():
-                                    for i in range(len(layer)):
-                                        pts = layer.feature(i).load_points()
-                                        n += 1
-                                        if pts:
-                                            csum += pts[0][0]
-                            yield _pd.DataFrame(
-                                {"rows": [n], "tiles": [len(pdf)], "csum": [csum]}
-                            )
-
-                    return tiles.mapInPandas(
-                        decode_verify, "rows long, tiles long, csum long"
-                    ).agg(
-                        F.sum("rows").alias("rows"),
-                        F.sum("tiles").alias("tiles"),
-                        F.sum("csum").alias("csum"),
-                    )
-                return tiles.agg(
-                    F.count("*").alias("tiles"), F.sum("n_features").alias("rows")
-                )
+                return build_tile_bench_job(spark, src, path, cores)
             from open_vector_tile_spark.operators import encode_tiles, points_to_features
             from open_vector_tile_spark.operators.tiler import LayerSpec
 
@@ -567,11 +537,11 @@ def _scale_measure(cores: int) -> dict:
 
         # warmup slice pass (JIT/codegen/Arrow/python-worker forks), then
         # best of 2 measured full passes
-        job(pages.limit(20000)).collect()
+        job(pages.limit(20000), n_rows=20000).collect()
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            res = job(pages).collect()
+            res = job(pages, n_rows=pipeline_rows).collect()
             dt = time.perf_counter() - t0
             if best is None or dt < best[0]:
                 best = (dt, res)

@@ -1,0 +1,75 @@
+"""Shared scaling-benchmark job factory.
+
+bench.py's in-process ``_scale_measure`` and tools/submit_scaling.py's
+spark-submit ``measure`` entry point time THE SAME job at two parallelism
+levels — BENCH.md compares their numbers, so the job definition must live
+in exactly one place (this module ships inside the ``--py-files`` zip,
+which bench.py does not).
+
+Paths:
+
+- ``fast``   — geoparse -> columnar featurize -> bulk OVT point encode;
+  the throughput headline (parse -> shuffle -> encode, JVM+Arrow).
+- ``verify`` — same, then decode-WALK every produced tile (full feature +
+  geometry read) and REDUCE inside the same Python pass.  Raises
+  arithmetic intensity per shuffled byte without shipping decoded rows
+  back over Arrow — feature-row egress is memory-bandwidth-bound on this
+  box and inverts the scaling signal (BENCH.md).
+
+Both return a DataFrame whose single collected row carries ``rows`` and
+``tiles`` (verify also folds a ``csum`` geometry checksum so the decode
+walk cannot be optimized away).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_tile_bench_job(
+    spark: SparkSession, pages: DataFrame, path: str, total_cores: int
+) -> DataFrame:
+    """One scaling-bench job (``fast`` | ``verify``) over a pages frame.
+
+    Rebuild per measured pass: a re-collected DataFrame object keeps its
+    RDD lineage, so Spark SKIPS stages whose shuffle outputs still exist —
+    a fresh DAG gets fresh shuffle ids and re-executes everything.
+    """
+    from .functions.text import geoparse
+    from .operators import encode_point_tiles, points_to_features_columnar
+
+    pts = geoparse(pages)
+    feats, meta = points_to_features_columnar(
+        pts, zoom=10, layer="pages", extent=4096, props_cols=["url", "lang"]
+    )
+    tiles = encode_point_tiles(feats, meta, partitions=3 * total_cores)
+    if path == "verify":
+        import pandas as pd
+
+        from .codec import VectorTile
+
+        def decode_verify(batches):
+            for pdf in batches:
+                n = 0
+                csum = 0
+                for blob in pdf["tile"].tolist():
+                    vt = VectorTile(bytes(blob))
+                    for layer in vt.layers.values():
+                        for i in range(len(layer)):
+                            p = layer.feature(i).load_points()
+                            n += 1
+                            if p:
+                                csum += p[0][0]
+                yield pd.DataFrame({"rows": [n], "tiles": [len(pdf)], "csum": [csum]})
+
+        return tiles.mapInPandas(
+            decode_verify, "rows long, tiles long, csum long"
+        ).agg(
+            F.sum("rows").alias("rows"),
+            F.sum("tiles").alias("tiles"),
+            F.sum("csum").alias("csum"),
+        )
+    if path != "fast":
+        raise ValueError(f"unknown scaling path {path!r} (fast|verify)")
+    return tiles.agg(F.count("*").alias("tiles"), F.sum("n_features").alias("rows"))

@@ -73,13 +73,18 @@ def asof_join(
         c for c in right.columns if c not in on and c != right_ts
     ]
     out_right = [f"{c}{suffix}" for c in right_cols]
+    match_ts = f"{right_ts}{suffix}"  # emitted alongside out_right below
     lpay = [c for c in left.columns if c not in on and c != left_ts]
-    # Suffixed right columns and the window internals land in the same
-    # namespace as the left payload — a silent collision would produce
-    # duplicate/ambiguous output columns.
+    # Suffixed right columns, the emitted match-timestamp column, and the
+    # window internals land in the same namespace as the left payload — a
+    # silent collision would produce duplicate/ambiguous output columns.
     taken = set(on) | set(lpay) | {left_ts}
-    clash = (set(out_right) & taken) | (
-        {"_ats", "_aside", "_rpack", "_rtie"} & set(left.columns)
+    emitted = out_right + [match_ts]
+    dupes = {a for a in emitted if emitted.count(a) > 1}
+    clash = (
+        (set(emitted) & taken)
+        | dupes
+        | ({"_ats", "_aside", "_rpack", "_rtie"} & set(left.columns))
     )
     if clash:
         raise ValueError(

@@ -203,7 +203,9 @@ def _concat_payloads(blobs: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarr
 def _segment_stats_frame(
     media_ids: np.ndarray, buf: np.ndarray, starts: np.ndarray, lens: np.ndarray
 ) -> pd.DataFrame:
-    """Vectorized per-segment stats over one concatenated uint8 buffer:
+    """Vectorized per-segment stats over one concatenated integer buffer
+    (uint8 bytes or int64-widened pixels; values must stay below 2^62 so
+    the min-sentinel is never beaten):
     ``(media_id, payload_len, byte_sum, byte_min, byte_max, mean_byte)``."""
     nonempty = lens > 0
     wide = buf.astype(np.int64)
@@ -441,15 +443,24 @@ def _pixel_stats_frame(pdf: pd.DataFrame, blob_col: str, pillow) -> pd.DataFrame
         )
     if (~is_ovm).any():
         sub = pdf[~is_ovm]
-        pixel_rows = [
-            decode_image_real(bytes(b), pillow).ravel().astype(np.uint8)
-            for b in sub[blob_col]
-        ]
+        # Widen before concatenating: a 16-bit PNG ('I;16') or float TIFF
+        # decodes to uint16/float arrays, and an astype(uint8) here would
+        # silently wrap values mod 256.  int64 keeps every integer mode
+        # exact; float modes are rejected loudly (no silent truncation).
+        pixel_rows = []
+        for b in sub[blob_col]:
+            arr = decode_image_real(bytes(b), pillow)
+            if not np.issubdtype(arr.dtype, np.integer):
+                raise NotImplementedError(
+                    f"pixel stats over non-integer image mode {arr.dtype} — "
+                    "convert the image to an integer mode before media_pixel_stats"
+                )
+            pixel_rows.append(arr.ravel().astype(np.int64))
         lens = np.fromiter((p.size for p in pixel_rows), dtype=np.int64, count=len(pixel_rows))
         buf = (
             np.concatenate(pixel_rows)
             if lens.sum()
-            else np.empty(0, dtype=np.uint8)
+            else np.empty(0, dtype=np.int64)
         )
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         parts.append(

@@ -14,9 +14,16 @@ def pytest_configure(config):
 
 def pytest_collection_modifyitems(config, items):
     """Keep the default gate under 10 minutes: deselect `slow` unless the
-    caller opts in (SPARK_GRAFT_FULL_TESTS=1 for the CI-full sweep, or an
-    explicit -m expression which takes full control of selection)."""
-    if os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1" or config.getoption("-m"):
+    caller opts in (SPARK_GRAFT_FULL_TESTS=1 for the CI-full sweep, an
+    explicit -m expression which takes full control of selection, a -k
+    filter, or a direct node id like tests/foo.py::test_bar — explicitly
+    requesting a test always runs it)."""
+    if (
+        os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1"
+        or config.getoption("-m")
+        or config.getoption("-k")
+        or any("::" in a for a in config.args)
+    ):
         return
     deselected = [i for i in items if "slow" in i.keywords]
     if deselected:

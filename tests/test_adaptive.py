@@ -53,7 +53,6 @@ def _run(spark, pts, **kw):
     }
 
 
-@pytest.mark.slow
 def test_known_split(spark):
     # 30 points clustered in one z2 tile + 3 lone points elsewhere
     pts = [(10.0 + i * 0.001, 50.0 + i * 0.001) for i in range(30)]
@@ -66,7 +65,6 @@ def test_known_split(spark):
     assert sum(got.values()) == len(pts)  # every point in exactly one leaf
 
 
-@pytest.mark.slow
 def test_zmax_cap_exceeded(spark):
     # identical points can never split apart: leaf at z_max over cap
     pts = [(0.5, 0.5)] * 40

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import hashlib
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -48,14 +49,16 @@ def main() -> int:
     for name, fn in entry.queries().items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             got = fn(spark, SF).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
             failures += 1
             continue
+        dt = time.monotonic() - t0
         if name not in oracles:
-            print(f"{name}: rows-only ({len(got)} rows) [no oracle]")
+            print(f"{name}: rows-only ({len(got)} rows) [no oracle] t={dt:.2f}s")
             continue
         try:
             want = con.sql(oracles[name]).df()
@@ -70,7 +73,7 @@ def main() -> int:
         if status != "OK":
             failures += 1
         print(
-            f"{name}: {status} rows={len(got)}/{len(want)} cols_ok={ok_cols} hash_ok={ok_hash}"
+            f"{name}: {status} rows={len(got)}/{len(want)} cols_ok={ok_cols} hash_ok={ok_hash} t={dt:.2f}s"
         )
         if not ok_hash and ok_rows and ok_cols:
             merged = got[sorted(got.columns)].round(6).sort_values(sorted(got.columns)).reset_index(drop=True)

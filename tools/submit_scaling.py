@@ -70,7 +70,6 @@ EXEC_MEM_MB = 3072
 
 def measure(args: argparse.Namespace) -> None:
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     spark = SparkSession.builder.appName(f"ovt-submit-scale-{args.label}").getOrCreate()
     sc = spark.sparkContext
@@ -101,49 +100,16 @@ def measure(args: argparse.Namespace) -> None:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
 
-    from open_vector_tile_spark.functions.text import geoparse
-    from open_vector_tile_spark.operators import (
-        encode_point_tiles,
-        points_to_features_columnar,
-    )
+    # the job definition is shared with bench.py's in-process _scale_measure
+    # (one source of truth — BENCH.md compares the two tools' numbers)
+    from open_vector_tile_spark.benchjobs import build_tile_bench_job
 
     def build_job():
         # rebuilt per pass: a re-collected DataFrame object keeps its RDD
         # lineage, so Spark SKIPS stages whose shuffle outputs still exist —
         # a fresh DAG gets fresh shuffle ids and re-executes everything
         pages = spark.read.parquet(args.data)
-        pts = geoparse(pages)
-        feats, meta = points_to_features_columnar(
-            pts, zoom=10, layer="pages", extent=4096, props_cols=["url", "lang"]
-        )
-        tiles = encode_point_tiles(feats, meta, partitions=3 * total_cores)
-        if args.path == "verify":
-            import pandas as _pd
-
-            from open_vector_tile_spark.codec import VectorTile
-
-            def decode_verify(batches):
-                for pdf in batches:
-                    n = 0
-                    csum = 0
-                    for blob in pdf["tile"].tolist():
-                        vt = VectorTile(bytes(blob))
-                        for layer in vt.layers.values():
-                            for i in range(len(layer)):
-                                p = layer.feature(i).load_points()
-                                n += 1
-                                if p:
-                                    csum += p[0][0]
-                    yield _pd.DataFrame(
-                        {"rows": [n], "tiles": [len(pdf)], "csum": [csum]}
-                    )
-
-            return tiles.mapInPandas(
-                decode_verify, "rows long, tiles long, csum long"
-            ).agg(F.sum("rows").alias("rows"), F.sum("tiles").alias("tiles"))
-        return tiles.agg(
-            F.count("*").alias("tiles"), F.sum("n_features").alias("rows")
-        )
+        return build_tile_bench_job(spark, pages, args.path, total_cores)
 
     # pass 1 is the cold pass (per-executor JIT + python-worker import of
     # the --py-files zip); pass 2+ measures steady-state throughput — the
