@@ -1,0 +1,94 @@
+"""Driver-sweep rotation policy (__spark_entry__._driver_sweep_order).
+
+The driver oracles a PREFIX of queries() each round, so ordering IS the
+evidence policy: never-driver-verified queries must come first, then
+ascending by the round of their most recent green CORRECTNESS row.  These
+tests pin that contract without Spark (pure dict/JSON logic).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def entry():
+    spec = importlib.util.spec_from_file_location(
+        "entry_under_test", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _green_by_round(entry):
+    import glob
+    import re
+
+    last = {}
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        for name, row in json.load(open(path)).items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("err") in (None, "")
+            ):
+                last[name] = max(last.get(name, -1), rnd)
+    return last
+
+
+def test_registry_is_complete_and_unique(entry):
+    q = entry.queries()
+    assert len(q) >= 179  # never shrink the registered surface
+    o = entry.oracle_sql()
+    missing = [n for n in q if n not in o]
+    assert missing == [], f"queries without a DuckDB oracle: {missing}"
+
+
+def test_never_verified_sort_first(entry):
+    names = list(entry.queries())
+    last = _green_by_round(entry)
+    tiers = [last.get(n, -1) for n in names]
+    # tiers must be non-decreasing: never-verified (-1) first, then by
+    # most-recent green round ascending
+    assert tiers == sorted(tiers), (
+        "sweep order violates rotation policy: a driver-verified query "
+        "precedes a never-verified one"
+    )
+
+
+def test_order_is_deterministic_and_memoized(entry):
+    a = list(entry.queries())
+    b = list(entry.queries())
+    assert a == b
+    # memo primed by the calls above
+    assert entry._LAST_GREEN_ROUND is not None
+
+
+def test_sweep_order_handles_malformed_artifacts(entry, tmp_path, monkeypatch):
+    # a fresh module instance (separate memo) pointed at a dir with one
+    # valid and one malformed artifact: malformed is skipped, not fatal
+    spec = importlib.util.spec_from_file_location(
+        "entry_malformed", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    good = {
+        "b": {"rows_match": True, "schema_match": True, "err": None},
+        "c": {"rows_match": True, "schema_match": False, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(good))
+    (tmp_path / "CORRECTNESS_r02.json").write_text("{not json")
+    monkeypatch.setattr(
+        mod.os.path, "dirname", lambda p: str(tmp_path), raising=True
+    )
+    mod._LAST_GREEN_ROUND = None
+    out = list(mod._driver_sweep_order({"a": 1, "b": 2, "c": 3}))
+    # b is green in r01 -> rotates to the back; a and c (never fully
+    # verified) keep literal order up front
+    assert out == ["a", "c", "b"]
