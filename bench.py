@@ -595,26 +595,28 @@ def _control_measure(kind: str, n: int) -> dict:
     return {"sec": round(dt, 3), "units_per_sec": round(n / dt, 4)}
 
 
-def _control_ceilings() -> dict:
-    """Same-window scaling ceilings: the identical fixed work unit run as 8
-    then 32 taskset-pinned processes, for (a) pure-CPU and (b) memory-stream
+def _control_ceilings(levels: tuple = (8, 32)) -> dict:
+    """Same-window scaling ceilings: the identical fixed work unit run as N
+    then 4N taskset-pinned processes, for (a) pure-CPU and (b) memory-stream
     work.  The engine job's achievable efficiency on THIS box lies between
     the two (its compute/traffic mix); publishing them from the same
     measurement window separates box ceiling from plan quality."""
     import subprocess
 
     me = os.path.abspath(__file__)
+    lo, hi = levels
     out = {}
     for kind in ("cpu", "memstream"):
         lv = {}
-        for n in (8, 32):
+        for n in levels:
             cmd = ["taskset", "-c", f"0-{n - 1}", sys.executable, me,
                    "--control-measure", kind, str(n)]
             r = subprocess.run(cmd, capture_output=True, text=True)
             lv[n] = json.loads(r.stdout.strip().splitlines()[-1])
-        eff = (lv[32]["units_per_sec"] / lv[8]["units_per_sec"]) / 4.0
+        eff = (lv[hi]["units_per_sec"] / lv[lo]["units_per_sec"]) / (hi / lo)
         out[kind] = {
-            "local[8]": lv[8], "local[32]": lv[32], "efficiency": round(eff, 3)
+            f"local[{lo}]": lv[lo], f"local[{hi}]": lv[hi],
+            "efficiency": round(eff, 3),
         }
     return out
 
@@ -635,8 +637,17 @@ def run_scaling(sf_dir: str) -> dict:
     # rounds estimates its calm-host value; the published efficiency is the
     # ratio of those bests (single-shot pairs are a lottery — see BENCH.md)
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+    # N and 4N pinned cores; default 8->32.  SPARK_GRAFT_SCALING_LEVELS=2,8
+    # moves the pair to the 2->8 axis, where plan quality is visible on
+    # this box (8->32 saturates the shared memory subsystem for ANY job —
+    # see the control ceilings and BENCH.md forensics).
+    levels = tuple(
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")
+    )
+    assert len(levels) == 2 and levels[1] == 4 * levels[0], levels
     for _ in range(rounds):
-        for cores in (8, 32):
+        for cores in levels:
             cmd = [
                 "taskset", "-c", f"0-{cores - 1}",
                 sys.executable, me, "--scale-measure", str(cores),
@@ -653,13 +664,13 @@ def run_scaling(sf_dir: str) -> dict:
             if cores not in best or r["sec"] < best[cores]["sec"]:
                 best[cores] = r
     out = {f"local[{c}]": r for c, r in best.items()}
-    t8 = best[8]["rows_per_sec"]
-    t32 = best[32]["rows_per_sec"]
-    out["scaling_efficiency"] = round((t32 / t8) / 4.0, 3)
+    t_lo = best[levels[0]]["rows_per_sec"]
+    t_hi = best[levels[1]]["rows_per_sec"]
+    out["scaling_efficiency"] = round((t_hi / t_lo) / 4.0, 3)
     out["rows"] = SCALING_ROWS
     out["pinned"] = True
     out["path"] = os.environ.get("SPARK_GRAFT_SCALING_PATH", "generic")
-    out["controls"] = _control_ceilings()
+    out["controls"] = _control_ceilings(levels)
     cpu_ceiling = out["controls"]["cpu"]["efficiency"]
     if cpu_ceiling > 0:
         out["efficiency_vs_cpu_ceiling"] = round(

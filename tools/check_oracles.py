@@ -46,6 +46,7 @@ def main() -> int:
     oracles = entry.oracle_sql()
     only = set(sys.argv[1:])  # optional: check only the named queries
     failures = 0
+    t_start = time.monotonic()
     for name, fn in entry.queries().items():
         if only and name not in only:
             continue
@@ -84,6 +85,7 @@ def main() -> int:
             print(merged[bad].head(3))
             print(wanted[bad].head(3))
     spark.stop()
+    print(f"TOTAL: {time.monotonic() - t_start:.1f}s")
     print("FAILURES:", failures)
     return 1 if failures else 0
 
