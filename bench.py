@@ -716,7 +716,51 @@ def main() -> None:
     }
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "1":
         result["scaling"] = run_scaling(SF_DIR)
+    else:
+        # Default runs still carry the north-rule N->4N number: attach the
+        # committed spark-submit evidence of record (separate executor JVMs,
+        # tools/submit_scaling.py) with provenance instead of re-measuring
+        # the multi-minute job on every bench invocation.
+        rec = _scaling_of_record()
+        if rec is not None:
+            result["scaling_of_record"] = rec
     print(json.dumps(result))
+
+
+def _scaling_of_record() -> "dict | None":
+    """Latest submit_scaling_summary row from the committed r4 ledger.
+
+    This is RECORDED evidence (spark-submit --py-files on local-cluster,
+    i.e. real separate executor JVMs at 2 and 8 executors), not a fresh
+    measurement; re-measure with SPARK_GRAFT_BENCH_SCALING=1 or
+    tools/submit_scaling.py.  Full forensics in BENCH.md."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools", "scaling_submit_r4.jsonl",
+    )
+    last = None
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    row = json.loads(line)
+                except ValueError:
+                    continue
+                if row.get("kind") == "submit_scaling_summary":
+                    last = row
+    except OSError:
+        return None
+    if last is None:
+        return None
+    return {
+        "recorded": True,  # committed ledger, not measured in this run
+        "source": "tools/scaling_submit_r4.jsonl (see BENCH.md round 4)",
+        "launcher": last.get("launcher"),
+        "rows": last.get("rows"),
+        "execs_2_best_rows_per_sec": last.get("execs_2_best_rows_per_sec"),
+        "execs_8_best_rows_per_sec": last.get("execs_8_best_rows_per_sec"),
+        "scaling_efficiency": last.get("scaling_efficiency"),
+    }
 
 
 if __name__ == "__main__":
