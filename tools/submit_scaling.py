@@ -225,6 +225,9 @@ def run(args: argparse.Namespace) -> int:
     eff = best_hi / best_lo / (hi / lo)
     summary = {
         "kind": "submit_scaling_summary",
+        # protocol 2 = executorEnv BLAS pinning + registration wait (see the
+        # ledger's protocol_marker row); bumps if the measurement changes again
+        "protocol": 2,
         "path": args.path,
         "rows": args.rows,
         "launcher": "spark-submit --py-files (local-cluster, separate executor JVMs)",
