@@ -85,6 +85,10 @@ def asof_join(
         (set(emitted) & taken)
         | dupes
         | ({"_ats", "_aside", "_rpack", "_rtie"} & set(left.columns))
+        # "_ar_ts" is the pack struct's internal match-ts field: a suffixed
+        # right column with that exact name would create a duplicate struct
+        # field and make getField("_ar_ts") ambiguous
+        | ({"_ar_ts"} & set(out_right))
     )
     if clash:
         raise ValueError(

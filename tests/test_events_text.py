@@ -324,6 +324,13 @@ def test_asof_join_suffix_collision_rejected(spark):
     left2 = left.withColumnRenamed("v_r", "_rpack")
     with pytest.raises(ValueError, match="collision"):
         asof_join(left2, right, on=["k"])
+    # a suffixed right column that lands on the pack struct's internal
+    # "_ar_ts" field would duplicate the struct field name
+    right2 = right.withColumnRenamed("v", "_ar_ts")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(
+            left.withColumnRenamed("v_r", "w"), right2, on=["k"], suffix=""
+        )
     # non-colliding suffix still works
     assert asof_join(
         left.withColumnRenamed("v_r", "w"), right, on=["k"]

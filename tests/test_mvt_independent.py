@@ -282,7 +282,10 @@ def test_writer_output_decodes_foreign(name):
     assert set(foreign.keys()) == set(original.layers.keys())
     for lname, layer in original.layers.items():
         got = foreign[lname]
-        assert got["version"] in (1, 2, 5)
+        # spec MVT allows only 1/2 — the writer stamps 1 on the mapbox
+        # path; accepting 5 here would let an open-flavor regression slip
+        # past the foreign-reader check this test exists to provide
+        assert got["version"] in (1, 2)
         assert got["extent"] == layer.extent
         assert len(got["features"]) == len(layer)
         for i in range(len(layer)):

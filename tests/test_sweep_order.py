@@ -10,14 +10,17 @@ from __future__ import annotations
 
 import importlib.util
 import json
+from pathlib import Path
 
 import pytest
+
+REPO = Path(__file__).resolve().parents[1]
 
 
 @pytest.fixture(scope="module")
 def entry():
     spec = importlib.util.spec_from_file_location(
-        "entry_under_test", "/root/repo/__spark_entry__.py"
+        "entry_under_test", str(REPO / "__spark_entry__.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
@@ -29,7 +32,7 @@ def _green_by_round(entry):
     import re
 
     last = {}
-    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+    for path in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
         for name, row in json.load(open(path)).items():
             if (
@@ -74,7 +77,7 @@ def test_sweep_order_handles_malformed_artifacts(entry, tmp_path, monkeypatch):
     # a fresh module instance (separate memo) pointed at a dir with one
     # valid and one malformed artifact: malformed is skipped, not fatal
     spec = importlib.util.spec_from_file_location(
-        "entry_malformed", "/root/repo/__spark_entry__.py"
+        "entry_malformed", str(REPO / "__spark_entry__.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
