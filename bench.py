@@ -469,7 +469,7 @@ def _scale_measure(cores: int) -> dict:
                 # pipeline, not per-query minima.
                 import shutil
 
-                from open_vector_tile_spark.operators.knn import knn_broadcast
+                from open_vector_tile_spark.operators.knn import nearest_poi_col
                 from open_vector_tile_spark.operators.spatial_join import spatial_join
                 from open_vector_tile_spark.sources import pois_pdf, polygons_pdf
                 from open_vector_tile_spark.sources.tileset import (
@@ -478,18 +478,17 @@ def _scale_measure(cores: int) -> dict:
 
                 spark.dataSource.register(OvtTilesetDataSource)
                 joined = spatial_join(pts, polygons_pdf(), zoom=6)
-                # a url inside OVERLAPPING polygons appears once per match in
-                # `joined`; kNN-match each distinct url exactly once, else the
-                # url equi-join below multiplies those rows quadratically and
-                # writes duplicate features into the tileset
-                nn = knn_broadcast(
-                    joined.select("url", "lon", "lat").dropDuplicates(["url"]),
-                    pois_pdf(200),
-                    k=1,
-                    key="url",
-                ).select("url", F.col("poi_id").alias("near_poi"))
-                enriched = joined.join(nn, "url").withColumn(
-                    "near_poi", F.col("near_poi").cast("string")
+                # nearest-POI enrichment as a map-only pandas-UDF column:
+                # the earlier knn_broadcast + url equi-join formulation was
+                # a DAG diamond (joined fed BOTH the kNN input and the join
+                # left side) that re-executed geoparse + spatial_join twice
+                # — 21 of 31 s at 8M rows/8 cores — and duplicated features
+                # for urls inside overlapping polygons
+                enriched = joined.withColumn(
+                    "near_poi",
+                    nearest_poi_col(pois_pdf(200))(
+                        F.col("lon"), F.col("lat")
+                    ).cast("string"),
                 )
                 feats, meta = points_to_features_columnar(
                     enriched,

@@ -78,6 +78,46 @@ def knn_broadcast(
     return points.select(key, lon, lat).mapInPandas(topk, schema)
 
 
+def nearest_poi_col(pois_pdf: pd.DataFrame):
+    """k=1 kNN as a map-only enrichment COLUMN: `(lon, lat) -> poi_id`.
+
+    ``knn_broadcast`` returns a (key, poi_id, ...) result SET, so attaching
+    its answer to a wide row requires an equi-join back on the key — and if
+    the enriched frame also feeds the kNN input, that join is a DAG diamond
+    which re-executes the whole upstream lineage twice (measured: the
+    flagship pipeline spent 21 of 31 s re-running geoparse + spatial-join
+    through exactly that diamond).  For nearest-neighbor *enrichment* the
+    Spark-first shape is a scalar pandas UDF: one extra column, zero
+    shuffle, zero recompute, same (n x m) vectorized distance matrix per
+    Arrow batch.
+
+    Tie-break matches ``knn_broadcast`` rank 1 exactly: minimal
+    (dist_m, poi_id) lexicographically.  POIs are a broadcast-sized dim
+    table by this module's contract.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    plon = pois_pdf["lon"].to_numpy(dtype=np.float64)
+    plat = pois_pdf["lat"].to_numpy(dtype=np.float64)
+    pids = pois_pdf["poi_id"].to_numpy(dtype=np.int64)
+
+    @pandas_udf("long")
+    def nearest(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        if len(lon) == 0:
+            return pd.Series([], dtype="int64")
+        if len(pids) == 0:  # no anchors: null enrichment, not a crash
+            return pd.Series([pd.NA] * len(lon), dtype="Int64")
+        lons = lon.to_numpy(dtype=np.float64)
+        lats = lat.to_numpy(dtype=np.float64)
+        d = haversine_np(lons[:, None], lats[:, None], plon[None, :], plat[None, :])
+        # argmin on distance, then min poi_id among exact-distance ties —
+        # identical pick to knn_broadcast's lexsort rank 1
+        best = np.lexsort((np.broadcast_to(pids, d.shape), d), axis=-1)[:, 0]
+        return pd.Series(pids[best])
+
+    return nearest
+
+
 def poi_cells(spark, pois_pdf: pd.DataFrame, zoom: int) -> DataFrame:
     tx, ty = tile_xy_np(pois_pdf["lon"].to_numpy(), pois_pdf["lat"].to_numpy(), zoom)
     out = pd.DataFrame(

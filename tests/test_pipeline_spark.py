@@ -124,6 +124,41 @@ def test_knn_broadcast_matches_bruteforce(spark, pages, points_oracle):
     assert got_set == want
 
 
+def test_nearest_poi_col_matches_knn_broadcast_rank1(spark, pages):
+    """The map-only enrichment column must pick exactly knn_broadcast's
+    rank-1 POI (including the (dist, poi_id) tie-break) — it replaces the
+    broadcast+join formulation in the flagship pipeline."""
+    from pyspark.sql import functions as F
+
+    from open_vector_tile_spark.operators.knn import nearest_poi_col
+
+    pois = pois_pdf(60)
+    pts = geoparse(pages).limit(200).cache()
+    got = (
+        pts.withColumn("near", nearest_poi_col(pois)(F.col("lon"), F.col("lat")))
+        .select("url", "near")
+        .toPandas()
+    )
+    want = knn_broadcast(pts, pois, k=1).toPandas()
+    gm = dict(zip(got["url"], got["near"].astype(int)))
+    wm = dict(zip(want["url"], want["poi_id"].astype(int)))
+    assert gm == wm and len(gm) > 0
+
+
+def test_nearest_poi_col_tie_break_deterministic(spark):
+    """Two POIs at the identical location: the smaller poi_id must win,
+    matching knn_broadcast's lexsort semantics."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from open_vector_tile_spark.operators.knn import nearest_poi_col
+
+    pois = pd.DataFrame({"poi_id": [9, 4], "lon": [10.0, 10.0], "lat": [20.0, 20.0]})
+    df = spark.createDataFrame([("a", 10.1, 20.1)], "url string, lon double, lat double")
+    got = df.withColumn("near", nearest_poi_col(pois)(F.col("lon"), F.col("lat"))).collect()
+    assert got[0]["near"] == 4
+
+
 def test_knn_cell_ring_agrees_with_broadcast(spark, pages):
     pois = pois_pdf(60)
     pts = geoparse(pages).limit(120).cache()

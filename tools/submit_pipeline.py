@@ -66,12 +66,29 @@ def main() -> None:
         from open_vector_tile_spark.operators import encode_tiles, points_to_features
 
         pages = spark.read.parquet(args.pages)
+        pts = geoparse(pages)
+        props_cols = ["url", "lang"]
+        if args.pois:
+            # map-only nearest-POI enrichment column (no join-back diamond
+            # — see operators/knn.py nearest_poi_col)
+            from pyspark.sql import functions as F
+
+            from open_vector_tile_spark.operators.knn import nearest_poi_col
+            from open_vector_tile_spark.sources import pois_pdf
+
+            pts = pts.withColumn(
+                "near_poi",
+                nearest_poi_col(pois_pdf(200))(
+                    F.col("lon"), F.col("lat")
+                ).cast("string"),
+            )
+            props_cols.append("near_poi")
         feats = points_to_features(
-            geoparse(pages),
+            pts,
             zoom=args.zoom,
             layer=args.layer,
             extent=args.extent,
-            props_cols=["url", "lang"],
+            props_cols=props_cols,
         )
         if args.polygons:
             from open_vector_tile_spark.operators import polygons_to_features, spatial_join
