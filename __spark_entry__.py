@@ -407,6 +407,33 @@ def _q_knn_haversine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_nearest_poi(spark: SparkSession, sf: str) -> DataFrame:
+    """J3 k=1 enrichment (operators/knn.py:nearest_poi_col): the map-only
+    nearest-anchor COLUMN the flagship pipeline attaches (no join-back —
+    the knn_broadcast + url-join formulation was a DAG diamond that
+    re-executed the upstream twice; see BENCH.md round 4 session 3).
+    Exercises the actual Arrow UDF (vectorized haversine matrix + lexsort
+    rank-1 pick); the oracle is the analytic argmin with the same
+    (dist, poi_id) tie-break."""
+    from open_vector_tile_spark.operators.knn import nearest_poi_col
+
+    docs = _doc_points(_load(spark, sf, "documents")).select("doc_id", "lon", "lat")
+    anchors = (
+        _load(spark, sf, "supplier")
+        .select(
+            F.col("s_suppkey").alias("poi_id"),
+            (((F.col("s_suppkey") * 91) % 3600) / 10.0 - 180.0).alias("lon"),
+            (((F.col("s_suppkey") * 57) % 1600) / 10.0 - 80.0).alias("lat"),
+        )
+        .toPandas()  # dim-table sized by the operator's contract
+    )
+    return (
+        docs.withColumn("poi_id", nearest_poi_col(anchors)(F.col("lon"), F.col("lat")))
+        .select("doc_id", "poi_id")
+        .orderBy("doc_id")
+    )
+
+
 def _q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup (MinHash+LSH): near-dup pairs at Jaccard >= 0.5, VERIFIED stage
     output — (id_a, id_b, exact jaccard).  Oracle = exact all-pairs shingle
@@ -6629,6 +6656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "cosine_topk": _q_cosine_topk,
         "knn_haversine": _q_knn_haversine,
+        "nearest_poi": _q_nearest_poi,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
         "lsh_topk": _q_lsh_topk,
@@ -8397,6 +8425,21 @@ def oracle_sql() -> dict[str, str]:
                            ((CAST(s_suppkey*57 AS DOUBLE) % 1600)/10.0 - 80.0) AS plat
                     FROM supplier) s)
             WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "nearest_poi": f"""
+            SELECT doc_id, poi_id FROM (
+              SELECT d.doc_id, s.poi_id,
+                     row_number() OVER (PARTITION BY d.doc_id ORDER BY
+                        2.0*6371008.8*asin(least(1.0, sqrt(
+                          pow(sin(radians(s.plat - d.lat)/2),2)
+                          + cos(radians(d.lat))*cos(radians(s.plat))*pow(sin(radians(s.plon - d.lon)/2),2)
+                        ))) ASC, s.poi_id ASC) AS rank
+              FROM (SELECT doc_id, {_SQL_LON_DOC} AS lon, {_SQL_LAT_DOC} AS lat FROM documents) d,
+                   (SELECT s_suppkey AS poi_id,
+                           ((CAST(s_suppkey*91 AS DOUBLE) % 3600)/10.0 - 180.0) AS plon,
+                           ((CAST(s_suppkey*57 AS DOUBLE) % 1600)/10.0 - 80.0) AS plat
+                    FROM supplier) s)
+            WHERE rank = 1 ORDER BY doc_id
         """,
         "elevation": """
             SELECT event_id,
