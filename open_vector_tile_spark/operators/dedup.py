@@ -641,8 +641,19 @@ def minhash_lsh_candidates(
         band_rows = _cap_buckets(band_rows, id_col, ["band", "band_hash"], max_bucket)
     left = band_rows.withColumnRenamed(id_col, "id_a")
     right = band_rows.withColumnRenamed(id_col, "id_b")
+    # merge hint: pin the self-join to sort-merge at EVERY scale.  Without
+    # it the small-data plan is a BroadcastHashJoin whose build side cannot
+    # share the probe side's exchange, so the whole cap chain (count agg +
+    # anti/semi joins + hot-bucket window) executes TWICE per action; with
+    # identical SMJ children the runtime emits a ReusedExchange and the
+    # chain runs once (verified in the executed plan).  At web scale AQE
+    # picks SMJ anyway (band rows >> broadcast threshold) and SMJ spills
+    # gracefully where a shuffled-hash build side could OOM on a hot
+    # partition — this just makes the small-scale plan match the at-scale
+    # one.
     return (
-        left.join(right, on=["band", "band_hash"])
+        left.hint("merge")
+        .join(right, on=["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -794,7 +805,9 @@ def simhash_near_dups(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band", "band_val"
     )
     pairs = (
-        a.join(b, on=["band", "band_val"])
+        # merge hint: same ReusedExchange rationale as minhash_lsh_candidates
+        a.hint("merge")
+        .join(b, on=["band", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sim_a", "sim_b")
         .distinct()

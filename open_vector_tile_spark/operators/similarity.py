@@ -482,7 +482,10 @@ def embedding_near_dups(
         v = _cap_buckets(v, id_col, ["_bucket"], max_bucket)
     a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "_bucket")
     b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "_bucket")
-    pairs = a.join(b, on="_bucket").filter(F.col("id_a") < F.col("id_b"))
+    # merge hint: pin sort-merge so the two identical sides share one
+    # exchange (ReusedExchange) instead of the broadcast build re-running
+    # the bucket UDF + cap chain — see dedup.minhash_lsh_candidates
+    pairs = a.hint("merge").join(b, on="_bucket").filter(F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a", "id_b", pair_cos(F.col("vec_a"), F.col("vec_b")).alias("cos_sim")
     ).filter(F.col("cos_sim") >= threshold)
