@@ -1044,7 +1044,10 @@ def containment_pairs(
     a = po.select(F.col("_cid").alias("id_a"), "_gram")
     b = po.select(F.col("_cid").alias("id_b"), "_gram")
     inter = (
-        a.join(b, "_gram")
+        # merge hint: same ReusedExchange rationale as minhash_lsh_candidates
+        # (broadcast build would re-run the shingle explode + df-cap chain)
+        a.hint("merge")
+        .join(b, "_gram")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))

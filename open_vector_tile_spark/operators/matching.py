@@ -235,7 +235,10 @@ def hausdorff_join(
         "cgy",
     )
     cand = (
-        a.join(b, ["cgx", "cgy"])
+        # merge hint: same ReusedExchange rationale as dedup's LSH self-join
+        # (broadcast build would re-run the bbox agg + cell explode twice)
+        a.hint("merge")
+        .join(b, ["cgx", "cgy"])
         .filter(F.col("id_a") < F.col("id_b"))
         # mutual t-expanded containment (exact necessary condition)
         .filter(

@@ -1018,7 +1018,10 @@ def sparse_cosine_pairs(
     a = w.select(F.col("doc").alias("doc_a"), "term", F.col("w").alias("wa"))
     b = w.select(F.col("doc").alias("doc_b"), "term", F.col("w").alias("wb"))
     dots = (
-        a.join(b, "term")
+        # merge hint: same ReusedExchange rationale as dedup's LSH self-join
+        # (broadcast build would re-run the tf/df weighting chain twice)
+        a.hint("merge")
+        .join(b, "term")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(_fold_sum(F.col("wa") * F.col("wb")).alias("dot"))
