@@ -2,8 +2,11 @@
 
 The driver oracles a PREFIX of queries() each round, so ordering IS the
 evidence policy: never-driver-verified queries must come first, then
-ascending by the round of their most recent green CORRECTNESS row.  These
-tests pin that contract without Spark (pure dict/JSON logic).
+ascending by the round of their most recent green CORRECTNESS row.
+Within a tier: VERDICT-named priority queries, then measured-cheapest
+first (committed sweep-ledger times — maximizes rows under a time-capped
+sweep), then registration order.  These tests pin that contract without
+Spark (pure dict/JSON logic).
 """
 
 from __future__ import annotations
@@ -71,6 +74,37 @@ def test_order_is_deterministic_and_memoized(entry):
     assert a == b
     # memo primed by the calls above
     assert entry._LAST_GREEN_ROUND is not None
+
+
+def test_cheap_first_within_tier(entry):
+    """Inside each rotation tier, non-priority queries sort by measured
+    sweep time ascending (registration order breaks exact-time ties)."""
+    names = list(entry.queries())
+    last = _green_by_round(entry)
+    times = entry._sweep_times()
+    assert len(times) >= 170  # ledger parsed
+    prev = None
+    for n in names:
+        key = (
+            last.get(n, -1),
+            0 if n in entry._SWEEP_PRIORITY else 1,
+            times.get(n, 1.0),
+        )
+        if prev is not None:
+            assert key >= prev, f"sweep order not cheap-first at {n}"
+        prev = key
+
+
+def test_priority_block_leads_never_green_tier(entry):
+    """Never-driver-verified VERDICT-named queries come before every other
+    never-verified query, regardless of cost (pq_topk is ~13s but named)."""
+    names = list(entry.queries())
+    last = _green_by_round(entry)
+    never = [n for n in names if last.get(n, -1) == -1]
+    prio = [n for n in never if n in entry._SWEEP_PRIORITY]
+    if prio:  # artifacts may eventually verify them all
+        cutoff = max(never.index(n) for n in prio)
+        assert all(n in entry._SWEEP_PRIORITY for n in never[: cutoff + 1])
 
 
 def test_sweep_order_handles_malformed_artifacts(entry, tmp_path, monkeypatch):
