@@ -378,16 +378,23 @@ def _q_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _q_knn_haversine(spark: SparkSession, sf: str) -> DataFrame:
-    """J3/O4: k=3 nearest suppliers (as anchors) per derived doc point by
-    exact haversine + rank window."""
-    docs = _doc_points(_load(spark, sf, "documents")).select("doc_id", "lon", "lat")
-    sup = _load(spark, sf, "supplier")
-    anchors = sup.select(
+def _supplier_anchors(sup: DataFrame) -> DataFrame:
+    """Deterministic anchor grid derived from supplier keys — the single
+    source for the (poi_id, plon, plat) formulas shared by
+    _q_knn_haversine and _q_nearest_poi (and their SQL oracles, which
+    must mirror these constants verbatim)."""
+    return sup.select(
         F.col("s_suppkey").alias("poi_id"),
         (((F.col("s_suppkey") * 91) % 3600) / 10.0 - 180.0).alias("plon"),
         (((F.col("s_suppkey") * 57) % 1600) / 10.0 - 80.0).alias("plat"),
     )
+
+
+def _q_knn_haversine(spark: SparkSession, sf: str) -> DataFrame:
+    """J3/O4: k=3 nearest suppliers (as anchors) per derived doc point by
+    exact haversine + rank window."""
+    docs = _doc_points(_load(spark, sf, "documents")).select("doc_id", "lon", "lat")
+    anchors = _supplier_anchors(_load(spark, sf, "supplier"))
     j = docs.crossJoin(F.broadcast(anchors))
     r = 6371008.8
     dlat = F.radians(F.col("plat") - F.col("lat"))
@@ -419,12 +426,8 @@ def _q_nearest_poi(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _doc_points(_load(spark, sf, "documents")).select("doc_id", "lon", "lat")
     anchors = (
-        _load(spark, sf, "supplier")
-        .select(
-            F.col("s_suppkey").alias("poi_id"),
-            (((F.col("s_suppkey") * 91) % 3600) / 10.0 - 180.0).alias("lon"),
-            (((F.col("s_suppkey") * 57) % 1600) / 10.0 - 80.0).alias("lat"),
-        )
+        _supplier_anchors(_load(spark, sf, "supplier"))
+        .select("poi_id", F.col("plon").alias("lon"), F.col("plat").alias("lat"))
         .toPandas()  # dim-table sized by the operator's contract
     )
     return (
@@ -6490,14 +6493,25 @@ def _sweep_times() -> "dict[str, float]":
         return _SWEEP_TIMES
     times: dict[str, float] = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(_glob.glob(os.path.join(here, "tools", "oracle_sweep_r*.txt"))):
+
+    def _round_of(p: str) -> int:
+        # numeric, not lexicographic: sorted() alone would put r10 BEFORE
+        # r4 and let stale round-4 times overwrite round-10 measurements
+        # (same latest-round-wins policy as the CORRECTNESS_r*.json parse
+        # in _driver_sweep_order)
+        m = _re.search(r"oracle_sweep_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    for path in sorted(
+        _glob.glob(os.path.join(here, "tools", "oracle_sweep_r*.txt")), key=_round_of
+    ):
         try:
             with open(path) as f:
                 for line in f:
                     m = _re.match(r"(\w+): OK .*t=([0-9.]+)s", line.strip())
                     if m:
-                        # later ledgers (higher round / later in sorted order)
-                        # overwrite earlier measurements
+                        # later ledgers (higher round) overwrite earlier
+                        # measurements
                         times[m.group(1)] = float(m.group(2))
         except OSError:
             continue

@@ -422,10 +422,6 @@ def _scale_measure(cores: int) -> dict:
     the process tree is pinned."""
     from pyspark.sql import functions as F
     from open_vector_tile_spark.functions.text import geoparse
-    from open_vector_tile_spark.operators import (
-        encode_point_tiles,
-        points_to_features_columnar,
-    )
     from open_vector_tile_spark.plans import get_spark
 
     spark = get_spark(f"scale-{cores}", cores=cores)
@@ -466,38 +462,20 @@ def _scale_measure(cores: int) -> dict:
                 # assign + two-phase polygon join -> kNN POI anchors ->
                 # columnar featurize -> bulk OVT encode -> tileset shard
                 # write.  One number per parallelism level for the whole
-                # pipeline, not per-query minima.
+                # pipeline, not per-query minima.  The chain itself is
+                # single-sourced in benchjobs.build_pipeline_chain —
+                # tools/probe_pipeline_stages.py times cumulative cuts of
+                # the SAME definition, so its stage deltas cannot drift
+                # from the job published here.
                 import shutil
 
-                from open_vector_tile_spark.operators.knn import nearest_poi_col
-                from open_vector_tile_spark.operators.spatial_join import spatial_join
-                from open_vector_tile_spark.sources import pois_pdf, polygons_pdf
+                from open_vector_tile_spark.benchjobs import build_pipeline_chain
                 from open_vector_tile_spark.sources.tileset import (
                     OvtTilesetDataSource,
                 )
 
                 spark.dataSource.register(OvtTilesetDataSource)
-                joined = spatial_join(pts, polygons_pdf(), zoom=6)
-                # nearest-POI enrichment as a map-only pandas-UDF column:
-                # the earlier knn_broadcast + url equi-join formulation was
-                # a DAG diamond (joined fed BOTH the kNN input and the join
-                # left side) that re-executed geoparse + spatial_join twice
-                # — 21 of 31 s at 8M rows/8 cores — and duplicated features
-                # for urls inside overlapping polygons
-                enriched = joined.withColumn(
-                    "near_poi",
-                    nearest_poi_col(pois_pdf(200))(
-                        F.col("lon"), F.col("lat")
-                    ).cast("string"),
-                )
-                feats, meta = points_to_features_columnar(
-                    enriched,
-                    zoom=10,
-                    layer="pages",
-                    extent=4096,
-                    props_cols=["url", "lang", "near_poi"],
-                )
-                tiles = encode_point_tiles(feats, meta, partitions=3 * cores)
+                tiles = build_pipeline_chain(spark, src, cores)
                 out_dir = f"{_SCALING_BASE}/ovt_pipeline_out_{cores}"
 
                 class _PipelineJob:

@@ -73,3 +73,58 @@ def build_tile_bench_job(
     if path != "fast":
         raise ValueError(f"unknown scaling path {path!r} (fast|verify)")
     return tiles.agg(F.count("*").alias("tiles"), F.sum("n_features").alias("rows"))
+
+
+PIPELINE_STAGES = ("geoparse", "sjoin", "nn_join", "encode")
+
+
+def build_pipeline_chain(
+    spark: SparkSession, pages: DataFrame, total_cores: int, upto: str = "encode"
+) -> DataFrame:
+    """The FLAGSHIP end-to-end pipeline, single-sourced: geoparse -> cell
+    assign + two-phase polygon join -> nearest-POI enrichment column ->
+    columnar featurize -> bulk OVT point encode.
+
+    bench.py's ``pipeline`` scaling path, tools/submit_pipeline.py, and
+    tools/probe_pipeline_stages.py all time THIS chain — the definition
+    lives here so the probe's stage deltas can never drift from the job
+    bench.py publishes.  ``upto`` truncates the chain at a stage boundary
+    (PIPELINE_STAGES) so the probe can time cumulative sub-chains; the
+    default is the full tiles frame (callers add the tileset write, which
+    is a sink choice, not chain logic).
+
+    nearest-POI is a map-only pandas-UDF column by design: the earlier
+    knn_broadcast + url equi-join formulation was a DAG diamond (the
+    joined frame fed BOTH the kNN input and the join-back left side) that
+    re-executed geoparse + spatial_join twice per action — measured 21 of
+    31 s at 8M rows / 8 cores — and duplicated features for urls inside
+    overlapping polygons.
+    """
+    from .functions.text import geoparse
+    from .operators import encode_point_tiles, points_to_features_columnar
+    from .operators.knn import nearest_poi_col
+    from .operators.spatial_join import spatial_join
+    from .sources import pois_pdf, polygons_pdf
+
+    if upto not in PIPELINE_STAGES:
+        raise ValueError(f"unknown stage {upto!r} (one of {PIPELINE_STAGES})")
+    pts = geoparse(pages)
+    if upto == "geoparse":
+        return pts
+    joined = spatial_join(pts, polygons_pdf(), zoom=6)
+    if upto == "sjoin":
+        return joined
+    enriched = joined.withColumn(
+        "near_poi",
+        nearest_poi_col(pois_pdf(200))(F.col("lon"), F.col("lat")).cast("string"),
+    )
+    if upto == "nn_join":
+        return enriched
+    feats, meta = points_to_features_columnar(
+        enriched,
+        zoom=10,
+        layer="pages",
+        extent=4096,
+        props_cols=["url", "lang", "near_poi"],
+    )
+    return encode_point_tiles(feats, meta, partitions=3 * total_cores)

@@ -29,17 +29,8 @@ def main() -> int:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     rows = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
 
-    from pyspark.sql import functions as F
-
-    from open_vector_tile_spark.functions.text import geoparse
-    from open_vector_tile_spark.operators import (
-        encode_point_tiles,
-        points_to_features_columnar,
-    )
-    from open_vector_tile_spark.operators.knn import nearest_poi_col
-    from open_vector_tile_spark.operators.spatial_join import spatial_join
+    from open_vector_tile_spark.benchjobs import build_pipeline_chain
     from open_vector_tile_spark.plans import get_spark
-    from open_vector_tile_spark.sources import pois_pdf, polygons_pdf
     from open_vector_tile_spark.sources.tileset import OvtTilesetDataSource
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
@@ -53,29 +44,9 @@ def main() -> int:
     pages = spark.read.parquet(data)
 
     def chain(upto: str):
-        pts = geoparse(pages)
-        if upto == "geoparse":
-            return pts
-        joined = spatial_join(pts, polygons_pdf(), zoom=6)
-        if upto == "sjoin":
-            return joined
-        enriched = joined.withColumn(
-            "near_poi",
-            nearest_poi_col(pois_pdf(200))(F.col("lon"), F.col("lat")).cast(
-                "string"
-            ),
-        )
-        if upto == "nn_join":
-            return enriched
-        feats, meta = points_to_features_columnar(
-            enriched,
-            zoom=10,
-            layer="pages",
-            extent=4096,
-            props_cols=["url", "lang", "near_poi"],
-        )
-        tiles = encode_point_tiles(feats, meta, partitions=3 * cores)
-        return tiles
+        # single-sourced with bench.py's pipeline path (benchjobs module) —
+        # the probe MUST time the exact job bench.py publishes
+        return build_pipeline_chain(spark, pages, cores, upto=upto)
 
     stages = ["geoparse", "sjoin", "nn_join", "encode", "write"]
     out_dir = f"{base}/ovt_probe_out_{cores}"
