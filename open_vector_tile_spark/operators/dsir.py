@@ -28,6 +28,12 @@ Scale shape (100 TB corpus):
   so empty buckets exist in both distributions deterministically;
 - selection uses the distributed exact ``global_rank`` (layout.py) —
   no single-partition window at any scale.
+
+Paper-faithful *resampling* (sample ∝ weight, without replacement)
+composes with the existing sampler: feed ``score`` as the weight column
+of ``functions/sampling.py:weighted_sample`` (Efraimidis–Spirakis keys
+== Gumbel-top-k, deterministic under the seed) instead of taking the
+greedy top fraction this function returns.
 """
 
 from __future__ import annotations
