@@ -39,6 +39,32 @@ def test_unknown_path_raises(spark, pages):
         build_tile_bench_job(spark, pages, "bogus", 4)
 
 
+def test_pipeline_chain_stage_cutoffs(spark, pages):
+    """The single-sourced flagship chain (bench.py pipeline path == stage
+    probe): each cutoff exposes the columns its stage adds, the full chain
+    produces tiles, and the nn_join stage adds NO rows (map-only column —
+    the DAG-diamond fix contract)."""
+    from open_vector_tile_spark.benchjobs import build_pipeline_chain
+
+    geo = build_pipeline_chain(spark, pages, 4, upto="geoparse")
+    assert {"lon", "lat"} <= set(geo.columns)
+    sj = build_pipeline_chain(spark, pages, 4, upto="sjoin")
+    assert "poly_id" in sj.columns
+    nn = build_pipeline_chain(spark, pages, 4, upto="nn_join")
+    assert "near_poi" in nn.columns
+    assert nn.count() == sj.count()  # enrichment column, not a join fan-out
+    tiles = build_pipeline_chain(spark, pages, 4)  # default: encode
+    assert {"zoom", "tile_x", "tile_y", "tile"} <= set(tiles.columns)
+    assert tiles.count() > 0
+
+
+def test_pipeline_chain_unknown_stage_raises(spark, pages):
+    from open_vector_tile_spark.benchjobs import build_pipeline_chain
+
+    with pytest.raises(ValueError, match="unknown stage"):
+        build_pipeline_chain(spark, pages, 4, upto="bogus")
+
+
 def test_scaling_of_record_reports_best_median_latest(tmp_path):
     """The scaling record is best-of-N over ALL committed summaries.
 
