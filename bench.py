@@ -761,8 +761,13 @@ def _scaling_of_record(path: "str | None" = None) -> "dict | None":
                     # from the record but kept in the ledger for audit
                     n_debug += len(rows)
                     rows = []
-                elif row.get("kind") == "submit_scaling_summary" and isinstance(
-                    row.get("scaling_efficiency"), (int, float)
+                elif (
+                    row.get("kind") == "submit_scaling_summary"
+                    and isinstance(row.get("scaling_efficiency"), (int, float))
+                    # the number of record is the FAST path series; other
+                    # paths (pipeline/verify) ledger separately, but guard
+                    # here too so a stray summary can't pollute the record
+                    and row.get("path", "fast") == "fast"
                 ):
                     rows.append(row)
     except OSError:

@@ -96,6 +96,13 @@ def test_scaling_of_record_reports_best_median_latest(tmp_path):
          "execs_2_best_rows_per_sec": 136066.0,
          "execs_8_best_rows_per_sec": 400440.5, "rows": 8000000,
          "launcher": "spark-submit"},
+        # a NON-fast-path summary (the pipeline series ledgers separately,
+        # but a stray row must not pollute the fast record either)
+        {"kind": "submit_scaling_summary", "scaling_efficiency": 0.99,
+         "path": "pipeline",
+         "execs_2_best_rows_per_sec": 1.0,
+         "execs_8_best_rows_per_sec": 3.96, "rows": 8000000,
+         "launcher": "spark-submit"},
     ]
     ledger.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
 

@@ -22,7 +22,7 @@ processes — unlike ``local[N]``, nothing shares a JVM.  This tool:
    efficiency, and appends every observation to a JSONL ledger.
 
 Orchestrate:     python tools/submit_scaling.py run [--rows 8000000]
-                     [--execs 2] [--path fast|verify] [--repeat 3]
+                     [--execs 2] [--path fast|verify|pipeline] [--repeat 3]
 Measure (what spark-submit launches — don't call directly):
                  spark-submit --master local-cluster[2,1,3072] \
                      --py-files /tmp/ovt_spark.zip \
@@ -100,27 +100,69 @@ def measure(args: argparse.Namespace) -> None:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
 
-    # the job definition is shared with bench.py's in-process _scale_measure
-    # (one source of truth — BENCH.md compares the two tools' numbers)
-    from open_vector_tile_spark.benchjobs import build_tile_bench_job
-
-    def build_job():
-        # rebuilt per pass: a re-collected DataFrame object keeps its RDD
-        # lineage, so Spark SKIPS stages whose shuffle outputs still exist —
-        # a fresh DAG gets fresh shuffle ids and re-executes everything
-        pages = spark.read.parquet(args.data)
-        return build_tile_bench_job(spark, pages, args.path, total_cores)
-
+    # the job definitions are shared with bench.py's in-process
+    # _scale_measure (one source of truth — BENCH.md compares the two
+    # tools' numbers): build_tile_bench_job for fast/verify,
+    # build_pipeline_chain for the flagship end-to-end pipeline
+    # (geoparse -> polygon join -> nearest-POI -> encode -> tileset write).
+    #
     # pass 1 is the cold pass (per-executor JIT + python-worker import of
     # the --py-files zip); pass 2+ measures steady-state throughput — the
     # regime a 100 TB job runs in for all but its first seconds.  Workers
     # are reused across passes (spark.python.worker.reuse default), nothing
     # carries over (fresh DAG per pass re-executes scan->shuffle->encode).
     pass_secs = []
-    for _ in range(max(args.passes, 1)):
-        t0 = time.time()
-        row = build_job().collect()[0]
-        pass_secs.append(round(time.time() - t0, 3))
+    if args.path == "pipeline":
+        import shutil
+
+        from open_vector_tile_spark.benchjobs import build_pipeline_chain
+        from open_vector_tile_spark.sources.tileset import OvtTilesetDataSource
+
+        spark.dataSource.register(OvtTilesetDataSource)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+        out_dir = f"{base}/ovt_submit_pipeline_out_{args.execs}"
+        # input cardinality is pass-invariant: count OUTSIDE the timed
+        # region (throughput basis = pages pushed end-to-end, the bench.py
+        # pipeline-path convention)
+        n_rows = spark.read.parquet(args.data).count()
+        for _ in range(max(args.passes, 1)):
+            # clearing the previous pass's shards is not pipeline work
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.time()
+            tiles = build_pipeline_chain(
+                spark, spark.read.parquet(args.data), total_cores
+            )
+            (
+                tiles.select("zoom", "tile_x", "tile_y", "tile")
+                .write.format("ovt_tileset")
+                .option("path", out_dir)
+                .option("layout", "shard")
+                .mode("append")
+                .save()
+            )
+            pass_secs.append(round(time.time() - t0, 3))
+        # read-back tile count (not timed): proves the write landed
+        n_tiles = (
+            spark.read.format("ovt_tileset").option("path", out_dir).load().count()
+        )
+        row = {"rows": n_rows, "tiles": n_tiles}
+    else:
+
+        def build_job():
+            # rebuilt per pass: a re-collected DataFrame object keeps its
+            # RDD lineage, so Spark SKIPS stages whose shuffle outputs
+            # still exist — a fresh DAG gets fresh shuffle ids and
+            # re-executes everything
+            from open_vector_tile_spark.benchjobs import build_tile_bench_job
+
+            pages = spark.read.parquet(args.data)
+            return build_tile_bench_job(spark, pages, args.path, total_cores)
+
+        for _ in range(max(args.passes, 1)):
+            t0 = time.time()
+            row = build_job().collect()[0]
+            pass_secs.append(round(time.time() - t0, 3))
     secs = min(pass_secs)
     out = {
         "kind": "submit_measure",
@@ -198,12 +240,22 @@ def _run_level(
     return None
 
 
+def _ledger_for(path: str) -> str:
+    """fast keeps the canonical record ledger; other paths get their own
+    file so the north-rule fast series is never mixed (bench.py's
+    _scaling_of_record additionally filters by path as a belt)."""
+    if path == "fast" or os.environ.get("SPARK_GRAFT_SUBMIT_LEDGER"):
+        return LEDGER
+    return os.path.join(REPO, "tools", f"scaling_submit_{path}_r4.jsonl")
+
+
 def run(args: argparse.Namespace) -> int:
     _build_zip()
     data = _ensure_corpus(args.rows)
+    ledger = _ledger_for(args.path)
     levels = [args.execs, 4 * args.execs]
     results: dict[int, list[dict]] = {lv: [] for lv in levels}
-    with open(LEDGER, "a") as fh:
+    with open(ledger, "a") as fh:
         for rep in range(args.repeat):
             for lv in levels:
                 obs = _run_level(lv, data, args.path, args.cores_per_exec, args.passes)
@@ -235,7 +287,7 @@ def run(args: argparse.Namespace) -> int:
         f"execs_{hi}_best_rows_per_sec": best_hi,
         "scaling_efficiency": round(eff, 3),
     }
-    with open(LEDGER, "a") as fh:
+    with open(ledger, "a") as fh:
         fh.write(json.dumps(summary) + "\n")
     print(json.dumps(summary))
     return 0
@@ -246,7 +298,7 @@ def main() -> int:
     sub = ap.add_subparsers(dest="mode", required=True)
     m = sub.add_parser("measure")
     m.add_argument("--data", required=True)
-    m.add_argument("--path", default="fast", choices=["fast", "verify"])
+    m.add_argument("--path", default="fast", choices=["fast", "verify", "pipeline"])
     m.add_argument("--label", default="")
     m.add_argument("--cores", type=int, default=2, help="expected total cores")
     m.add_argument("--execs", type=int, default=1, help="expected executor count")
@@ -255,7 +307,7 @@ def main() -> int:
     r.add_argument("--rows", type=int, default=4_000_000)
     r.add_argument("--execs", type=int, default=2)
     r.add_argument("--cores-per-exec", type=int, default=1)
-    r.add_argument("--path", default="fast", choices=["fast", "verify"])
+    r.add_argument("--path", default="fast", choices=["fast", "verify", "pipeline"])
     r.add_argument("--repeat", type=int, default=2)
     r.add_argument("--passes", type=int, default=2)
     args = ap.parse_args()
