@@ -490,26 +490,20 @@ def _scale_measure(cores: int) -> dict:
                         shutil.rmtree(out_dir, ignore_errors=True)
 
                     def collect(self):
-                        (
-                            tiles.select("zoom", "tile_x", "tile_y", "tile")
-                            .write.format("ovt_tileset")
-                            .option("path", out_dir)
-                            .option("layout", "shard")
-                            .mode("append")
-                            .save()
+                        from open_vector_tile_spark.benchjobs import (
+                            write_pipeline_tiles,
                         )
+
+                        write_pipeline_tiles(tiles, out_dir)
                         got = n_rows if n_rows is not None else src.count()
                         return [{"rows": got, "tiles": None}]
 
                     def finalize(self, res):
-                        back = (
-                            spark.read.format("ovt_tileset")
-                            .option("path", out_dir)
-                            .load()
-                            .agg(F.count("*").alias("tiles"))
-                            .collect()
+                        from open_vector_tile_spark.benchjobs import (
+                            read_back_tile_count,
                         )
-                        res[0]["tiles"] = back[0]["tiles"]
+
+                        res[0]["tiles"] = read_back_tile_count(spark, out_dir)
                         return res
 
                 return _PipelineJob()

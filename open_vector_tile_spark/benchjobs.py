@@ -128,3 +128,30 @@ def build_pipeline_chain(
         props_cols=["url", "lang", "near_poi"],
     )
     return encode_point_tiles(feats, meta, partitions=3 * total_cores)
+
+
+PIPELINE_SINK_COLS = ("zoom", "tile_x", "tile_y", "tile")
+
+
+def write_pipeline_tiles(tiles: DataFrame, out_dir: str) -> None:
+    """The flagship sink discipline, single-sourced with the chain:
+    shard-layout tileset write of exactly the tile columns.  bench.py's
+    pipeline scaling path and tools/submit_scaling.py's pipeline measure
+    both call THIS (their numbers are compared in BENCH.md, so the sink
+    half must not drift any more than the chain half)."""
+    (
+        tiles.select(*PIPELINE_SINK_COLS)
+        .write.format("ovt_tileset")
+        .option("path", out_dir)
+        .option("layout", "shard")
+        .mode("append")
+        .save()
+    )
+
+
+def read_back_tile_count(spark: SparkSession, out_dir: str) -> int:
+    """Untimed read-back count proving the write landed (same DSv2 source,
+    round trip through the shard layout)."""
+    return (
+        spark.read.format("ovt_tileset").option("path", out_dir).load().count()
+    )

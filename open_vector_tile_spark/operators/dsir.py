@@ -32,8 +32,9 @@ Scale shape (100 TB corpus):
 Paper-faithful *resampling* (sample ∝ weight, without replacement)
 composes with the existing sampler: feed ``score`` as the weight column
 of ``functions/sampling.py:weighted_sample`` (Efraimidis–Spirakis keys
-== Gumbel-top-k, deterministic under the seed) instead of taking the
-greedy top fraction this function returns.
+== Gumbel-top-k; its uniform draw is a content hash of the key column,
+so the sample is deterministic for a given key, no seed parameter)
+instead of taking the greedy top fraction this function returns.
 """
 
 from __future__ import annotations

@@ -53,9 +53,7 @@ sys.path.insert(0, REPO)
 
 SPARK_SUBMIT = os.environ.get("SPARK_SUBMIT", "/opt/spark/bin/spark-submit")
 ZIP_PATH = "/tmp/ovt_spark.zip"
-LEDGER = os.environ.get(
-    "SPARK_GRAFT_SUBMIT_LEDGER", os.path.join(REPO, "tools", "scaling_submit_r4.jsonl")
-)
+# ledger path resolution lives in _ledger_for (env re-read at call time)
 # 1 core per executor by default: the N->4N executor axis then maps to
 # 2->8 CORES, the axis where plan quality is visible on this box (BENCH.md
 # session-2/3 forensics: 8->32 cores saturates the memory subsystem for ANY
@@ -115,7 +113,11 @@ def measure(args: argparse.Namespace) -> None:
     if args.path == "pipeline":
         import shutil
 
-        from open_vector_tile_spark.benchjobs import build_pipeline_chain
+        from open_vector_tile_spark.benchjobs import (
+            build_pipeline_chain,
+            read_back_tile_count,
+            write_pipeline_tiles,
+        )
         from open_vector_tile_spark.sources.tileset import OvtTilesetDataSource
 
         spark.dataSource.register(OvtTilesetDataSource)
@@ -133,19 +135,14 @@ def measure(args: argparse.Namespace) -> None:
             tiles = build_pipeline_chain(
                 spark, spark.read.parquet(args.data), total_cores
             )
-            (
-                tiles.select("zoom", "tile_x", "tile_y", "tile")
-                .write.format("ovt_tileset")
-                .option("path", out_dir)
-                .option("layout", "shard")
-                .mode("append")
-                .save()
-            )
+            write_pipeline_tiles(tiles, out_dir)
             pass_secs.append(round(time.time() - t0, 3))
         # read-back tile count (not timed): proves the write landed
-        n_tiles = (
-            spark.read.format("ovt_tileset").option("path", out_dir).load().count()
-        )
+        n_tiles = read_back_tile_count(spark, out_dir)
+        # the shards live on RAM-backed /dev/shm on this box — free them
+        # once counted, or the 2-exec output squats shared memory under
+        # the 8-exec launches of the same sweep
+        shutil.rmtree(out_dir, ignore_errors=True)
         row = {"rows": n_rows, "tiles": n_tiles}
     else:
 
@@ -243,9 +240,17 @@ def _run_level(
 def _ledger_for(path: str) -> str:
     """fast keeps the canonical record ledger; other paths get their own
     file so the north-rule fast series is never mixed (bench.py's
-    _scaling_of_record additionally filters by path as a belt)."""
-    if path == "fast" or os.environ.get("SPARK_GRAFT_SUBMIT_LEDGER"):
-        return LEDGER
+    _scaling_of_record additionally filters by path as a belt).
+
+    The env override is re-read at CALL time (not the import-time LEDGER
+    constant): a caller that imports this module and THEN sets
+    SPARK_GRAFT_SUBMIT_LEDGER to redirect a run must never fall through
+    to appending the committed record ledger."""
+    env = os.environ.get("SPARK_GRAFT_SUBMIT_LEDGER")
+    if env:
+        return env
+    if path == "fast":
+        return os.path.join(REPO, "tools", "scaling_submit_r4.jsonl")
     return os.path.join(REPO, "tools", f"scaling_submit_{path}_r4.jsonl")
 
 
