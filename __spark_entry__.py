@@ -190,7 +190,9 @@ def _q_tile_assignment(spark: SparkSession, sf: str) -> DataFrame:
     docs = _doc_points(_load(spark, sf, "documents"))
     feats = points_to_features(docs, zoom=ZOOM, layer="docs", extent=4096, id_col="doc_id")
     tiles = encode_tiles(feats)
-    return tiles.select("zoom", "tile_x", "tile_y", "n_features")
+    return tiles.select("zoom", "tile_x", "tile_y", "n_features").orderBy(
+        "zoom", "tile_x", "tile_y"
+    )
 
 
 def _q_agg_pushdown(spark: SparkSession, sf: str) -> DataFrame:
@@ -551,6 +553,7 @@ def _q_tile_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return (
         decoded.groupBy("zoom", "tile_x", "tile_y")
         .agg(F.count("*").alias("n_features"))
+        .orderBy("zoom", "tile_x", "tile_y")
     )
 
 
@@ -667,12 +670,16 @@ def _q_tile_roundtrip_full(spark: SparkSession, sf: str) -> DataFrame:
     tiles2 = encode_tiles(decoded)
     a = tiles1.alias("a")
     b = tiles2.alias("b")
-    return a.join(b, ["zoom", "tile_x", "tile_y"]).select(
-        "zoom",
-        "tile_x",
-        "tile_y",
-        F.col("a.n_features").alias("n_features"),
-        (F.col("a.tile") == F.col("b.tile")).alias("bytes_equal"),
+    return (
+        a.join(b, ["zoom", "tile_x", "tile_y"])
+        .select(
+            "zoom",
+            "tile_x",
+            "tile_y",
+            F.col("a.n_features").alias("n_features"),
+            (F.col("a.tile") == F.col("b.tile")).alias("bytes_equal"),
+        )
+        .orderBy("zoom", "tile_x", "tile_y")
     )
 
 
@@ -1925,7 +1932,7 @@ def _q_polygon_ingest_dist(spark: SparkSession, sf: str) -> DataFrame:
     dec = decode_tiles(encode_tiles(feats))
     return dec.select(
         "zoom", "tile_x", "tile_y", "id", F.posexplode("geom_xy").alias("pos", "coord")
-    )
+    ).orderBy("zoom", "tile_x", "tile_y", "id", "pos")
 
 
 def _q_tileset_scan(spark: SparkSession, sf: str) -> DataFrame:
@@ -1968,6 +1975,7 @@ def _q_tileset_scan(spark: SparkSession, sf: str) -> DataFrame:
         decode_tiles(back.select("zoom", "tile_x", "tile_y", "tile"))
         .groupBy("zoom", "tile_x", "tile_y")
         .agg(F.count("*").alias("n_features"))
+        .orderBy("zoom", "tile_x", "tile_y")
     )
 
 
@@ -1993,8 +2001,10 @@ def _q_spatial_join_dist(spark: SparkSession, sf: str) -> DataFrame:
     joined = spatial_join_distributed(
         docs, polys, zoom=6, salt=4, broadcast_polygons=True, exact=True
     )
-    return joined.groupBy("poly_id").agg(
-        F.count("*").alias("n_points"), F.sum("doc_id").alias("sum_doc")
+    return (
+        joined.groupBy("poly_id")
+        .agg(F.count("*").alias("n_points"), F.sum("doc_id").alias("sum_doc"))
+        .orderBy("poly_id")
     )
 
 
@@ -3199,7 +3209,9 @@ def _q_collocations(spark: SparkSession, sf: str) -> DataFrame:
     from open_vector_tile_spark.operators.collocations import bigram_collocations
 
     docs = _load(spark, sf, "documents")
-    return bigram_collocations(docs, min_count=5, top_k=50)
+    return bigram_collocations(docs, min_count=5, top_k=50).orderBy(
+        F.desc("lift"), "a", "b"
+    )
 
 
 def _q_geo_fallback(spark: SparkSession, sf: str) -> DataFrame:
@@ -4584,9 +4596,10 @@ _CDC_DEDUP_ORACLE_SQL = """
              CASE WHEN substring(md5(word), 1, 2) < '10' THEN 1 ELSE 0 END AS isb
       FROM w
     ), c AS (
-      SELECT *, coalesce(sum(isb) OVER (
+      SELECT *, CAST(coalesce(sum(isb) OVER (
                PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS chunk_id
       FROM b
     ), agg AS (
       SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_words,
@@ -6217,7 +6230,7 @@ def _q_morans_i(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("gx", "gy")
         .agg(F.count("*").cast("long").alias("v"))
     )
-    return spatial_autocorrelation(cells)
+    return spatial_autocorrelation(cells).orderBy("n_cells")
 
 
 def _q_hotspot_gi(spark: SparkSession, sf: str) -> DataFrame:
@@ -6835,6 +6848,7 @@ def _sql_polygon_ingest_dist() -> str:
                CAST(unnest([{poss}]) AS INT) AS pos,
                unnest([{coords}]) AS coord
         FROM t
+        ORDER BY zoom, tile_x, tile_y, id, pos
     """
 
 
@@ -7915,6 +7929,7 @@ _MORANS_ORACLE_SQL = f"""
              -1.0 / CAST(n-1 AS DOUBLE)
            END AS expected_i
     FROM fin
+    ORDER BY n_cells
 """
 
 
@@ -8358,11 +8373,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT {ZOOM} AS zoom, {tx_doc} AS tile_x, {ty_doc} AS tile_y,
                    count(*) AS n_features
             FROM documents GROUP BY 1, 2, 3
+            ORDER BY zoom, tile_x, tile_y
         """,
         "tile_roundtrip": f"""
             SELECT {ZOOM} AS zoom, {tx_doc} AS tile_x, {ty_doc} AS tile_y,
                    count(*) AS n_features
             FROM documents GROUP BY 1, 2, 3
+            ORDER BY zoom, tile_x, tile_y
         """,
         "tile_roundtrip_full": f"""
             SELECT {ZOOM} AS zoom, {tx_doc} AS tile_x, {ty_doc} AS tile_y,
@@ -8374,6 +8391,7 @@ def oracle_sql() -> dict[str, str]:
                      + count(*) FILTER (WHERE doc_id % 17 = 0) AS n_features,
                    TRUE AS bytes_equal
             FROM documents GROUP BY 1, 2, 3
+            ORDER BY zoom, tile_x, tile_y
         """,
         "agg_pushdown": """
             SELECT l_returnflag, l_linestatus,
@@ -8867,6 +8885,7 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS n_features
               FROM documents GROUP BY 1, 2, 3
             ) WHERE tile_x < 8
+            ORDER BY zoom, tile_x, tile_y
         """,
         "spatial_join_dist": """
             WITH r AS (
@@ -8885,10 +8904,12 @@ def oracle_sql() -> dict[str, str]:
                      ((CAST(doc_id*53 AS DOUBLE) % 1600)/10.0 - 80.0) AS lat
               FROM documents
             )
-            SELECT poly_id, count(*) AS n_points, sum(doc_id) AS sum_doc
+            SELECT poly_id, count(*) AS n_points,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc
             FROM rr, d
             WHERE lon > x0 AND lon < x1 AND lat > y0 AND lat < y1
             GROUP BY poly_id
+            ORDER BY poly_id
         """,
         # the LSH pipeline in exact mode (n_planes=0) is the brute-force
         # ranking — same oracle as cosine_topk (the near_dup_embeddings trick)
@@ -9684,6 +9705,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 17732923532771328 // GREATEST(kth, 1) END)) // n_kept AS BIGINT)
                      AS est_intersection
             FROM est CROSS JOIN m
+            ORDER BY g
         """,
         "bucketed_join": """
             SELECT d.doc_id % 97 AS k, d.doc_id, s.s_suppkey
