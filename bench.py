@@ -644,7 +644,13 @@ def run_scaling(sf_dir: str) -> dict:
         int(x)
         for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")
     )
-    assert len(levels) == 2 and levels[1] == 4 * levels[0], levels
+    # explicit raise (NOT assert: `python -O` strips asserts and a malformed
+    # pair would silently publish a wrong efficiency); the divisor below is
+    # derived from the actual ratio, so any valid N<M pair reports honestly
+    if len(levels) != 2 or levels[1] <= levels[0] or levels[0] < 1:
+        raise ValueError(
+            f"SPARK_GRAFT_SCALING_LEVELS must be 'N,M' with M > N >= 1, got {levels}"
+        )
     for _ in range(rounds):
         for cores in levels:
             cmd = [
@@ -665,7 +671,7 @@ def run_scaling(sf_dir: str) -> dict:
     out = {f"local[{c}]": r for c, r in best.items()}
     t_lo = best[levels[0]]["rows_per_sec"]
     t_hi = best[levels[1]]["rows_per_sec"]
-    out["scaling_efficiency"] = round((t_hi / t_lo) / 4.0, 3)
+    out["scaling_efficiency"] = round((t_hi / t_lo) / (levels[1] / levels[0]), 3)
     out["rows"] = SCALING_ROWS
     out["pinned"] = True
     out["path"] = os.environ.get("SPARK_GRAFT_SCALING_PATH", "generic")

@@ -129,3 +129,24 @@ def test_sweep_order_handles_malformed_artifacts(entry, tmp_path, monkeypatch):
     # b is green in r01 -> rotates to the back; a and c (never fully
     # verified) keep literal order up front
     assert out == ["a", "c", "b"]
+
+
+def test_memo_invalidates_when_new_artifact_lands(tmp_path, monkeypatch):
+    """ADVICE r4: a driver that writes a new CORRECTNESS artifact and calls
+    queries() again in the SAME process must see a fresh sweep order — the
+    memo is keyed on the artifact (path, mtime, size) fingerprint."""
+    spec = importlib.util.spec_from_file_location(
+        "entry_memo_fresh", str(REPO / "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(
+        mod.os.path, "dirname", lambda p: str(tmp_path), raising=True
+    )
+    reg = {"a": 1, "b": 2}
+    assert list(mod._driver_sweep_order(reg)) == ["a", "b"]
+    # a new artifact greens 'a' -> it must rotate behind 'b' immediately
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": {"rows_match": True, "schema_match": True, "err": None}})
+    )
+    assert list(mod._driver_sweep_order(reg)) == ["b", "a"]

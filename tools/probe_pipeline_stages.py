@@ -58,6 +58,22 @@ def main() -> int:
     (
         chain("encode").limit(1000).write.format("noop").mode("overwrite").save()
     )
+    # warm the ovt_tileset sink too (python data-source worker + JIT startup):
+    # without this the first timed 'write' stage absorbs one-time sink setup
+    # and biases the very delta this probe exists to attribute
+    warm_dir = f"{base}/ovt_probe_warm_{cores}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    (
+        chain("encode")
+        .limit(1000)
+        .select("zoom", "tile_x", "tile_y", "tile")
+        .write.format("ovt_tileset")
+        .option("path", warm_dir)
+        .option("layout", "shard")
+        .mode("append")
+        .save()
+    )
+    shutil.rmtree(warm_dir, ignore_errors=True)
     for st in stages:
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()

@@ -11,6 +11,14 @@ Cluster launch (north_star):
 The session comes from spark-submit (master/executor config belong to the
 launcher); the job only sets SQL-level knobs (AQE, skew join, Arrow batches).
 Resumable: re-running with the same --store anti-joins completed tiles.
+
+Note on --pois + --polygons: this demo CLI attaches the nearest-POI
+enrichment to ALL geoparsed points and emits the page layer unjoined (the
+polygon layer is emitted alongside, not used as a filter).  The flagship
+benchmark chain (`bench.benchjobs.build_pipeline_chain`, used by bench.py
+and tools/submit_scaling.py --path pipeline) instead enriches only the
+spatial-join SURVIVORS — different row sets by design: this tool publishes
+every located page; the flagship measures the joined product.
 """
 
 from __future__ import annotations
