@@ -6563,8 +6563,9 @@ def _driver_sweep_order(reg: dict) -> dict:
 
     The driver oracles a PREFIX of this dict each round, so ordering is
     evidence policy: queries the driver has never FULLY verified (no
-    rows+schema green CORRECTNESS row in any committed artifact — rows with
-    an ``err`` such as ``no_oracle`` don't count) come first, then ascending
+    rows+schema+hash green CORRECTNESS row in any committed artifact — rows
+    with an ``err`` such as ``no_oracle``, or hash-red rows, don't count)
+    come first, then ascending
     by the round of their most recent green row, so the capped sweep rotates
     through the whole registry across rounds instead of re-verifying the
     same green core.  Reads the committed ``CORRECTNESS_r*.json`` artifacts
@@ -6606,10 +6607,14 @@ def _driver_sweep_order(reg: dict) -> dict:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
+            # FULLY green: hash too — a rows+schema-only row (e.g. the r4
+            # spatial_join_dist oracle type artifact) must NOT count as
+            # verified, or a time-capped sweep would never revisit it
             green = (
                 isinstance(row, dict)
                 and row.get("rows_match") is True
                 and row.get("schema_match") is True
+                and row.get("hash_match") is True
                 and row.get("err") in (None, "")
             )
             if green:

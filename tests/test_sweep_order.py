@@ -42,6 +42,7 @@ def _green_by_round(entry):
                 isinstance(row, dict)
                 and row.get("rows_match") is True
                 and row.get("schema_match") is True
+                and row.get("hash_match") is True
                 and row.get("err") in (None, "")
             ):
                 last[name] = max(last.get(name, -1), rnd)
@@ -116,8 +117,10 @@ def test_sweep_order_handles_malformed_artifacts(entry, tmp_path, monkeypatch):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     good = {
-        "b": {"rows_match": True, "schema_match": True, "err": None},
-        "c": {"rows_match": True, "schema_match": False, "err": None},
+        "b": {"rows_match": True, "schema_match": True, "hash_match": True,
+              "err": None},
+        "c": {"rows_match": True, "schema_match": False, "hash_match": False,
+              "err": None},
     }
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(good))
     (tmp_path / "CORRECTNESS_r02.json").write_text("{not json")
@@ -147,6 +150,7 @@ def test_memo_invalidates_when_new_artifact_lands(tmp_path, monkeypatch):
     assert list(mod._driver_sweep_order(reg)) == ["a", "b"]
     # a new artifact greens 'a' -> it must rotate behind 'b' immediately
     (tmp_path / "CORRECTNESS_r01.json").write_text(
-        json.dumps({"a": {"rows_match": True, "schema_match": True, "err": None}})
+        json.dumps({"a": {"rows_match": True, "schema_match": True,
+                          "hash_match": True, "err": None}})
     )
     assert list(mod._driver_sweep_order(reg)) == ["b", "a"]
