@@ -72,7 +72,19 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
                 local = False
                 break
         if not local or (total + max_bytes - 1) // max_bytes < threshold:
-            return df.repartition(target)
+            # width follows the DATA, not the cluster: a sub-megabyte input
+            # fanned to defaultParallelism pays 32 task launches + python
+            # worker roundtrips for microseconds of numpy each (measured
+            # ~1s of the sf0.1 dedup_minhash headline).  ~2 MB of parquet
+            # (~6-8 MB of text) per task keeps the per-task kernel work in
+            # the tens of ms; large inputs still reach full width
+            chunk = 2 * 1024 * 1024
+            width = min(target, total // chunk + 1)
+            if width <= 1:
+                # sub-chunk input: the kernel does the whole batch in one
+                # vectorized pass faster than a shuffle round-trip costs
+                return df
+            return df.repartition(width)
         return df
     if df.rdd.getNumPartitions() < threshold:
         return df.repartition(target)
@@ -578,9 +590,20 @@ def _cap_buckets(band_rows: DataFrame, id_col: str, keys: list[str], max_bucket:
     sort.  Result rows are IDENTICAL to the windowed formulation.  The
     input is localCheckpoint-ed because it feeds three consumers (count,
     anti-join, hot join) and upstream is an expensive Arrow UDF."""
-    band_rows = band_rows.localCheckpoint(eager=True)
+    # lazy checkpoint: the probe below is the first consumer and triggers
+    # materialization inside its own job — eager=True would spend a whole
+    # extra job doing the same work first
+    band_rows = band_rows.localCheckpoint(eager=False)
     counts = band_rows.groupBy(*keys).agg(F.count("*").alias("_bc"))
-    hot = F.broadcast(counts.filter(F.col("_bc") > max_bucket).select(*keys))
+    hot_keys = counts.filter(F.col("_bc") > max_bucket).select(*keys)
+    # adaptive skip: one tiny driver probe (partial-agg count + limit 1) —
+    # when NO bucket exceeds the cap (the common clean-corpus case, and by
+    # definition hot buckets are rare) the anti/semi/window machinery is a
+    # provable no-op, so don't put its three operators + sort shuffle in
+    # the plan at all.  Hot path below is byte-identical to before.
+    if hot_keys.limit(1).count() == 0:
+        return band_rows
+    hot = F.broadcast(hot_keys)
     cold = band_rows.join(hot, on=keys, how="left_anti")
     w = Window.partitionBy(*keys).orderBy(F.col(id_col).asc())
     capped_hot = (

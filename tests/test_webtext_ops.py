@@ -127,6 +127,21 @@ def test_lsh_hot_bucket_guard(spark):
     assert (sh["hamming"] == 0).all()
 
 
+def test_cap_buckets_adaptive_skip(spark):
+    """Clean corpus (no bucket over the cap): the adaptive probe must elide
+    the anti/semi/window cap machinery from the plan entirely — no Window
+    operator anywhere in the optimized candidates plan.  (The hot path is
+    pinned by test_lsh_hot_bucket_guard.)"""
+    from open_vector_tile_spark.operators.dedup import minhash_lsh_candidates
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(300), "text": [f"unique document text {i} alpha beta" for i in range(300)]}
+    )
+    cand = minhash_lsh_candidates(spark.createDataFrame(pdf), max_bucket=256)
+    plan = cand._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, "cap machinery present despite no hot buckets"
+
+
 def test_embedding_near_dups_threshold(spark):
     from open_vector_tile_spark.operators.similarity import embedding_near_dups
 
