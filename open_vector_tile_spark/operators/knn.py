@@ -101,6 +101,8 @@ def nearest_poi_col(pois_pdf: pd.DataFrame):
     plat = pois_pdf["lat"].to_numpy(dtype=np.float64)
     pids = pois_pdf["poi_id"].to_numpy(dtype=np.int64)
 
+    id_max = np.int64(np.iinfo(np.int64).max)
+
     @pandas_udf("long")
     def nearest(lon: pd.Series, lat: pd.Series) -> pd.Series:
         if len(lon) == 0:
@@ -109,11 +111,29 @@ def nearest_poi_col(pois_pdf: pd.DataFrame):
             return pd.Series([pd.NA] * len(lon), dtype="Int64")
         lons = lon.to_numpy(dtype=np.float64)
         lats = lat.to_numpy(dtype=np.float64)
-        d = haversine_np(lons[:, None], lats[:, None], plon[None, :], plat[None, :])
-        # argmin on distance, then min poi_id among exact-distance ties —
-        # identical pick to knn_broadcast's lexsort rank 1
-        best = np.lexsort((np.broadcast_to(pids, d.shape), d), axis=-1)[:, 0]
-        return pd.Series(pids[best])
+        B = len(lons)
+        out = np.empty(B, dtype=np.int64)
+        # chunk the (batch x n_poi) distance matrix so every numpy temporary
+        # stays a few MB: a whole 50k-row Arrow batch makes ~12 temporaries
+        # of batch*n_poi*8 bytes per haversine call, and past glibc's mmap
+        # threshold every temporary is an mmap/munmap round-trip — kernel page
+        # allocation serializes ACROSS executor python workers, measured as
+        # the flagship nn stage scaling 2->8 execs at 0.29 while the box's
+        # same-window memstream control scaled 0.98.  Chunked, allocation
+        # stays in the malloc free-list and the stage scales with cores.
+        chunk = max(1, (4 << 20) // (8 * max(len(pids), 1)))
+        for s in range(0, B, chunk):
+            e = min(s + chunk, B)
+            d = haversine_np(
+                lons[s:e, None], lats[s:e, None], plon[None, :], plat[None, :]
+            )
+            # argmin on distance, then min poi_id among exact-distance ties
+            # (identical pick to knn_broadcast's lexsort rank 1, but three
+            # vector passes instead of a full 200-wide sort)
+            dmin = d.min(axis=1)
+            tie = d == dmin[:, None]
+            out[s:e] = np.where(tie, pids[None, :], id_max).min(axis=1)
+        return pd.Series(out)
 
     return nearest
 
