@@ -48,9 +48,18 @@ def ws_tokens(col) -> Column:
 def geoparse(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``lat``/``lon`` doubles parsed from the first coordinate mention;
     rows without a mention are dropped (filter pushes to the scan).  ``text``
-    passes through untouched."""
-    lat = F.regexp_extract(F.col(text_col), GEO_PATTERN, 1)
-    lon = F.regexp_extract(F.col(text_col), GEO_PATTERN, 2)
+    passes through untouched.
+
+    One regex pass over the document: the match itself (group 0, ~25 chars)
+    is extracted once, and the lat/lon groups are re-extracted from that
+    short string — the naive two-``regexp_extract`` form scans the FULL
+    text twice (Catalyst does not CSE regexp matches across group indexes),
+    which doubled the flagship pipeline's dominant stage.  Identical
+    results: group extraction from the first match is the same whether the
+    pattern runs on the document or on the match."""
+    m = F.regexp_extract(F.col(text_col), GEO_PATTERN, 0)
+    lat = F.regexp_extract(m, GEO_PATTERN, 1)
+    lon = F.regexp_extract(m, GEO_PATTERN, 2)
     return (
         df.withColumn("lat", F.when(lat != "", lat.cast("double")))
         .withColumn("lon", F.when(lon != "", lon.cast("double")))

@@ -61,10 +61,25 @@ def measure(args: argparse.Namespace) -> None:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     out_dir = f"{base}/ovt_stage_probe_out_{args.cores}"
 
+    # project each truncated chain down to the columns the FULL chain still
+    # needs at that point: a bare noop write of chain('geoparse') would
+    # materialize every pages column INCLUDING html (which the real chain
+    # prunes at the scan), charging the geoparse stage ~2x its true scan
+    # bytes and distorting the per-stage attribution this probe exists for
+    KEEP = {
+        "geoparse": ["url", "lang", "lon", "lat"],
+        "sjoin": ["url", "lang", "lon", "lat", "poly_id"],
+        "nn_join": ["url", "lang", "lon", "lat", "poly_id", "near_poi"],
+    }
+
     def chain(upto: str):
-        return build_pipeline_chain(
+        df = build_pipeline_chain(
             spark, spark.read.parquet(args.data), total_cores, upto=upto
         )
+        cols = KEEP.get(upto)
+        if cols:
+            df = df.select(*[c for c in cols if c in df.columns])
+        return df
 
     # warm both the noop chain and the tileset sink (JIT + worker startup)
     chain("encode").limit(1000).write.format("noop").mode("overwrite").save()
@@ -114,6 +129,7 @@ def run(args: argparse.Namespace) -> int:
             "--conf", "spark.executorEnv.OMP_NUM_THREADS=1",
             "--conf", "spark.executorEnv.OPENBLAS_NUM_THREADS=1",
             "--conf", "spark.executorEnv.MKL_NUM_THREADS=1",
+            "--conf", "spark.executor.extraJavaOptions=-XX:ActiveProcessorCount=1",
             "--conf", "spark.local.dir=/dev/shm/spark-local"
             if os.path.isdir("/dev/shm") else "spark.local.dir=/tmp/spark-local",
             os.path.join(REPO, "tools", "probe_submit_stages.py"),

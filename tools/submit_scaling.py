@@ -216,6 +216,14 @@ def _run_level(
         "--conf", "spark.executorEnv.OMP_NUM_THREADS=1",
         "--conf", "spark.executorEnv.OPENBLAS_NUM_THREADS=1",
         "--conf", "spark.executorEnv.MKL_NUM_THREADS=1",
+        # JVM ergonomics can't see the taskset: every executor sizes its
+        # ParallelGC/JIT pools for the HOST's 32 cpus, so 8 one-core
+        # executors run ~8x23 GC threads on 8 pinned cores and the wide
+        # level collapses on allocation-heavy JVM stages (geoparse regex).
+        # Real clusters get this from cgroup limits; local-cluster needs it
+        # said explicitly — size each executor JVM for its own core count.
+        "--conf",
+        f"spark.executor.extraJavaOptions=-XX:ActiveProcessorCount={cores_per_exec}",
         "--conf", "spark.local.dir=/dev/shm/spark-local"
         if os.path.isdir("/dev/shm") else "spark.local.dir=/tmp/spark-local",
         os.path.join(REPO, "tools", "submit_scaling.py"),
@@ -282,9 +290,11 @@ def run(args: argparse.Namespace) -> int:
     eff = best_hi / best_lo / (hi / lo)
     summary = {
         "kind": "submit_scaling_summary",
-        # protocol 2 = executorEnv BLAS pinning + registration wait (see the
-        # ledger's protocol_marker row); bumps if the measurement changes again
-        "protocol": 2,
+        # protocol 2 = executorEnv BLAS pinning + registration wait; protocol
+        # 3 adds -XX:ActiveProcessorCount per executor (JVM GC/JIT pools were
+        # sized for the host's 32 cpus, not the taskset — 8 one-core
+        # executors ran ~180 GC threads on 8 pinned cores)
+        "protocol": 3,
         "path": args.path,
         "rows": args.rows,
         "launcher": "spark-submit --py-files (local-cluster, separate executor JVMs)",
