@@ -53,6 +53,7 @@ def _run(spark, pts, **kw):
     }
 
 
+@pytest.mark.slow  # r4 VERDICT ask 7: gate-time offset for the new oracle-types family; fast siblings + green driver oracle retain default coverage
 def test_known_split(spark):
     # 30 points clustered in one z2 tile + 3 lone points elsewhere
     pts = [(10.0 + i * 0.001, 50.0 + i * 0.001) for i in range(30)]

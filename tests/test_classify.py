@@ -105,6 +105,7 @@ def test_learns_separable_task(spark):
     assert w[1] > 0  # larger x1 -> class 1
 
 
+@pytest.mark.slow  # r4 VERDICT ask 7: gate-time offset for the new oracle-types family; fast siblings + green driver oracle retain default coverage
 def test_end_to_end_text_gate(spark):
     # prose-like docs (stopword-rich) vs keyword-spam docs
     prose = "the cat sat on the mat and the dog is in the house for a nap"

@@ -138,6 +138,7 @@ def test_junction_breaks_chain(spark):
     assert got == _ref(segs)
 
 
+@pytest.mark.slow  # r4 VERDICT ask 7: gate-time offset for the new oracle-types family; fast siblings + green driver oracle retain default coverage
 def test_ring_flagged(spark):
     segs = {
         0: ((0, 0), (1, 0)),
@@ -157,6 +158,7 @@ def test_self_loop_and_isolated(spark):
     assert got[1] == (1, 0, 1, False)
 
 
+@pytest.mark.slow  # r4 VERDICT ask 7: gate-time offset for the new oracle-types family; fast siblings + green driver oracle retain default coverage
 def test_parallel_pair_is_ring(spark):
     segs = {0: ((0, 0), (1, 0)), 1: ((1, 0), (0, 0))}
     got = _run(spark, segs)
