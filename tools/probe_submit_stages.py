@@ -29,7 +29,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-STAGES = ("geoparse", "sjoin", "nn_join", "encode", "write")
+STAGES = ("scan", "geoparse", "sjoin", "nn_join", "encode", "write")
 
 
 def measure(args: argparse.Namespace) -> None:
@@ -68,6 +68,9 @@ def measure(args: argparse.Namespace) -> None:
     # bytes and distorting the per-stage attribution this probe exists for
     KEEP = {
         "geoparse": ["url", "lang", "lon", "lat"],
+        # "scan" isn't a chain stage: same columns the geoparse stage reads,
+        # zero regex — its delta vs geoparse isolates scan/decompress
+        # scaling from regex/alloc scaling under the real launch form
         "sjoin": ["url", "lang", "lon", "lat", "poly_id"],
         "nn_join": ["url", "lang", "lon", "lat", "poly_id", "near_poi"],
     }
@@ -95,6 +98,12 @@ def measure(args: argparse.Namespace) -> None:
             t0 = time.perf_counter()
             if st == "write":
                 write_pipeline_tiles(chain("encode"), out_dir)
+            elif st == "scan":
+                (
+                    spark.read.parquet(args.data)
+                    .select("url", "lang", "text")
+                    .write.format("noop").mode("overwrite").save()
+                )
             else:
                 chain(st).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
