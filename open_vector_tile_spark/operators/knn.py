@@ -51,26 +51,39 @@ def knn_broadcast(
                 continue
             lons = pdf[lon].to_numpy(dtype=np.float64)
             lats = pdf[lat].to_numpy(dtype=np.float64)
-            # (n, m) distance matrix in float64; fine for dim-sized m
-            d = haversine_np(lons[:, None], lats[:, None], plon[None, :], plat[None, :])
-            kk = min(k, d.shape[1])
-            # full per-row lexsort on (dist, poi_id): deterministic tie
-            # handling including at the rank-k boundary, matching the
-            # (dist_m, poi_id) window knn_cell_ring ranks with — an
-            # argpartition would pick arbitrarily among equidistant POIs.
-            # POIs are dim-table sized by this module's contract, so the
-            # m·log m per row is noise next to the distance matrix itself.
-            order = np.lexsort(
-                (np.broadcast_to(pids, d.shape), d), axis=-1
-            )[:, :kk]
-            rowi = np.arange(len(pdf))[:, None]
-            sel = order  # (n, k) sorted by (distance, poi_id)
+            kk = min(k, len(pids))
+            B = len(lons)
+            sel = np.empty((B, kk), dtype=np.int64)
+            dsel = np.empty((B, kk), dtype=np.float64)
+            # chunk the (n, m) distance matrix to a few MB so every numpy
+            # temporary stays under glibc's mmap threshold — whole-batch
+            # matrices made each op an mmap/munmap round-trip and kernel
+            # page allocation serialized across executor python workers
+            # (the nearest_poi_col finding; same kernel shape here)
+            chunk = max(1, (4 << 20) // (8 * max(len(pids), 1)))
+            for s0 in range(0, B, chunk):
+                e0 = min(s0 + chunk, B)
+                d = haversine_np(
+                    lons[s0:e0, None], lats[s0:e0, None], plon[None, :], plat[None, :]
+                )
+                # full per-row lexsort on (dist, poi_id): deterministic tie
+                # handling including at the rank-k boundary, matching the
+                # (dist_m, poi_id) window knn_cell_ring ranks with — an
+                # argpartition would pick arbitrarily among equidistant
+                # POIs.  POIs are dim-table sized by this module's
+                # contract, so the m·log m per row is affordable; ranking
+                # is per-row, so chunking cannot change any pick.
+                order = np.lexsort(
+                    (np.broadcast_to(pids, d.shape), d), axis=-1
+                )[:, :kk]
+                sel[s0:e0] = order
+                dsel[s0:e0] = d[np.arange(e0 - s0)[:, None], order]
             out = pd.DataFrame(
                 {
                     key: np.repeat(pdf[key].to_numpy(), kk),
                     "poi_id": pids[sel].ravel(),
-                    "dist_m": d[rowi, sel].ravel(),
-                    "rank": np.tile(np.arange(1, kk + 1), len(pdf)),
+                    "dist_m": dsel.ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1), B),
                 }
             )
             yield out
