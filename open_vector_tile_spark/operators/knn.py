@@ -39,6 +39,13 @@ def knn_broadcast(
     Vectorized: one (batch × n_poi) distance matrix per Arrow batch, argpartition
     top-k — no per-row Python.
     """
+    from .dedup import _ensure_parallelism
+
+    # a narrow (single-file / single-row-group) source would run the whole
+    # distance kernel in one task; fan out to data-sized width first (no-op
+    # when the input is already parallel).  Output is a per-row top-k SET —
+    # partitioning cannot change any pick.
+    points = _ensure_parallelism(points.select(key, lon, lat))
     plon = pois_pdf["lon"].to_numpy(dtype=np.float64)
     plat = pois_pdf["lat"].to_numpy(dtype=np.float64)
     pids = pois_pdf["poi_id"].to_numpy(dtype=np.int64)
@@ -142,10 +149,20 @@ def nearest_poi_col(pois_pdf: pd.DataFrame):
             )
             # argmin on distance, then min poi_id among exact-distance ties
             # (identical pick to knn_broadcast's lexsort rank 1, but three
-            # vector passes instead of a full 200-wide sort)
-            dmin = d.min(axis=1)
+            # vector passes instead of a full 200-wide sort).  NaN distances
+            # (NaN POI or input coordinate) are skipped via nanmin — plain
+            # min would propagate NaN, making the tie mask all-False and the
+            # row collapse to int64 max; lexsort orders NaN last, so the
+            # matching pick is the nearest FINITE poi, and min poi_id when
+            # every distance is NaN (r5 advisor finding).  fmin skips NaN
+            # without the all-NaN-slice warning nanmin would raise.
+            dmin = np.fmin.reduce(d, axis=1)
             tie = d == dmin[:, None]
-            out[s:e] = np.where(tie, pids[None, :], id_max).min(axis=1)
+            pick = np.where(tie, pids[None, :], id_max).min(axis=1)
+            all_nan = np.isnan(dmin)
+            if all_nan.any():
+                pick[all_nan] = pids.min()
+            out[s:e] = pick
         return pd.Series(out)
 
     return nearest

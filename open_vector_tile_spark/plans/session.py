@@ -27,6 +27,10 @@ def get_spark(
     # shuffle spill dir: tmpfs when available (local-mode shuffles are
     # otherwise bottlenecked by the VM's virtual disk; real clusters use NVMe)
     local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+    # driver JVM flags (GC choice etc.) — parameterised, applied at JVM
+    # launch (the gateway starts inside getOrCreate, so builder configs do
+    # reach the driver JVM in local mode)
+    driver_java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -48,4 +52,6 @@ def get_spark(
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    if driver_java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", driver_java_opts)
     return builder.getOrCreate()

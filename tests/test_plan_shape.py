@@ -94,14 +94,61 @@ def test_tile_encode_single_shuffle(spark, tmp_path_factory):
     assert m and "tile_x" in m.group(1) and "tile_y" in m.group(1)
 
 
-def test_geoparse_stays_in_codegen(spark, tmp_path_factory):
+def test_geoparse_single_arrow_eval(spark, tmp_path_factory):
+    """r6: geoparse extraction is ONE whole-batch Arrow (RE2) kernel — the
+    plan must contain exactly one ArrowEvalPython node (the non-determinism
+    marking prevents the optimizer duplicating it below the pushed filter,
+    guide §4.4), and only the text column may cross the Python boundary."""
     # parquet-backed source (a local relation constant-folds the whole plan)
     pages = _parquet_pages(spark, tmp_path_factory)
     parsed = geoparse(pages)
     plan = plan_of(parsed)
-    assert "codegen id" in plan
-    # no python evaluation in the geoparse path
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # formatted plans name each node once in the tree and once in the
+    # details section — count the numbered detail headers
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.MULTILINE)) == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_geo_pattern_named_in_sync():
+    """GEO_PATTERN_NAMED is GEO_PATTERN with group names — nothing else."""
+    import re as _re
+
+    from open_vector_tile_spark.functions.text import GEO_PATTERN, GEO_PATTERN_NAMED
+
+    assert _re.sub(r"\(\?P<\w+>", "(", GEO_PATTERN_NAMED) == GEO_PATTERN
+
+
+def test_geoparse_matches_jvm_regex_formulation(spark):
+    """The Arrow RE2 kernel must agree bit-for-bit with the old JVM
+    regexp_extract formulation, including edge cases: no match, second
+    paren matching, multiple matches (first wins), malformed numbers,
+    double spaces, null text, unicode digits (rejected by both)."""
+    from open_vector_tile_spark.functions.text import GEO_PATTERN
+
+    rows = [
+        ("a", "x (52.52000, 13.40500) y"),
+        ("b", "no match"),
+        ("c", None),
+        ("d", "((1.2, 3.4)"),
+        ("e", "(-1.5, -2.25) then (9.9, 8.8)"),
+        ("f", "(12.5a, 3.4)"),
+        ("g", "(1.2,  3.4)"),
+        ("h", "(١٢.٥, 3.4)"),  # arabic-indic digits
+        ("i", "(000123.000456, -0.0)"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    m = F.regexp_extract(F.col("text"), GEO_PATTERN, 0)
+    lat = F.regexp_extract(m, GEO_PATTERN, 1)
+    lon = F.regexp_extract(m, GEO_PATTERN, 2)
+    want = (
+        df.withColumn("lat", F.when(lat != "", lat.cast("double")))
+        .withColumn("lon", F.when(lon != "", lon.cast("double")))
+        .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+        .select("url", "lat", "lon")
+        .collect()
+    )
+    got = geoparse(df).select("url", "lat", "lon").collect()
+    assert sorted(got) == sorted(want)
 
 
 def test_quality_and_lang_are_jvm_side(spark):
