@@ -602,21 +602,21 @@ def _cap_buckets(band_rows: DataFrame, id_col: str, keys: list[str], max_bucket:
     cold rows pass through untouched, and only the hot subset pays the
     sort.  Result rows are IDENTICAL to the windowed formulation.  The
     input is localCheckpoint-ed because it feeds three consumers (count,
-    anti-join, hot join) and upstream is an expensive Arrow UDF."""
-    # lazy checkpoint: the probe below is the first consumer and triggers
-    # materialization inside its own job — eager=True would spend a whole
-    # extra job doing the same work first
+    anti-join, hot join) and upstream is an expensive Arrow UDF.
+
+    r6: the cap chain lives unconditionally in ONE plan.  The r5 version
+    ran a separate driver probe job (hot_keys.limit(1).count()) to elide
+    the anti/semi/window operators when no bucket exceeds the cap — but
+    the probe job itself re-materialized the checkpoint + a full bucket
+    count per candidate build (measured ~0.4 s of the sf1.0 dedup_minhash
+    headline, half its construction time), while the operators it elides
+    are runtime no-ops when the hot broadcast is EMPTY: the anti join
+    passes every row through a 0-entry hash relation, the semi join emits
+    nothing, and the window sorts nothing.  One job instead of two, rows
+    identical on both clean and hot corpora (A/B in tools/probe_r6c.py)."""
     band_rows = band_rows.localCheckpoint(eager=False)
     counts = band_rows.groupBy(*keys).agg(F.count("*").alias("_bc"))
-    hot_keys = counts.filter(F.col("_bc") > max_bucket).select(*keys)
-    # adaptive skip: one tiny driver probe (partial-agg count + limit 1) —
-    # when NO bucket exceeds the cap (the common clean-corpus case, and by
-    # definition hot buckets are rare) the anti/semi/window machinery is a
-    # provable no-op, so don't put its three operators + sort shuffle in
-    # the plan at all.  Hot path below is byte-identical to before.
-    if hot_keys.limit(1).count() == 0:
-        return band_rows
-    hot = F.broadcast(hot_keys)
+    hot = F.broadcast(counts.filter(F.col("_bc") > max_bucket).select(*keys))
     cold = band_rows.join(hot, on=keys, how="left_anti")
     w = Window.partitionBy(*keys).orderBy(F.col(id_col).asc())
     capped_hot = (

@@ -127,11 +127,13 @@ def test_lsh_hot_bucket_guard(spark):
     assert (sh["hamming"] == 0).all()
 
 
-def test_cap_buckets_adaptive_skip(spark):
-    """Clean corpus (no bucket over the cap): the adaptive probe must elide
-    the anti/semi/window cap machinery from the plan entirely — no Window
-    operator anywhere in the optimized candidates plan.  (The hot path is
-    pinned by test_lsh_hot_bucket_guard.)"""
+def test_cap_buckets_single_plan_hot_subset_window(spark):
+    """r6 cap contract: the cap chain is ONE plan (no separate driver probe
+    job), and its row_number Window sorts only the HOT SUBSET — in the
+    optimized plan the single Window sits above a LeftSemi join against
+    the broadcast hot-bucket keys, never above the full band rows.  (The
+    hot path's results are pinned by test_lsh_hot_bucket_guard; the
+    clean-corpus no-op equivalence by test_lsh_candidates_*.)"""
     from open_vector_tile_spark.operators.dedup import minhash_lsh_candidates
 
     pdf = pd.DataFrame(
@@ -139,7 +141,15 @@ def test_cap_buckets_adaptive_skip(spark):
     )
     cand = minhash_lsh_candidates(spark.createDataFrame(pdf), max_bucket=256)
     plan = cand._jdf.queryExecution().optimizedPlan().toString()
-    assert "Window" not in plan, "cap machinery present despite no hot buckets"
+    # the cap chain is present in the one plan: a broadcast LeftAnti for
+    # the cold rows, a LeftSemi for the hot subset, and every Window node
+    # sits directly above a LeftSemi (never above the full band rows)
+    assert "Join LeftAnti" in plan and "Join LeftSemi" in plan, plan
+    import re as _re
+
+    # (Spark may insert WindowGroupLimit/Project between Window and semi)
+    for m in _re.finditer(r"\+- Window .*\n((?:.*\n){1,5})", plan):
+        assert "Join LeftSemi" in m.group(1), plan
 
 
 def test_embedding_near_dups_threshold(spark):
