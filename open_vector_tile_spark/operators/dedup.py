@@ -595,37 +595,37 @@ def _cap_buckets(band_rows: DataFrame, id_col: str, keys: list[str], max_bucket:
     principled), leaving the cap as a backstop for near-identical floods —
     standard MinHashLSH practice.
 
-    Two-phase: a row_number window over EVERY band row is a full
-    sort-shuffle of bands x corpus rows (measured 90 s of a 155 s candidate
-    pipeline at 1M docs); instead, bucket sizes come from one map-side
-    partial-agg count, the (rare, by definition) hot bucket keys broadcast,
-    cold rows pass through untouched, and only the hot subset pays the
-    sort.  Result rows are IDENTICAL to the windowed formulation.  The
-    input is localCheckpoint-ed because it feeds three consumers (count,
-    anti-join, hot join) and upstream is an expensive Arrow UDF.
+    r6 (second rewrite): ONE rank-limit window, nothing else.  Earlier
+    rounds avoided "a window over every band row" with a two-phase chain
+    (bucket-count agg -> broadcast hot keys -> anti/semi joins -> window
+    over the hot subset -> union, with a localCheckpoint for its three
+    consumers) because the window was then an EXTRA full sort-shuffle.
+    On Spark 4 that reasoning is obsolete, for two composable reasons:
 
-    r6: the cap chain lives unconditionally in ONE plan.  The r5 version
-    ran a separate driver probe job (hot_keys.limit(1).count()) to elide
-    the anti/semi/window operators when no bucket exceeds the cap — but
-    the probe job itself re-materialized the checkpoint + a full bucket
-    count per candidate build (measured ~0.4 s of the sf1.0 dedup_minhash
-    headline, half its construction time), while the operators it elides
-    are runtime no-ops when the hot broadcast is EMPTY: the anti join
-    passes every row through a 0-entry hash relation, the semi join emits
-    nothing, and the window sorts nothing.  One job instead of two, rows
-    identical on both clean and hot corpora (A/B in tools/probe_r6c.py)."""
-    band_rows = band_rows.localCheckpoint(eager=False)
-    counts = band_rows.groupBy(*keys).agg(F.count("*").alias("_bc"))
-    hot = F.broadcast(counts.filter(F.col("_bc") > max_bucket).select(*keys))
-    cold = band_rows.join(hot, on=keys, how="left_anti")
+    - ``row_number() <= k`` plans as ``WindowGroupLimit`` with a PARTIAL
+      pass below the exchange — every map partition is pruned to at most
+      ``max_bucket`` rows per bucket before a byte is shuffled, so a
+      degenerate flood never reaches one reducer unpruned; and
+    - the window's exchange+sort on ``keys`` is EXACTLY the partitioning
+      and (prefix of the) ordering the downstream sort-merge self-join
+      requires, so the one exchange does double duty: both join sides
+      consume it via ReusedExchange, the SMJ inserts no further Sort, and
+      the kernel feeding it runs once with NO checkpoint.
+
+    Executed-plan shape (verified, local[8] and local[32]):
+    MapInPandas -> Sort -> WindowGroupLimit(Partial) -> Exchange(keys) ->
+    [Sort -> WindowGroupLimit(Final) -> Window -> Filter] x2 (shared
+    ShuffleQueryStage) -> SortMergeJoin.  vs the two-phase chain this
+    removes one full exchange (the bucket-count agg), two broadcast
+    builds, the anti/semi pass, the union, and the checkpoint
+    write+read — A/B at sf1.0: clean corpus 1.98 -> 1.45 s, 2000-copy
+    hot flood 11.8 -> 9.8 s, candidate sets identical on both."""
     w = Window.partitionBy(*keys).orderBy(F.col(id_col).asc())
-    capped_hot = (
-        band_rows.join(hot, on=keys, how="left_semi")
-        .withColumn("_rn", F.row_number().over(w))
+    return (
+        band_rows.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_bucket)
         .drop("_rn")
     )
-    return cold.unionByName(capped_hot)
 
 
 def minhash_lsh_candidates(
@@ -679,14 +679,16 @@ def minhash_lsh_candidates(
     right = band_rows.withColumnRenamed(id_col, "id_b")
     # merge hint: pin the self-join to sort-merge at EVERY scale.  Without
     # it the small-data plan is a BroadcastHashJoin whose build side cannot
-    # share the probe side's exchange, so the whole cap chain (count agg +
-    # anti/semi joins + hot-bucket window) executes TWICE per action; with
-    # identical SMJ children the runtime emits a ReusedExchange and the
-    # chain runs once (verified in the executed plan).  At web scale AQE
-    # picks SMJ anyway (band rows >> broadcast threshold) and SMJ spills
-    # gracefully where a shuffled-hash build side could OOM on a hot
-    # partition — this just makes the small-scale plan match the at-scale
-    # one.
+    # share the probe side's exchange, so the band-row kernel + cap window
+    # execute TWICE per action; with identical SMJ children the runtime
+    # emits a ReusedExchange and the chain runs once — and the cap
+    # window's exchange+sort on (band, band_hash) already satisfies the
+    # SMJ's required partitioning and ordering, so the join adds NO
+    # further exchange or sort (verified in the executed plan).  At web
+    # scale AQE picks SMJ anyway (band rows >> broadcast threshold) and
+    # SMJ spills gracefully where a shuffled-hash build side could OOM on
+    # a hot partition — this just makes the small-scale plan match the
+    # at-scale one.
     return (
         left.hint("merge")
         .join(right, on=["band", "band_hash"])
@@ -706,10 +708,19 @@ def ngram_jaccard_pairs(
     """Verify candidate pairs with exact n-gram Jaccard -> (id_a, id_b, jaccard).
 
     Exact shingle sets are rebuilt per pair side in an Arrow UDF (python set
-    ops ~10us/pair); the join ships only candidate texts."""
+    ops ~10us/pair); the join ships only candidate texts.
+
+    No fan-out of ``df`` here (guide 2.4 — remove shuffles outright): the
+    text table feeds two equi-joins, and in BOTH join regimes a round-robin
+    pre-shuffle is pure waste — when the planner broadcasts the text side
+    the broadcast collects every partition anyway (the r6 plan showed a
+    RoundRobinPartitioning exchange feeding each BroadcastExchange), and
+    when it sort-merges at scale the join's own hash exchange provides the
+    parallelism.  The expensive per-row work (the jaccard UDF) runs on the
+    JOINED pair rows, whose partitioning comes from the candidate side,
+    not from ``df``."""
     from pyspark.sql.functions import pandas_udf
 
-    df = _ensure_parallelism(df)
     t = df.select(F.col(id_col), F.col(text_col))
     a = t.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "text_a")
     b = t.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "text_b")

@@ -127,29 +127,31 @@ def test_lsh_hot_bucket_guard(spark):
     assert (sh["hamming"] == 0).all()
 
 
-def test_cap_buckets_single_plan_hot_subset_window(spark):
-    """r6 cap contract: the cap chain is ONE plan (no separate driver probe
-    job), and its row_number Window sorts only the HOT SUBSET — in the
-    optimized plan the single Window sits above a LeftSemi join against
-    the broadcast hot-bucket keys, never above the full band rows.  (The
-    hot path's results are pinned by test_lsh_hot_bucket_guard; the
-    clean-corpus no-op equivalence by test_lsh_candidates_*.)"""
+def test_cap_buckets_single_window_shared_exchange(spark):
+    """r6 cap contract (single-window formulation): the bucket cap is ONE
+    rank-limit window — no bucket-count aggregation, no broadcast hot
+    keys, no anti/semi joins, no union, no checkpoint — and its executed
+    plan shows (a) WindowGroupLimit with a Partial pass BELOW the
+    exchange (map-side pruning of degenerate floods before any byte is
+    shuffled) and (b) the window's exchange reused by the second side of
+    the self sort-merge join, so the band-row kernel runs once.  (Hot
+    path results pinned by test_lsh_hot_bucket_guard; clean-corpus
+    equivalence by test_lsh_candidates_*.)"""
     from open_vector_tile_spark.operators.dedup import minhash_lsh_candidates
 
     pdf = pd.DataFrame(
         {"doc_id": range(300), "text": [f"unique document text {i} alpha beta" for i in range(300)]}
     )
     cand = minhash_lsh_candidates(spark.createDataFrame(pdf), max_bucket=256)
-    plan = cand._jdf.queryExecution().optimizedPlan().toString()
-    # the cap chain is present in the one plan: a broadcast LeftAnti for
-    # the cold rows, a LeftSemi for the hot subset, and every Window node
-    # sits directly above a LeftSemi (never above the full band rows)
-    assert "Join LeftAnti" in plan and "Join LeftSemi" in plan, plan
-    import re as _re
-
-    # (Spark may insert WindowGroupLimit/Project between Window and semi)
-    for m in _re.finditer(r"\+- Window .*\n((?:.*\n){1,5})", plan):
-        assert "Join LeftSemi" in m.group(1), plan
+    opt = cand._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join LeftAnti" not in opt and "Join LeftSemi" not in opt, opt
+    assert "Union" not in opt, opt
+    cand.collect()  # materialize THIS query execution so AQE finalizes it
+    executed = cand._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in executed, executed
+    assert "Partial" in executed.split("Exchange hashpartitioning(band")[1], executed
+    # both SMJ sides consume ONE shuffle of the kernel output
+    assert "ReusedExchange" in executed or executed.count("MapInPandas") == 1, executed
 
 
 def test_embedding_near_dups_threshold(spark):

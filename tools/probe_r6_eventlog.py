@@ -11,7 +11,7 @@ import time
 from collections import defaultdict
 
 sys.path.insert(0, "/root/repo")
-SF = "/root/testdata/sf1.0"
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf1.0"
 EVDIR = "/tmp/spark-events-r6"
 
 
@@ -68,14 +68,37 @@ def main():
     app_id = sc.applicationId
     spark.stop()
 
-    # parse
+    # parse (handles both single-file and rolling "eventlog_v2_<app>" layouts;
+    # rolled segments may be zstd-compressed)
     path = os.path.join(EVDIR, app_id)
+    if not os.path.exists(path):
+        d = os.path.join(EVDIR, f"eventlog_v2_{app_id}")
+        segs = sorted(
+            f for f in os.listdir(d) if f.startswith("events_")
+        )
+        import io
+        import zstandard
+
+        def _lines():
+            for seg in segs:
+                p = os.path.join(d, seg)
+                if seg.endswith(".zstd"):
+                    with open(p, "rb") as fh:
+                        r = zstandard.ZstdDecompressor().stream_reader(fh)
+                        yield from io.TextIOWrapper(r)
+                else:
+                    with open(p) as fh:
+                        yield from fh
+    else:
+        def _lines():
+            with open(path) as fh:
+                yield from fh
     jobs = {}  # jobId -> dict
     stage_to_job = {}
     stages = defaultdict(lambda: {"run": 0, "gc": 0, "fetch": 0, "tasks": 0,
                                   "result_ser": 0, "deser": 0})
-    with open(path) as f:
-        for line in f:
+    if True:
+        for line in _lines():
             e = json.loads(line)
             ev = e.get("Event")
             if ev == "SparkListenerJobStart":
