@@ -61,6 +61,25 @@ def _tile_cols(df: DataFrame) -> DataFrame:
     return df.withColumn("tile_x", tx).withColumn("tile_y", ty)
 
 
+def _tile_cell_cols(df: DataFrame) -> DataFrame:
+    """_tile_cols variant for queries that ALSO need in-tile cell coords:
+    materializes the scaled mercator projections (_mx, _my) once and
+    derives tile_x/tile_y from them, so the caller's cell expressions
+    reference _mx/_my instead of re-spelling _merc_y.  Writing the
+    projection as a fresh expression in both the tile and the cell
+    computation made codegen evaluate sin/ln TWICE per row (whole-stage
+    CSE is per-Project; CollapseProject declines to inline a non-cheap
+    expression referenced twice, which is exactly what keeps this
+    materialization in the plan).  Same ops in the same order as
+    _tile_cols — bit-identical tile/cell values, oracle-hash-verified."""
+    df = df.withColumn("_mx", _merc_x(F.col("lon")) * N_TILES).withColumn(
+        "_my", _merc_y(F.col("lat")) * N_TILES
+    )
+    return df.withColumn("tile_x", F.floor(F.col("_mx")).cast("long")).withColumn(
+        "tile_y", F.floor(F.col("_my")).cast("long")
+    )
+
+
 _SQL_LON_DOC = "((CAST(doc_id*37 AS DOUBLE) % 3600)/10.0 - 180.0)"
 _SQL_LAT_DOC = "((CAST(doc_id*53 AS DOUBLE) % 1600)/10.0 - 80.0)"
 _SQL_LON_EV = "((CAST(user_id*37 AS DOUBLE) % 3600)/10.0 - 180.0)"
@@ -285,9 +304,9 @@ def _q_quantize(spark: SparkSession, sf: str) -> DataFrame:
 def _q_gridding(spark: SparkSession, sf: str) -> DataFrame:
     """A8: raster gridding — per-tile 32x32 cell means (partial+final agg)."""
     size = 32
-    pts = _tile_cols(_event_points(_load(spark, sf, "events")))
-    mx = _merc_x(F.col("lon")) * N_TILES
-    my = _merc_y(F.col("lat")) * N_TILES
+    pts = _tile_cell_cols(_event_points(_load(spark, sf, "events")))
+    mx = F.col("_mx")
+    my = F.col("_my")
     px = F.greatest(F.lit(0), F.least(F.lit(size - 1), F.floor((mx - F.col("tile_x")) * size))).cast("int")
     py = F.greatest(F.lit(0), F.least(F.lit(size - 1), F.floor((my - F.col("tile_y")) * size))).cast("int")
     return (
@@ -3148,9 +3167,9 @@ def _q_label_cull(spark: SparkSession, sf: str) -> DataFrame:
     from open_vector_tile_spark.operators.labels import cull_labels
 
     extent = 4096
-    pts = _tile_cols(_doc_points(_load(spark, sf, "documents")))
-    mx = _merc_x(F.col("lon")) * N_TILES
-    my = _merc_y(F.col("lat")) * N_TILES
+    pts = _tile_cell_cols(_doc_points(_load(spark, sf, "documents")))
+    mx = F.col("_mx")
+    my = F.col("_my")
     x = F.greatest(
         F.lit(0), F.least(F.lit(extent - 1), F.floor((mx - F.col("tile_x")) * extent))
     ).cast("long")
@@ -4319,9 +4338,9 @@ def _q_grid_pyramid(spark: SparkSession, sf: str) -> DataFrame:
     from open_vector_tile_spark.operators.gridding import grid_pyramid
 
     size = 8
-    pts = _tile_cols(_event_points(_load(spark, sf, "events")))
-    mx = _merc_x(F.col("lon")) * N_TILES
-    my = _merc_y(F.col("lat")) * N_TILES
+    pts = _tile_cell_cols(_event_points(_load(spark, sf, "events")))
+    mx = F.col("_mx")
+    my = F.col("_my")
     px = F.greatest(
         F.lit(0), F.least(F.lit(size - 1), F.floor((mx - F.col("tile_x")) * size))
     ).cast("int")

@@ -25,6 +25,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 
 try:  # Spark optional: numpy paths usable without it (pytest oracles)
     from pyspark.sql import Column
@@ -603,152 +604,111 @@ if _HAS_SPARK:
 # delta-encode, zigzag, emit little-endian 5-bit chunks as printable ASCII
 # (+63, 0x20 continuation bit).  Same coding ideas as the OVT geometry
 # stream (delta + zigzag; reference src/util.ts zigzag/zagzig) on a
-# text-safe alphabet.  Both directions are PURE column expressions —
-# higher-order array functions, no Python, no shuffle; decode returns the
-# QUANTIZED integers (exact; divide by 1e5 only at the edge).
+# text-safe alphabet.  Whole-batch Arrow kernels (r6): the original pure
+# column-expression formulation (HOF folds) appended to its accumulator
+# per element, which is O(n^2) per route in both directions — fine for
+# 10^2-point routes, catastrophic for the 2*10^4-point tracks the
+# declared query derives at bench scale (measured 103 s of the sf0.1
+# full-surface sweep; the decode cumsum alone was quadratic).  The
+# kernels below are linear, byte/bit-identical to the old expressions
+# (pinned by tests/test_polyline.py's canonical vector + independent
+# scalar reference), and decode still returns the QUANTIZED integers
+# (exact; divide by 1e5 only at the edge).
 
 
-def _let_col(expr, body):
-    """Evaluate ``expr`` once, pass to ``body`` as a lambda variable (the
-    1-element-transform let-binding from operators/dedup.py)."""
-    from pyspark.sql import functions as F
+def _enc_polyline_one(la, lo) -> "str | None":
+    """One route -> polyline5 string, all-numpy (linear)."""
+    if la is None or lo is None:
+        return None
+    qa = np.floor(np.asarray(la, dtype=np.float64) * 1e5 + 0.5).astype(np.int64)
+    qb = np.floor(np.asarray(lo, dtype=np.float64) * 1e5 + 0.5).astype(np.int64)
+    n = len(qa)
+    if n == 0:
+        return ""
+    d = np.empty(2 * n, dtype=np.int64)  # interleave [dlat0, dlon0, dlat1, ..]
+    d[0::2] = np.diff(qa, prepend=np.int64(0))
+    d[1::2] = np.diff(qb, prepend=np.int64(0))
+    z = (d << 1) ^ (d >> 63)  # zigzag (arithmetic >> on int64)
+    # chunk counts: slot i emits iff i == 0 or (z >> 5i) > 0
+    nc = np.ones(len(z), dtype=np.int64)
+    rem = z >> 5
+    while rem.any():
+        nc += rem > 0
+        rem >>= 5
+    offs = np.zeros(len(z), dtype=np.int64)
+    np.cumsum(nc[:-1], out=offs[1:])
+    total = int(offs[-1] + nc[-1])
+    out = np.empty(total, dtype=np.uint8)
+    alive = np.arange(len(z))
+    for i in range(int(nc.max())):
+        alive = alive[nc[alive] > i]
+        chunk = (z[alive] >> np.int64(5 * i)) & np.int64(31)
+        more = nc[alive] - 1 > i
+        out[offs[alive] + i] = (np.where(more, chunk | 32, chunk) + 63).astype(np.uint8)
+    return out.tobytes().decode("ascii")
 
-    return F.element_at(F.transform(F.array(expr), body), 1)
 
-
-def _polyline_chunks(v):
-    """Non-negative zigzagged value -> its 5-bit-chunk ASCII string.
-    Seven unrolled chunk slots cover |delta| < 2^34 (lat/lon deltas fit in
-    28 bits); slot i emits iff it is slot 0 or bits remain at/above it."""
-    from pyspark.sql import functions as F
-
-    parts = []
-    for i in range(7):
-        rem = F.shiftright(v, 5 * i)
-        chunk = rem.bitwiseAND(F.lit(31))
-        more = F.shiftright(v, 5 * (i + 1)) > 0
-        code = F.when(more, chunk.bitwiseOR(F.lit(32))).otherwise(chunk) + F.lit(63)
-        emit = (rem > 0) if i else F.lit(True)
-        parts.append(F.when(emit, F.char(code)).otherwise(F.lit("")))
-    return F.concat(*parts)
-
-
-def _zigzag64(d):
-    from pyspark.sql import functions as F
-
-    return F.shiftleft(d, 1).bitwiseXOR(F.shiftright(d, 63))
+def _dec_polyline_one(s) -> "list | None":
+    """One polyline5 string -> [(ilat, ilon), ...], all-numpy (linear)."""
+    if s is None:
+        return None
+    if len(s) == 0:
+        return []
+    # codepoints - 63 (utf-32 view matches F.ascii's per-character codes)
+    b = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64) - 63
+    b = b[b >= 0]  # the old filter: drop sub-'?' artifacts
+    ends = np.flatnonzero(b < 32)
+    if len(ends) == 0:
+        return []
+    b = b[: ends[-1] + 1]  # drop a trailing unterminated group, like the fold
+    starts = np.empty(len(ends), dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    pos = np.arange(len(b), dtype=np.int64) - np.repeat(starts, ends - starts + 1)
+    contrib = (b & 31) << (5 * pos)
+    vals = np.add.reduceat(contrib, starts)
+    unzig = (vals >> 1) ^ -(vals & 1)  # vals are non-negative: >> == >>>
+    lat_d = unzig[0::2]
+    lon_d = unzig[1::2]
+    ilat = np.cumsum(lat_d)
+    ilon = np.cumsum(lon_d)
+    if len(lat_d) > len(lon_d):
+        # odd value count (malformed): the old fold emitted size(latd)
+        # pairs, the unpaired final ilat carrying the last ilon cumsum
+        # (0 when there is none) — reproduce that exactly
+        ilon = np.append(ilon, ilon[-1] if len(ilon) else np.int64(0))
+    return [
+        {"ilat": int(a), "ilon": int(b_)} for a, b_ in zip(ilat.tolist(), ilon.tolist())
+    ]
 
 
 def encode_polyline(lats, lons):
     """(array<double> lats, array<double> lons) -> polyline5 string.
     Quantization is JS ``Math.round`` (floor(x*1e5 + 0.5)) for parity with
-    the canonical encoder."""
-    from pyspark.sql import functions as F
+    the canonical encoder.  Linear whole-batch Arrow kernel (see the
+    section comment); output characters identical to the old expression
+    form."""
+    from pyspark.sql.functions import pandas_udf
 
-    def q(arr):
-        return F.transform(
-            arr, lambda x: F.floor(x * F.lit(1e5) + F.lit(0.5)).cast("long")
+    @pandas_udf("string")
+    def enc(la: pd.Series, lo: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_enc_polyline_one(a, b) for a, b in zip(la, lo)], dtype=object
         )
 
-    def deltas(arr):
-        # d_i = a_i - a_{i-1} (a_{-1} = 0); element_at is 1-based, the
-        # transform index 0-based, so element_at(arr, i) IS the previous
-        return F.transform(
-            arr,
-            lambda x, i: x
-            - F.when(i > 0, F.element_at(arr, i)).otherwise(F.lit(0).cast("long")),
-        )
-
-    def enc_arr(arr):
-        return F.transform(deltas(arr), lambda d: _polyline_chunks(_zigzag64(d)))
-
-    return _let_col(
-        q(lats),
-        lambda qla: _let_col(
-            q(lons),
-            lambda qlo: F.array_join(
-                F.zip_with(enc_arr(qla), enc_arr(qlo), lambda a, b: F.concat(a, b)),
-                "",
-            ),
-        ),
-    )
+    return enc(lats, lons)
 
 
 def decode_polyline(s):
     """polyline5 string -> array<struct<ilat: long, ilon: long>> of the
-    QUANTIZED coordinates (multiply by 1e-5 for degrees).  A stateful
-    scan expressed as F.aggregate over the character codes: accumulate
-    5-bit chunks until a byte without the 0x20 continuation bit closes a
-    value, un-zigzag, then a second fold interleave-cumsums the deltas."""
-    from pyspark.sql import functions as F
+    QUANTIZED coordinates (multiply by 1e-5 for degrees).  Linear
+    whole-batch Arrow kernel (see the section comment); per-value
+    semantics identical to the old stateful-fold expression, including
+    dropped trailing unterminated groups and an unpaired final delta."""
+    from pyspark.sql.functions import pandas_udf
 
-    codes = F.filter(
-        F.transform(F.split(s, ""), lambda c: F.ascii(c) - F.lit(63)),
-        lambda c: c >= 0,  # drops the '' artifact of splitting empty input
-    )
-    # chunk slots are disjoint bit ranges, so OR == ADD: track a running
-    # multiplier (1, 32, 1024, ...) instead of a shift count — shiftleft
-    # needs a literal bit count, a multiplier stays pure column math
-    vals = F.aggregate(
-        codes,
-        F.struct(
-            F.array().cast("array<long>").alias("vals"),
-            F.lit(0).cast("long").alias("cur"),
-            F.lit(1).cast("long").alias("mult"),
-        ),
-        lambda acc, c: _let_col(
-            acc["cur"] + c.bitwiseAND(F.lit(31)).cast("long") * acc["mult"],
-            lambda cur2: F.when(
-                c >= 32,
-                F.struct(
-                    acc["vals"].alias("vals"),
-                    cur2.alias("cur"),
-                    (acc["mult"] * F.lit(32)).alias("mult"),
-                ),
-            ).otherwise(
-                F.struct(
-                    F.concat(
-                        acc["vals"],
-                        F.array(
-                            F.shiftrightunsigned(cur2, 1).bitwiseXOR(
-                                -cur2.bitwiseAND(F.lit(1))
-                            )
-                        ),
-                    ).alias("vals"),
-                    F.lit(0).cast("long").alias("cur"),
-                    F.lit(1).cast("long").alias("mult"),
-                )
-            ),
-        ),
-        lambda acc: acc["vals"],
-    )
-    # interleaved deltas [dlat0, dlon0, dlat1, ...] -> de-interleave (filter
-    # by index) -> per-point prefix sums.  The slice+fold cumsum is O(n^2)
-    # per route — routes are short (10^2-10^3 points); a 10^6-point
-    # monster belongs in the events/track operators, not a polyline.
-    def cumsum_at(arr, i):
-        return F.aggregate(
-            F.slice(arr, F.lit(1), i), F.lit(0).cast("long"), lambda a, x: a + x
-        )
+    @pandas_udf("array<struct<ilat:bigint,ilon:bigint>>")
+    def dec(col: pd.Series) -> pd.Series:
+        return pd.Series([_dec_polyline_one(v) for v in col], dtype=object)
 
-    return _let_col(
-        vals,
-        lambda v: _let_col(
-            F.filter(v, lambda x, i: i % 2 == 0),
-            lambda latd: _let_col(
-                F.filter(v, lambda x, i: i % 2 == 1),
-                lambda lond: F.when(
-                    F.size(latd) == 0,
-                    F.array().cast("array<struct<ilat:bigint,ilon:bigint>>"),
-                ).otherwise(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(latd)),
-                        lambda i: F.struct(
-                            cumsum_at(latd, i).alias("ilat"),
-                            cumsum_at(lond, i).alias("ilon"),
-                        ),
-                    )
-                ),
-            ),
-        ),
-    )
+    return dec(s)

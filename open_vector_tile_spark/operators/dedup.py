@@ -23,10 +23,16 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
+def _ensure_parallelism(df: DataFrame, chunk: int = 256 * 1024) -> DataFrame:
     """Small single-file inputs arrive as 1 partition; per-row-heavy ops
     (shingling, hashing) must fan out to the cluster first.  No-op when the
     input is already parallel.
+
+    ``chunk`` is the bytes-of-parquet-per-task density the width heuristic
+    assumes; the 256 KB default is calibrated to the shingle/minhash
+    kernels (~5M words/s/core).  Kernels whose per-row cost is orders of
+    magnitude heavier (e.g. the per-tile line clipper: ~ms/row, not us)
+    pass a smaller chunk so the same data fans wider.
 
     Two-step check: ``inputFiles()`` (free — a cached driver-side listing)
     short-circuits the common file-scan case; only when the file count
@@ -87,7 +93,6 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
             # so the r5 2 MB/task chunk left 10x parallelism unused at the
             # 6 MB scale (measured: dedup_minhash 2.6 s at width 3 vs 0.9 s
             # at width 24 on local[32]); large inputs still reach full width
-            chunk = 256 * 1024
             width = min(target, total // chunk + 1)
             if width <= 1:
                 # sub-chunk input: the kernel does the whole batch in one

@@ -114,7 +114,14 @@ def edit_similarity_join(
         F.col("id").alias("id_r"), F.col("len").alias("len_r"), "gram", "k"
     )
     cand = (
-        pl.join(pr, ["gram", "k"])
+        # merge hint: the two sides are the SAME prefix chain (grams ->
+        # occurrence window -> frequency rank window); a broadcast build
+        # side would re-run that whole chain, while identical SMJ children
+        # share one exchange via ReusedExchange — and at web scale the
+        # prefix table is far past any broadcast threshold anyway, so this
+        # also makes the small-scale plan match the at-scale one
+        pl.hint("merge")
+        .join(pr, ["gram", "k"])
         .where(
             (F.col("id_l") < F.col("id_r"))
             & (F.abs(F.col("len_l") - F.col("len_r")) <= max_dist)
@@ -134,6 +141,16 @@ def edit_similarity_join(
     ).select("id_l", "id_r")
 
     pairs = cand.union(short_pairs).distinct()
+    # one full wave for the verify stage: the per-row work downstream is a
+    # banded DP (levenshtein), ~us/row, but the distinct's exchange carries
+    # only 16-byte pair rows, so AQE's byte-based coalescing collapses the
+    # stage to 1-2 tasks and the DP runs nearly serially (measured 4.6x of
+    # the sf0.1 wall; the tile_encode r6 fix is the same disease).  An
+    # explicit round-robin repartition by NUMBER is exempt from AQE
+    # coalescing; one wave of cluster cores is the right width for a
+    # CPU-bound map stage at any data size, and the extra exchange moves
+    # 16 B/row to save ~us/row of near-serial DP.
+    pairs = pairs.repartition(df.sparkSession.sparkContext.defaultParallelism)
     left = s.select(F.col("id").alias("id_l"), F.col("s").alias("_sl"))
     right = s.select(F.col("id").alias("id_r"), F.col("s").alias("_sr"))
     return (
@@ -142,7 +159,10 @@ def edit_similarity_join(
         .select(
             "id_l",
             "id_r",
-            F.levenshtein("_sl", "_sr").cast("int").alias("dist"),
+            # banded DP: the threshold form is O(len*max_dist) instead of
+            # O(len^2) and returns the EXACT distance for every kept pair
+            # (-1 only when it exceeds max_dist, excluded by the between)
+            F.levenshtein("_sl", "_sr", max_dist).cast("int").alias("dist"),
         )
-        .where(F.col("dist") <= max_dist)
+        .where(F.col("dist").between(0, max_dist))
     )

@@ -457,6 +457,79 @@ def embedding_near_dups(
     a row-wise Arrow kernel, not an interpreted HOF."""
     from pyspark.sql.functions import pandas_udf
 
+    if n_planes <= 0:
+        # EXACT mode (the oracle's all-pairs twin, quadratic by declaration):
+        # with zero planes every vector lands in ONE bucket, so the generic
+        # bucket self-join below degenerates to a single-task join that
+        # materializes all n^2/2 pair rows (vec payload twice per pair)
+        # and runs the scoring UDF serially (measured 36 s of the sf0.1
+        # full-surface sweep at n=2000).  Triangle-blocked rewrite: hash
+        # ids into nb deterministic blocks (one wave), replicate each row
+        # to its nb+1 block-pairs (O(n*nb) rows moved, not O(n^2)), and
+        # score each block-pair with the SAME sequential-over-d kernels —
+        # _seq_dot accumulates j in the identical order as
+        # _seq_dot_pairwise and IEEE multiply commutes, so every cos_sim
+        # double is bit-identical to the pairwise form.
+        id_t = vectors.schema[id_col].dataType.simpleString()
+        nb = max(2, vectors.sparkSession.sparkContext.defaultParallelism)
+
+        def _block_pairs(key, pdf):
+            bi, bj = int(key[0]), int(key[1])
+            if bi == bj:
+                sub = pdf[pdf["_side"] == 0]
+                ids = sub[id_col].to_numpy()
+                V = _to_matrix(sub[vec_col])
+                n = len(ids)
+                if n < 2:
+                    return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+                S = _seq_dot(V, V)
+                nr = _seq_norm(V)
+                iu, ku = np.triu_indices(n, 1)
+                cos = S[iu, ku] / (nr[iu] * nr[ku])
+                ia, ib = ids[iu], ids[ku]
+            else:
+                lh = pdf[pdf["_side"] == 0]
+                rh = pdf[pdf["_side"] == 1]
+                if len(lh) == 0 or len(rh) == 0:
+                    return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+                VL, VR = _to_matrix(lh[vec_col]), _to_matrix(rh[vec_col])
+                S = _seq_dot(VL, VR)
+                cos = (S / (_seq_norm(VL)[:, None] * _seq_norm(VR)[None, :])).ravel()
+                il = np.repeat(lh[id_col].to_numpy(), len(rh))
+                ir = np.tile(rh[id_col].to_numpy(), len(lh))
+                ia, ib = np.minimum(il, ir), np.maximum(il, ir)
+            return pd.DataFrame({"id_a": ia, "id_b": ib, "cos_sim": cos})
+
+        v = vectors.select(F.col(id_col), F.col(vec_col)).withColumn(
+            "_p", F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb))
+        )
+        lhs = v.select(
+            id_col,
+            vec_col,
+            F.col("_p").alias("_bi"),
+            F.explode(F.sequence(F.col("_p"), F.lit(nb - 1))).alias("_bj"),
+            F.lit(0).alias("_side"),
+        )
+        rhs = v.where(F.col("_p") > 0).select(
+            id_col,
+            vec_col,
+            F.explode(F.sequence(F.lit(0), F.col("_p") - 1)).alias("_bi"),
+            F.col("_p").alias("_bj"),
+            F.lit(1).alias("_side"),
+        )
+        scored = (
+            lhs.unionByName(rhs)
+            .groupBy("_bi", "_bj")
+            .applyInPandas(
+                _block_pairs, f"id_a {id_t}, id_b {id_t}, cos_sim double"
+            )
+        )
+        # id_a < id_b also drops duplicate-id pairs, matching the generic
+        # path's strict filter on the join output
+        return scored.filter(
+            (F.col("id_a") < F.col("id_b")) & (F.col("cos_sim") >= threshold)
+        )
+
     P = _plane_matrix(dim, n_planes, n_tables=1)
 
     @pandas_udf("long")

@@ -1072,6 +1072,15 @@ def _lines_dist_impl(
         (F.col(mvals_json_col) if mvals_json_col else F.lit(None).cast("string")).alias("_mv"),
         pj.alias("_pj"),
     )
+    # fan a narrow scan out BEFORE the kernel: the per-line work below is a
+    # python-level clip loop over every covered tile (~ms/row for a
+    # world-spanning line at z3, 1000x the shingle kernels' per-row cost),
+    # so the width heuristic gets a 16 KB/task chunk — a single-file scan
+    # otherwise runs the whole clip serially (measured 12.7 s -> one wave
+    # at sf0.1 clip_pyramid); already-wide inputs are untouched
+    from .dedup import _ensure_parallelism
+
+    src = _ensure_parallelism(src, chunk=16 * 1024)
 
     def run(batches: Iterable[pd.DataFrame]):
         for pdf in batches:
@@ -1298,6 +1307,12 @@ def _polygons_dist_impl(
         (F.col(mvals_json_col) if mvals_json_col else F.lit(None).cast("string")).alias("_mv"),
         pj.alias("_pj"),
     )
+    # same narrow-scan fan-out as _lines_dist_impl: per-ring python
+    # area/clip work is ~ms/row, so a single-file scan must not run the
+    # kernel serially; no-op for already-wide inputs
+    from .dedup import _ensure_parallelism
+
+    src = _ensure_parallelism(src, chunk=16 * 1024)
 
     def run(batches: Iterable[pd.DataFrame]):
         from ..codec.mvt import signed_area
