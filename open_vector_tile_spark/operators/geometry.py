@@ -767,36 +767,59 @@ def fix_winding(
     """
     is_hole = F.col(hole_col) if hole_col else F.lit(False)
 
-    def body(pts0: Column) -> Column:
-        n0 = F.size(pts0)
-        # 1. explicit closure: drop the last vertex when it equals the first
-        closed = (n0 >= 2) & (
-            F.element_at(pts0, -1) == F.element_at(pts0, 1)
-        )
-        opened = F.when(closed, F.slice(pts0, 1, n0 - 1)).otherwise(pts0)
-
-        def dedup(pts: Column) -> Column:
-            # keep index 0 and every vertex different from its predecessor;
-            # the when() guard keeps element_at(pts, 0) (an ANSI error —
-            # SQL arrays are 1-based) from ever evaluating on the first
-            # element
-            return F.filter(
-                pts,
-                lambda p, i: F.when(i == F.lit(0), F.lit(True)).otherwise(
-                    p != F.element_at(pts, i)
-                ),
-            )
-
-        clean = dedup(opened)
-        n = F.size(clean)
-        # cyclic shoelace: pair each vertex with its cyclic successor
-        # greatest() guard: slice length must be >= 0 under ANSI even for
-        # empty rings
-        succ = F.concat(
-            F.slice(clean, 2, F.greatest(n - 1, F.lit(0))),
-            F.slice(clean, 1, 1),
-        )
-        area2 = F.aggregate(
+    # Every intermediate array below is MATERIALIZED as a column before it
+    # is referenced again (r6, guide 1.2/7.3 planning-time): the original
+    # single nested expression spelled each intermediate out at every use
+    # site — `clean` alone appeared six times, each copy carrying the
+    # whole dedup-filter subtree, which carried `opened` twice, which
+    # carried `pts0` three times — an exponentially sized tree that cost
+    # the DRIVER 10-27 s of analysis/optimization per query (measured:
+    # one 6-vertex row took 27 s wall, all planning).  Named columns keep
+    # the tree linear; CollapseProject declines to inline a non-cheap
+    # alias referenced more than once, so the shape survives
+    # optimization.  The per-row expressions are identical — results are
+    # unchanged (winding tests + fix_winding oracle pin this).
+    pts0 = F.zip_with(
+        F.col(xs_col).cast("array<long>"),
+        F.col(ys_col).cast("array<long>"),
+        lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+    )
+    tmp = df.withColumn("_pts0", pts0)
+    n0 = F.size(F.col("_pts0"))
+    # 1. explicit closure: drop the last vertex when it equals the first
+    closed = (n0 >= 2) & (
+        F.element_at(F.col("_pts0"), -1) == F.element_at(F.col("_pts0"), 1)
+    )
+    tmp = tmp.withColumn(
+        "_opened",
+        F.when(closed, F.slice(F.col("_pts0"), 1, n0 - 1)).otherwise(
+            F.col("_pts0")
+        ),
+    )
+    # 2. keep index 0 and every vertex different from its predecessor; the
+    # when() guard keeps element_at(pts, 0) (an ANSI error — SQL arrays
+    # are 1-based) from ever evaluating on the first element
+    tmp = tmp.withColumn(
+        "_clean",
+        F.filter(
+            F.col("_opened"),
+            lambda p, i: F.when(i == F.lit(0), F.lit(True)).otherwise(
+                p != F.element_at(F.col("_opened"), i)
+            ),
+        ),
+    )
+    clean = F.col("_clean")
+    n = F.size(clean)
+    # cyclic shoelace: pair each vertex with its cyclic successor
+    # greatest() guard: slice length must be >= 0 under ANSI even for
+    # empty rings
+    succ = F.concat(
+        F.slice(clean, 2, F.greatest(n - 1, F.lit(0))),
+        F.slice(clean, 1, 1),
+    )
+    tmp = tmp.withColumn(
+        "_area2",
+        F.aggregate(
             F.zip_with(
                 clean,
                 succ,
@@ -804,25 +827,25 @@ def fix_winding(
             ),
             F.lit(0).cast("long"),
             lambda acc, t: acc + t,
-        )
-        degenerate = F.size(F.array_distinct(clean)) < 3
-        want_pos = F.lit(bool(outer_positive)) != is_hole  # XOR
-        wrong = F.when(want_pos, area2 < 0).otherwise(area2 > 0)
-        rev = ~degenerate & wrong
-        fixed = F.when(rev, F.reverse(clean)).otherwise(clean)
-        return F.struct(
-            F.transform(fixed, lambda p: p["x"]).alias("xs_fixed"),
-            F.transform(fixed, lambda p: p["y"]).alias("ys_fixed"),
-            F.when(rev, -area2).otherwise(area2).alias("area2"),
-            rev.alias("reversed"),
-            (n0 - n).cast("long").alias("n_dropped"),
-            degenerate.alias("degenerate"),
-        )
-
-    pts0 = F.zip_with(
-        F.col(xs_col).cast("array<long>"),
-        F.col(ys_col).cast("array<long>"),
-        lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+        ),
+    ).withColumn("_degenerate", F.size(F.array_distinct(clean)) < 3)
+    area2 = F.col("_area2")
+    degenerate = F.col("_degenerate")
+    want_pos = F.lit(bool(outer_positive)) != is_hole  # XOR
+    wrong = F.when(want_pos, area2 < 0).otherwise(area2 > 0)
+    tmp = tmp.withColumn("_rev", ~degenerate & wrong)
+    rev = F.col("_rev")
+    tmp = tmp.withColumn("_fixed", F.when(rev, F.reverse(clean)).otherwise(clean))
+    fixed = F.col("_fixed")
+    tmp = tmp.select(
+        "*",
+        F.transform(fixed, lambda p: p["x"]).alias("xs_fixed"),
+        F.transform(fixed, lambda p: p["y"]).alias("ys_fixed"),
+        F.when(rev, -area2).otherwise(area2).alias("area2"),
+        rev.alias("reversed"),
+        (F.size(F.col("_pts0")) - n).cast("long").alias("n_dropped"),
+        degenerate.alias("degenerate"),
     )
-    tmp = df.withColumn("_fw", body(pts0))
-    return tmp.select("*", "_fw.*").drop("_fw")
+    return tmp.drop(
+        "_pts0", "_opened", "_clean", "_area2", "_degenerate", "_rev", "_fixed"
+    )

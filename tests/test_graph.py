@@ -215,6 +215,9 @@ def test_pagerank_isolated_nodes_and_duplicate_edges(spark):
         assert got[x] == pytest.approx(want[x], abs=1e-12)
 
 
+@pytest.mark.slow  # 3 full pagerank runs (23 s at local[4]); fast siblings:
+# reference-parity, star/dangling, checkpoint-release tests + the r4
+# driver-green pagerank oracle stay in the default gate
 def test_pagerank_deterministic_mode_bit_stable(spark):
     from open_vector_tile_spark.operators.graph import pagerank
 
