@@ -292,6 +292,20 @@ def areal_interpolate(
     import pandas as pd
     from pyspark.sql import Window
 
+    from .dedup import _ensure_parallelism
+
+    # Fan the scan out BEFORE the bbox explode + clip UDF: the kernel is a
+    # per-row Python Sutherland-Hodgman (~0.1 ms/row after the ~6x cell
+    # fan-out), so a single-row-group parquet input would otherwise run the
+    # whole clip serially in the 1-task scan (measured 5.1 s -> 1.2 s at
+    # sf0.1; same disease and same 16 KB/task density as the tiler's line/
+    # polygon featurizers).  Bit-safety of the changed row order: the only
+    # order-sensitive op downstream is the per-polygon window SUM of areas,
+    # and every caller feeds integer-coordinate rings (rect-vs-cell areas
+    # are exact multiples of 0.5 in double), so the sum is exact in any
+    # order; weight/alloc are single correctly-rounded div/mul per row.
+    polys = _ensure_parallelism(polys, chunk=16 * 1024)
+
     cs = int(cell_size)
 
     @F.pandas_udf("double")
