@@ -907,8 +907,13 @@ def _q_corpus_filter(spark: SparkSession, sf: str) -> DataFrame:
     oracle-checked primitives composed in one plan (single scan, no shuffle
     until the sort)."""
     from open_vector_tile_spark.functions.text import lang_id
+    from open_vector_tile_spark.operators.dedup import _ensure_parallelism
 
-    docs = _load(spark, sf, "documents")
+    # the quality/lang derivations are per-row JVM regex over full text in
+    # the scan stage: fan the single-row-group scan out first (measured
+    # 1.97 -> 1.29 s at sf0.1; per-row derivation + unique-key orderBy,
+    # partitioning-proof)
+    docs = _ensure_parallelism(_load(spark, sf, "documents"))
     t = F.col("text")
     n = F.length(t)
     alpha = F.length(F.regexp_replace(t, "[^a-zA-Z0-9]", ""))
@@ -5930,8 +5935,14 @@ def _q_main_content(spark: SparkSession, sf: str) -> DataFrame:
     operator is one map-side F.aggregate fold; the oracle replays it with
     an INDEPENDENT algorithm (SQL gaps-and-islands windows)."""
     from open_vector_tile_spark.functions.text import main_content
+    from open_vector_tile_spark.operators.dedup import _ensure_parallelism
 
-    docs = _load(spark, sf, "documents")
+    # the per-row extractor fold is the scan stage's cost: fan the
+    # single-row-group scan to data-sized width first (64 KB/task — JVM
+    # HOF folds, heavier per byte than the shingle kernels; measured
+    # 1.70 -> 0.81 s at sf0.1).  Per-row derivation + unique-key orderBy:
+    # partitioning-proof.
+    docs = _ensure_parallelism(_load(spark, sf, "documents"), chunk=64 * 1024)
     ts = F.split(F.col("text"), " ")
     html = F.concat(
         F.lit(_MC_NAV),

@@ -284,6 +284,11 @@ def span_dedup(
     column expressions — computed once per row, no per-element re-eval, no
     Python.
     """
+    # the per-window md5 grams AND the rebuild HOFs both run over df's scan
+    # stage: fan a narrow scan to data-sized width once, shared by both
+    # consumers (gram hashes/counts/collect_set membership are all
+    # order-insensitive, rebuild is per-row — partitioning-proof)
+    df = _ensure_parallelism(df)
     empty_i = F.array().cast("array<int>")
     words_of = lambda: F.filter(  # noqa: E731 — built fresh per use site
         F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
@@ -910,6 +915,11 @@ def duplicate_spans(
         raise ValueError(f"window must be >= 2, got {window}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    # same Arrow fingerprint kernel family as minhash: fan a narrow scan to
+    # data-sized width before it (no-op when already parallel; every
+    # downstream op is keyed — counts, joins, per-id windows — so
+    # partitioning cannot change any span)
+    docs = _ensure_parallelism(docs)
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("struct<n_tokens: long, grams: array<long>>")
@@ -1001,6 +1011,10 @@ def cdc_chunks(
     """
     if not 1 <= boundary_hex <= 255:
         raise ValueError(f"boundary_hex must be in [1, 255], got {boundary_hex}")
+    # the per-word md5 boundary test runs in the scan stage: fan a narrow
+    # scan out first (boundaries, chunk ids, and chunk texts are all
+    # derived per doc in document order — partitioning-proof)
+    docs = _ensure_parallelism(docs)
     thr = format(boundary_hex, "02x")
     from ..functions.text import WS_SPLIT  # Java/RE2-identical whitespace class
 
@@ -1077,6 +1091,10 @@ def containment_pairs(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # shingle formation is the scan stage's per-row cost: fan a narrow scan
+    # out first (intersection counts are integers, divisions fixed — the
+    # docstring's bit-stable-on-any-partitioning contract)
+    docs = _ensure_parallelism(docs)
     sh = docs.select(
         F.col(id_col).alias("_cid"),
         F.filter(shingles(F.col(text_col), n), lambda g: g != F.lit("")).alias(

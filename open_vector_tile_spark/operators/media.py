@@ -113,7 +113,16 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     One mapInPandas stage, no shuffle: per Arrow batch the headers are
     packed as an (n, 20) uint8 block and every payload byte of every row is
     produced by ONE vectorized formula over a concatenated index vector.
-    """
+
+    The id column is fanned to data-sized width first (no-op for already-
+    parallel input): a single-row-group parquet scan is 1 task, which ran
+    the whole synthesis + every downstream byte kernel serially.  64 KB/
+    task density, NOT the 16 KB of the per-row-Python clip kernels — the
+    kernels here are whole-batch numpy, so tasks are cheap and too-fine
+    splits just pay python-worker roundtrips (measured at sf0.1:
+    media_stats 1.18 s -> 0.74 at 64 KB but 1.17 at 16 KB).  Synthesis is
+    per-row deterministic from media_id, so partitioning cannot change any
+    blob."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -146,7 +155,10 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ]
             yield pd.DataFrame({"media_id": mid, "blob": blobs})
 
-    return docs.select(id_col).mapInPandas(gen, "media_id long, blob binary")
+    from .dedup import _ensure_parallelism
+
+    src = _ensure_parallelism(docs.select(id_col), chunk=64 * 1024)
+    return src.mapInPandas(gen, "media_id long, blob binary")
 
 
 # ---------------------------------------------------------------------------
