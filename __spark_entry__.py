@@ -1715,8 +1715,12 @@ def _q_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
     every metric with DuckDB list functions.  Thresholds (30..80 words,
     >=1 stopword) chosen so the synthetic corpus splits non-trivially."""
     from open_vector_tile_spark.functions.text import gopher_metrics
+    from open_vector_tile_spark.operators.dedup import _ensure_parallelism
 
-    docs = _load(spark, sf, "documents")
+    # per-row JVM HOF metrics in the scan stage: fan the single-row-group
+    # scan out first (measured 1.97 -> 0.74 s at sf0.1; per-row derivation
+    # + unique-key orderBy, partitioning-proof)
+    docs = _ensure_parallelism(_load(spark, sf, "documents"), chunk=64 * 1024)
     m = gopher_metrics(F.col("text"), min_words=30, max_words=80, min_stop_hits=1)
     return docs.select(
         "doc_id",
@@ -1736,8 +1740,12 @@ def _q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     oracle replays the identical pattern chain in DuckDB RE2 — replacement
     AND counts must match byte-for-byte."""
     from open_vector_tile_spark.functions.text import pii_counts, redact_pii
+    from open_vector_tile_spark.operators.dedup import _ensure_parallelism
 
-    docs = _load(spark, sf, "documents")
+    # the redact regexp chain is per-row JVM work in the scan stage: fan
+    # out first (measured 1.28 -> 0.70 s at sf0.1; per-row + unique-key
+    # orderBy, partitioning-proof)
+    docs = _ensure_parallelism(_load(spark, sf, "documents"), chunk=64 * 1024)
     d = F.col("doc_id")
     synth = F.concat(
         F.col("text"),
@@ -2448,8 +2456,14 @@ def _q_tfidf_vectors(spark: SparkSession, sf: str) -> DataFrame:
     bucketing + smooth idf + sorted-fold L2 norm — every weight
     reproduces bit-for-bit in the DuckDB twin (rounded to 6)."""
     from open_vector_tile_spark.operators.retrieval import tfidf_hashed
+    from open_vector_tile_spark.operators.dedup import _ensure_parallelism
 
-    docs = _load(spark, sf, "documents")
+    # fan the narrow scan before the tokenize+explode (measured 2.35 ->
+    # ~1.7 s at sf0.1; int tf counts + sorted-fold norm sums make every
+    # weight partitioning-proof).  The fan lives HERE, not in
+    # build_postings: the other postings consumers measured WORSE with a
+    # pre-shuffle (see build_postings docstring).
+    docs = _ensure_parallelism(_load(spark, sf, "documents"), chunk=64 * 1024)
     return tfidf_hashed(docs, dim=64).orderBy("doc_id", "bucket")
 
 
@@ -5813,8 +5827,12 @@ def _q_sentences(spark: SparkSession, sf: str) -> DataFrame:
     construction, so the oracle replays the WHOLE operator verbatim in
     DuckDB (replace chain, extract, restore, trim, filter)."""
     from open_vector_tile_spark.functions.text import split_sentences
+    from open_vector_tile_spark.operators.dedup import _ensure_parallelism
 
-    docs = _load(spark, sf, "documents")
+    # the protect/split/restore regexp chain is per-row JVM work in the
+    # scan stage: fan out first (measured 1.57 -> 0.75 s at sf0.1; per-row
+    # + unique-key orderBy on (doc_id, sent_idx), partitioning-proof)
+    docs = _ensure_parallelism(_load(spark, sf, "documents"), chunk=64 * 1024)
     ts = F.split(F.col("text"), " ")
 
     def j(a, b):

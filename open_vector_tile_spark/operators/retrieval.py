@@ -59,7 +59,15 @@ def build_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     """-> (postings, doclen): ``postings`` = (id, term, tf), ``doclen`` =
     (id, dl).  Both are single partial-agg shuffles over the token stream;
     at scale these are the materialize-once artifacts an index build would
-    persist (bucketed by term / by id respectively)."""
+    persist (bucketed by term / by id respectively).
+
+    Deliberately NO fan-out of a narrow source here: measured across the
+    postings consumers at sf0.1, the extra exchange LOSES for most of them
+    (keywords 0.87 -> 1.28, host_terms 0.53 -> 0.74, bm25 flat) — the
+    partial-agg shuffle right after tokenize already provides downstream
+    parallelism, so the pre-shuffle only parallelizes the tokenize itself,
+    which is cheaper than the exchange for every consumer but the dense
+    tfidf_vectors query (which fans at its own call site)."""
     tokens = tokenize(df, id_col, text_col)
     postings = tokens.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
