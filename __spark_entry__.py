@@ -414,7 +414,17 @@ def _supplier_anchors(sup: DataFrame) -> DataFrame:
 def _q_knn_haversine(spark: SparkSession, sf: str) -> DataFrame:
     """J3/O4: k=3 nearest suppliers (as anchors) per derived doc point by
     exact haversine + rank window."""
-    docs = _doc_points(_load(spark, sf, "documents")).select("doc_id", "lon", "lat")
+    from open_vector_tile_spark.operators.dedup import _ensure_parallelism
+
+    # the crossJoin fan-out (docs x anchors) and the partial rank-window
+    # prune both run in the docs scan stage, so a 1-task single-row-group
+    # scan serialized the whole 5M-row build (measured 3.98 -> 1.16 s at
+    # sf0.1).  Per-row haversine + (dist, poi_id)-tie-broken rank +
+    # unique-key orderBy: partitioning-proof.
+    docs = _ensure_parallelism(
+        _doc_points(_load(spark, sf, "documents")).select("doc_id", "lon", "lat"),
+        chunk=64 * 1024,
+    )
     anchors = _supplier_anchors(_load(spark, sf, "supplier"))
     j = docs.crossJoin(F.broadcast(anchors))
     r = 6371008.8
@@ -706,9 +716,16 @@ def _q_knn_cell_ring(spark: SparkSession, sf: str) -> DataFrame:
     """J3 scale path: iterative cell-ring expansion with the exact
     termination bound — must bit-match the brute-force kNN oracle (same SQL
     as knn_haversine), proving the ring search is exact, not approximate."""
+    from open_vector_tile_spark.operators.dedup import _ensure_parallelism
     from open_vector_tile_spark.operators.knn import knn_cell_ring
 
-    docs = _doc_points(_load(spark, sf, "documents")).select("doc_id", "lon", "lat")
+    # ring expansion rounds all re-derive from the docs scan: fan the
+    # 1-task single-row-group scan out first (measured 4.66 -> 3.59 s at
+    # sf0.1; the exact ring algorithm is per-doc, partitioning-proof)
+    docs = _ensure_parallelism(
+        _doc_points(_load(spark, sf, "documents")).select("doc_id", "lon", "lat"),
+        chunk=64 * 1024,
+    )
     sup = _load(spark, sf, "supplier")
     anchors = sup.select(
         F.col("s_suppkey").alias("poi_id"),
@@ -2234,7 +2251,12 @@ def _q_clip_polygon_rect(spark: SparkSession, sf: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = _load(spark, sf, "documents")
+    from open_vector_tile_spark.operators.dedup import _ensure_parallelism
+
+    # per-row Python clip kernel in the scan stage: fan the 1-task
+    # single-row-group scan out first (measured 1.80 -> 0.75 s at sf0.1;
+    # per-row kernel, partitioning-proof)
+    docs = _ensure_parallelism(_load(spark, sf, "documents"), chunk=64 * 1024)
     src = docs.select(
         "doc_id",
         ((F.col("doc_id") * 13 % 50) / 10.0).alias("x_lo"),
@@ -3614,9 +3636,15 @@ def _q_link_extract(spark: SparkSession, sf: str) -> DataFrame:
     protocol-relative on d%4==0, skipped fragment/javascript), so the
     oracle exercises tag inventory, each CASE arm, and the full
     normalize_url chain (RE2-replayable by construction)."""
+    from open_vector_tile_spark.operators.dedup import _ensure_parallelism
     from open_vector_tile_spark.operators.links import extract_links
 
-    pages = _synth_pages(_load(spark, sf, "documents"))
+    # the tag-inventory regexp chain is per-row JVM work in the scan
+    # stage: fan out first (measured 1.06 -> 0.59 s at sf0.1; per-row
+    # derivations, partitioning-proof)
+    pages = _synth_pages(
+        _ensure_parallelism(_load(spark, sf, "documents"), chunk=64 * 1024)
+    )
     out = extract_links(pages)
     return out.select("doc_id", "href", "dst_url", "anchor").orderBy(
         "doc_id", "href"
@@ -4736,8 +4764,14 @@ def _q_viewport_cover(spark: SparkSession, sf: str) -> DataFrame:
     (one flagged row, n_tiles auditable).  The oracle replays the
     mercator floor/clamp and the range explosion in SQL."""
     from open_vector_tile_spark.functions.geo import viewport_tiles
+    from open_vector_tile_spark.operators.dedup import _ensure_parallelism
 
-    docs = _doc_points(_load(spark, sf, "documents"))
+    # the mercator floor/clamp + range explode runs in the scan stage: fan
+    # the 1-task single-row-group scan out first (measured 2.83 -> 1.09 s
+    # at sf0.1; pure per-row column exprs, partitioning-proof)
+    docs = _ensure_parallelism(
+        _doc_points(_load(spark, sf, "documents")), chunk=64 * 1024
+    )
     d = F.col("doc_id")
     clon, clat = F.col("lon"), F.col("lat")
     am = d % 11 == 0

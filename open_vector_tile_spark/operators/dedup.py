@@ -23,16 +23,20 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-def _ensure_parallelism(df: DataFrame, chunk: int = 256 * 1024) -> DataFrame:
+def _ensure_parallelism(df: DataFrame, chunk: int = 64 * 1024) -> DataFrame:
     """Small single-file inputs arrive as 1 partition; per-row-heavy ops
     (shingling, hashing) must fan out to the cluster first.  No-op when the
     input is already parallel.
 
     ``chunk`` is the bytes-of-parquet-per-task density the width heuristic
-    assumes; the 256 KB default is calibrated to the shingle/minhash
-    kernels (~5M words/s/core).  Kernels whose per-row cost is orders of
-    magnitude heavier (e.g. the per-tile line clipper: ~ms/row, not us)
-    pass a smaller chunk so the same data fans wider.
+    assumes; the 64 KB default is calibrated to the shingle/minhash
+    kernels (round-6 alternating A/B over every default caller: 64 KB
+    beat the earlier 256 KB on minhash/simhash/span/containment at BOTH
+    sf0.1 and sf1.0 — −11..−18% — and was flat on cdc/line; ~250 KB of
+    text per task keeps the kernel ≥10 ms/task, well above task-launch
+    cost).  Kernels whose per-row cost is orders of magnitude heavier
+    (e.g. the per-tile line clipper: ~ms/row, not us) pass a smaller
+    chunk so the same data fans wider.
 
     Two-step check: ``inputFiles()`` (free — a cached driver-side listing)
     short-circuits the common file-scan case; only when the file count
@@ -87,12 +91,12 @@ def _ensure_parallelism(df: DataFrame, chunk: int = 256 * 1024) -> DataFrame:
             # width follows the DATA, not the cluster: a sub-chunk input
             # fanned to defaultParallelism pays 32 task launches + python
             # worker roundtrips for microseconds of numpy each (measured
-            # ~1s of the sf0.1 dedup_minhash headline).  ~256 KB of parquet
-            # (~1 MB of text) per task keeps each task's kernel work in the
-            # tens of ms — the shingle/minhash kernels run ~5M words/s/core,
-            # so the r5 2 MB/task chunk left 10x parallelism unused at the
-            # 6 MB scale (measured: dedup_minhash 2.6 s at width 3 vs 0.9 s
-            # at width 24 on local[32]); large inputs still reach full width
+            # ~1s of the sf0.1 dedup_minhash headline).  The default chunk
+            # keeps each task's kernel work in the tens of ms — the
+            # shingle/minhash kernels run ~5M words/s/core, so the r5
+            # 2 MB/task chunk left 10x parallelism unused at the 6 MB
+            # scale (measured: dedup_minhash 2.6 s at width 3 vs 0.9 s at
+            # width 24 on local[32]); large inputs still reach full width
             width = min(target, total // chunk + 1)
             if width <= 1:
                 # sub-chunk input: the kernel does the whole batch in one
