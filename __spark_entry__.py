@@ -422,8 +422,7 @@ def _q_knn_haversine(spark: SparkSession, sf: str) -> DataFrame:
     # sf0.1).  Per-row haversine + (dist, poi_id)-tie-broken rank +
     # unique-key orderBy: partitioning-proof.
     docs = _ensure_parallelism(
-        _doc_points(_load(spark, sf, "documents")).select("doc_id", "lon", "lat"),
-        chunk=64 * 1024,
+        _doc_points(_load(spark, sf, "documents")).select("doc_id", "lon", "lat")
     )
     anchors = _supplier_anchors(_load(spark, sf, "supplier"))
     j = docs.crossJoin(F.broadcast(anchors))
@@ -723,8 +722,7 @@ def _q_knn_cell_ring(spark: SparkSession, sf: str) -> DataFrame:
     # 1-task single-row-group scan out first (measured 4.66 -> 3.59 s at
     # sf0.1; the exact ring algorithm is per-doc, partitioning-proof)
     docs = _ensure_parallelism(
-        _doc_points(_load(spark, sf, "documents")).select("doc_id", "lon", "lat"),
-        chunk=64 * 1024,
+        _doc_points(_load(spark, sf, "documents")).select("doc_id", "lon", "lat")
     )
     sup = _load(spark, sf, "supplier")
     anchors = sup.select(
@@ -1737,7 +1735,7 @@ def _q_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
     # per-row JVM HOF metrics in the scan stage: fan the single-row-group
     # scan out first (measured 1.97 -> 0.74 s at sf0.1; per-row derivation
     # + unique-key orderBy, partitioning-proof)
-    docs = _ensure_parallelism(_load(spark, sf, "documents"), chunk=64 * 1024)
+    docs = _ensure_parallelism(_load(spark, sf, "documents"))
     m = gopher_metrics(F.col("text"), min_words=30, max_words=80, min_stop_hits=1)
     return docs.select(
         "doc_id",
@@ -1762,7 +1760,7 @@ def _q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     # the redact regexp chain is per-row JVM work in the scan stage: fan
     # out first (measured 1.28 -> 0.70 s at sf0.1; per-row + unique-key
     # orderBy, partitioning-proof)
-    docs = _ensure_parallelism(_load(spark, sf, "documents"), chunk=64 * 1024)
+    docs = _ensure_parallelism(_load(spark, sf, "documents"))
     d = F.col("doc_id")
     synth = F.concat(
         F.col("text"),
@@ -2256,7 +2254,7 @@ def _q_clip_polygon_rect(spark: SparkSession, sf: str) -> DataFrame:
     # per-row Python clip kernel in the scan stage: fan the 1-task
     # single-row-group scan out first (measured 1.80 -> 0.75 s at sf0.1;
     # per-row kernel, partitioning-proof)
-    docs = _ensure_parallelism(_load(spark, sf, "documents"), chunk=64 * 1024)
+    docs = _ensure_parallelism(_load(spark, sf, "documents"))
     src = docs.select(
         "doc_id",
         ((F.col("doc_id") * 13 % 50) / 10.0).alias("x_lo"),
@@ -2485,7 +2483,7 @@ def _q_tfidf_vectors(spark: SparkSession, sf: str) -> DataFrame:
     # weight partitioning-proof).  The fan lives HERE, not in
     # build_postings: the other postings consumers measured WORSE with a
     # pre-shuffle (see build_postings docstring).
-    docs = _ensure_parallelism(_load(spark, sf, "documents"), chunk=64 * 1024)
+    docs = _ensure_parallelism(_load(spark, sf, "documents"))
     return tfidf_hashed(docs, dim=64).orderBy("doc_id", "bucket")
 
 
@@ -3643,7 +3641,7 @@ def _q_link_extract(spark: SparkSession, sf: str) -> DataFrame:
     # stage: fan out first (measured 1.06 -> 0.59 s at sf0.1; per-row
     # derivations, partitioning-proof)
     pages = _synth_pages(
-        _ensure_parallelism(_load(spark, sf, "documents"), chunk=64 * 1024)
+        _ensure_parallelism(_load(spark, sf, "documents"))
     )
     out = extract_links(pages)
     return out.select("doc_id", "href", "dst_url", "anchor").orderBy(
@@ -4769,9 +4767,7 @@ def _q_viewport_cover(spark: SparkSession, sf: str) -> DataFrame:
     # the mercator floor/clamp + range explode runs in the scan stage: fan
     # the 1-task single-row-group scan out first (measured 2.83 -> 1.09 s
     # at sf0.1; pure per-row column exprs, partitioning-proof)
-    docs = _ensure_parallelism(
-        _doc_points(_load(spark, sf, "documents")), chunk=64 * 1024
-    )
+    docs = _ensure_parallelism(_doc_points(_load(spark, sf, "documents")))
     d = F.col("doc_id")
     clon, clat = F.col("lon"), F.col("lat")
     am = d % 11 == 0
@@ -5866,7 +5862,7 @@ def _q_sentences(spark: SparkSession, sf: str) -> DataFrame:
     # the protect/split/restore regexp chain is per-row JVM work in the
     # scan stage: fan out first (measured 1.57 -> 0.75 s at sf0.1; per-row
     # + unique-key orderBy on (doc_id, sent_idx), partitioning-proof)
-    docs = _ensure_parallelism(_load(spark, sf, "documents"), chunk=64 * 1024)
+    docs = _ensure_parallelism(_load(spark, sf, "documents"))
     ts = F.split(F.col("text"), " ")
 
     def j(a, b):
@@ -5994,7 +5990,7 @@ def _q_main_content(spark: SparkSession, sf: str) -> DataFrame:
     # HOF folds, heavier per byte than the shingle kernels; measured
     # 1.70 -> 0.81 s at sf0.1).  Per-row derivation + unique-key orderBy:
     # partitioning-proof.
-    docs = _ensure_parallelism(_load(spark, sf, "documents"), chunk=64 * 1024)
+    docs = _ensure_parallelism(_load(spark, sf, "documents"))
     ts = F.split(F.col("text"), " ")
     html = F.concat(
         F.lit(_MC_NAV),

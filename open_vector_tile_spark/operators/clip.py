@@ -286,6 +286,17 @@ def areal_interpolate(
     boundary cells are filtered AFTER clipping, so touching-but-disjoint
     cells never emit.  At 10^12 polygons the fan-out is bbox-bounded and
     the hot key is the polygon id — no global state anywhere.
+
+    Bit-reproducibility precondition: ``weight``/``alloc`` divide by the
+    per-polygon window SUM of clipped areas, and that sum's row order
+    follows the physical partitioning (the input is fanned to data-sized
+    width).  When every clipped area is exact in double — integer or
+    dyadic ring coordinates clipped at integer cell bounds, as every
+    current caller ships — the sum is exact in any order and results are
+    bit-identical across partitionings.  Callers with general float
+    coordinates get last-ulp weight variance across cluster widths (the
+    usual unordered-float-aggregation caveat; sum(area) itself, not this
+    operator, is the boundary).
     """
     if cell_size <= 0:
         raise ValueError(f"cell_size must be > 0, got {cell_size}")
@@ -299,11 +310,8 @@ def areal_interpolate(
     # fan-out), so a single-row-group parquet input would otherwise run the
     # whole clip serially in the 1-task scan (measured 5.1 s -> 1.2 s at
     # sf0.1; same disease and same 16 KB/task density as the tiler's line/
-    # polygon featurizers).  Bit-safety of the changed row order: the only
-    # order-sensitive op downstream is the per-polygon window SUM of areas,
-    # and every caller feeds integer-coordinate rings (rect-vs-cell areas
-    # are exact multiples of 0.5 in double), so the sum is exact in any
-    # order; weight/alloc are single correctly-rounded div/mul per row.
+    # polygon featurizers).  Row-order bit-safety: see the docstring's
+    # exactness precondition on the per-polygon window SUM.
     polys = _ensure_parallelism(polys, chunk=16 * 1024)
 
     cs = int(cell_size)

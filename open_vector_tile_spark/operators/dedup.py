@@ -289,9 +289,16 @@ def span_dedup(
     Python.
     """
     # the per-window md5 grams AND the rebuild HOFs both run over df's scan
-    # stage: fan a narrow scan to data-sized width once, shared by both
-    # consumers (gram hashes/counts/collect_set membership are all
-    # order-insensitive, rebuild is per-row — partitioning-proof)
+    # stage: fan a narrow scan to data-sized width first (gram hashes/
+    # counts/collect_set membership are all order-insensitive, rebuild is
+    # per-row — partitioning-proof).  The fan sits above a DAG diamond and
+    # per-branch column pruning makes the branch subtrees canonicalize
+    # differently, so the executed plan materializes the narrow exchange
+    # up to 3x (grams / rebuild / final join) rather than reusing one
+    # stage — measured and accepted: each exchange ships only the pruned
+    # (id, text) columns and the serial-kernel savings dominate
+    # (2.35 -> 1.92 s at sf0.1 net of all three); a localCheckpoint would
+    # share one scan at the cost of an eager materialization barrier.
     df = _ensure_parallelism(df)
     empty_i = F.array().cast("array<int>")
     words_of = lambda: F.filter(  # noqa: E731 — built fresh per use site
@@ -1097,7 +1104,11 @@ def containment_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     # shingle formation is the scan stage's per-row cost: fan a narrow scan
     # out first (intersection counts are integers, divisions fixed — the
-    # docstring's bit-stable-on-any-partitioning contract)
+    # docstring's bit-stable-on-any-partitioning contract).  As in
+    # span_dedup, per-branch pruning (postings vs sizes) materializes the
+    # narrow exchange twice in the executed plan; measured net win
+    # (2.95 -> 2.61 s at sf0.1) because both branches' per-row shingle
+    # work parallelizes while each exchange ships only (id, text).
     docs = _ensure_parallelism(docs)
     sh = docs.select(
         F.col(id_col).alias("_cid"),
