@@ -2084,8 +2084,13 @@ def _q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     48-bit hashes.  Two-level min-k plan (no unbounded per-group state);
     all-integer estimator, so the DuckDB twin matches to the bit."""
     from open_vector_tile_spark.functions.sketch import kmv_distinct
+    from open_vector_tile_spark.operators.dedup import _ensure_parallelism
 
-    docs = _load(spark, sf, "documents")
+    # the md5-per-token hashing runs in the scan stage: fan the 1-task
+    # single-row-group scan out first (measured 1.11 -> 0.59 s at sf0.1;
+    # the min-k sketch is order-insensitive by construction, so
+    # partitioning cannot change the estimate)
+    docs = _ensure_parallelism(_load(spark, sf, "documents"))
     tokens = docs.select(
         "lang",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
